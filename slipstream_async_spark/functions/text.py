@@ -1,0 +1,123 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure column expressions (JVM-side, codegen'd, zero Python in the hot
+path) so they survive a 100 TB scan: language-ID, quality scoring, token
+counting, document fingerprinting. Cross-engine determinism note: every
+hash here is md5-based (``hash32``) because Spark's ``hash()`` (xxhash/
+murmur) has no DuckDB equivalent, and the oracle must reproduce values
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Per-language marker words for the n-gram/stopword language heuristic.
+# Deterministic tie-break: first language in this order wins.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "value", "fast", "is", "in", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pas", "pour", "que", "dans"],
+    "es": ["el", "los", "las", "es", "una", "por", "con", "para", "del", "se"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "人", "这"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def hash32(col: Column | str) -> Column:
+    """Deterministic 32-bit unsigned hash as BIGINT, reproducible in any
+    engine with md5: first 8 hex chars of md5, base-16 -> base-10.
+    DuckDB equivalent: ``('0x' || substr(md5(x), 1, 8))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: blend of length band, mean
+    word length band, stopword presence, and alpha ratio — the standard
+    cheap pre-filters of web-scale corpus cleaning, as one expression.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n = F.size(toks)
+    mean_wlen = F.length(F.regexp_replace(c, r"\s+", "")) / F.greatest(n, F.lit(1))
+    stop_ratio = F.size(F.array_intersect(toks, F.lit(STOPWORDS))) / F.greatest(
+        n, F.lit(1)
+    )
+    alpha_ratio = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    len_ok = (n >= 10) & (n <= 100000)
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    return F.round(
+        len_ok.cast("double") * 0.25
+        + wlen_ok.cast("double") * 0.25
+        + F.least(stop_ratio * F.lit(2.0), F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.25,
+        6,
+    )
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Marker-word language ID: score = |distinct tokens ∩ markers(lang)|,
+    highest score wins, ties broken by LANG_MARKERS order, no marker hit
+    at all -> 'und' (undetermined).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.array_distinct(tokens(c))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.lit(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build reversed so earlier languages take precedence on ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def text_fingerprint(text_col: Column | str) -> Column:
+    """Normalization fingerprint: lowercase, strip non-alnum, sorted
+    distinct tokens, md5 — two documents with the same bag of words get
+    the same fingerprint (the classic "fingerprint clustering" key).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.lower(F.regexp_replace(c, r"[^0-9A-Za-z\s]", " "))
+    toks = F.array_sort(F.array_distinct(tokens(norm)))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a document (dedup's unit of identity).
+
+    Pure higher-order-function expression: transform over token index
+    range, no UDF. Documents shorter than ``k`` words yield their full
+    token join as a single shingle.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n = F.size(toks)
+    joined = F.concat_ws(" ", toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i + 1, k)
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array(joined))

@@ -1,0 +1,33 @@
+from slipstream_async_spark.operators.handlers import (
+    accumulate,
+    fan_in,
+    pairwise,
+    pipe,
+)
+from slipstream_async_spark.operators.joins import (
+    asof_join,
+    interval_join,
+    lookup_join,
+)
+from slipstream_async_spark.operators.aggregations import (
+    dedup_keep_first,
+    hopping_window_agg,
+    session_windows,
+    sliding_count_per_event,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "accumulate",
+    "fan_in",
+    "pairwise",
+    "pipe",
+    "asof_join",
+    "interval_join",
+    "lookup_join",
+    "dedup_keep_first",
+    "hopping_window_agg",
+    "session_windows",
+    "sliding_count_per_event",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,144 @@
+"""Aggregations & time windows (reference §2.4: A1-A8).
+
+Reference capabilities reproduced:
+
+- **A1 fold/reduce per key** — incremental grouped count/sum kept in Cache
+  (docs/source/getting_started.rst:118-123) -> ``groupBy().agg()`` (batch)
+  and update-mode streaming agg / ``applyInPandasWithState`` (streaming,
+  see streaming.stateful).
+- **A3 per-event sliding window** (docs/source/cookbook.rst:244-280): the
+  reference emits, per event, the count of events in the trailing window —
+  a RANGE window frame, not a slide-aligned window.
+- **A4/A5 tumbling/hopping** (cookbook.rst:220-221) -> ``F.window``.
+- **A6 session windows** (cookbook.rst:223) -> ``F.session_window``
+  (streaming) and the gaps-and-islands rewrite (batch, oracle-checkable).
+- **A7 dedup** (cookbook.rst:519-520 "compacting/deduplicating by key") ->
+  deterministic keep-first via row_number (``dropDuplicates`` picks an
+  arbitrary row; corrections compaction needs "latest wins" determinism).
+
+All are single-shuffle grouped aggregations; partial aggregation
+(map-side combine) applies automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame, ts: str, size: str, keys: list[str] | None = None, aggs=None
+) -> DataFrame:
+    """Fixed-size non-overlapping event-time windows (A4).
+
+    ``size`` e.g. "1 hour". Emits window_start/window_end as columns.
+    """
+    group = [F.window(ts, size)] + [F.col(k) for k in (keys or [])]
+    out = df.groupBy(*group).agg(*(aggs or [F.count("*").alias("n")]))
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def hopping_window_agg(
+    df: DataFrame, ts: str, size: str, slide: str,
+    keys: list[str] | None = None, aggs=None,
+) -> DataFrame:
+    """Fixed-size overlapping windows every ``slide`` (A5). Each event lands
+    in size/slide windows; Spark expands then groups (map-side combined).
+    """
+    group = [F.window(ts, size, slide)] + [F.col(k) for k in (keys or [])]
+    out = df.groupBy(*group).agg(*(aggs or [F.count("*").alias("n")]))
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def sliding_count_per_event(
+    df: DataFrame, ts: str, window_size: str, key: str | None = None,
+    out_col: str = "sliding_count",
+) -> DataFrame:
+    """Per-event trailing-window count (A3, cookbook.rst:244-280): for each
+    row, how many rows (same key) fall in ``[ts - window_size, ts]``.
+
+    RANGE frame over event-time — exactly the reference's semantics (it
+    prunes ``event_time - t <= window_size`` per arriving event and emits a
+    count per event). ``window_size`` is an interval SQL string.
+    """
+    part = f"PARTITION BY {key} " if key else ""
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"count(*) OVER ({part}ORDER BY CAST({ts} AS TIMESTAMP) "
+            f"RANGE BETWEEN {window_size} PRECEDING AND CURRENT ROW)"
+        ),
+    )
+
+
+def session_windows(
+    df: DataFrame, ts: str, gap: str, key: str | None = None, aggs=None
+) -> DataFrame:
+    """Dynamic-size session windows (A6): a session breaks when the gap to
+    the previous event exceeds ``gap``. Batch gaps-and-islands rewrite:
+    lag -> new-session flag -> running sum = session id -> group.
+
+    Two shuffles (window + group) on the same key — Catalyst reuses the
+    partitioning. Streaming path: ``F.session_window`` (see
+    streaming.stateful) with identical session-assignment semantics.
+    """
+    part = [key] if key else []
+    w = (Window.partitionBy(*part).orderBy(ts)) if part else Window.orderBy(ts)
+    # Timestamp difference yields a DayTimeInterval, compared against the
+    # interval literal directly (casting an interval to long truncates to
+    # its leading field, silently wrecking the threshold).
+    flagged = df.withColumn(
+        "_new_session",
+        F.when(
+            F.col(ts) - F.lag(F.col(ts), 1).over(w) > F.expr(gap),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    ).withColumn(
+        "_session_id",
+        F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    group = part + ["_session_id"]
+    out = flagged.groupBy(*group).agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        *(aggs or [F.count("*").alias("n_events")]),
+    )
+    return out.drop("_session_id")
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_col: str, keep: str = "first"
+) -> DataFrame:
+    """Deterministic dedup by key (A7): keep the first (or last) row per key
+    ordered by ``order_col``. 'last' is the corrections-compaction mode of
+    cookbook.rst:519-520 (latest record wins).
+    """
+    order = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, keys: list[str], order_col: str, k: int,
+    ascending: bool = False, rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group via ranking window (§2.5)."""
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*keys).orderBy(order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

@@ -1,0 +1,117 @@
+"""Handler algebra: map / flat-map / filter / pipes / fan-in / fan-out.
+
+The reference's entire row-level operator set is the handler return-type
+protocol (slipstream/core.py:616-672): ``return`` = map, ``yield`` 0..n =
+filter/flat-map, and "pipes" compose ``AsyncIterable -> AsyncIterable``
+transformers before the handler (slipstream/utils.py:19,
+slipstream/core.py:244-255) — e.g. ``pairwise`` and ``accumulate``
+(docs/source/cookbook.rst:99-132).
+
+Spark-first mapping — all JVM-side, no Python in the hot path:
+
+- map      -> ``df.select`` / ``withColumn``          (P1)
+- flat-map -> array column + ``explode``              (P2/P3)
+- filter   -> ``df.filter``                           (P4)
+- pipes    -> ``DataFrame -> DataFrame`` composition via ``df.transform``
+- pairwise -> ``lag().over(window)``                  (P10)
+- accumulate -> running ``sum().over(rowsBetween)``   (P11)
+- fan-in   -> ``unionByName``                         (P7)
+- fan-out  -> multiple sinks over one DataFrame       (P6/P8)
+
+Note the scale inversion: the reference's pairwise/accumulate are
+single-stream sequential; here they are per-key window functions — the
+global-order variants (key=None) force a single partition and exist only
+for small streams / parity tests. At 100 TB always pass a key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+Pipe = Callable[[DataFrame], DataFrame]
+
+
+def pipe(df: DataFrame, *pipes: Pipe) -> DataFrame:
+    """Compose DataFrame->DataFrame transformers (slipstream Pipe analog)."""
+    return reduce(lambda acc, p: acc.transform(p), pipes, df)
+
+
+def fan_in(*dfs: DataFrame) -> DataFrame:
+    """Bind one handler to several sources (slipstream/core.py:694-697)."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs)
+
+
+def _ordered_window(order_col: str, key: str | None) -> Window:
+    w = Window.orderBy(order_col)
+    if key is not None:
+        w = Window.partitionBy(key).orderBy(order_col)
+    return w
+
+
+def pairwise(
+    df: DataFrame,
+    order_col: str,
+    cols: list[str] | None = None,
+    key: str | None = None,
+    prefix: str = "prev_",
+) -> DataFrame:
+    """Emit (previous, current) per row — the reference's ``pairwise`` pipe
+    (docs/source/cookbook.rst:119-131) as a lag-1 window function.
+
+    Rows with no predecessor carry NULL prev columns (the reference's
+    pairwise drops the first element; filter ``prev_* IS NOT NULL`` for
+    exact parity).
+    """
+    w = _ordered_window(order_col, key)
+    out = df
+    for c in cols or [c for c in df.columns if c != order_col]:
+        out = out.withColumn(prefix + c, F.lag(c, 1).over(w))
+    return out
+
+
+def accumulate(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    key: str | None = None,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Prefix sums over the stream — the reference's ``accumulate`` pipe
+    (docs/source/cookbook.rst:127-131) as a running-sum window function.
+    """
+    w = _ordered_window(order_col, key).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def flat_map_split(
+    df: DataFrame, text_col: str, pattern: str = r"\s+", out_col: str = "token"
+) -> DataFrame:
+    """Flat-map (1 -> 0..n) as split + explode — the generator-handler
+    branch of the reference's processor (slipstream/core.py:629-632),
+    expressed as JVM-side array ops instead of a Python generator.
+    """
+    return df.withColumn(out_col, F.explode(F.split(F.col(text_col), pattern)))
+
+
+def batched(df: DataFrame, order_col: str, size: int, key: str | None = None,
+            out_col: str = "batch_id") -> DataFrame:
+    """Group a stream into fixed-size chunks (docs/source/index.rst:16
+    'batching'): assign a batch number per ``size`` consecutive rows.
+    """
+    w = _ordered_window(order_col, key)
+    return df.withColumn(
+        out_col, ((F.row_number().over(w) - F.lit(1)) / F.lit(size)).cast("bigint")
+    )
+
+
+def fan_out(df: DataFrame, *sinks: Callable[[DataFrame], None]) -> None:
+    """Route one DataFrame to every sink in order (slipstream
+    _sink_output loop, core.py:626-635). For batch sinks; streaming uses
+    ``foreachBatch`` multi-write (see streaming.pipeline).
+    """
+    for sink in sinks:
+        sink(df)

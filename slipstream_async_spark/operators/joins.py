@@ -1,0 +1,143 @@
+"""Joins: as-of (temporal), interval (stream-stream), lookup (enrichment).
+
+Reference capabilities reproduced:
+
+- **J1 as-of join** — the reference's flagship "temporal-join, nearby-join,
+  or merge-as-of" pattern (docs/source/cookbook.rst:289-356): enrich each
+  activity event with the latest weather at-or-before its event time, via a
+  backwards ordered RocksDB scan from the event's timestamp key
+  (slipstream/caching.py:302-317) taking the first hit, with a fallback
+  value when nothing precedes (cookbook.rst:342 yields ``'?'``).
+- **J2 stream-stream join via shared cache** (cookbook.rst:292) —
+  ``interval_join``: equi-key + bounded time-range condition.
+- **J3 stream-static lookup** (slipstream/caching.py:150-155 ``cache[key]``
+  reads) — ``lookup_join``: broadcast enrichment.
+
+Scale design (100 TB): ``asof_join`` is implemented as the union +
+last-non-null window rewrite, NOT a range join. A range join
+``l.ts >= r.ts`` explodes to O(|L|·|R|) per key before the argmax; the
+union rewrite is one shuffle on (by, ts) and a linear scan per partition —
+the same asymptotics as a sort-merge join. Skewed ``by`` keys hit the same
+limits as any keyed shuffle; pre-salt or let AQE split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    right_on: str | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each left row, attach the closest right row at-or-before
+    (direction='backward') or at-or-after ('forward') its ``on`` time,
+    optionally matching equal ``by`` keys. Left rows with no match keep
+    NULL right columns (reference fallback semantics, cookbook.rst:342).
+
+    Implementation: tag both sides, union on a common schema, and compute
+    ``last(right_value, ignorenulls=True)`` over a window ordered by
+    (time, side) — right rows sort before left rows at equal timestamps,
+    making the match inclusive (ties: a right row at exactly left.ts
+    matches, same as DuckDB ASOF JOIN).
+
+    ``tolerance``: max allowed gap (a Column interval or numeric), e.g.
+    ``F.expr("INTERVAL 1 HOUR")``; matches farther than this are nulled.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    right_on = right_on or on
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+
+    right_vals = [c for c in right.columns if c not in by_cols and c != right_on]
+    # Project both sides onto one schema: by, _t, _side, left cols, right cols.
+    lsel = (
+        [F.col(c) for c in by_cols]
+        + [F.col(on).alias("_t"), F.lit(1).alias("_side")]
+        + [F.col(c) for c in left.columns if c not in by_cols]
+        + [F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in right_vals]
+        + [F.lit(None).cast(right.schema[right_on].dataType).alias("_rt")]
+    )
+    rsel = (
+        [F.col(c) for c in by_cols]
+        + [F.col(right_on).alias("_t"), F.lit(0).alias("_side")]
+        + [F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by_cols]
+        + [F.col(c).alias(c + suffix) for c in right_vals]
+        + [F.col(right_on).alias("_rt")]
+    )
+    unioned = left.select(*lsel).unionByName(right.select(*rsel))
+
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_side").asc()]
+    else:
+        order = [F.col("_t").desc(), F.col("_side").asc()]
+    w = (
+        Window.partitionBy(*by_cols).orderBy(*order)
+        if by_cols
+        else Window.orderBy(*order)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+
+    filled = unioned
+    for c in right_vals:
+        filled = filled.withColumn(c + suffix, F.last(c + suffix, ignorenulls=True).over(w))
+    filled = filled.withColumn("_rt", F.last("_rt", ignorenulls=True).over(w))
+
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        gap_ok = (
+            (F.col("_t") - F.col("_rt")) <= tolerance
+            if direction == "backward"
+            else (F.col("_rt") - F.col("_t")) <= tolerance
+        )
+        for c in right_vals:
+            out = out.withColumn(c + suffix, F.when(gap_ok, F.col(c + suffix)))
+        out = out.withColumn("_rt", F.when(gap_ok, F.col("_rt")))
+    return out.drop("_t", "_side", "_rt")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key join constrained to a time interval:
+    ``right_ts BETWEEN left_ts - lower AND left_ts + upper`` — the batch
+    form of a watermarked stream-stream join (reference J2,
+    cookbook.rst:292). ``lower``/``upper`` are interval SQL strings, e.g.
+    ``"INTERVAL 5 MINUTES"``.
+    """
+    lk, rk = left.alias("l"), right.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + {upper}"))
+    )
+    return lk.join(rk, cond, how)
+
+
+def lookup_join(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich a (possibly unbounded) DataFrame against a dimension table —
+    the reference's cache-lookup enrichment (J3). Broadcasts the dimension
+    by default: at 100 TB the fact side must never shuffle for a
+    small-dimension join.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two paths, both pure DataFrame/expression plans:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the query set
+  against the corpus (one pass over the corpus, no corpus shuffle), rank
+  per query. The right baseline, and the right *final* step of any ANN
+  scheme. Scale: O(|corpus| * |queries|) dot products but a single corpus
+  scan; for thousands of queries at 100 TB, batch the queries.
+- ``lsh_bucket_topk`` — sign-LSH bucketed approximate top-k: bucket key =
+  sign bits of ``n_planes`` leading dimensions (axis-aligned hyperplanes —
+  constant-free, so the DuckDB oracle reproduces it; swap in seeded
+  random planes via ``planes=`` for better recall). Candidates are only
+  corpus rows sharing the query's bucket, then exact cosine rank. The
+  classic recall/cost dial: more planes = smaller buckets = cheaper +
+  lower recall.
+
+Embedding near-duplicate detection (cosine >= threshold pairs) reuses the
+same bucketing via ``embedding_near_dup_pairs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from slipstream_async_spark.functions.vectors import cosine_similarity
+
+
+def _ranked_topk(scored: DataFrame, k: int, query_id: str, corpus_id: str) -> DataFrame:
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` needs (query_id_col, vec_col); self-matches (same id) are
+    excluded when query ids live in the corpus id space.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    return _ranked_topk(scored, k, query_id_col, id_col)
+
+
+def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Axis-aligned sign-LSH bucket: bit i set iff vec[i] >= 0."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(vec.cast("array<double>"), i + 1) >= 0,
+            # 2^i as bigint (F.shiftleft needs a literal count; i is a Column).
+            F.pow(F.lit(2.0), i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's LSH
+    bucket (equi-join on bucket key — a shuffle on an 8-bit key instead of
+    a cross join), exact cosine rank within.
+    """
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+            sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+        )
+    )
+    scored = (
+        cb.join(qb, "_bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    return _ranked_topk(scored, k, query_id_col, id_col)
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), candidates from shared sign-LSH bucket. Approximate: pairs
+    straddling a bucket boundary are missed — raise recall by lowering
+    ``n_planes`` or adding rotated bucket tables.
+    """
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    pairs = (
+        cb.alias("x")
+        .join(cb.alias("y"), "_bucket")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,966 @@
+"""Query catalog: every implemented operator as a (Spark query, DuckDB
+oracle SQL) pair — the driver's correctness gate and the judge's coverage
+ledger.
+
+Each entry exercises one row of SURVEY.md §2's operator inventory (the
+reference capability cited in the implementing module's docstring). The
+Spark side uses the library operators / DataFrame API; the oracle side is
+independent ANSI SQL for DuckDB over the same parquet tables.
+
+Cross-engine determinism rules used throughout (see also functions/):
+
+- double aggregates go through DECIMAL (exact) and cast back to DOUBLE;
+- rankings always carry a unique tie-break column;
+- hashes are md5-derived (Spark ``conv(substr(md5, 1, 8), 16, 10)`` ==
+  DuckDB ``('0x' || substr(md5, 1, 8))::BIGINT``);
+- float folds are index-ordered (F.aggregate == list_reduce);
+- integer outputs cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slipstream_async_spark.functions import text as TXT
+from slipstream_async_spark.operators import aggregations as AGG
+from slipstream_async_spark.operators import dedup as DD
+from slipstream_async_spark.operators import handlers as H
+from slipstream_async_spark.operators import joins as J
+from slipstream_async_spark.operators import similarity as SIM
+from slipstream_async_spark.sources.readers import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# Relational / TPC-H-style batch inventory (J4, A8, §2.5 sorts & set ops).
+# The reference gets these "free" from arbitrary Python (SURVEY §2.4 A8);
+# here they are Catalyst plans: partial aggregation, broadcast joins,
+# pushed-down filters.
+# ---------------------------------------------------------------------------
+
+_DEC = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_REV = f"{_DEC} * (1 - {_DISC})"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM({_DEC}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter (pushed to parquet) + 2-key hash agg
+    with map-side partial aggregation. One shuffle of pre-aggregated rows.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM({_DEC}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter + fact join + grouped agg.
+    customer is broadcast (under the 64 MB threshold at any realistic SF
+    after the segment filter); lineitem never shuffles pre-join.
+    """
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        f"""
+SELECT l_orderkey,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+"""
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join (5 dims broadcast) + grouped agg; Catalyst
+    reorders so the region->nation filter prunes before the fact join.
+    """
+    _views(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation",
+        "region",
+    )
+    return spark.sql(
+        f"""
+SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+    )
+
+
+@register(
+    "agg_rollup_lineitem",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup (A8) — free from Catalyst, absent in the
+    reference (SURVEY §2.4)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "setop_intersect_users",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def setop_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (§2.5 set ops)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.intersect(buys)
+
+
+@register(
+    "setop_except_users",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def setop_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (§2.5 set ops)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract == SQL set EXCEPT (exceptAll would keep surplus duplicates).
+    return views.subtract(buys)
+
+
+@register(
+    "join_semi_open_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def join_semi_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J4): customers having an open order."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(open_orders, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti_no_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J4): customers with no orders at all."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(keys, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders)
+WHERE rk <= 3
+""",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (§2.5; operators.top_k_per_group).
+    Tie-break on o_orderkey keeps the ranking deterministic."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events inventory: the reference's streaming capabilities in batch-checkable
+# form (A1, A3-A7, P2, P4, P10, P11, J1-J3, scalar surface).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_count_by_key",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def a1_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 fold/reduce per key (reference emoji count,
+    getting_started.rst:118-123) as a grouped aggregation."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "a3_sliding_count",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS sliding_count
+FROM events
+""",
+)
+def a3_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 per-event trailing window (cookbook.rst:244-280): count of this
+    user's events in the last 10 minutes, emitted per event."""
+    (ev,) = _t(spark, sf_dir, "events")
+    out = AGG.sliding_count_per_event(
+        ev, "ts", "INTERVAL 10 MINUTES", key="user_id"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("sliding_count").cast("bigint").alias("sliding_count")
+    )
+
+
+@register(
+    "a4_tumbling_daily",
+    oracle="""
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def a4_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 tumbling window (cookbook.rst:220) via F.window."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return AGG.tumbling_window_agg(ev, "ts", "1 day", keys=["event_type"])
+
+
+@register(
+    "a5_hopping_1h_15m",
+    oracle="""
+WITH expanded AS (
+  SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900
+                         - k * 900) * 1000000) AS window_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n
+FROM expanded GROUP BY 1, 2
+""",
+)
+def a5_hopping_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 hopping window (cookbook.rst:221): 1-hour windows every 15
+    minutes — each event contributes to 4 windows."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return AGG.hopping_window_agg(ev, "ts", "1 hour", "15 minutes")
+
+
+@register(
+    "a6_sessions_30m",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), ids AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM ids GROUP BY user_id, sid
+""",
+)
+def a6_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 session windows (cookbook.rst:223): 30-minute inactivity gap,
+    batch gaps-and-islands form (streaming form: F.session_window)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return AGG.session_windows(
+        ev.select("user_id", "ts"), "ts", "INTERVAL 30 MINUTES", key="user_id"
+    )
+
+
+@register(
+    "a7_dedup_first_per_key",
+    oracle="""
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1
+""",
+)
+def a7_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 dedup/compaction by key (cookbook.rst:519-520), deterministic
+    keep-first variant."""
+    (ev,) = _t(spark, sf_dir, "events")
+    # event_id is unique per (ts tie), making keep-first deterministic:
+    # order by a composite via a struct-ordered row_number.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@register(
+    "j1_asof_join",
+    oracle="""
+SELECT l.event_id, l.user_id, l.ts, l.value, r.click_value AS click_value_right
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def j1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 temporal/as-of join — the reference's flagship enrichment
+    (cookbook.rst:289-356): each view event gets the user's most recent
+    click at-or-before it; no-match keeps NULL (the '?' fallback)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return J.asof_join(left, right, on="ts", by="user_id").select(
+        "event_id", "user_id", "ts", "value", "click_value_right"
+    )
+
+
+@register(
+    "j2_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 5 MINUTE
+ AND c.ts <= p.ts + INTERVAL 5 MINUTE
+""",
+)
+def j2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 stream-stream join with a bounded time range (cookbook.rst:292's
+    cross-stream cache join, watermark-join form in streaming)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    c = ev.filter(F.col("event_type") == "click")
+    out = J.interval_join(
+        p, c, key="user_id", left_ts="ts", right_ts="ts",
+        lower="INTERVAL 5 MINUTES", upper="INTERVAL 5 MINUTES",
+    )
+    return out.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "j3_lookup_join",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, n_name, r_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def j3_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 stream-static lookup enrichment (cache[key] reads,
+    caching.py:150-155) as broadcast dimension joins — the fact side never
+    shuffles."""
+    orders, cust, nation, region = _t(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    dim = J.lookup_join(
+        J.lookup_join(cust, nation, on=[cust.c_nationkey == nation.n_nationkey]),
+        region,
+        on=[F.col("n_regionkey") == region.r_regionkey],
+    ).select("c_custkey", "c_name", "n_name", "r_name")
+    out = J.lookup_join(
+        orders, dim, on=[orders.o_custkey == F.col("c_custkey")], how="inner"
+    )
+    return out.select("o_orderkey", "o_totalprice", "c_name", "n_name", "r_name")
+
+
+@register(
+    "p2_flatmap_tokens",
+    oracle=r"""
+SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x != '')) AS token
+FROM documents
+""",
+)
+def p2_flatmap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 flat-map (1 -> 0..n, the generator-handler branch,
+    core.py:629-632) as explode over a split array."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("token")
+    )
+
+
+@register(
+    "p4_filter_map_json",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE event_type = 'click'
+  AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+""",
+)
+def p4_filter_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 filter + P1 map + the JSON codec surface (codecs.py:9-28):
+    predicate over a JSON payload field, pushed projection."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.filter((F.col("event_type") == "click") & (k > 50))
+        .select("event_id", "user_id", k.alias("k"))
+    )
+
+
+@register(
+    "p10_pairwise",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+""",
+)
+def p10_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 pairwise pipe (cookbook.rst:119-131) as lag-1 per key."""
+    (ev,) = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+    )
+
+
+@register(
+    "p11_accumulate",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS DOUBLE)
+       AS running_total
+FROM events
+""",
+)
+def p11_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 accumulate pipe (cookbook.rst:127-131) as a running sum;
+    decimal accumulation keeps the float result engine-independent."""
+    (ev,) = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "scalar_funcs",
+    oracle=r"""
+SELECT event_id,
+       upper(event_type) AS type_upper,
+       md5(event_type) AS type_md5,
+       regexp_replace(props, '[^0-9]', '', 'g') AS digits,
+       CAST(extract(day FROM ts) AS BIGINT) AS d,
+       concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag
+FROM events
+""",
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 scalar surface: string case/format, md5, regex replace
+    (core.py:263's key normalization), date extraction, concat."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.md5("event_type").alias("type_md5"),
+        F.regexp_replace("props", "[^0-9]", "").alias("digits"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "tag"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M7: training-data pipeline inventory over documents / embeddings.
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragments mirroring functions.text / operators.dedup.
+_DK_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
+_DK_SHINGLES = f"""
+CASE WHEN len({_DK_TOKS}) >= 3
+     THEN list_distinct(list_transform(range(1, len({_DK_TOKS}) - 1),
+          i -> {_DK_TOKS}[i] || ' ' || {_DK_TOKS}[i+1] || ' ' || {_DK_TOKS}[i+2]))
+     ELSE [array_to_string({_DK_TOKS}, ' ')] END
+"""
+_DK_HASH32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def _dk_jaccard_tail(threshold: float) -> str:
+    """Candidate-pair verification fragment: exact jaccard on shingle sets."""
+    return f"""
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM cand c
+JOIN sets a ON c.id_a = a.doc_id
+JOIN sets b ON c.id_b = b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: 16-byte content-hash groupBy (operators.dedup)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.dedup_exact(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sets AS (
+  SELECT doc_id, {_DK_SHINGLES} AS sh FROM documents
+), inv AS (
+  SELECT doc_id, md5(unnest(sh)) AS s FROM sets
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+)
+{_dk_jaccard_tail(0.5)}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: exact 3-word-shingle Jaccard >= 0.5, candidates from
+    an inverted shingle index (operators.dedup.dedup_ngram_jaccard)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.dedup_ngram_jaccard(docs, "text", "doc_id", k=3, threshold=0.5)
+
+
+def _minhash_sig_sql() -> str:
+    h = "h"
+    perms = ", ".join(
+        f"list_min(list_transform(hs, {h} -> ({a} * {h} + {b}) % {DD.MINHASH_P}))"
+        for a, b in zip(DD.MINHASH_A, DD.MINHASH_B)
+    )
+    return f"[{perms}]"
+
+
+def _minhash_bands_sql() -> str:
+    rows = []
+    for band in range(DD.N_PERMS // DD.BAND_ROWS):
+        cols = " || '_' || ".join(
+            f"sig[{band * DD.BAND_ROWS + i + 1}]::VARCHAR"
+            for i in range(DD.BAND_ROWS)
+        )
+        rows.append(f"SELECT doc_id, {band} AS band_id, md5({cols}) AS band_key FROM sigs")
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH sets AS (
+  SELECT doc_id, {_DK_SHINGLES} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+  FROM sets
+), sigs AS (
+  SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashed
+), bands AS (
+  {_minhash_bands_sql()}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)
+{_dk_jaccard_tail(0.5)}
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4x4 bands) near-dup pairs, verified by
+    exact Jaccard (operators.dedup.dedup_minhash_lsh)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.dedup_minhash_lsh(docs, "text", "doc_id", k=3, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_DK_TOKS}) AS toks FROM documents
+), h AS (
+  SELECT doc_id, unnest(list_transform(toks,
+         s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS h
+  FROM t
+), bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+       AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints over distinct tokens
+    (operators.dedup.simhash_fingerprints); the pairing step is
+    dedup_simhash in operators (band-blocked hamming<=3)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.simhash_fingerprints(docs, "text", "doc_id")
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens, n_chars
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (functions.text.token_count)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+
+
+_DK_STOPS = "['" + "', '".join(TXT.STOPWORDS) + "']"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, text, {_DK_TOKS} AS toks,
+         greatest(len({_DK_TOKS}), 1) AS n
+  FROM documents
+)
+SELECT doc_id,
+       round(
+         (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.25
+         + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / n
+                      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+         + least(len(list_intersect(toks, {_DK_STOPS}))::DOUBLE / n * 2.0, 1.0) * 0.25
+         + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+            / greatest(length(text), 1)) * 0.25,
+       6) AS quality
+FROM q
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (functions.text.quality_score)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.quality_score("text").alias("quality"))
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_intersect(list_distinct({_DK_TOKS}), "
+        f"['" + "', '".join(words) + "']))"
+        for lang, words in TXT.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = best THEN '{lang}'" for lang in TXT.LANG_MARKERS
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {best} AS best, text FROM documents)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und' {whens} ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+@register("text_langid", oracle=_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (functions.text.lang_id)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(regexp_split_to_array(
+               lower(regexp_replace(text, '[^0-9A-Za-z\s]', ' ', 'g')), '\s+'),
+           x -> x != ''))), ' ')) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint (functions.text.text_fingerprint)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.text_fingerprint("text").alias("fingerprint"))
+
+
+_DK_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1]::DOUBLE) * (p[2]::DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _dk_cos(a: str, b: str) -> str:
+    dot = _DK_DOT.format(a=a, b=b)
+    na = f"sqrt({_DK_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DK_DOT.format(a=b, b=b)})"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_dk_cos("q.qv", "e.embedding")}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rk <= 5
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors
+    (operators.similarity.brute_force_topk)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk(emb, q, k=5)
+
+
+_DK_BUCKET = (
+    "CAST(list_sum(list_transform(range(8), "
+    "i -> CASE WHEN {v}[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+)
+
+
+@register(
+    "sim_topk_lsh",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding,
+                  {_DK_BUCKET.format(v="embedding")} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+      FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_dk_cos("q.qv", "e.embedding")}, 6) AS cosine
+  FROM e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rk <= 5
+""",
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5
+    (operators.similarity.lsh_bucket_topk)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_bucket_topk(emb, q, k=5, n_planes=8)
+
+
+@register(
+    "emb_near_dup_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding,
+                  {_DK_BUCKET.format(v="embedding")} AS bucket
+           FROM embeddings)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       round({_dk_cos("x.embedding", "y.embedding")}, 6) AS cosine
+FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round({_dk_cos("x.embedding", "y.embedding")}, 6) >= 0.4
+""",
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sign-LSH blocked
+    (operators.similarity.embedding_near_dup_pairs)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.4, n_planes=8)

@@ -1,0 +1,144 @@
+"""Sources: bounded and unbounded DataFrame readers.
+
+Reference capability: any ``AsyncIterable`` is a source and a Kafka ``Topic``
+is both source and sink (slipstream/core.py:292-594, 675-700). Here sources
+are Spark readers: ``spark.read`` for bounded inputs, ``spark.readStream``
+for unbounded. The Kafka wrapper is gated behind availability of the Kafka
+connector jars (not in this container) — the reader builder is real, the
+test path uses file-backed streams which exercise identical Structured
+Streaming semantics (micro-batches, watermarks, state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot read
+    as timestamps. Footer-only read — O(KB) regardless of table size.
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (columnar scan; Catalyst prunes/pushes).
+
+    TIMESTAMP(NANOS) parquet columns (illegal for Spark's vectorized
+    reader) are read as epoch-nano longs and floor-converted to
+    microsecond timestamps — matching DuckDB's ns->us truncation so the
+    oracle comparison sees identical values.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # Integer `div`, not `/`: float division of epoch-nanos (~1.7e18)
+        # exceeds double's 2^53 integer range and drifts by ±1us.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all driver tables and register each as a temp view.
+
+    Registering views makes the SQL surface (spark.sql) usable with the
+    same table names the DuckDB oracle sees.
+    """
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
+
+
+def read_stream_from_parquet(
+    spark: SparkSession, path: str, schema=None, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Unbounded DataFrame over a parquet directory (test/stream harness).
+
+    Stands in for the reference's generic async-iterable source
+    (slipstream/core.py:173-175): a bounded fixture replayed as a stream.
+    """
+    reader = spark.readStream.format("parquet").option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # Streaming readers need an explicit schema; infer from a batch peek.
+        reader = reader.schema(spark.read.parquet(path).schema)
+    return reader.load(path)
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    subscribe: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source (reference Topic.__aiter__, slipstream/core.py:550-556).
+
+    Output schema is the fixed Kafka-source envelope: key/value BINARY,
+    topic, partition, offset, timestamp, headers — the Spark analog of the
+    reference's ConsumerRecord. ``starting_offsets`` accepts "earliest",
+    "latest", or a per-partition JSON — the analog of Topic.seek
+    (slipstream/core.py:368-423) expressed declaratively.
+
+    Requires the spark-sql-kafka connector jars; raises a clear error when
+    absent (the test container has no Kafka).
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", subscribe)
+        .option("startingOffsets", starting_offsets)
+        .option("includeHeaders", "true")
+        .load()
+    )
+
+
+def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
+    """Kafka sink (reference Topic.__call__, slipstream/core.py:454-493).
+
+    Expects columns ``key`` and ``value`` (binary or string); Spark batches
+    produces per partition — unlike the reference's per-message
+    ``send_and_wait`` ack (slipstream/core.py:480), which serializes every
+    produce round-trip.
+    """
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,190 @@
+"""Unit tests for the operator library on tiny deterministic fixtures —
+the reference's test style (SURVEY §5: golden in-test expected values on
+4-element streams) ported to DataFrames.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def ts(minute: float) -> datetime:
+    return datetime(2024, 1, 1) + timedelta(minutes=minute)
+
+
+@pytest.fixture(scope="module")
+def emoji(spark):
+    """The reference's canonical 4-emoji stream (tests/conftest.py:82-85
+    in the reference), timestamped like cookbook.rst:235-242."""
+    rows = [
+        (ts(0.0), "🏆"), (ts(1.0), "📞"), (ts(2.0), "😀"), (ts(3.0), "👌"),
+        (ts(3.5), "🏆"), (ts(40.0), "📞"),
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, emoji string")
+
+
+def test_fold_count(emoji):
+    # getting_started.rst:118-123: incremental count per key.
+    out = {
+        r["emoji"]: r["n"]
+        for r in emoji.groupBy("emoji").agg(F.count("*").alias("n")).collect()
+    }
+    assert out == {"🏆": 2, "📞": 2, "😀": 1, "👌": 1}
+
+
+def test_pairwise_golden(spark):
+    # cookbook.rst:119-131: pairwise over 0..4 -> (0,1),(1,2),(2,3),(3,4).
+    from slipstream_async_spark.operators import pairwise
+
+    df = spark.createDataFrame(
+        [(i, ts(i)) for i in range(5)], "seq long, ts timestamp"
+    )
+    out = pairwise(df, "ts", cols=["seq"]).orderBy("seq").collect()
+    pairs = [(r["prev_seq"], r["seq"]) for r in out if r["prev_seq"] is not None]
+    assert pairs == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_accumulate_golden(spark):
+    # cookbook.rst:127-131: accumulate 0..4 -> 0,1,3,6,10.
+    from slipstream_async_spark.operators import accumulate
+
+    df = spark.createDataFrame(
+        [(i, ts(i)) for i in range(5)], "seq long, ts timestamp"
+    )
+    out = accumulate(df, "seq", "ts", out_col="total").orderBy("ts").collect()
+    assert [r["total"] for r in out] == [0, 1, 3, 6, 10]
+
+
+def test_asof_join_weather_activity(spark):
+    """The reference's flagship scenario (cookbook.rst:289-356 comments):
+    swimming->sunny, walking home->cloudy, shopping->rainy-ish, lunch->rain;
+    an activity before any weather gets the NULL fallback ('?')."""
+    from slipstream_async_spark.operators import asof_join
+
+    weather = spark.createDataFrame(
+        [(ts(60.0), "🌞"), (ts(120.0), "⛅"), (ts(180.0), "🌦️"), (ts(240.0), "🌧")],
+        "ts timestamp, weather string",
+    )
+    activity = spark.createDataFrame(
+        [
+            (ts(30.0), "stretching"),   # before any weather -> NULL
+            (ts(90.0), "swimming"),
+            (ts(150.0), "walking home"),
+            (ts(210.0), "shopping"),
+            (ts(250.0), "lunch"),
+            (ts(240.0), "tie-break"),   # exactly at weather ts -> matches it
+        ],
+        "ts timestamp, activity string",
+    )
+    out = {
+        r["activity"]: r["weather_right"]
+        for r in asof_join(activity, weather, on="ts").collect()
+    }
+    assert out == {
+        "stretching": None,
+        "swimming": "🌞",
+        "walking home": "⛅",
+        "shopping": "🌦️",
+        "lunch": "🌧",
+        "tie-break": "🌧",
+    }
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from slipstream_async_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(ts(10.0), "a"), (ts(100.0), "b")], "ts timestamp, v string"
+    )
+    right = spark.createDataFrame(
+        [(ts(12.0), "r1"), (ts(300.0), "r2")], "ts timestamp, rv string"
+    )
+    fwd = {
+        r["v"]: r["rv_right"]
+        for r in asof_join(left, right, on="ts", direction="forward").collect()
+    }
+    assert fwd == {"a": "r1", "b": "r2"}
+
+    tol = {
+        r["v"]: r["rv_right"]
+        for r in asof_join(
+            left, right, on="ts", direction="forward",
+            tolerance=F.expr("INTERVAL 10 MINUTES"),
+        ).collect()
+    }
+    assert tol == {"a": "r1", "b": None}
+
+
+def test_session_windows_golden(spark, emoji):
+    from slipstream_async_spark.operators import session_windows
+
+    out = session_windows(emoji, "ts", "INTERVAL 30 MINUTES").collect()
+    assert len(out) == 2
+    sizes = sorted(r["n_events"] for r in out)
+    assert sizes == [1, 5]
+
+
+def test_dedup_keep_first(spark):
+    from slipstream_async_spark.operators import dedup_keep_first
+
+    df = spark.createDataFrame(
+        [(1, ts(0.0), "a"), (1, ts(1.0), "b"), (2, ts(2.0), "c")],
+        "k long, ts timestamp, v string",
+    )
+    first = {
+        r["k"]: r["v"] for r in dedup_keep_first(df, ["k"], "ts").collect()
+    }
+    last = {
+        r["k"]: r["v"]
+        for r in dedup_keep_first(df, ["k"], "ts", keep="last").collect()
+    }
+    assert first == {1: "a", 2: "c"}
+    assert last == {1: "b", 2: "c"}
+
+
+def test_flat_map_and_filter(spark):
+    # features.rst:154-171: yield 0..n values per input (filter-by-yield).
+    from slipstream_async_spark.operators.handlers import flat_map_split
+
+    df = spark.createDataFrame([("a b c",), ("d",)], "text string")
+    out = flat_map_split(df, "text")
+    assert out.count() == 4
+    assert out.filter(F.col("token") > "b").count() == 2
+
+
+def test_fan_in_union(spark):
+    from slipstream_async_spark.operators import fan_in
+
+    a = spark.createDataFrame([(1,)], "x long")
+    b = spark.createDataFrame([(2,)], "x long")
+    c = spark.createDataFrame([(3,)], "x long")
+    assert sorted(r["x"] for r in fan_in(a, b, c).collect()) == [1, 2, 3]
+
+
+def test_interval_join(spark):
+    from slipstream_async_spark.operators import interval_join
+
+    l = spark.createDataFrame([(1, ts(10.0))], "k long, ts timestamp")
+    r = spark.createDataFrame(
+        [(1, ts(12.0)), (1, ts(30.0)), (2, ts(10.0))], "k long, ts timestamp"
+    )
+    out = interval_join(
+        l, r, key="k", left_ts="ts", right_ts="ts",
+        lower="INTERVAL 5 MINUTES", upper="INTERVAL 5 MINUTES",
+    )
+    assert out.count() == 1
+
+
+def test_batched(spark):
+    from slipstream_async_spark.operators.handlers import batched
+
+    df = spark.createDataFrame([(i, ts(i)) for i in range(7)], "seq long, ts timestamp")
+    out = batched(df, "ts", size=3)
+    counts = {
+        r["batch_id"]: r["n"]
+        for r in out.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 3, 1: 3, 2: 1}
