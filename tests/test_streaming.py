@@ -1,0 +1,200 @@
+"""Streaming-layer tests: pipeline wiring, stateful folds, watermarked
+windows, and the StateTable — driven with file-source micro-batches +
+memory sinks and processAllAvailable() for determinism (the Spark analog
+of the reference's synchronized-generator test mode, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def ts(minute: float) -> datetime:
+    return datetime(2024, 1, 1) + timedelta(minutes=minute)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path)
+
+
+def _write_batch(spark, path: str, rows, schema: str, batch: int) -> None:
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _file_stream(spark, path: str, schema: str):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+def test_pipeline_end_to_end(spark, stream_dir):
+    """Source -> map handler -> memory sink through the Pipeline registry
+    (the @handle/stream() flow, reference core.py:675-713)."""
+    from slipstream_async_spark.streaming.pipeline import Pipeline, memory_sink
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, emoji string"
+    _write_batch(spark, src_path, [(ts(0.0), "🏆"), (ts(1.0), "📞")], schema, 0)
+
+    p = Pipeline()
+
+    @p.handle(_file_stream(spark, src_path, schema), sink=[memory_sink("out_basic")])
+    def upper(df):
+        return df.select("ts", F.concat(F.col("emoji"), F.lit("!")).alias("shout"))
+
+    p.stream()
+    p.process_all_available()
+    got = sorted(r["shout"] for r in spark.sql("SELECT * FROM out_basic").collect())
+    assert got == ["🏆!", "📞!"]
+
+    # Late-arriving micro-batch flows through incrementally.
+    _write_batch(spark, src_path, [(ts(2.0), "😀")], schema, 1)
+    p.process_all_available()
+    assert spark.sql("SELECT * FROM out_basic").count() == 3
+    p.stop()
+
+
+def test_stateful_fold_count(spark, stream_dir):
+    """A1 streaming: running per-key count via applyInPandasWithState —
+    the reference's emoji counter (getting_started.rst:113-123)."""
+    from slipstream_async_spark.streaming.stateful import stateful_fold
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, emoji string, v double"
+    _write_batch(
+        spark, src_path,
+        [(ts(0.0), "🏆", 1.0), (ts(1.0), "📞", 1.0), (ts(2.0), "🏆", 1.0)],
+        schema, 0,
+    )
+    counts = stateful_fold(
+        _file_stream(spark, src_path, schema), ["emoji"], "v", fold="count",
+        out_col="n",
+    )
+    q = (
+        counts.writeStream.format("memory").queryName("out_fold")
+        .outputMode("update").start()
+    )
+    q.processAllAvailable()
+    first = {
+        r["emoji"]: r["n"]
+        for r in spark.sql(
+            "SELECT emoji, max(n) AS n FROM out_fold GROUP BY emoji"
+        ).collect()
+    }
+    assert first == {"🏆": 2.0, "📞": 1.0}
+
+    # Second micro-batch continues from persisted state.
+    _write_batch(spark, src_path, [(ts(3.0), "🏆", 1.0)], schema, 1)
+    q.processAllAvailable()
+    after = {
+        r["emoji"]: r["n"]
+        for r in spark.sql(
+            "SELECT emoji, max(n) AS n FROM out_fold GROUP BY emoji"
+        ).collect()
+    }
+    q.stop()
+    assert after["🏆"] == 3.0
+
+
+def test_windowed_agg_with_watermark(spark, stream_dir):
+    """A4 + T1/T6: tumbling event-time window with watermark — append mode
+    emits a window only once the watermark passes it; late data beyond
+    the delay is dropped (the reference's heartbeat/buffer-or-drop,
+    features.rst:260-270)."""
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, emoji string"
+    _write_batch(
+        spark, src_path,
+        [(ts(0.0), "a"), (ts(0.5), "b"), (ts(1.2), "c")], schema, 0,
+    )
+    agg = (
+        _file_stream(spark, src_path, schema)
+        .withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("out_win")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    # Watermark = 1.2min - 30s; window [0,1) closed and emitted.
+    # Then an on-time batch advances the watermark past [1,2).
+    _write_batch(spark, src_path, [(ts(3.0), "d")], schema, 1)
+    q.processAllAvailable()
+    # A very late event for window [0,1) must be dropped (not re-emitted).
+    _write_batch(spark, src_path, [(ts(0.1), "late")], schema, 2)
+    q.processAllAvailable()
+    rows = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM out_win").collect()}
+    q.stop()
+    assert rows[ts(0.0)] == 2
+    assert rows[ts(1.0)] == 1
+
+
+def test_streaming_dedup_within_watermark(spark, stream_dir):
+    from slipstream_async_spark.streaming.stateful import streaming_dedup
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, k string"
+    _write_batch(
+        spark, src_path,
+        [(ts(0.0), "x"), (ts(0.1), "x"), (ts(0.2), "y")], schema, 0,
+    )
+    out = streaming_dedup(
+        _file_stream(spark, src_path, schema), ["k"], "ts", "10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("out_dd")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    # Duplicate in a later batch inside the watermark window: dropped.
+    _write_batch(spark, src_path, [(ts(0.3), "x")], schema, 1)
+    q.processAllAvailable()
+    got = sorted(r["k"] for r in spark.sql("SELECT * FROM out_dd").collect())
+    q.stop()
+    assert got == ["x", "y"]
+
+
+def test_foreach_batch_multi_sink(spark, stream_dir):
+    """P6 fan-out: one source, every record to two sinks via foreachBatch
+    (reference routes each output to each sink in order,
+    core.py:626-635)."""
+    from slipstream_async_spark.streaming.pipeline import (
+        Pipeline, foreach_batch_sink,
+    )
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, v long"
+    _write_batch(spark, src_path, [(ts(0.0), 1), (ts(1.0), 2)], schema, 0)
+
+    sink_a: list[int] = []
+    sink_b: list[int] = []
+
+    def multi(batch_df, epoch_id):
+        rows = [r["v"] for r in batch_df.collect()]
+        sink_a.extend(rows)
+        sink_b.extend(v * 10 for v in rows)
+
+    p = Pipeline()
+
+    @p.handle(_file_stream(spark, src_path, schema), sink=[foreach_batch_sink(multi)])
+    def identity(df):
+        return df
+
+    p.stream()
+    p.process_all_available()
+    p.stop()
+    assert sorted(sink_a) == [1, 2]
+    assert sorted(sink_b) == [10, 20]
