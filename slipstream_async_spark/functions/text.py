@@ -103,21 +103,33 @@ def text_fingerprint(text_col: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a token-array column.
+
+    Implementation note (hot path at corpus scale): higher-order
+    functions are interpreted, and an expression referenced inside a HOF
+    lambda is re-evaluated per element — so the k shifted views of the
+    token array are built ONCE via arrays_zip(slice...), and the lambda
+    touches only its element. Never put the tokenizer itself inside the
+    lambda.
+    """
+    n = F.size(toks)
+    shifted = [F.slice(toks, i + 1, n - k + 1) for i in range(k)]
+    zipped = F.arrays_zip(*[s.alias(f"t{i}") for i, s in enumerate(shifted)])
+    sh = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
 def shingles(text_col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles of a document (dedup's unit of identity).
-
-    Pure higher-order-function expression: transform over token index
-    range, no UDF. Documents shorter than ``k`` words yield their full
-    token join as a single shingle.
+    Documents shorter than ``k`` words yield their full token join as a
+    single shingle. Prefer pre-projecting ``tokens`` and calling
+    ``shingles_of_tokens`` when the token array is reused.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(c)
-    n = F.size(toks)
-    joined = F.concat_ws(" ", toks)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, i + 1, k)
-        ),
-    )
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array(joined))
+    return shingles_of_tokens(tokens(c), k)

@@ -685,13 +685,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sets AS (
   SELECT doc_id, {_DK_SHINGLES} AS sh FROM documents
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM sets
 ), inv AS (
-  SELECT doc_id, md5(unnest(sh)) AS s FROM sets
-), cand AS (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  SELECT doc_id, unnest(sh) AS s FROM sets
+), pair_counts AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
   FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
 )
-{_dk_jaccard_tail(0.5)}
+SELECT id_a, id_b,
+       round(c::DOUBLE / (na.n + nb.n - c), 6) AS jaccard
+FROM pair_counts
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE round(c::DOUBLE / (na.n + nb.n - c), 6) >= 0.5
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
