@@ -16,6 +16,14 @@ from slipstream_async_spark.operators.aggregations import (
     sliding_count_per_event,
     tumbling_window_agg,
 )
+from slipstream_async_spark.operators.multimodal import (
+    attach_payloads,
+    decode_features,
+    embed_media,
+    media_metadata,
+    resize_images,
+    sample_frames,
+)
 
 __all__ = [
     "accumulate",
@@ -30,4 +38,10 @@ __all__ = [
     "session_windows",
     "sliding_count_per_event",
     "tumbling_window_agg",
+    "attach_payloads",
+    "decode_features",
+    "embed_media",
+    "media_metadata",
+    "resize_images",
+    "sample_frames",
 ]

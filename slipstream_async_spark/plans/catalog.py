@@ -29,6 +29,7 @@ from slipstream_async_spark.operators import aggregations as AGG
 from slipstream_async_spark.operators import dedup as DD
 from slipstream_async_spark.operators import handlers as H
 from slipstream_async_spark.operators import joins as J
+from slipstream_async_spark.operators import multimodal as MM
 from slipstream_async_spark.operators import similarity as SIM
 from slipstream_async_spark.sources.readers import load_table
 
@@ -972,3 +973,98 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.similarity.embedding_near_dup_pairs)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_pairs(emb, threshold=0.4, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# M7: multimodal binary columns (operators/multimodal.py) — opaque payload
+# + typed meta; slicing JVM-side, decode via Arrow-batched mapInPandas.
+# The oracle rebuilds the deterministic payload (encode(text)) in DuckDB.
+# ---------------------------------------------------------------------------
+
+_DK_MEDIA = """
+media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+         encode(text) AS payload,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)"""
+
+
+@register(
+    "mm_metadata",
+    oracle=f"""
+WITH {_DK_MEDIA}
+SELECT media_id, kind, n_bytes::BIGINT AS n_bytes,
+       md5(payload::VARCHAR) AS payload_md5,
+       CASE WHEN kind = 'image' THEN (16 + n_bytes % 64)::INT END AS width,
+       CASE WHEN kind = 'image' THEN (16 + n_bytes % 48)::INT END AS height,
+       CASE WHEN kind = 'video' THEN ceil(n_bytes / 64.0)::INT END AS n_frames
+FROM media
+""",
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata projection (operators.multimodal.media_metadata):
+    payload-level hash/size + typed meta, no decode."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return MM.media_metadata(MM.attach_payloads(docs))
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+WITH {_DK_MEDIA}
+SELECT media_id,
+       (4 * i)::BIGINT AS frame_no,
+       least(64, n_bytes - 256 * i)::BIGINT AS frame_len,
+       substr(hex(payload), 512 * i + 1, 128) AS frame_hex
+FROM (SELECT media_id, payload, n_bytes,
+             unnest(range(ceil(ceil(n_bytes / 64.0) / 4.0)::BIGINT)) AS i
+      FROM media WHERE kind = 'video')
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th fixed-stride frame of video payloads as binary slices
+    (operators.multimodal.sample_frames) — substring on BINARY, JVM-side."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.attach_payloads(docs), every_k=4)
+
+
+@register(
+    "mm_decode_features",
+    oracle=f"""
+WITH {_DK_MEDIA},
+bytes AS (
+  SELECT media_id, kind, n_bytes,
+         ('0x' || substr(hex(payload), 2 * i + 1, 2))::INT AS v
+  FROM (SELECT media_id, kind, n_bytes, payload,
+               unnest(range(n_bytes)) AS i
+        FROM media)
+),
+binned AS (
+  SELECT media_id, v // 16 AS bin, COUNT(*) AS c
+  FROM bytes GROUP BY 1, 2
+),
+hist AS (
+  SELECT g.media_id,
+         string_agg(coalesce(b.c, 0), ',' ORDER BY g.bin) AS hist_csv
+  FROM (SELECT m.media_id, u.bin
+        FROM media m, (SELECT unnest(range(16)) AS bin) u) g
+  LEFT JOIN binned b ON b.media_id = g.media_id AND b.bin = g.bin
+  GROUP BY g.media_id
+)
+SELECT s.media_id, s.kind, s.n_bytes, s.mean_byte_x10000,
+       s.min_byte, s.max_byte, h.hist_csv
+FROM (
+  SELECT media_id, any_value(kind) AS kind, any_value(n_bytes)::BIGINT AS n_bytes,
+         ((10000 * SUM(v)) // COUNT(*))::BIGINT AS mean_byte_x10000,
+         MIN(v)::INT AS min_byte, MAX(v)::INT AS max_byte
+  FROM bytes GROUP BY media_id
+) s JOIN hist h ON h.media_id = s.media_id
+""",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode + per-object byte stats and 16-bin histogram
+    (operators.multimodal.decode_features, stubbed codec)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return MM.decode_features(MM.attach_payloads(docs))
