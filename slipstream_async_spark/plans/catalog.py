@@ -1068,3 +1068,85 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.multimodal.decode_features, stubbed codec)."""
     (docs,) = _t(spark, sf_dir, "documents")
     return MM.decode_features(MM.attach_payloads(docs))
+
+
+# ---------------------------------------------------------------------------
+# A8 extras: cube / grouping sets (free from Catalyst; absent in the
+# reference per SURVEY §2.4) and the Python generator-handler lane.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cube_events",
+    oracle="""
+SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+       CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts)) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+""",
+)
+def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour) with grouping_id disambiguating the
+    NULLs of each grouping set (A8). All four grouping sets in one pass —
+    Catalyst expands then partially aggregates map-side."""
+    (ev,) = _t(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("int").alias("hr")
+    return (
+        ev.select("event_type", hr, "value")
+        .cube("event_type", "hr")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select("event_type", "hr", "gid", "n", "sum_value")
+    )
+
+
+@register(
+    "p3_generator_handler",
+    oracle="""
+SELECT doc_id, i::BIGINT AS sent_no,
+       length(sents[i + 1])::BIGINT AS sent_chars,
+       len(regexp_split_to_array(trim(sents[i + 1]), '\\s+'))::BIGINT AS sent_tokens
+FROM (SELECT doc_id, sents, unnest(range(len(sents))) AS i
+      FROM (SELECT doc_id, string_split(text, '. ') AS sents FROM documents))
+WHERE length(trim(sents[i + 1])) > 0
+""",
+)
+def p3_generator_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's generator handler (yield 0..n per record,
+    slipstream/core.py:629-632) through the REAL Python lane
+    (operators.handlers.flat_map_handler, Arrow-batched mapInPandas):
+    one row per sentence with char/token counts, empties filtered —
+    map + flat-map + filter in one handler, exactly the reference's
+    processor semantics."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sent_no", LongType()),
+            StructField("sent_chars", LongType()),
+            StructField("sent_tokens", LongType()),
+        ]
+    )
+
+    def sentences(row):
+        for i, s in enumerate(row.text.split(". ")):
+            if not s.strip():
+                continue  # filter branch: yield nothing
+            yield {
+                "doc_id": row.doc_id,
+                "sent_no": i,
+                "sent_chars": len(s),
+                "sent_tokens": len(s.strip().split()),
+            }
+
+    return H.flat_map_handler(
+        docs.select("doc_id", "text"), sentences, schema
+    )

@@ -188,3 +188,22 @@ def test_batched(spark):
         for r in out.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {0: 3, 1: 3, 2: 1}
+
+
+def test_flat_map_handler_generator_semantics(spark):
+    # The reference's generator handler: yield 0..n outputs per record
+    # (slipstream/core.py:629-632) — filter (yield nothing) + flat-map.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from slipstream_async_spark.operators.handlers import flat_map_handler
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "x long")
+    schema = StructType([StructField("y", LongType())])
+
+    def evens_twice(row):
+        if row.x % 2 == 0:
+            yield {"y": row.x}
+            yield {"y": row.x * 10}
+
+    out = sorted(r["y"] for r in flat_map_handler(df, evens_twice, schema).collect())
+    assert out == [0, 0, 2, 4, 20, 40]

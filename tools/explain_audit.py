@@ -1,0 +1,91 @@
+"""Plan audit: dump the physical plan of every catalog query and flag
+scale anti-patterns.
+
+Checks per query:
+- parquet scans report PushedFilters / a pruned ReadSchema (projection
+  reaches the scan);
+- joins against small dims are BroadcastHashJoin, not SortMergeJoin;
+- no CartesianProduct (BroadcastNestedLoopJoin is allowed only where the
+  operator is an intentional broadcast cross join, e.g. brute-force
+  similarity);
+- WholeStageCodegen present (expressions stay JVM-side) unless the query
+  is deliberately a Python (ArrowEvalPython / MapInPandas) stage.
+
+Usage: PYTHONPATH=/root/repo python tools/explain_audit.py [query ...]
+Writes the full formatted plans to tools/plans/<name>.txt and prints one
+summary line per query; exits non-zero if any hard flag fires.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries whose plan is EXPECTED to contain a broadcast nested-loop/cross
+# join (broadcasted query set against the corpus) or a Python stage.
+ALLOW_BNLJ = {"sim_topk_bruteforce"}
+PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    from slipstream_async_spark.plans.catalog import queries
+    from slipstream_async_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    only = set(sys.argv[1:])
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans")
+    os.makedirs(out_dir, exist_ok=True)
+
+    failures: list[str] = []
+    for name, fn in queries().items():
+        if only and name not in only:
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(plan)
+
+        flags: list[str] = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_BNLJ:
+            flags.append("BNLJ")
+        n_smj = plan.count("SortMergeJoin")
+        n_bhj = plan.count("BroadcastHashJoin")
+        scans = re.findall(r"Scan parquet[^\n]*", plan)
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        has_python = bool(re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", plan))
+        if has_python and name not in PY_STAGE_OK:
+            flags.append("PYTHON-STAGE")
+        n_codegen = len(
+            set(re.findall(r"codegen id : (\d+)", plan))
+            | set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+        )
+        n_exch = plan.count("Exchange")
+
+        status = "FLAG" if flags else "ok"
+        print(
+            f"{status:5} {name}: scans={len(scans)} bhj={n_bhj} smj={n_smj} "
+            f"exchanges={n_exch} codegen_spans={n_codegen} "
+            f"pushed={sum(1 for p in pushed if p.strip())}"
+            + (f"  <<{','.join(flags)}>>" if flags else "")
+        )
+        if flags:
+            failures.append(name)
+
+    if failures:
+        print(f"\n{len(failures)} flagged: {', '.join(failures)}")
+        sys.exit(1)
+    print("\nall plans clean")
+
+
+if __name__ == "__main__":
+    main()
