@@ -23,9 +23,19 @@ def main() -> None:
     from slipstream_async_spark.session import get_spark
 
     spark = get_spark("bench")
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # plan, not first-touch overheads.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM once so per-query numbers measure the plan, not
+    # first-touch overheads: a real scan + shuffle + codegen compile
+    # (count() alone is footer-only and leaves all of that cold).
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in queries().items():
