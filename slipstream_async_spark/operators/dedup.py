@@ -67,7 +67,12 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     )
 
 
-def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+def _bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    size_col: str | None = None,
+) -> DataFrame:
     """(id_a < id_b) pairs co-occurring in a bucket — candidate generation
     for every LSH/blocking scheme here.
 
@@ -77,43 +82,71 @@ def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFra
     blowup inside a hot bucket is intrinsic to blocking (the self-join
     has the same output); at corpus scale cap or drop pathological
     buckets before calling this.
+
+    With ``size_col``, each pair also carries both set sizes (``_na``,
+    ``_nb``) so callers can apply the Jaccard length bound
+    (min >= t * max) before the expensive dedup + verify stages.
     """
+    item = (
+        F.struct(F.col(id_col), F.col(size_col).alias("_n"))
+        if size_col
+        else F.col(id_col)
+    )
     ids = F.col("_ids")
     buckets = (
         df.groupBy(*bucket_cols)
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        # struct arrays sort by leading field == id: pair order stays id_a < id_b
+        .agg(F.sort_array(F.collect_list(item)).alias("_ids"))
         .filter(F.size(ids) >= 2)
     )
+    if size_col:
+        mk = lambda x, y: F.struct(  # noqa: E731
+            x[id_col].alias("id_a"), y[id_col].alias("id_b"),
+            x["_n"].alias("_na"), y["_n"].alias("_nb"),
+        )
+    else:
+        mk = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))  # noqa: E731
     pairs = F.explode(
         F.flatten(
             F.transform(
                 ids,
                 lambda x, i: F.transform(
-                    F.slice(ids, i + 2, F.size(ids)),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    F.slice(ids, i + 2, F.size(ids)), lambda y: mk(x, y)
                 ),
             )
         )
     )
-    return buckets.select(pairs.alias("_p")).select("_p.id_a", "_p.id_b")
+    out = buckets.select(pairs.alias("_p"))
+    if size_col:
+        return out.select("_p.id_a", "_p.id_b", "_p._na", "_p._nb")
+    return out.select("_p.id_a", "_p.id_b")
 
 
 def _verified_pairs(cand: DataFrame, sets: DataFrame, id_col: str,
                     threshold: float) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to shingle sets and keep
     pairs with exact Jaccard >= threshold.
+
+    Verification cost shapes the whole operator at scale, so the set
+    algebra is minimized: shingles are compared as 64-bit hashes (int
+    equality, not ~30-char string equality; xxhash64 collisions within
+    one pair's union are ~|u|^2/2^64 ≈ 1e-14 — no effect on any
+    realistic corpus), and |A∪B| is computed as nA + nB − |A∩B| instead
+    of materializing the union array — one array op per pair, on ints.
     """
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    hsh = F.transform("sh", lambda s: F.xxhash64(s))
+    a = sets.select(
+        F.col(id_col).alias("id_a"), hsh.alias("_ha"), F.size("sh").alias("_na")
+    )
+    b = sets.select(
+        F.col(id_col).alias("id_b"), hsh.alias("_hb"), F.size("sh").alias("_nb")
+    )
+    i = F.size(F.array_intersect("_ha", "_hb"))
     return (
         cand.join(a, "id_a").join(b, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            F.round(i.cast("double") / (F.col("_na") + F.col("_nb") - i), 6),
         )
         # Filter on the rounded value so boundary cases agree with any
         # oracle that also compares post-round.
@@ -149,9 +182,19 @@ def dedup_ngram_jaccard(
         .withColumn("_r", F.row_number().over(w))
         # prefix length = n - ceil(t*n) + 1
         .filter(F.col("_r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
-        .select(F.col(id_col), "s")
+        .select(F.col(id_col), "n", "s")
     )
-    cand = _bucket_pairs(prefix, ["s"], id_col).distinct()
+    # Jaccard length bound: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|);
+    # prune before the distinct + verify joins ever see the pair.
+    cand = (
+        _bucket_pairs(prefix, ["s"], id_col, size_col="n")
+        .filter(
+            F.least("_na", "_nb").cast("double")
+            >= F.lit(threshold) * F.greatest("_na", "_nb")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
     return _verified_pairs(cand, sets, id_col, threshold)
 
 
