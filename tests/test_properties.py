@@ -1,0 +1,216 @@
+"""Property-based tests (hypothesis): randomized inputs checked against
+exact pure-Python models — coverage the reference's golden-value tests
+can't reach (SURVEY §5 notes it has no property testing).
+
+Spark sessions are expensive per example, so each property collects all
+hypothesis examples first and submits them as ONE DataFrame per test run
+where possible; otherwise max_examples is kept small with no deadline.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from fractions import Fraction
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = datetime(2024, 1, 1)
+
+_prop_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs exact model
+# ---------------------------------------------------------------------------
+
+# (key, minute, value) events; right side gets unique (key, minute) pairs
+# because equal-timestamp right rows make any engine's as-of pick
+# tie-ambiguous (DuckDB included).
+_left_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=0,
+    max_size=15,
+)
+_right_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _model_asof(left, right, direction, by: bool, tol_min=None):
+    """Exact per-row model of asof_join on (key, minute, value) tuples."""
+    out = []
+    for lk, lm, lv in left:
+        cands = [
+            (rk, rm, rv)
+            for rk, rm, rv in right
+            if (rm <= lm if direction == "backward" else rm >= lm)
+            and (not by or rk == lk)
+        ]
+        if cands:
+            best = (max if direction == "backward" else min)(
+                cands, key=lambda c: c[1]
+            )
+            gap = abs(lm - best[1])
+            if tol_min is not None and gap > tol_min:
+                best = None
+        else:
+            best = None
+        out.append((lk, lm, lv, best[2] if best else None))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2], r[3] is None, r[3]))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("use_by", [True, False])
+@given(left=_left_rows, right=_right_rows)
+@_prop_settings
+def test_asof_join_matches_model(spark, direction, use_by, left, right):
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.operators import asof_join
+
+    schema = "k string, ts timestamp, v long"
+    ldf = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v) for k, m, v in left], schema
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v) for k, m, v in right], schema
+    )
+    if not use_by:
+        # without by-keys the right side must be globally time-unique
+        seen, rr = set(), []
+        for k, m, v in right:
+            if m not in seen:
+                seen.add(m)
+                rr.append((k, m, v))
+        right = rr
+        rdf = spark.createDataFrame(
+            [(k, BASE + timedelta(minutes=m), v) for k, m, v in right], schema
+        )
+        rdf = rdf.drop("k")
+
+    got = asof_join(
+        ldf, rdf, on="ts", by="k" if use_by else None, direction=direction
+    ).collect()
+    got_t = sorted(
+        (
+            (r["k"], int((r["ts"] - BASE).total_seconds() // 60), r["v"], r["v_right"])
+            for r in got
+        ),
+        key=lambda r: (r[0], r[1], r[2], r[3] is None, r[3]),
+    )
+    assert got_t == _model_asof(left, right, direction, by=use_by)
+
+
+@given(left=_left_rows, right=_right_rows)
+@_prop_settings
+def test_asof_join_tolerance(spark, left, right):
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.operators import asof_join
+
+    schema = "k string, ts timestamp, v long"
+    ldf = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v) for k, m, v in left], schema
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v) for k, m, v in right], schema
+    )
+    got = asof_join(
+        ldf, rdf, on="ts", by="k", tolerance=F.expr("INTERVAL 5 MINUTES")
+    ).collect()
+    got_t = sorted(
+        (
+            (r["k"], int((r["ts"] - BASE).total_seconds() // 60), r["v"], r["v_right"])
+            for r in got
+        ),
+        key=lambda r: (r[0], r[1], r[2], r[3] is None, r[3]),
+    )
+    assert got_t == _model_asof(left, right, "backward", by=True, tol_min=5)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup vs brute-force model
+# ---------------------------------------------------------------------------
+
+# Tiny vocabulary forces shared shingles; docs <= 24 tokens keep every
+# pair's |union| < 128 so no Jaccard value can sit exactly on a 6-decimal
+# rounding boundary and the exact-Fraction model is authoritative.
+_vocab = ["red", "blue", "fox", "dog", "jumps", "runs", "over", "under"]
+_docs = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=1, max_size=24).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _model_jaccard_pairs(texts: list[str], k=3, threshold=Fraction(1, 2)):
+    def sh(t: str):
+        toks = t.split()
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = [sh(t) for t in texts]
+    out = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and Fraction(inter, union) >= threshold:
+                out.add((i, j))
+    return out
+
+
+@given(texts=_docs)
+@_prop_settings
+def test_dedup_ngram_jaccard_matches_bruteforce(spark, texts):
+    from slipstream_async_spark.operators.dedup import dedup_ngram_jaccard
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ngram_jaccard(df, "text", "doc_id").collect()
+    }
+    assert got == _model_jaccard_pairs(texts)
+
+
+# ---------------------------------------------------------------------------
+# handler algebra: accumulate == prefix sums
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), max_size=30)
+)
+@_prop_settings
+def test_accumulate_is_prefix_sum(spark, vals):
+    from slipstream_async_spark.operators import accumulate
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "seq long, v long")
+    got = [
+        r["total"]
+        for r in accumulate(df, "v", "seq", out_col="total").orderBy("seq").collect()
+    ]
+    expect, acc = [], 0
+    for v in vals:
+        acc += v
+        expect.append(acc)
+    assert got == expect
