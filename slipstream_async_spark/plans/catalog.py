@@ -1150,3 +1150,117 @@ def p3_generator_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.flat_map_handler(
         docs.select("doc_id", "text"), sentences, schema
     )
+
+
+# ---------------------------------------------------------------------------
+# More TPC-H shapes: correlated EXISTS (q4), fully-pushed selective agg
+# (q6), HAVING + join-back (q18) — the relational surface a reference user
+# writes as arbitrary Python, as Catalyst plans.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — Catalyst rewrites the subquery
+    to a left-semi join; the date filter prunes orders before the join."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate reaches the parquet scan
+    (PushedFilters) and only 4 columns are read — the pushdown/pruning
+    showcase; a single partial+final agg, no grouped shuffle."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(t.sum_qty AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) t
+JOIN orders ON o_orderkey = t.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped HAVING pre-aggregation shrinks the fact
+    side BEFORE any join (aggregate pushdown by construction); the
+    surviving keys then join orders/customer."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq")
+        )
+        .filter(F.col("_sq") > 150)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+    return (
+        big.join(orders, "o_orderkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )

@@ -113,6 +113,64 @@ def stateful_map(
     )
 
 
+def sliding_count_stateful(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """A3 exact streaming form: per-EVENT sliding count — for every
+    arriving event, the number of same-key events with event time in
+    ``(ts - window, ts]`` — the reference's cookbook sliding window
+    (docs/source/cookbook.rst:244-280), which emits on each event rather
+    than on slide boundaries (what ``window(ts, size, slide)`` gives).
+
+    State per key = the event times still inside the window horizon
+    (pruned each batch to ``max_seen - window``, the same eviction the
+    reference applies to its cache). Late events older than the horizon
+    count only themselves + surviving state — the watermark-style bound;
+    the reference has the identical artifact once its cache evicts.
+
+    Scale: state size per key is O(events per window), not O(stream);
+    one shuffle per micro-batch on the key.
+    """
+    out_schema = f"{key_col} string, {ts_col} timestamp, n bigint"
+    state_schema = "times array<long>"  # epoch micros inside the horizon
+    win_us = window_seconds * 1_000_000
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        times: list[int] = list(state.get[0]) if state.exists else []
+        new = []
+        for pdf in pdfs:
+            # datetime64[us/ns] -> epoch micros
+            col = pd.to_datetime(pdf[ts_col]).astype("int64")
+            unit_div = 1000 if col.max() > 10**16 else 1  # ns vs us storage
+            new.extend(int(v) // unit_div for v in col)
+        new.sort()
+        rows_ts, rows_n = [], []
+        for t in new:  # arrival processed in event-time order per batch
+            times.append(t)
+            rows_ts.append(t)
+            rows_n.append(sum(1 for x in times if t - win_us < x <= t))
+        horizon = max(times) - win_us if times else 0
+        state.update(([t for t in times if t > horizon],))
+        yield pd.DataFrame(
+            {
+                key_col: [str(key[0])] * len(rows_ts),
+                ts_col: pd.to_datetime(rows_ts, unit="us"),
+                "n": rows_n,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(df: DataFrame, keys: list[str], watermark_col: str,
                     delay: str) -> DataFrame:
     """A7 streaming dedup: drop duplicate keys with bounded state

@@ -198,3 +198,43 @@ def test_foreach_batch_multi_sink(spark, stream_dir):
     p.stop()
     assert sorted(sink_a) == [1, 2]
     assert sorted(sink_b) == [10, 20]
+
+
+def test_sliding_count_stateful_per_event(spark, stream_dir):
+    """A3 exact semantics in streaming: every event emits its own
+    trailing-window count (reference cookbook.rst:244-280 golden shape),
+    state carried across micro-batches and pruned to the horizon."""
+    from slipstream_async_spark.streaming.stateful import sliding_count_stateful
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, k string"
+    # window = 3 minutes; batch 1: events at 0, 1, 2.5 min
+    _write_batch(
+        spark, src_path,
+        [(ts(0.0), "x"), (ts(1.0), "x"), (ts(2.5), "x")], schema, 0,
+    )
+    out = sliding_count_stateful(
+        _file_stream(spark, src_path, schema), "k", "ts", window_seconds=180
+    )
+    q = (
+        out.writeStream.format("memory").queryName("out_slide")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["ts"], r["n"])
+            for r in spark.sql("SELECT * FROM out_slide").collect()
+        }
+        assert got == {(ts(0.0), 1), (ts(1.0), 2), (ts(2.5), 3)}
+        # batch 2: event at 4.5min -> window (1.5, 4.5] holds {2.5, 4.5};
+        # the 0.0/1.0 entries were pruned/outside.
+        _write_batch(spark, src_path, [(ts(4.5), "x")], schema, 1)
+        q.processAllAvailable()
+        got = {
+            (r["ts"], r["n"])
+            for r in spark.sql("SELECT * FROM out_slide").collect()
+        }
+        assert (ts(4.5), 2) in got
+    finally:
+        q.stop()
