@@ -16,6 +16,10 @@ from slipstream_async_spark.operators.aggregations import (
     sliding_count_per_event,
     tumbling_window_agg,
 )
+from slipstream_async_spark.operators.skew import (
+    key_skew_stats,
+    salted_join,
+)
 from slipstream_async_spark.operators.multimodal import (
     attach_payloads,
     decode_features,
@@ -44,4 +48,6 @@ __all__ = [
     "media_metadata",
     "resize_images",
     "sample_frames",
+    "key_skew_stats",
+    "salted_join",
 ]
