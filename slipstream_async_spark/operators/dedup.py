@@ -15,6 +15,13 @@ Scale design notes
 - All hashes are md5-derived (``hash32``) so the DuckDB oracle reproduces
   results bit-for-bit; swap to ``xxhash64`` for pure speed when oracle
   parity is not needed.
+
+Algorithms are the published standards: MinHash resemblance sketching
+(Broder, "On the resemblance and containment of documents", SEQUENCES
+1997), banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+ch. 3), prefix filtering for exact set-similarity joins (Chaudhuri et
+al. ICDE 2006; Bayardo et al., "Scaling up all pairs similarity search",
+WWW 2007), SimHash (Charikar, STOC 2002; Manku et al., WWW 2007).
 """
 
 from __future__ import annotations

@@ -136,6 +136,26 @@ def flat_map_handler(
     return df.mapInPandas(_batches, schema)
 
 
+def as_udtf(fn: Callable, schema: str):
+    """Wrap a generator function as a registered-style Python UDTF
+    (Spark 3.5+ lateral-join lane) — the reference's generator handler
+    (slipstream/core.py:629-632) usable directly in SQL via
+    ``LATERAL``/``TABLE()`` or ``udtf_obj(col)`` in the DataFrame API.
+
+    ``fn(*cols) -> Iterable[tuple]`` yields output rows per input row.
+    Row-at-a-time Python — the SLOWEST lane (SURVEY §2.9); prefer
+    ``flat_map_handler`` (Arrow-batched) or pure explode. Exists for API
+    completeness and for genuinely per-row stateful generators.
+    """
+    from pyspark.sql.functions import udtf
+
+    class _Handler:
+        def eval(self, *args):
+            yield from fn(*args)
+
+    return udtf(_Handler, returnType=schema)
+
+
 def fan_out(df: DataFrame, *sinks: Callable[[DataFrame], None]) -> None:
     """Route one DataFrame to every sink in order (slipstream
     _sink_output loop, core.py:626-635). For batch sinks; streaming uses

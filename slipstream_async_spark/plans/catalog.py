@@ -1264,3 +1264,60 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+_DK_IVF_CENTS = """
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv
+  FROM embeddings
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
+  LIMIT 16
+)"""
+
+
+@register(
+    "sim_topk_ivf",
+    oracle=f"""
+WITH {_DK_IVF_CENTS},
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS list_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_dk_cos("e.embedding", "c.cv")} DESC, c.cent_id) AS rk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, cent_id AS list_id FROM (
+    SELECT q.query_id, q.qv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_dk_cos("q.qv", "c.cv")} DESC, c.cent_id) AS rk
+    FROM q CROSS JOIN cents c)
+  WHERE rk <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_dk_cos("p.qv", "a.embedding")}, 6) AS cosine
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rk <= 5
+""",
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic coarse quantizer (16 lists),
+    4-probe search (operators.similarity.ivf_topk) — the inverted-list
+    scale path next to the LSH one."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, q, k=5, n_lists=16, n_probe=4)

@@ -207,3 +207,34 @@ def test_flat_map_handler_generator_semantics(spark):
 
     out = sorted(r["y"] for r in flat_map_handler(df, evens_twice, schema).collect())
     assert out == [0, 0, 2, 4, 20, 40]
+
+
+def test_as_udtf_lateral(spark):
+    # §2.9 UDTF lane: yield 0..n rows per input through Spark's Python
+    # UDTF (the row-at-a-time lane; flat_map_handler is the fast one).
+    from slipstream_async_spark.operators.handlers import as_udtf
+
+    def explode_chars(s: str):
+        for i, ch in enumerate(s):
+            yield i, ch
+
+    chars = as_udtf(explode_chars, "pos int, ch string")
+    spark.udtf.register("explode_chars", chars)
+    out = spark.sql(
+        "SELECT t.w, c.pos, c.ch FROM VALUES ('ab'), ('xyz') AS t(w), "
+        "LATERAL explode_chars(t.w) AS c"
+    ).collect()
+    got = sorted((r["w"], r["pos"], r["ch"]) for r in out)
+    assert got == [
+        ("ab", 0, "a"), ("ab", 1, "b"),
+        ("xyz", 0, "x"), ("xyz", 1, "y"), ("xyz", 2, "z"),
+    ]
+
+
+def test_approx_count_distinct_tolerance(spark):
+    # A8 approximate aggregation: HLL++ estimate within rsd of exact
+    # (no DuckDB oracle — sketches differ across engines by design).
+    df = spark.range(0, 20000).selectExpr("id % 5000 AS k")
+    exact = 5000
+    approx = df.agg(F.approx_count_distinct("k", rsd=0.02).alias("a")).first()["a"]
+    assert abs(approx - exact) / exact < 0.06

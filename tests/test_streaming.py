@@ -238,3 +238,48 @@ def test_sliding_count_stateful_per_event(spark, stream_dir):
         assert (ts(4.5), 2) in got
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    """J2 true streaming form: two unbounded sides, watermarks on both,
+    equi-key + event-time range condition — Spark buffers each side's
+    state only within the watermark bound (the engine-managed version of
+    the reference's shared-cache cross-stream join, cookbook.rst:292)."""
+    lpath = os.path.join(stream_dir, "left")
+    rpath = os.path.join(stream_dir, "right")
+    _write_batch(
+        spark, lpath,
+        [(ts(0.0), "u1", "view"), (ts(10.0), "u2", "view")],
+        "lts timestamp, uid string, what string", 0,
+    )
+    _write_batch(
+        spark, rpath,
+        [(ts(2.0), "u1", 9.99), (ts(40.0), "u2", 5.0)],
+        "rts timestamp, uid string, amount double", 0,
+    )
+    left = _file_stream(
+        spark, lpath, "lts timestamp, uid string, what string"
+    ).withWatermark("lts", "1 minute")
+    right = _file_stream(
+        spark, rpath, "rts timestamp, uid string, amount double"
+    ).withWatermark("rts", "1 minute")
+    joined = left.join(
+        right,
+        (left["uid"] == right["uid"])
+        & (right["rts"] >= left["lts"])
+        & (right["rts"] <= left["lts"] + F.expr("INTERVAL 5 MINUTES")),
+    ).select(left["uid"], "lts", "rts", "amount")
+    q = (
+        joined.writeStream.format("memory").queryName("out_ssj")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = [
+            (r["uid"], r["amount"])
+            for r in spark.sql("SELECT * FROM out_ssj").collect()
+        ]
+        # u1's purchase at +2m is inside [lts, lts+5m]; u2's at +30m is not.
+        assert rows == [("u1", 9.99)]
+    finally:
+        q.stop()
