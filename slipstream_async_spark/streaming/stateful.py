@@ -171,6 +171,60 @@ def sliding_count_stateful(
     )
 
 
+def ttl_fold(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ttl_ms: int,
+    out_col: str = "agg_value",
+) -> DataFrame:
+    """Running per-key sum whose state EXPIRES after ``ttl_ms`` of
+    processing time — the reference's bounded-retention cache semantics
+    (FIFO compaction evicting old records, slipstream/caching.py:112-122,
+    features.rst:64-66) on Spark 4's ``transformWithStateInPandas``:
+    TTL is declared on the state variable and the store evicts it, no
+    user-side eviction scans.
+
+    A key silent for longer than the TTL restarts its fold from zero —
+    exactly how the reference's 25 MB FIFO tables forget idle keys.
+
+    Runtime requirement: ``transformWithState``'s driver worker imports
+    ``google.protobuf`` (ships with ``pyspark[connect]``). Absent that,
+    constructing the plan raises at stream start — use ``stateful_fold``
+    (applyInPandasWithState) which has no such dependency; its state
+    simply never expires.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} string, {out_col} double"
+
+    class _TTLFold(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState(
+                "acc", "acc double", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            acc = self._acc.get()[0] if self._acc.exists() else 0.0
+            for pdf in rows:
+                acc += float(pdf[value_col].astype(float).sum())
+            self._acc.update((acc,))
+            yield pd.DataFrame({key_col: [str(key[0])], out_col: [acc]})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_TTLFold(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+
+
 def streaming_dedup(df: DataFrame, keys: list[str], watermark_col: str,
                     delay: str) -> DataFrame:
     """A7 streaming dedup: drop duplicate keys with bounded state

@@ -283,3 +283,52 @@ def test_stream_stream_interval_join(spark, stream_dir):
         assert rows == [("u1", 9.99)]
     finally:
         q.stop()
+
+
+@pytest.mark.skipif(
+    not __import__("importlib").util.find_spec("google"),
+    reason="transformWithState driver worker needs google.protobuf "
+    "(pyspark[connect]); absent in this container",
+)
+def test_ttl_fold_accumulates_and_expires(spark, stream_dir):
+    """C9/T-analog: state variable with TTL on transformWithStateInPandas
+    — accumulates across micro-batches, forgets after the TTL."""
+    import time
+
+    from slipstream_async_spark.streaming.stateful import ttl_fold
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, k string, v double"
+    _write_batch(spark, src_path, [(ts(0.0), "x", 1.0), (ts(1.0), "x", 2.0)], schema, 0)
+    out = ttl_fold(
+        _file_stream(spark, src_path, schema), "k", "v", ttl_ms=2500
+    )
+    q = (
+        out.writeStream.format("memory").queryName("out_ttl")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["k"]: r["agg_value"] for r in spark.sql("SELECT * FROM out_ttl").collect()}
+        assert got == {"x": 3.0}
+        # within TTL: fold continues
+        _write_batch(spark, src_path, [(ts(2.0), "x", 4.0)], schema, 1)
+        q.processAllAvailable()
+        vals = sorted(
+            r["agg_value"] for r in spark.sql(
+                "SELECT * FROM out_ttl WHERE k = 'x'"
+            ).collect()
+        )
+        assert vals[-1] == 7.0
+        # after TTL expiry: state evicted, fold restarts from zero
+        time.sleep(3.0)
+        _write_batch(spark, src_path, [(ts(3.0), "x", 5.0)], schema, 2)
+        q.processAllAvailable()
+        vals = sorted(
+            r["agg_value"] for r in spark.sql(
+                "SELECT * FROM out_ttl WHERE k = 'x'"
+            ).collect()
+        )
+        assert 5.0 in vals and vals[-1] == 7.0  # restarted at 5, not 12
+    finally:
+        q.stop()
