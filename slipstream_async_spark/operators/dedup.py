@@ -205,6 +205,70 @@ def dedup_ngram_jaccard(
     return _verified_pairs(cand, sets, id_col, threshold)
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document in a
+    duplicate group gets the group's min id as ``cluster_id``, and the
+    canonical (kept) member is flagged — pairs alone don't give keep/drop
+    decisions; transitive closure does (a~b, b~c => one survivor of
+    {a,b,c}).
+
+    Min-label propagation: labels start as own id; each round every node
+    takes the min label among itself and its neighbors; converged when no
+    label changes. Rounds needed = graph diameter (near-dup clusters are
+    shallow — boilerplate stars, chains of revisions — so this converges
+    in a handful of rounds; ``max_iter`` guards degenerate chains).
+
+    Scale notes: each round is one join + one min-aggregation on the edge
+    list — no driver-side graph. ``localCheckpoint`` truncates the plan
+    lineage per round (an iterative plan otherwise grows by two shuffles
+    per round and chokes the optimizer). The convergence probe is a
+    count() action per round: at corpus scale, amortize by probing every
+    few rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # materialize once: every round joins the edge list, and without
+        # this the whole upstream candidate/verify pipeline re-executes
+        # per round
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    # Labels only ever decrease, so sum(label) is a complete convergence
+    # probe — one tiny aggregation per round instead of a self-join.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neighbor_labels = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:

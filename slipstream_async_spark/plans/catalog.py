@@ -1321,3 +1321,32 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivf_topk(emb, q, k=5, n_lists=16, n_probe=4)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
+)
+SELECT node AS doc_id,
+       MIN(label) AS cluster_id,
+       (node = MIN(label)) AS is_canonical
+FROM cc GROUP BY node
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the n-gram Jaccard pairs
+    (operators.dedup.duplicate_clusters): min-label propagation to a
+    fixpoint — the keep/drop decision layer of corpus dedup. Oracle =
+    DuckDB recursive CTE over the same pairs."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    return DD.duplicate_clusters(pairs)

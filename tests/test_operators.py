@@ -238,3 +238,21 @@ def test_approx_count_distinct_tolerance(spark):
     exact = 5000
     approx = df.agg(F.approx_count_distinct("k", rsd=0.02).alias("a")).first()["a"]
     assert abs(approx - exact) / exact < 0.06
+
+
+def test_duplicate_clusters_golden(spark):
+    # chain 1-2, 2-3 plus island 7-9: transitive closure with min-id
+    # canonical per component.
+    from slipstream_async_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        7: (7, True), 9: (7, False),
+    }

@@ -214,3 +214,46 @@ def test_accumulate_is_prefix_sum(spark, vals):
         acc += v
         expect.append(acc)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering vs union-find model
+# ---------------------------------------------------------------------------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_prop_settings
+def test_duplicate_clusters_matches_union_find(spark, edges):
+    from slipstream_async_spark.operators.dedup import duplicate_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == expect
