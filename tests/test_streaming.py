@@ -332,3 +332,50 @@ def test_ttl_fold_accumulates_and_expires(spark, stream_dir):
         assert 5.0 in vals and vals[-1] == 7.0  # restarted at 5, not 12
     finally:
         q.stop()
+
+
+def test_proxy_two_query_chain(spark, stream_dir):
+    """S9 Proxy end-to-end: handler A's sink table is handler B's source,
+    both queries live — the reference's in-process pub/sub bridge
+    (slipstream/caching.py:34-46) as two chained streaming queries with a
+    StateTable in between."""
+    from slipstream_async_spark.streaming.state import StateTable, foreach_batch_upsert
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, k string, v string"
+    _write_batch(spark, src_path, [(ts(0.0), "a", "1")], schema, 0)
+
+    table = StateTable(spark, os.path.join(stream_dir, "state"))
+    upstream = (
+        _file_stream(spark, src_path, schema)
+        .select(F.col("k").alias("key"), F.col("v").alias("value"))
+        .writeStream.foreachBatch(foreach_batch_upsert(table))
+        .option("checkpointLocation", os.path.join(stream_dir, "ck_up"))
+        .start()
+    )
+    downstream = (
+        table.changelog_stream()
+        .writeStream.format("memory").queryName("proxy_out")
+        .outputMode("append").start()
+    )
+    try:
+        upstream.processAllAvailable()
+        downstream.processAllAvailable()
+        got = {
+            (r["key"], r["value"])
+            for r in spark.sql("SELECT * FROM proxy_out").collect()
+        }
+        assert got == {("a", "1")}
+        # second message flows through BOTH queries
+        _write_batch(spark, src_path, [(ts(1.0), "b", "2")], schema, 1)
+        upstream.processAllAvailable()
+        downstream.processAllAvailable()
+        got = {
+            (r["key"], r["value"])
+            for r in spark.sql("SELECT * FROM proxy_out").collect()
+        }
+        assert got == {("a", "1"), ("b", "2")}
+    finally:
+        upstream.stop()
+        downstream.stop()
+        table.destroy()
