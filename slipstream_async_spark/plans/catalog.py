@@ -1350,3 +1350,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
     return DD.duplicate_clusters(pairs)
+
+
+@register(
+    "pipeline_curation",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
+),
+drops AS (SELECT node FROM cc GROUP BY node HAVING node != MIN(label)),
+quality AS ({_ORACLES["text_quality"]}),
+langs AS ({_ORACLES["text_langid"]}),
+toks AS ({_ORACLES["text_token_count"]})
+SELECT q.doc_id, t.n_tokens, q.quality
+FROM quality q
+JOIN langs l ON l.doc_id = q.doc_id
+JOIN toks t ON t.doc_id = q.doc_id
+WHERE q.quality >= 0.73 AND l.lang_pred = 'en'
+  AND q.doc_id NOT IN (SELECT node FROM drops)
+""",
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed flagship of the M7
+    training-data inventory: quality gate (>= 0.73) -> language gate
+    ('en') -> near-duplicate removal (keep only cluster canonicals) ->
+    per-document token stats. One declarative plan: the text gates are
+    pure expressions over a single documents scan, the dedup drop-list
+    joins in as a broadcast anti-join — the shape a 100 TB curation run
+    takes (gates before dedup so the expensive pairing sees only
+    survivors of the cheap filters... here gates are applied to the pair
+    output instead so the oracle stays a pure composition; flip the
+    order freely in production).
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    clusters = DD.duplicate_clusters(pairs)
+    drops = clusters.filter(~F.col("is_canonical")).select(
+        F.col("doc_id")
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
+        TXT.quality_score("text").alias("quality"),
+        TXT.lang_id("text").alias("lang_pred"),
+    )
+    return (
+        scored.filter((F.col("quality") >= 0.73) & (F.col("lang_pred") == "en"))
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+    )
