@@ -1,0 +1,73 @@
+"""Sampling operators for training-data pipelines.
+
+Two families:
+
+- **Deterministic hash sampling** — the reproducible form: membership is
+  a pure function of the row's id (md5-derived bucket in [0, 10000)), so
+  the same document set survives on any cluster, any partitioning, any
+  engine, any rerun — the property training-data curation actually needs
+  (rerun the pipeline, get the same corpus; audit membership years
+  later). Also the basis for stable train/validation/test splits.
+- **Randomized sampling** — thin wrappers over Spark's native
+  ``sample``/``sampleBy`` (Bernoulli per partition, seeded): right for
+  statistics (skew probes, cardinality estimates), wrong for
+  reproducible corpus membership (resilient to neither repartitioning
+  nor engine change).
+
+The reference has no sampling surface (single-stream, no corpus ops);
+this extends SURVEY §2's M7 inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from slipstream_async_spark.functions.text import hash32
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from an id column (md5-derived, engine
+    reproducible: DuckDB `('0x' || substr(md5(salt || id), 1, 8))::BIGINT
+    % 10000`). ``salt`` decorrelates independent samples over the same
+    ids (e.g. one for sampling, one for splitting)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hash32(F.concat(F.lit(salt), c.cast("string"))) % _BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``rate`` — an exact,
+    rerun-stable ~rate sample keyed on identity, not randomness.
+
+    No shuffle, no state: a filter the optimizer pushes into the scan
+    stage; at 100 TB this is a full-scan map with data-skipping where the
+    id correlates with file layout.
+    """
+    return df.filter(hash_bucket(id_col, salt) < int(rate * _BUCKETS))
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_rate: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, rerun-stable (train, test) split by id hash.
+
+    Membership survives reruns, repartitioning, and incremental corpus
+    growth (a document's side never changes as others are added) — the
+    leakage-safe way to split training corpora.
+    """
+    bucket = hash_bucket(id_col, salt)
+    cut = int(test_rate * _BUCKETS)
+    return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (native ``sampleBy``) — statistics
+    use only; see module docstring for why corpus membership should use
+    ``deterministic_sample`` instead."""
+    return df.sampleBy(strata_col, fractions, seed)

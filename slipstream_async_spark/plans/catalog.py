@@ -1406,3 +1406,27 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(drops), "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality")
     )
+
+
+@register(
+    "sample_deterministic",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('corpus' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, n_chars FROM b WHERE bucket < 2000
+""",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerun-stable ~20% corpus sample by id-hash bucket
+    (operators.sampling.deterministic_sample) — membership is a pure
+    function of doc_id, reproduced exactly by the oracle."""
+    from slipstream_async_spark.operators.sampling import deterministic_sample
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return deterministic_sample(
+        docs.select("doc_id", "n_chars"), "doc_id", 0.2, salt="corpus"
+    )

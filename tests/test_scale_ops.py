@@ -109,3 +109,24 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_train_test_split_disjoint_exhaustive_stable(spark):
+    from slipstream_async_spark.operators.sampling import train_test_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    train, test = train_test_split(df, "doc_id", test_rate=0.1)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 2000
+    assert 100 <= n_test <= 320  # ~10% of 2000, hash variance bounded
+    # disjoint
+    assert train.join(test, "doc_id").count() == 0
+    # stable across reruns and repartitioning
+    test_ids = {r["doc_id"] for r in test.collect()}
+    _, test2 = train_test_split(df.repartition(17), "doc_id", test_rate=0.1)
+    assert {r["doc_id"] for r in test2.collect()} == test_ids
+    # membership never changes as the corpus grows
+    _, test3 = train_test_split(
+        spark.range(0, 4000).withColumnRenamed("id", "doc_id"), "doc_id", 0.1
+    )
+    assert {r["doc_id"] for r in test3.collect() if r["doc_id"] < 2000} == test_ids

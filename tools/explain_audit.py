@@ -25,8 +25,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Queries whose plan is EXPECTED to contain a broadcast nested-loop/cross
-# join (broadcasted query set against the corpus) or a Python stage.
-ALLOW_BNLJ = {"sim_topk_bruteforce"}
+# join (broadcasted query set / centroid set against the corpus) or a
+# Python stage.
+ALLOW_BNLJ = {"sim_topk_bruteforce", "sim_topk_ivf"}
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
 
