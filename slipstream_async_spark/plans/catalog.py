@@ -1408,6 +1408,300 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational widening: the remaining distinct TPC-H plan shapes, adapted to
+# the driver schema (no partsupp / shipmode / comment columns). Each entry
+# exercises a Catalyst shape not yet in the catalog: double-dim self-joined
+# dimension (q7), ordered top-n over an agg (q10), outer-join distribution
+# (q13), conditional-aggregate ratio (q14), scalar-subquery max filter (q15),
+# count-distinct expansion (q16), correlated scalar subquery (q17),
+# disjunctive pushdown (q19), NOT EXISTS + exact-decimal global threshold
+# (q22), argmin join-back (q2 analog), global-fraction HAVING (q11 analog).
+# SURVEY §2.3 J4 / §2.4 A8 / §2.5.
+# ---------------------------------------------------------------------------
+
+_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(o_orderdate)
+"""
+
+
+@register("q7_nation_volume", oracle=_Q7)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dim joins the fact twice (supplier side
+    and customer side) under independent aliases; both sides broadcast, the
+    disjunctive nation-pair filter prunes before the grouped agg. One fact
+    shuffle (the lineitem->orders join keys), everything else map-side."""
+    _views(spark, sf_dir, "lineitem", "supplier", "nation", "orders", "customer")
+    return spark.sql(_Q7)
+
+
+_Q10 = f"""
+WITH r AS (
+  SELECT c_custkey, c_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY c_custkey, c_name
+)
+SELECT c_custkey, c_name, revenue
+FROM r ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+@register("q10_returned_revenue", oracle=_Q10)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: selective fact filter + two broadcast joins + agg +
+    global top-20 (TakeOrderedAndProject — no full sort, a per-partition
+    heap then a driver merge of 20-row heads; c_custkey tie-break keeps the
+    boundary deterministic)."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q10)
+
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_order_distribution", oracle=_Q13)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a non-key residual predicate (kept
+    in the join, not a post-filter — NULL-extended rows must survive), then
+    a two-level re-aggregation. The second agg's input is one row per
+    customer: tiny shuffle."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13)
+
+
+_Q14 = f"""
+SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END)
+                     AS DOUBLE)
+            / CAST(SUM({_REV}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-03-01'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio in one pass (no
+    self-join for the numerator); part broadcasts; both sums stay DECIMAL
+    until the final double division so the ratio is bit-identical across
+    engines."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14)
+
+
+_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregated CTE consumed twice (join input and
+    scalar-subquery max). The max comes from the already-aggregated
+    per-supplier rows (~#suppliers), so the second consumption is a
+    near-free scalar broadcast, not a fact re-scan."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_Q15)
+
+
+_Q16 = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_size
+"""
+
+
+@register("q16_supplier_part_counts", oracle=_Q16)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: count-distinct over a joined fact — Catalyst
+    expands to a two-phase agg (partial distinct on (group, l_suppkey),
+    then final count), so the shuffle carries deduplicated pairs, not raw
+    lineitem rows. The p_size IN-list prunes the broadcast side first."""
+    _views(spark, sf_dir, "part", "lineitem")
+    return spark.sql(_Q16)
+
+
+_Q17 = f"""
+SELECT CAST(CAST(SUM({_DEC}) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#9'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part 20%-of-average
+    quantity threshold). Catalyst de-correlates it into an aggregate on
+    l_partkey joined back to the filtered fact — one extra agg+join, no
+    per-row re-execution. AVG over integral quantities is exact in double,
+    so the threshold is engine-identical."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17)
+
+
+_Q19 = f"""
+SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 5 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@register("q19_disjunctive_revenue", oracle=_Q19)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixing columns from both sides.
+    Catalyst factors the single-table conjuncts out of the disjunction:
+    the l_quantity range union prunes the scan and the p_brand/p_size
+    union prunes the broadcast build side before the join evaluates the
+    full residual."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19)
+
+
+_Q22 = """
+WITH t AS (
+  SELECT COUNT(*) AS cnt, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT cnt FROM t) > (SELECT tot FROM t)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@register("q22_idle_customers", oracle=_Q22)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance + dormant customers (no
+    order since 2000). The mean test is multiplied through (bal * cnt >
+    total, all DECIMAL) so no engine ever divides — the threshold is
+    exact, immune to float-summation order. NOT EXISTS plans as an
+    anti-join on o_custkey with the date filter pushed to the orders
+    scan."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22)
+
+
+_Q2A = """
+WITH m AS (
+  SELECT s_nationkey, MIN(s_acctbal) AS mn
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
+       s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+JOIN m ON s.s_nationkey = m.s_nationkey AND s.s_acctbal = m.mn
+"""
+
+
+@register("q2_min_balance_supplier", oracle=_Q2A)
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's argmin shape (adapted: no partsupp table — min-balance
+    supplier per nation): aggregate-then-join-back, keeping ALL ties like
+    the real Q2. The equality compares stored values (no arithmetic), so
+    double equality is safe; the agg input is the dim itself, so both join
+    sides broadcast."""
+    _views(spark, sf_dir, "supplier")
+    return spark.sql(_Q2A)
+
+
+_Q11A = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+FROM supplier
+GROUP BY s_nationkey
+HAVING SUM(CAST(s_acctbal AS DECIMAL(18,2))) >
+       (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) FROM supplier) * 0.08
+"""
+
+
+@register("q11_concentrated_balance", oracle=_Q11A)
+def q11_concentrated_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted to supplier balances): per-group sum
+    filtered against a fraction of the global sum — the group-vs-global
+    HAVING pattern. Both sums are exact DECIMAL; the global total is a
+    one-row broadcast, not a re-scan per group."""
+    _views(spark, sf_dir, "supplier")
+    return spark.sql(_Q11A)
+
+
+_FUNNEL = """
+SELECT user_id,
+       MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+       MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY user_id
+HAVING MIN(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+   AND MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+   AND MIN(CASE WHEN event_type = 'click' THEN ts END)
+     < MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+"""
+
+
+@register("events_funnel_click_purchase", oracle=_FUNNEL)
+def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (click -> purchase ordering per user) as a single
+    conditional-MIN aggregation — no self-join, no window: one shuffle on
+    user_id over the two event types that matter (filter pushed to the
+    scan). The batch dual of a sessionized conversion stream (§2.4)."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_FUNNEL)
+
+
 @register(
     "sample_deterministic",
     oracle="""
@@ -1429,4 +1723,202 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     return deterministic_sample(
         docs.select("doc_id", "n_chars"), "doc_id", 0.2, salt="corpus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics & leakage control (M7 training-data inventory,
+# continued): global term statistics, TF-IDF keyword extraction,
+# train/test contamination detection, per-class embedding centroids,
+# corpus length histogram.
+# ---------------------------------------------------------------------------
+
+_DF_TOP = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_DK_TOKS})) AS token FROM documents
+)
+SELECT token, COUNT(*) AS df
+FROM tok GROUP BY token
+ORDER BY df DESC, token LIMIT 50
+"""
+
+
+@register("text_df_top_terms", oracle=_DF_TOP)
+def text_df_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global document frequency, top-50 terms: per-doc distinct happens
+    BEFORE the explode (array_distinct, map-side, no shuffle), so the agg
+    shuffle carries one row per (doc, distinct token); the top-50 is
+    TakeOrderedAndProject with a token tie-break. The vocabulary-stats
+    scan every tokenizer build starts from."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.array_distinct(TXT.tokens("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(50)
+    )
+
+
+_TFIDF = f"""
+WITH tok AS (SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tfidf FROM ranked WHERE rk <= 3
+"""
+
+
+@register("text_tfidf_top3", oracle=_TFIDF)
+def text_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF. TF and DF aggregate from one
+    token explosion; the corpus size enters as a scalar subquery (executed
+    once, injected as a literal — no join operator carries it); DF
+    (vocabulary-sized) joins back onto TF; the per-doc ranking window
+    partitions on doc_id — the same key TF was grouped on. Scores are
+    rounded BEFORE ranking so the rank boundary is engine-stable."""
+    _views(spark, sf_dir, "documents")
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("token")
+    ).createOrReplaceTempView("tfidf_tok")
+    return spark.sql(
+        """
+WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
+            FROM tfidf_tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+       FROM tfidf_tok GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf * ln(((SELECT COUNT(*) FROM documents) + 1.0)
+                       / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tfidf FROM ranked WHERE rk <= 3
+"""
+    )
+
+
+_FP_EXPR = r"""md5(array_to_string(list_sort(list_distinct(
+    list_filter(regexp_split_to_array(
+        lower(regexp_replace(text, '[^0-9A-Za-z\s]', ' ', 'g')), '\s+'),
+    x -> x != ''))), ' '))"""
+
+_CONTAM = f"""
+WITH fp AS (
+  SELECT doc_id, {_FP_EXPR} AS fingerprint,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+           AS b
+  FROM documents
+)
+SELECT t.doc_id, t.fingerprint
+FROM fp t
+WHERE t.b < 1000
+  AND EXISTS (SELECT 1 FROM fp tr
+              WHERE tr.b >= 1000 AND tr.fingerprint = t.fingerprint)
+"""
+
+
+@register("contamination_fingerprint", oracle=_CONTAM)
+def contamination_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: after the leakage-safe hash split
+    (operators.sampling.train_test_split, 10% test), flag test documents
+    whose normalization fingerprint (functions.text.text_fingerprint —
+    order/punctuation/whitespace-insensitive) also appears in train. Plans
+    as a semi join on the fingerprint hash: at 100 TB the test side is the
+    small build side and broadcasts; only fingerprints (32 bytes/doc), not
+    text, ever shuffle."""
+    from slipstream_async_spark.operators.sampling import train_test_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", TXT.text_fingerprint("text").alias("fingerprint")
+    )
+    train, test = train_test_split(fp, "doc_id", test_rate=0.1, salt="split")
+    return test.join(
+        train.select("fingerprint"), "fingerprint", "left_semi"
+    ).select("doc_id", "fingerprint")
+
+
+_CENTROIDS = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+a AS (
+  SELECT label, pos, CAST(round(avg(val) * 1000000) AS BIGINT) AS v
+  FROM e GROUP BY label, pos
+)
+SELECT CAST(label AS BIGINT) AS label,
+       array_to_string(array_agg(v ORDER BY pos), ',') AS centroid_micro
+FROM a GROUP BY label
+"""
+
+
+@register("emb_label_centroids", oracle=_CENTROIDS)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid (the k-means update step / the class
+    prototype for dataset pruning): posexplode -> groupBy(label, pos) ->
+    avg -> reassemble ordered. Scales as a single shuffle of (label, pos)
+    partial sums — never a collect_list of whole vectors per label, which
+    would OOM one reducer per class at 100 TB. Emitted as micro-unit
+    integers so the cross-engine compare is exact."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    a = ex.groupBy("label", "pos").agg(
+        F.round(F.avg("val") * 1000000).cast("bigint").alias("v")
+    )
+    return (
+        a.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.array_join(
+                F.transform("s", lambda x: x["v"].cast("string")), ","
+            ).alias("centroid_micro"),
+        )
+    )
+
+
+_LEN_HIST = """
+SELECT CAST(n_chars // 200 AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+
+@register("doc_length_histogram", oracle=_LEN_HIST)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram (fixed 200-char buckets) — the
+    distribution scan behind truncation/packing decisions. Pure integer
+    arithmetic; partial aggregation reduces each partition to its live
+    buckets before the single tiny shuffle."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy((F.col("n_chars") / 200).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
     )
