@@ -71,3 +71,30 @@ def stratified_sample(
     use only; see module docstring for why corpus membership should use
     ``deterministic_sample`` instead."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Rerun-stable stratified sample: per-stratum keep rates applied to
+    the same id-hash bucket (down-sample over-represented sources, keep
+    rare ones whole — the corpus-rebalancing step of data curation).
+
+    The stratum only selects the *threshold*; membership stays a pure
+    function of the id, so a document keeps its bucket across strata
+    reassignments and rate changes remain monotone (raising a rate only
+    ever adds documents). Plans as scan + CASE filter: no shuffle, no
+    per-stratum pass.
+    """
+    bucket = hash_bucket(id_col, salt)
+    thresh: Column = F.lit(int(default_rate * _BUCKETS))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)

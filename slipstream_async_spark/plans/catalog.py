@@ -1922,3 +1922,297 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational widening, continued: the last distinct TPC-H shapes — global
+# conditional-share ratio per group (q8), multi-table profit rollup (q9),
+# two-way conditional counts over a join (q12), nested-aggregate semi-join
+# (q20), double-correlated EXISTS / NOT EXISTS (q21) — plus ordered-stream
+# analytics (lead/dense_rank/ntile/first_value, SURVEY §2.5), exact
+# distribution statistics (interpolated percentiles + closed-form stddev),
+# and the deterministic stratified corpus sample (M7).
+# ---------------------------------------------------------------------------
+
+_Q8 = f"""
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {_REV} AS v,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN v ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(SUM(v) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly revenue —
+    a 6-table snowflake (nation joined twice under aliases, region
+    pruning the customer side) feeding a conditional-sum ratio. All dims
+    broadcast; the region filter cuts the fact before the single
+    grouped-agg shuffle; both sums stay DECIMAL until the final double
+    division."""
+    _views(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "nation", "region", "supplier",
+    )
+    return spark.sql(_Q8)
+
+
+_Q9 = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                - CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS margin
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_type = 'STANDARD'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+@register("q9_nation_margin", oracle=_Q9)
+def q9_nation_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus cost proxy) per supplier
+    nation per order year. Four broadcast dims against one fact pass; the
+    p_type filter prunes the part build side before the join; the whole
+    margin expression is exact DECIMAL until the final cast."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    return spark.sql(_Q9)
+
+
+_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@register("q12_priority_linestatus", oracle=_Q12)
+def q12_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: pivot-style conditional counts over a fact-fact
+    join (lineitem->orders), date range pushed to the scan. One shuffle on
+    the join key, then a two-row agg — the CASE pair replaces two
+    self-joining passes."""
+    _views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(_Q12)
+
+
+_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+)
+"""
+
+
+@register("q20_heavy_shippers", oracle=_Q20)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over an aggregated subquery (suppliers that
+    shipped > 50 units of one brand in a year) — plans as agg on the
+    filtered fact, then a LeftSemi broadcast join into the supplier dim.
+    The HAVING threshold is exact DECIMAL."""
+    _views(spark, sf_dir, "supplier", "lineitem", "part")
+    return spark.sql(_Q20)
+
+
+_Q21 = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@register("q21_sole_returner", oracle=_Q21)
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the double-correlated quantifier — suppliers who
+    were the ONLY returner in finished multi-supplier orders. Catalyst
+    de-correlates the EXISTS into a LeftSemi and the NOT EXISTS into a
+    LeftAnti, both on l_orderkey — the fact joins itself twice on the
+    same key, so one exchange of each projection is reused, never a
+    per-row subquery loop."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21)
+
+
+_WIN_EVENTS = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ms(ts) AS ts_ms,
+         lead(epoch_ms(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS next_ms,
+         dense_rank() OVER
+           (PARTITION BY user_id ORDER BY event_type) AS type_rank,
+         ntile(4) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS quartile,
+         first_value(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS first_type
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(next_ms - ts_ms AS BIGINT) AS gap_ms,
+       CAST(type_rank AS BIGINT) AS type_rank,
+       CAST(quartile AS BIGINT) AS quartile,
+       first_type
+FROM w
+"""
+
+
+@register("win_event_analytics", oracle=_WIN_EVENTS)
+def win_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stream analytics over each user's event history (SURVEY
+    §2.5): lead (gap to next event), dense_rank, ntile quartiles and
+    first_value — four window frames sharing ONE partitioning (user_id),
+    so Catalyst plans a single sort+shuffle serving all of them (the
+    dense_rank ordering differs but reuses the exchange). Deterministic:
+    every ordering carries the unique event_id tie-break."""
+    (events,) = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    by_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.lead(ms).over(by_ts) - ms).cast("bigint").alias("gap_ms"),
+        F.dense_rank()
+        .over(Window.partitionBy("user_id").orderBy("event_type"))
+        .cast("bigint")
+        .alias("type_rank"),
+        F.ntile(4).over(by_ts).cast("bigint").alias("quartile"),
+        F.first("event_type").over(by_ts).alias("first_type"),
+    )
+
+
+_PCTL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+       round(sqrt((CAST(COUNT(*) AS DOUBLE)
+                     * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * CAST(l_extendedprice AS DECIMAL(18,2)))
+                            AS DOUBLE)
+                   - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE)
+                     * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                            AS DOUBLE))
+                  / (CAST(COUNT(*) AS DOUBLE)
+                     * CAST(COUNT(*) - 1 AS DOUBLE))), 6) AS sd
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("stats_price_distribution", oracle=_PCTL)
+def stats_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution statistics per return flag: interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`, both the
+    type-7 estimator) and sample stddev via the closed form over exact
+    DECIMAL sums — engine-identical because every floating op consumes
+    exact integers. percentile is a full-sort-per-group agg: fine on a
+    3-group column; for high-cardinality groups at 100 TB swap in
+    `approx_percentile` (t-digest, mergeable, one pass)."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+WITH s AS (
+  SELECT l_returnflag,
+         percentile(l_extendedprice, array(0.25, 0.50, 0.90, 0.99)) AS ps,
+         COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS sumsq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sm
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round(ps[0], 6) AS p25,
+       round(ps[1], 6) AS p50,
+       round(ps[2], 6) AS p90,
+       round(ps[3], 6) AS p99,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(sumsq AS DOUBLE)
+                   - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) AS sd
+FROM s
+"""
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 10000 AS bucket,
+         CASE source WHEN 'src0' THEN 5000
+                     WHEN 'src1' THEN 5000
+                     WHEN 'src2' THEN 2500
+                     ELSE 500 END AS thresh
+  FROM documents
+)
+SELECT doc_id, source FROM b WHERE bucket < thresh
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sample
+    (operators.sampling.deterministic_stratified_sample): keep 50% of
+    src0/src1, 25% of src2, 5% of the long tail — the source-rebalancing
+    step of corpus curation, rerun-stable because membership is a pure
+    id-hash function and the stratum only picks the threshold."""
+    from slipstream_async_spark.operators.sampling import (
+        deterministic_stratified_sample,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return deterministic_stratified_sample(
+        docs.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        {"src0": 0.5, "src1": 0.5, "src2": 0.25},
+        default_rate=0.05,
+        salt="strat",
+    )

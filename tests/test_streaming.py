@@ -379,3 +379,49 @@ def test_proxy_two_query_chain(spark, stream_dir):
         upstream.stop()
         downstream.stop()
         table.destroy()
+
+
+def test_session_window_streaming(spark, stream_dir):
+    """A6 true streaming form: event-time session windows (5-minute gap)
+    with watermark — a session closes (append-mode emit) only once the
+    watermark passes its end; events within the gap extend it
+    (cookbook.rst:223 "dynamic-size, overlapping, on some condition")."""
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, uid string"
+    _write_batch(
+        spark, src_path,
+        [(ts(0.0), "u"), (ts(2.0), "u"), (ts(4.0), "u")], schema, 0,
+    )
+    agg = (
+        _file_stream(spark, src_path, schema)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "uid")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+            "uid", "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("out_sess")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # Nothing emitted yet: watermark (4min - 1min) has not passed the
+        # open session's end (4 + 5 = 9min).
+        assert spark.sql("SELECT * FROM out_sess").count() == 0
+        # An event at 20min pushes the watermark to 19min > 9min: the
+        # first session closes with its THREE merged events.
+        _write_batch(spark, src_path, [(ts(20.0), "u")], schema, 1)
+        q.processAllAvailable()
+        _write_batch(spark, src_path, [(ts(40.0), "u")], schema, 2)
+        q.processAllAvailable()
+        rows = {
+            (r["ws"], r["we"], r["n"])
+            for r in spark.sql("SELECT * FROM out_sess").collect()
+        }
+        assert (ts(0.0), ts(9.0), 3) in rows
+        assert (ts(20.0), ts(25.0), 1) in rows
+    finally:
+        q.stop()
