@@ -2216,3 +2216,69 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.05,
         salt="strat",
     )
+
+
+# ---------------------------------------------------------------------------
+# Composition closing the similarity loop (M7): embedding near-dup pairs ->
+# transitive clusters; plus the explicit GROUPING SETS shape (§2.4 A8 —
+# cube and rollup are already covered; arbitrary set lists are the general
+# form).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_ORACLES["emb_near_dup_pairs"]}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
+)
+SELECT node AS vec_id,
+       MIN(label) AS cluster_id,
+       (node = MIN(label)) AS is_canonical
+FROM cc GROUP BY node
+""",
+)
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-duplicate clusters: embedding-cosine near-dup pairs
+    (sign-LSH blocked) fed into the same min-label-propagation connected
+    components used for text dedup — the embedding-space keep/drop layer
+    (e.g. paraphrase collapse) next to the lexical one. Demonstrates that
+    the clustering operator is pairing-method agnostic: any (id_a, id_b)
+    edge list composes."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup_pairs(emb, threshold=0.4, n_planes=8)
+    return DD.duplicate_clusters(
+        pairs.select("id_a", "id_b")
+    ).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
+    )
+
+
+_GSETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus))
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup, §2.4
+    A8): three independent groupings in ONE pass — Catalyst plans a single
+    Expand (3x row multiplication map-side) + one hash aggregation, not
+    three scans + union. GROUPING() disambiguates real NULLs from
+    rolled-up slots."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_GSETS)

@@ -142,3 +142,37 @@ def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: st
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan (SURVEY §2.1 S14). With an explicit ``schema`` the read is
+    single-pass; without one Spark runs an extra inference pass over the
+    files — never do that at 100 TB, pass the schema."""
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema=None, **options: str
+) -> DataFrame:
+    """JSON-lines scan (SURVEY §2.1 S14 + the JsonCodec boundary,
+    slipstream/codecs.py:9-28). Same schema rule as CSV: explicit schema
+    = one pass, no inference scan."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

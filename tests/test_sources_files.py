@@ -1,0 +1,74 @@
+"""S14 file-scan coverage: CSV and JSON-lines sources round-trip the
+events fixture bit-for-bit against the parquet original (schema given
+explicitly — the single-pass form the readers document for scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from slipstream_async_spark.sources.readers import (
+    load_table,
+    read_csv,
+    read_json,
+)
+
+SF = "/root/testdata/sf0.001"
+SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _events(spark):
+    # props holds commas/quotes; value holds floats — a fair codec test.
+    return load_table(spark, SF, "events").orderBy("event_id")
+
+
+def _norm(df):
+    return [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"],
+         round(r["value"], 9), r["props"])
+        for r in df.orderBy("event_id").collect()
+    ]
+
+
+def test_csv_round_trip(spark, tmp_path):
+    src = _events(spark)
+    path = os.path.join(str(tmp_path), "events_csv")
+    (
+        src.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .write.option("header", "true").option("quoteAll", "true")
+        .csv(path)
+    )
+    back = read_csv(
+        spark, path, schema=SCHEMA,
+        timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+    assert _norm(back) == _norm(src)
+
+
+def test_json_round_trip(spark, tmp_path):
+    src = _events(spark)
+    path = os.path.join(str(tmp_path), "events_json")
+    (
+        src.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .write.json(path)
+    )
+    back = read_json(
+        spark, path, schema=SCHEMA,
+        timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+    assert _norm(back) == _norm(src)
+
+
+def test_csv_without_schema_infers(spark, tmp_path):
+    src = _events(spark).select("event_id", "user_id", "value")
+    path = os.path.join(str(tmp_path), "infer_csv")
+    src.write.option("header", "true").csv(path)
+    back = read_csv(spark, path)
+    assert back.count() == src.count()
+    kinds = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert kinds["value"] == "double"
