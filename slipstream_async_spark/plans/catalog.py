@@ -2282,3 +2282,114 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled-up slots."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_GSETS)
+
+
+# ---------------------------------------------------------------------------
+# As-of join variants (J1 continued) and time-bucket downsampling (A4
+# continued): forward-looking enrichment with a bounded tolerance, and the
+# open/high/low/close rollup every metrics/telemetry store runs.
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD = """
+SELECT event_id, user_id, ts,
+       CASE WHEN rt <= ts + INTERVAL 10 MINUTES THEN cv END
+         AS next_click_value
+FROM (
+  SELECT l.event_id, l.user_id, l.ts, r.ts AS rt, r.value AS cv
+  FROM (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'view') l
+  ASOF LEFT JOIN
+       (SELECT user_id, ts, value FROM events
+        WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+"""
+
+
+@register("j1_asof_forward", oracle=_ASOF_FWD)
+def j1_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 forward direction with tolerance: each view enriched with the
+    NEXT click within 10 minutes (the 'what did this lead to' direction;
+    the reference's backward scan mirrored, cookbook.rst:338). Same
+    union + first-over-window plan as backward — one shuffle on
+    (user_id), no range join. Tolerance nulls matches beyond the bound
+    instead of dropping rows (left semantics preserved)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("next_click_value")
+    )
+    out = J.asof_join(
+        left, right, on="ts", by="user_id", direction="forward",
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("next_click_value_right").alias("next_click_value"),
+    )
+
+
+_OHLC = """
+WITH r AS (
+  SELECT date_trunc('day', ts) AS day, event_type, value, ts, event_id,
+         row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY ts, event_id) AS rk_a,
+         row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rk_d
+  FROM events
+)
+SELECT day, event_type,
+       round(MAX(CASE WHEN rk_a = 1 THEN value END), 6) AS open,
+       round(MAX(value), 6) AS high,
+       round(MIN(value), 6) AS low,
+       round(MAX(CASE WHEN rk_d = 1 THEN value END), 6) AS close,
+       COUNT(*) AS n
+FROM r GROUP BY day, event_type
+"""
+
+
+@register("agg_ohlc_daily", oracle=_OHLC)
+def agg_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC downsampling per event type — the first/last/extremes
+    rollup (A4 family) via min_by/max_by with a (ts, event_id) struct
+    ordering key: ONE aggregation pass, no ranking windows on the Spark
+    side (the oracle's row_number form is the window-based equivalent).
+    first/last are deterministic because the struct key is unique."""
+    (ev,) = _t(spark, sf_dir, "events")
+    ordk = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.round(F.min_by("value", ordk), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", ordk), 6).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+WITH langs AS ({_ORACLES["text_langid"]})
+SELECT d.lang, l.lang_pred, COUNT(*) AS n
+FROM documents d JOIN langs l ON l.doc_id = d.doc_id
+GROUP BY d.lang, l.lang_pred
+""",
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-label confusion matrix: the provided ``lang`` column
+    against the marker-word predictor — the eval loop every heuristic
+    gate needs before it filters a corpus. Prediction is a pure
+    projection fused into the scan; one tiny (lang, lang_pred) shuffle."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TXT.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )

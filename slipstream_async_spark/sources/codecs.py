@@ -31,3 +31,22 @@ def json_get(col: Column | str, path: str) -> Column:
     """Single-path JSON extraction (cheaper than full from_json)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, f"$.{path}")
+
+
+def avro_decode(col: Column | str, json_format_schema: str) -> Column:
+    """Decode an Avro binary column (reference cookbook.rst:174-208 custom
+    Avro codec). Requires the external ``spark-avro`` connector jar
+    (``--packages org.apache.spark:spark-avro_2.13:<ver>``); the import is
+    lazy so environments without the jar can use every other codec."""
+    from pyspark.sql.avro.functions import from_avro
+
+    c = F.col(col) if isinstance(col, str) else col
+    return from_avro(c, json_format_schema)
+
+
+def avro_encode(col: Column | str) -> Column:
+    """Encode a struct column to Avro binary (see avro_decode)."""
+    from pyspark.sql.avro.functions import to_avro
+
+    c = F.col(col) if isinstance(col, str) else col
+    return to_avro(c)

@@ -257,3 +257,44 @@ def test_duplicate_clusters_matches_union_find(spark, edges):
         r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
     }
     assert got == expect
+
+
+@given(
+    rates=st.dictionaries(
+        st.sampled_from(["src0", "src1", "src2", "src3"]),
+        st.floats(min_value=0.0, max_value=1.0),
+        max_size=4,
+    ),
+    default_rate=st.floats(min_value=0.0, max_value=1.0),
+)
+@_prop_settings
+def test_stratified_sample_model(spark, rates, default_rate):
+    """deterministic_stratified_sample == the pure-python model: keep row
+    iff hash_bucket(id) < per-stratum threshold; membership is a pure
+    function of (id, salt), monotone in the stratum's rate."""
+    import hashlib
+
+    from slipstream_async_spark.operators.sampling import (
+        _BUCKETS,
+        deterministic_stratified_sample,
+    )
+
+    rows = [(i, f"src{i % 5}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["doc_id"]
+        for r in deterministic_stratified_sample(
+            df, "doc_id", "source", rates, default_rate, salt="s"
+        ).collect()
+    }
+
+    def bucket(i: int) -> int:
+        h = hashlib.md5(f"s{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % _BUCKETS
+
+    want = {
+        i
+        for i, src in rows
+        if bucket(i) < int(rates.get(src, default_rate) * _BUCKETS)
+    }
+    assert got == want

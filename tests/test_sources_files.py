@@ -72,3 +72,31 @@ def test_csv_without_schema_infers(spark, tmp_path):
     assert back.count() == src.count()
     kinds = {f.name: f.dataType.simpleString() for f in back.schema.fields}
     assert kinds["value"] == "double"
+
+
+def test_avro_codec_round_trip_or_clear_error(spark):
+    """Avro codec boundary (reference custom Avro codec,
+    cookbook.rst:174-208): round-trips when the spark-avro jar is on the
+    classpath; otherwise must fail with Spark's actionable
+    AVRO_DATA_SOURCE error (never a silent wrong answer)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.sources.codecs import avro_decode, avro_encode
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    schema = (
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"id","type":"long"},{"name":"s","type":"string"}]}'
+    )
+    try:
+        enc = df.select(avro_encode(F.struct("id", "s")).alias("payload"))
+        back = (
+            enc.select(avro_decode("payload", schema).alias("r"))
+            .select("r.id", "r.s")
+            .collect()
+        )
+    except Exception as e:  # jar absent in this container
+        assert "AVRO" in str(e).upper()
+        pytest.skip("spark-avro jar not on classpath")
+    assert sorted((r["id"], r["s"]) for r in back) == [(1, "a"), (2, "b")]
