@@ -2393,3 +2393,83 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# M7, training-batch construction: sequence packing via distributed prefix
+# sum, and repeated-n-gram boilerplate detection (the C4/RefinedWeb-style
+# cross-document span filter).
+# ---------------------------------------------------------------------------
+
+_PACK = f"""
+WITH t AS (SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents)
+SELECT doc_id, n_tokens,
+       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS start,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 512 AS BIGINT) AS chunk_id
+FROM t
+"""
+
+
+@register("pack_sequences", oracle=_PACK)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators.packing.contiguous_pack): documents
+    laid end-to-end in doc_id order, 512-token training chunks; each doc
+    gets its running start offset and chunk assignment. The oracle is the
+    single-window prefix sum; the Spark side is the two-phase distributed
+    form (bucket-local windows + tiny bucket-offset broadcast) whose only
+    serial step is over #buckets rows — the shape that survives 100 TB,
+    asserted equal to the serial semantics here."""
+    from slipstream_async_spark.operators.packing import contiguous_pack
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return contiguous_pack(
+        sized, "doc_id", "n_tokens", budget=512, bucket_size=128
+    )
+
+
+_BOILER = f"""
+WITH toks AS (SELECT doc_id, {_DK_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                               FOR i IN range(1, len(t) - 3)])) AS ngram
+  FROM toks WHERE len(t) >= 5
+)
+SELECT ngram, COUNT(*) AS n_docs
+FROM sh GROUP BY ngram HAVING COUNT(*) >= 3
+ORDER BY n_docs DESC, ngram LIMIT 200
+"""
+
+
+@register("text_boilerplate_ngrams", oracle=_BOILER)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span boilerplate detector: 5-gram token spans appearing in
+    >= 3 distinct documents (headers/footers/licenses in a real corpus).
+    Per-doc dedup happens in the array (array_distinct, map-side) BEFORE
+    the explode, so the shuffle carries one row per (doc, distinct span)
+    and the count IS the document frequency; top-200 via
+    TakeOrderedAndProject with the ngram tie-break."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    from slipstream_async_spark.functions.text import shingles_of_tokens
+
+    spans = docs.select(toks.alias("_t")).filter(F.size("_t") >= 5).select(
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("_t"), 5))).alias(
+            "ngram"
+        )
+    )
+    return (
+        spans.groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), "ngram")
+        .limit(200)
+    )

@@ -256,3 +256,41 @@ def test_duplicate_clusters_golden(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         7: (7, True), 9: (7, False),
     }
+
+
+def test_contiguous_pack_bucket_size_invariant(spark):
+    """The two-phase distributed prefix sum is exact: results are
+    identical for any bucket_size (including one bucket == the serial
+    form), starts are the prefix sums, and chunk assignment follows
+    floor(start/budget)."""
+    from slipstream_async_spark.operators.packing import (
+        chunk_stats,
+        contiguous_pack,
+    )
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+
+    def run(bucket_size):
+        return {
+            r["doc_id"]: (r["start"], r["chunk_id"])
+            for r in contiguous_pack(
+                df, "doc_id", "n", budget=20, bucket_size=bucket_size
+            ).collect()
+        }
+
+    small, one = run(8), run(10_000)
+    assert small == one
+    # Serial model.
+    start, want = 0, {}
+    for i, n in rows:
+        want[i] = (start, start // 20)
+        start += n
+    assert small == want
+    stats = {
+        r["chunk_id"]: r["n_docs"]
+        for r in chunk_stats(
+            contiguous_pack(df, "doc_id", "n", 20, 8), "n"
+        ).collect()
+    }
+    assert sum(stats.values()) == 100
