@@ -425,3 +425,112 @@ def test_session_window_streaming(spark, stream_dir):
         assert (ts(20.0), ts(25.0), 1) in rows
     finally:
         q.stop()
+
+
+def test_stream_health_monitor(spark, stream_dir):
+    """T2/T3/T6/T9 control plane: StreamHealthMonitor observes a live
+    watermarked query via StreamingQueryListener — progress counts,
+    watermark advance, late-drop accounting, and the terminated hook —
+    with no change to the query plan."""
+    from datetime import timedelta
+
+    from slipstream_async_spark.streaming.monitor import StreamHealthMonitor
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, k string"
+    _write_batch(spark, src_path, [(ts(0.0), "a"), (ts(1.2), "b")], schema, 0)
+
+    ended: list[str] = []
+    mon = StreamHealthMonitor(
+        downtime_threshold=timedelta(minutes=60),
+        on_terminated=lambda qid, exc: ended.append(qid),
+    )
+    spark.streams.addListener(mon)
+    agg = (
+        _file_stream(spark, src_path, schema)
+        .withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("out_mon")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # Advance watermark, then send one hopeless straggler: dropped.
+        _write_batch(spark, src_path, [(ts(10.0), "c")], schema, 1)
+        q.processAllAvailable()
+        _write_batch(spark, src_path, [(ts(0.1), "late")], schema, 2)
+        q.processAllAvailable()
+
+        qid = str(q.id)
+        assert mon.wait_until(
+            lambda s: qid in s and s[qid].n_progress >= 3
+            and s[qid].input_rows == 4
+        ), f"no progress captured: {mon.snapshot()}"
+        snap = mon.snapshot()[qid]
+        assert snap.watermark is not None
+        assert snap.max_event_time >= ts(10.0)
+        assert snap.dropped_by_watermark >= 1  # T6 observable
+        assert not snap.is_down
+    finally:
+        q.stop()
+    assert mon.wait_until(lambda s: s[str(q.id)].terminated)
+    assert ended and ended[0] == str(q.id)  # T9 exit hook
+    spark.streams.removeListener(mon)
+
+
+def test_stream_health_monitor_downtime_recovery(spark, stream_dir):
+    """T2 downtime + T3 recovery across queries: the query whose
+    event-time frontier lags the global frontier beyond the threshold is
+    flagged down (callback fires); catching up flips it back."""
+    from datetime import timedelta
+
+    from slipstream_async_spark.streaming.monitor import StreamHealthMonitor
+
+    a_path = os.path.join(stream_dir, "a")
+    b_path = os.path.join(stream_dir, "b")
+    schema = "ts timestamp, k string"
+    _write_batch(spark, a_path, [(ts(0.0), "a")], schema, 0)
+    _write_batch(spark, b_path, [(ts(0.0), "b")], schema, 0)
+
+    downs: list[str] = []
+    ups: list[str] = []
+    mon = StreamHealthMonitor(
+        downtime_threshold=timedelta(minutes=60),
+        on_downtime=lambda qid, lag: downs.append(qid),
+        on_recovery=lambda qid: ups.append(qid),
+    )
+    spark.streams.addListener(mon)
+
+    def start(path, name):
+        return (
+            _file_stream(spark, path, schema)
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+
+    qa, qb = start(a_path, "mon_a"), start(b_path, "mon_b")
+    try:
+        qa.processAllAvailable(); qb.processAllAvailable()
+        # A advances to t=120min; B stays at 0 -> lag 120min > 60min.
+        _write_batch(spark, a_path, [(ts(120.0), "a")], schema, 1)
+        qa.processAllAvailable()
+        assert mon.wait_until(
+            lambda s: str(qb.id) in s and s[str(qb.id)].is_down
+        ), f"B never flagged down: {mon.snapshot()}"
+        assert downs == [str(qb.id)]
+        # B catches up -> recovery.
+        _write_batch(spark, b_path, [(ts(119.0), "b")], schema, 1)
+        qb.processAllAvailable()
+        assert mon.wait_until(
+            lambda s: not s[str(qb.id)].is_down
+        ), "B never recovered"
+        assert ups == [str(qb.id)]
+    finally:
+        qa.stop(); qb.stop()
+        spark.streams.removeListener(mon)
