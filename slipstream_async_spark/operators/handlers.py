@@ -45,10 +45,14 @@ def fan_in(*dfs: DataFrame) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs)
 
 
-def _ordered_window(order_col: str, key: str | None) -> Window:
-    w = Window.orderBy(order_col)
+def _ordered_window(order_col, key: str | None) -> Window:
+    """``order_col`` may be one column name or a list — pass the stream's
+    unique tie-break (e.g. ["ts", "event_id"]) whenever the primary order
+    key can collide, or ranking output is run-dependent."""
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.orderBy(*cols)
     if key is not None:
-        w = Window.partitionBy(key).orderBy(order_col)
+        w = Window.partitionBy(key).orderBy(*cols)
     return w
 
 
@@ -97,7 +101,7 @@ def flat_map_split(
     return df.withColumn(out_col, F.explode(F.split(F.col(text_col), pattern)))
 
 
-def batched(df: DataFrame, order_col: str, size: int, key: str | None = None,
+def batched(df: DataFrame, order_col: str | list[str], size: int, key: str | None = None,
             out_col: str = "batch_id") -> DataFrame:
     """Group a stream into fixed-size chunks (docs/source/index.rst:16
     'batching'): assign a batch number per ``size`` consecutive rows.

@@ -2473,3 +2473,29 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "ngram")
         .limit(200)
     )
+
+
+_P12 = """
+SELECT event_id, user_id,
+       CAST((row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1) // 25
+            AS BIGINT) AS batch_id
+FROM events
+"""
+
+
+@register("p12_batching", oracle=_P12)
+def p12_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 batching (index.rst:16): each user's event stream chunked into
+    fixed-size batches of 25 (operators.handlers.batched) — the bounded
+    dual of micro-batching, one ranking window on the per-user ordering
+    with the unique event_id tie-break."""
+    from slipstream_async_spark.operators.handlers import batched
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return batched(
+        ev.select("event_id", "user_id", "ts"),
+        order_col=["ts", "event_id"],
+        size=25,
+        key="user_id",
+    ).select("event_id", "user_id", "batch_id")
