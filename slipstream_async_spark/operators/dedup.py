@@ -238,10 +238,12 @@ def duplicate_clusters(
         # per round
         .localCheckpoint(eager=True)
     )
+    # Round 0 folded into initialization: label = min(self, neighbors)
+    # directly from the edge list — one aggregation instead of the first
+    # join+union round (star clusters converge here immediately).
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .localCheckpoint(eager=True)
     )
     # Labels only ever decrease, so sum(label) is a complete convergence
