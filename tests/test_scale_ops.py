@@ -130,3 +130,26 @@ def test_train_test_split_disjoint_exhaustive_stable(spark):
         spark.range(0, 4000).withColumnRenamed("id", "doc_id"), "doc_id", 0.1
     )
     assert {r["doc_id"] for r in test3.collect() if r["doc_id"] < 2000} == test_ids
+
+
+def test_contiguous_pack_serial_step_is_tiny(spark):
+    """Scale shape of the packing prefix sum: the data-sized window must
+    be partitioned by bucket (parallel); the ONLY single-partition
+    exchange allowed in the plan is the bucket-totals running sum —
+    whose input is #buckets rows, not data rows."""
+    from slipstream_async_spark.operators.packing import contiguous_pack
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n")
+    )
+    packed = contiguous_pack(df, "doc_id", "n", budget=64, bucket_size=512)
+    plan = packed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # The parallel window partitioned on the bucket key exists...
+    assert "_bucket" in plan
+    # ...and exactly one serial exchange (the aggregated totals branch;
+    # formatted mode prints it as an Exchange with SinglePartition args).
+    assert plan.count("SinglePartition") == 1
