@@ -2561,3 +2561,85 @@ def pipeline_curation_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(drops), "doc_id", "left_anti")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshape family (§2.4/§2.5 adjacent): PIVOT (long->wide) and UNPIVOT
+# (wide->long) — both with explicit value lists so no extra distinct scan
+# precedes the real work (df.pivot() without values runs one; never at
+# 100 TB).
+# ---------------------------------------------------------------------------
+
+_PIVOT = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+            AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+            AS BIGINT) AS low
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY l_linestatus
+"""
+
+
+@register("agg_pivot_priority", oracle=_PIVOT)
+def agg_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT long->wide: per-linestatus counts spread across priority
+    columns. The value list is EXPLICIT, so Catalyst compiles straight to
+    one conditional-aggregation pass (the oracle's CASE form is literally
+    the produced plan) — pivot without values first runs a distinct scan
+    over the pivot column: never at scale."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"],
+        )
+        .count()
+        .na.fill(0)
+        .select(
+            "l_linestatus",
+            F.col("1-URGENT").cast("bigint").alias("urgent"),
+            F.col("2-HIGH").cast("bigint").alias("high"),
+            F.col("3-MEDIUM").cast("bigint").alias("medium"),
+            F.col("5-LOW").cast("bigint").alias("low"),
+        )
+    )
+
+
+_UNPIVOT = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM s
+UNPIVOT (value FOR metric IN (sum_qty, n_rows, max_qty))
+"""
+
+
+@register("agg_unpivot_metrics", oracle=_UNPIVOT)
+def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT wide->long: per-flag metrics melted to (flag, metric,
+    value) rows — the reshape feeding any metrics store. Runs AFTER the
+    aggregation (3 rows in, 9 out), so the expand multiplies a tiny
+    relation; unpivoting before aggregating would 3x the fact scan
+    instead."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.count("*").cast("double").alias("n_rows"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+    return s.unpivot(
+        ["l_returnflag"], ["sum_qty", "n_rows", "max_qty"], "metric", "value"
+    )
