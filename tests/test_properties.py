@@ -298,3 +298,38 @@ def test_stratified_sample_model(spark, rates, default_rate):
         if bucket(i) < int(rates.get(src, default_rate) * _BUCKETS)
     }
     assert got == want
+
+
+@given(left=_left_rows, right=_right_rows)
+@_prop_settings
+def test_interval_join_matches_model(spark, left, right):
+    """interval_join == the quadratic model: (l, r) kept iff keys match
+    and r.ts in [l.ts - lower, l.ts + upper]."""
+    from slipstream_async_spark.operators.joins import interval_join
+
+    ldf = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v) for k, m, v in left],
+        "k string, lts timestamp, lv long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v) for k, m, v in right],
+        "k string, rts timestamp, rv long",
+    )
+    out = interval_join(
+        ldf.withColumnRenamed("k", "key"),
+        rdf.withColumnRenamed("k", "key"),
+        key="key", left_ts="lts", right_ts="rts",
+        lower="INTERVAL 3 MINUTES", upper="INTERVAL 7 MINUTES",
+    )
+    got = {
+        (r["key"], r["lts"].minute + 60 * r["lts"].hour, r["lv"],
+         r["rts"].minute + 60 * r["rts"].hour, r["rv"])
+        for r in out.collect()
+    }
+    want = {
+        (lk, lm, lv, rm, rv)
+        for lk, lm, lv in left
+        for rk, rm, rv in right
+        if lk == rk and lm - 3 <= rm <= lm + 7
+    }
+    assert got == want

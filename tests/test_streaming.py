@@ -534,3 +534,41 @@ def test_stream_health_monitor_downtime_recovery(spark, stream_dir):
     finally:
         qa.stop(); qb.stop()
         spark.streams.removeListener(mon)
+
+
+def test_complete_mode_periodic_snapshot(spark, stream_dir):
+    """A2 periodic snapshot (reference getting_started.rst:125-128: a
+    timer dumps the whole cache): complete output mode re-emits the FULL
+    aggregate state each trigger — the engine-managed version of
+    dict(cache.items())."""
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, emoji string"
+    _write_batch(spark, src_path, [(ts(0.0), "🏆"), (ts(1.0), "🏆")], schema, 0)
+    agg = (
+        _file_stream(spark, src_path, schema)
+        .groupBy("emoji")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("out_snap")
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+        snap1 = {
+            r["emoji"]: r["n"]
+            for r in spark.sql("SELECT * FROM out_snap").collect()
+        }
+        assert snap1 == {"🏆": 2}
+        # Next batch: the snapshot is REPLACED with full state (both keys),
+        # not appended.
+        _write_batch(spark, src_path, [(ts(2.0), "📞")], schema, 1)
+        q.processAllAvailable()
+        snap2 = {
+            r["emoji"]: r["n"]
+            for r in spark.sql("SELECT * FROM out_snap").collect()
+        }
+        assert snap2 == {"🏆": 2, "📞": 1}
+        assert spark.sql("SELECT * FROM out_snap").count() == 2
+    finally:
+        q.stop()
