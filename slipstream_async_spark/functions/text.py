@@ -133,3 +133,32 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return shingles_of_tokens(tokens(c), k)
+
+
+_SUBWORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def subword_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (GPT-2-style): runs of letters, runs of
+    digits, and punctuation runs each become one piece — the split every
+    byte-pair tokenizer applies before merges. Pure JVM regex
+    (``regexp_extract_all``); reproduced in DuckDB with the same
+    pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_SUBWORD_RE), 0)
+
+
+def est_bpe_token_count(col: Column | str, chars_per_token: int = 4) -> Column:
+    """Estimated BPE token count: each pre-token piece contributes
+    ceil(len / chars_per_token) (the ~4-chars-per-token heuristic) — the
+    budget estimator for sequence packing when the real tokenizer is not
+    on the cluster. Exact integer arithmetic, engine-reproducible."""
+    pieces = subword_tokens(col)
+    per = F.transform(
+        pieces,
+        lambda p: F.ceil(F.length(p) / F.lit(chars_per_token)).cast("bigint"),
+    )
+    return F.coalesce(
+        F.aggregate(per, F.lit(0).cast("bigint"), lambda acc, x: acc + x),
+        F.lit(0).cast("bigint"),
+    )

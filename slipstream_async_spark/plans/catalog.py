@@ -2643,3 +2643,33 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.unpivot(
         ["l_returnflag"], ["sum_qty", "n_rows", "max_qty"], "metric", "value"
     )
+
+
+_SUBWORD = r"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS pieces
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(list_sum(list_transform(pieces,
+                x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT)
+         AS est_bpe_tokens
+FROM p
+"""
+
+
+@register("text_subword_tokens", oracle=_SUBWORD)
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts (functions.text.subword_tokens /
+    est_bpe_token_count): letter/digit/punct runs as pieces and the
+    ~4-chars-per-token budget estimate — the packing-budget feed when no
+    real tokenizer runs on-cluster. Whole pipeline is JVM regex + array
+    expressions fused into the scan projection; no shuffle at all."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(TXT.subword_tokens("text")).cast("bigint").alias("n_pieces"),
+        TXT.est_bpe_token_count("text").alias("est_bpe_tokens"),
+    )
