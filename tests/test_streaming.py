@@ -572,3 +572,62 @@ def test_complete_mode_periodic_snapshot(spark, stream_dir):
         assert spark.sql("SELECT * FROM out_snap").count() == 2
     finally:
         q.stop()
+
+
+def test_stream_static_lookup_join(spark, stream_dir):
+    """J3 true streaming form: an unbounded stream enriched against a
+    bounded dimension (broadcast per micro-batch) — the reference's
+    cache-lookup enrichment (getting_started.rst:87) with the dim as a
+    static DataFrame."""
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, code string, v long"
+    _write_batch(
+        spark, src_path, [(ts(0.0), "a", 1), (ts(1.0), "zz", 2)], schema, 0
+    )
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "code string, label string"
+    )
+    joined = (
+        _file_stream(spark, src_path, schema)
+        .join(F.broadcast(dim), "code", "left")
+        .select("v", "label")
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("out_lkp")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["v"], r["label"])
+            for r in spark.sql("SELECT * FROM out_lkp").collect()
+        }
+        assert got == {(1, "alpha"), (2, None)}  # no-match keeps NULL
+    finally:
+        q.stop()
+
+
+def test_rate_source_smoke(spark):
+    """S11 timer source: the rate source as the interval-trigger
+    generator (cookbook.rst:18-27) — AvailableNow drains what the
+    clock produced, schema is the fixed (timestamp, value) envelope."""
+    import time as _time
+
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "100")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == ["timestamp", "value"]
+    q = (
+        df.writeStream.format("memory").queryName("out_rate").start()
+    )
+    try:
+        # The rate clock starts WITH the query; give it a tick, then
+        # drain whatever it produced.
+        _time.sleep(1.5)
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) AS n FROM out_rate").collect()[0]["n"]
+        assert n > 0
+    finally:
+        q.stop()
