@@ -241,3 +241,70 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k, Arrow/numpy lane: the query matrix ships to
+    every task inside the UDF closure and each Arrow batch of corpus
+    vectors is scored with ONE matmul — the lane that wins once vectors
+    are wide (hundreds of dims) or queries are many, where per-element
+    expression folds lose to BLAS. Same semantics as brute_force_topk;
+    scores can differ from the expression lane only by float summation
+    order (last-ulp), so oracle-checked parity stays on the expression
+    lane and this one is asserted equivalent to it in tests.
+    """
+    import pandas as pd  # noqa: F401 (declared for the UDF contract)
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        return _ranked_topk(
+            corpus.select(
+                F.lit(0).alias(query_id_col), F.col(id_col), F.lit(0.0).alias("cosine")
+            ).limit(0),
+            k, query_id_col, id_col,
+        )
+    import numpy as np
+
+    q_ids = np.array([r[0] for r in qrows])
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_norm[q_norm == 0.0] = 1.0
+
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, cosine double"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            mat = np.array(list(b[vec_col]), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            sims = (mat @ q_mat.T) / norms[:, None] / q_norm[None, :]
+            n, m = sims.shape
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(q_ids, n),
+                    id_col: np.tile(ids, m),
+                    "cosine": sims.T.ravel(),
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+    return _ranked_topk(scored, k, query_id_col, id_col)

@@ -294,3 +294,25 @@ def test_contiguous_pack_bucket_size_invariant(spark):
         ).collect()
     }
     assert sum(stats.values()) == 100
+
+
+def test_brute_force_topk_pandas_matches_expression_lane(spark):
+    """The Arrow/numpy matmul scoring lane agrees with the JVM expression
+    lane: same top-k sets on the fixture, cosines within float summation
+    noise."""
+    from slipstream_async_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+    from slipstream_async_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = brute_force_topk(emb, q, k=5)
+    b = brute_force_topk_pandas(emb, q, k=5)
+    ra = {(r["query_id"], r["vec_id"]): r["cosine"] for r in a.collect()}
+    rb = {(r["query_id"], r["vec_id"]): r["cosine"] for r in b.collect()}
+    assert set(ra) == set(rb)
+    assert all(abs(ra[k_] - rb[k_]) < 1e-6 for k_ in ra)
