@@ -20,6 +20,15 @@ from slipstream_async_spark.operators.skew import (
     key_skew_stats,
     salted_join,
 )
+from slipstream_async_spark.operators.packing import (
+    chunk_stats,
+    contiguous_pack,
+)
+from slipstream_async_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_stratified_sample,
+    train_test_split,
+)
 from slipstream_async_spark.operators.multimodal import (
     attach_payloads,
     decode_features,
@@ -50,4 +59,9 @@ __all__ = [
     "sample_frames",
     "key_skew_stats",
     "salted_join",
+    "chunk_stats",
+    "contiguous_pack",
+    "deterministic_sample",
+    "deterministic_stratified_sample",
+    "train_test_split",
 ]
