@@ -167,3 +167,36 @@ def fan_out(df: DataFrame, *sinks: Callable[[DataFrame], None]) -> None:
     """
     for sink in sinks:
         sink(df)
+
+
+def grouped_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "zscore",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-group z-score normalization via ``applyInPandas`` — the batch
+    grouped-map UDAF lane (SURVEY §2.9: the reference's stateful handler
+    over Cache maps to grouped pandas execution). Whole groups arrive as
+    Arrow-backed pandas frames; numpy does the math vectorized.
+
+    Use the expression form (`(v - avg over w) / stddev over w`) when the
+    math IS expressible — this lane exists for group-wise logic that
+    isn't (model scoring, per-group fits). Groups must fit one task's
+    memory: at 100 TB salt oversized groups first (operators.skew).
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_fields}, {out_col} double"
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf[value_col]
+        sd = v.std(ddof=1)
+        z = (v - v.mean()) / sd if sd and sd > 0 else v * 0.0
+        return pdf.assign(**{out_col: z.round(ndigits)})
+
+    return df.groupBy(*key_cols).applyInPandas(norm, schema)

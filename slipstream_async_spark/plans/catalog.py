@@ -2673,3 +2673,47 @@ def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(TXT.subword_tokens("text")).cast("bigint").alias("n_pieces"),
         TXT.est_bpe_token_count("text").alias("est_bpe_tokens"),
     )
+
+
+_FULL_OUTER = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(c.day, p.day) AS day,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.day = p.day
+"""
+
+
+@register("join_full_outer_daily", oracle=_FULL_OUTER)
+def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (the last join type not yet in the catalog):
+    daily click vs purchase counts, days present on either side survive
+    with zero-filled gaps. Both inputs pre-aggregate to ~#days rows
+    before the join, so the full-outer (which cannot broadcast — both
+    sides must stream) joins two tiny relations; the fact scan happens
+    once per branch with the event_type filter pushed down."""
+    (ev,) = _t(spark, sf_dir, "events")
+
+    def daily(kind: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count("*").alias(out))
+        )
+
+    c, p = daily("click", "n_clicks"), daily("purchase", "n_purchases")
+    return (
+        c.join(p, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )

@@ -316,3 +316,33 @@ def test_brute_force_topk_pandas_matches_expression_lane(spark):
     rb = {(r["query_id"], r["vec_id"]): r["cosine"] for r in b.collect()}
     assert set(ra) == set(rb)
     assert all(abs(ra[k_] - rb[k_]) < 1e-6 for k_ in ra)
+
+
+def test_grouped_zscore_matches_expression_form(spark):
+    """applyInPandas grouped-map lane == the window-expression z-score
+    (within float noise); singleton/zero-variance groups emit 0."""
+    from pyspark.sql import Window
+
+    from slipstream_async_spark.operators.handlers import grouped_zscore
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [("b", 7.0)] + [
+        ("c", 5.0), ("c", 5.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        (r["k"], r["v"], r["zscore"])
+        for r in grouped_zscore(df, ["k"], "v").collect()
+    }
+    w = Window.partitionBy("k")
+    sd = F.stddev_samp("v").over(w)
+    expr_form = df.withColumn(
+        "z",
+        F.round(
+            F.when(
+                sd.isNull() | (sd == 0), F.lit(0.0)
+            ).otherwise((F.col("v") - F.avg("v").over(w)) / sd),
+            4,
+        ),
+    )
+    want = {(r["k"], r["v"], r["z"]) for r in expr_form.collect()}
+    assert got == want
