@@ -2717,3 +2717,33 @@ def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
         )
     )
+
+
+_PRANK = """
+SELECT c_custkey,
+       CAST(c_nationkey AS BIGINT) AS nationkey,
+       round(percent_rank() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal), 6) AS balance_pr,
+       round(cume_dist() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal), 6) AS balance_cd
+FROM customer
+"""
+
+
+@register("win_balance_percent_rank", oracle=_PRANK)
+def win_balance_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (§2.5): percent_rank and cume_dist
+    of each customer's balance within their nation — tie rows share
+    values by definition, so no tie-break is needed for determinism.
+    Both frames share one (partition, ordering): one sort, one window
+    operator."""
+    from pyspark.sql import Window
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.round(F.percent_rank().over(w), 6).alias("balance_pr"),
+        F.round(F.cume_dist().over(w), 6).alias("balance_cd"),
+    )
