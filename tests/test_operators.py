@@ -346,3 +346,38 @@ def test_grouped_zscore_matches_expression_form(spark):
     )
     want = {(r["k"], r["v"], r["z"]) for r in expr_form.collect()}
     assert got == want
+
+
+def test_operators_on_empty_inputs(spark):
+    """Empty-corpus / empty-edge-list robustness: every operator returns
+    an empty result with the right schema instead of raising."""
+    from slipstream_async_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        duplicate_clusters,
+    )
+    from slipstream_async_spark.operators.handlers import grouped_zscore
+    from slipstream_async_spark.operators.packing import contiguous_pack
+    from slipstream_async_spark.operators.similarity import (
+        brute_force_topk_pandas,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_ngram_jaccard(empty_docs, "text", "doc_id").count() == 0
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(empty_pairs).count() == 0
+
+    empty_sized = spark.createDataFrame([], "doc_id long, n long")
+    packed = contiguous_pack(empty_sized, "doc_id", "n", budget=10)
+    assert packed.count() == 0
+    assert {"start", "chunk_id"} <= set(packed.columns)
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    no_queries = spark.createDataFrame([], "query_id long, embedding array<double>")
+    assert brute_force_topk_pandas(emb, no_queries, k=3).count() == 0
+
+    one_row = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    z = grouped_zscore(one_row, ["k"], "v").collect()
+    assert len(z) == 1 and z[0]["zscore"] == 0.0
