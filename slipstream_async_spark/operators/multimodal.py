@@ -350,3 +350,58 @@ def embed_media(media: DataFrame, dim: int = N_HIST_BINS) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         _batches, MEDIA_EMBED_TYPE
     )
+
+
+def decode_features_arrow(media: DataFrame) -> DataFrame:
+    """`decode_features`, Arrow-native lane: ``mapInArrow`` hands the
+    task raw ``pyarrow.RecordBatch``es, skipping the Arrow->pandas block
+    conversion entirely — on BINARY-heavy rows that conversion is pure
+    overhead (payloads copy into object-dtype cells just to be read back
+    out). Same output schema and values as decode_features; prefer this
+    lane when batches are large and payload-dominated."""
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in it:
+            ids = rb.column(0).to_pylist()
+            kinds = rb.column(1).to_pylist()
+            payloads = rb.column(2)
+            out = {k: [] for k in (
+                "media_id", "kind", "n_bytes", "mean_byte_x10000",
+                "min_byte", "max_byte", "hist_csv",
+            )}
+            for mid, kind, pay in zip(ids, kinds, payloads):
+                a = _decode_payload(kind, pay.as_py())
+                n = int(a.size)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(n)
+                out["mean_byte_x10000"].append(
+                    (10000 * int(a.sum())) // n if n else 0
+                )
+                out["min_byte"].append(int(a.min()) if n else 0)
+                out["max_byte"].append(int(a.max()) if n else 0)
+                hist = np.bincount(
+                    a // (256 // N_HIST_BINS), minlength=N_HIST_BINS
+                )
+                out["hist_csv"].append(",".join(map(str, hist.tolist())))
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("media_id", pa.int64()),
+                        ("kind", pa.string()),
+                        ("n_bytes", pa.int64()),
+                        ("mean_byte_x10000", pa.int64()),
+                        ("min_byte", pa.int32()),
+                        ("max_byte", pa.int32()),
+                        ("hist_csv", pa.string()),
+                    ]
+                ),
+            )
+
+    return media.select("media_id", "kind", "payload").mapInArrow(
+        _batches, DECODE_FEATURES_TYPE
+    )
