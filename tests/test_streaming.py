@@ -631,3 +631,50 @@ def test_rate_source_smoke(spark):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_lookup_join_sees_live_state_updates(spark, stream_dir):
+    """J3 freshness semantics from the reference: a handler reads
+    cache[key] as it is NOW, not as it was at query start
+    (getting_started.rst:87 — the cache is shared, live state). Spark's
+    static-DataFrame join snapshots its input, so the live form re-reads
+    the StateTable inside foreachBatch — each micro-batch joins the
+    state table's CURRENT version."""
+    from slipstream_async_spark.streaming.state import StateTable
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, code string"
+    table = StateTable(spark, os.path.join(stream_dir, "state"))
+    table.put("a", "old")
+
+    got: list[tuple] = []
+
+    def enrich(batch_df, epoch_id):
+        joined = batch_df.join(
+            table.df().select(
+                F.col("key").alias("code"),
+                # values are stored JSON-encoded; decode the scalar
+                F.get_json_object("value", "$").alias("label"),
+            ),
+            "code", "left",
+        )
+        got.extend((r["code"], r["label"]) for r in joined.collect())
+
+    _write_batch(spark, src_path, [(ts(0.0), "a")], schema, 0)
+    q = (
+        _file_stream(spark, src_path, schema)
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", os.path.join(stream_dir, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert got == [("a", "old")]
+        # State mutates BETWEEN micro-batches; the next batch must see it.
+        table.put("a", "new")
+        _write_batch(spark, src_path, [(ts(1.0), "a")], schema, 1)
+        q.processAllAvailable()
+        assert got == [("a", "old"), ("a", "new")]
+    finally:
+        q.stop()
+        table.destroy()
