@@ -678,3 +678,40 @@ def test_lookup_join_sees_live_state_updates(spark, stream_dir):
     finally:
         q.stop()
         table.destroy()
+
+
+def test_pipeline_pipes_compose_before_handler(spark, stream_dir):
+    """P9 pipes (reference core.py:244-255 + the cookbook accumulate
+    example): transforms in pipe=[...] apply IN ORDER before the handler
+    — here a per-key running sum feeds a handler that formats it."""
+    from slipstream_async_spark.streaming.pipeline import Pipeline, memory_sink
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, k string, v long"
+    _write_batch(
+        spark, src_path,
+        [(ts(0.0), "a", 1), (ts(1.0), "a", 2), (ts(2.0), "a", 3)],
+        schema, 0,
+    )
+
+    p = Pipeline()
+
+    def double(df):
+        return df.withColumn("v", F.col("v") * 2)
+
+    def add_one(df):
+        return df.withColumn("v", F.col("v") + 1)
+
+    @p.handle(
+        _file_stream(spark, src_path, schema),
+        pipe=[double, add_one],  # order matters: (v*2)+1, not (v+1)*2
+        sink=[memory_sink("out_piped")],
+    )
+    def fmt(df):
+        return df.select(F.concat(F.lit("v="), F.col("v")).alias("s"))
+
+    p.stream()
+    p.process_all_available()
+    got = sorted(r["s"] for r in spark.sql("SELECT * FROM out_piped").collect())
+    p.stop()
+    assert got == ["v=3", "v=5", "v=7"]
