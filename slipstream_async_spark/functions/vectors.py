@@ -33,4 +33,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine of the angle between two vectors; 0.0 when either norm is
+    zero (padding/failed-encode artifacts) instead of NaN — NaN sorts
+    FIRST under a descending Spark sort, which would rank broken vectors
+    into every top-k."""
+    d = norm(a) * norm(b)
+    return F.when(d == 0.0, F.lit(0.0)).otherwise(dot(a, b) / d)

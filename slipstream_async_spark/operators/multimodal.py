@@ -216,6 +216,24 @@ def _decode_payload(kind: str, payload: bytes):
     return np.frombuffer(payload, dtype=np.uint8)
 
 
+
+def _payload_stats(kind: str, payload: bytes) -> tuple:
+    """Shared per-payload decode + stats for both decode lanes — ONE
+    definition so the mapInPandas and mapInArrow lanes cannot drift
+    (their equivalence is a tested contract)."""
+    import numpy as np
+
+    a = _decode_payload(kind, payload)
+    n = int(a.size)
+    hist = np.bincount(a // (256 // N_HIST_BINS), minlength=N_HIST_BINS)
+    return (
+        n,
+        (10000 * int(a.sum())) // n if n else 0,
+        int(a.min()) if n else 0,
+        int(a.max()) if n else 0,
+        ",".join(map(str, hist.tolist())),
+    )
+
 def decode_features(media: DataFrame) -> DataFrame:
     """Decode payloads and emit per-object byte/sample statistics +
     an ``N_HIST_BINS``-bin histogram — the feature-extraction stage of a
@@ -241,18 +259,16 @@ def decode_features(media: DataFrame) -> DataFrame:
             for mid, kind, payload in zip(
                 batch["media_id"], batch["kind"], batch["payload"]
             ):
-                a = _decode_payload(kind, bytes(payload))
-                n = int(a.size)
+                n, mean_x, mn, mx, hist_csv = _payload_stats(
+                    kind, bytes(payload)
+                )
                 out["media_id"].append(int(mid))
                 out["kind"].append(kind)
                 out["n_bytes"].append(n)
-                out["mean_byte_x10000"].append(
-                    (10000 * int(a.sum())) // n if n else 0
-                )
-                out["min_byte"].append(int(a.min()) if n else 0)
-                out["max_byte"].append(int(a.max()) if n else 0)
-                hist = np.bincount(a // (256 // N_HIST_BINS), minlength=N_HIST_BINS)
-                out["hist_csv"].append(",".join(map(str, hist.tolist())))
+                out["mean_byte_x10000"].append(mean_x)
+                out["min_byte"].append(mn)
+                out["max_byte"].append(mx)
+                out["hist_csv"].append(hist_csv)
             yield pd.DataFrame(out)
 
     return media.select("media_id", "kind", "payload").mapInPandas(
@@ -361,7 +377,6 @@ def decode_features_arrow(media: DataFrame) -> DataFrame:
     lane when batches are large and payload-dominated."""
 
     def _batches(it):
-        import numpy as np
         import pyarrow as pa
 
         for rb in it:
@@ -373,20 +388,16 @@ def decode_features_arrow(media: DataFrame) -> DataFrame:
                 "min_byte", "max_byte", "hist_csv",
             )}
             for mid, kind, pay in zip(ids, kinds, payloads):
-                a = _decode_payload(kind, pay.as_py())
-                n = int(a.size)
+                n, mean_x, mn, mx, hist_csv = _payload_stats(
+                    kind, pay.as_py()
+                )
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["n_bytes"].append(n)
-                out["mean_byte_x10000"].append(
-                    (10000 * int(a.sum())) // n if n else 0
-                )
-                out["min_byte"].append(int(a.min()) if n else 0)
-                out["max_byte"].append(int(a.max()) if n else 0)
-                hist = np.bincount(
-                    a // (256 // N_HIST_BINS), minlength=N_HIST_BINS
-                )
-                out["hist_csv"].append(",".join(map(str, hist.tolist())))
+                out["mean_byte_x10000"].append(mean_x)
+                out["min_byte"].append(mn)
+                out["max_byte"].append(mx)
+                out["hist_csv"].append(hist_csv)
             yield pa.RecordBatch.from_pydict(
                 out,
                 schema=pa.schema(

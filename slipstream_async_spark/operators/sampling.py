@@ -47,7 +47,7 @@ def deterministic_sample(
     stage; at 100 TB this is a full-scan map with data-skipping where the
     id correlates with file layout.
     """
-    return df.filter(hash_bucket(id_col, salt) < int(rate * _BUCKETS))
+    return df.filter(hash_bucket(id_col, salt) < round(rate * _BUCKETS))
 
 
 def train_test_split(
@@ -60,7 +60,7 @@ def train_test_split(
     leakage-safe way to split training corpora.
     """
     bucket = hash_bucket(id_col, salt)
-    cut = int(test_rate * _BUCKETS)
+    cut = round(test_rate * _BUCKETS)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
 
 
@@ -91,10 +91,12 @@ def deterministic_stratified_sample(
     ever adds documents). Plans as scan + CASE filter: no shuffle, no
     per-stratum pass.
     """
+    # round(), not int(): 0.29 * 10000 is 2899.999... in binary floating
+    # point — truncation would silently exclude one whole bucket.
     bucket = hash_bucket(id_col, salt)
-    thresh: Column = F.lit(int(default_rate * _BUCKETS))
+    thresh: Column = F.lit(round(default_rate * _BUCKETS))
     for value, rate in sorted(rates.items()):
         thresh = F.when(
-            F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
+            F.col(strata_col) == value, F.lit(round(rate * _BUCKETS))
         ).otherwise(thresh)
     return df.filter(bucket < thresh)

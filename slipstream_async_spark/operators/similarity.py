@@ -264,9 +264,13 @@ def brute_force_topk_pandas(
 
     qrows = queries.select(query_id_col, vec_col).collect()
     if not qrows:
+        # Same schema as the non-empty path (long ids), so shard unions
+        # never hit an Integer-vs-Long mismatch on an empty partition.
         return _ranked_topk(
             corpus.select(
-                F.lit(0).alias(query_id_col), F.col(id_col), F.lit(0.0).alias("cosine")
+                F.lit(0).cast("long").alias(query_id_col),
+                F.col(id_col).cast("long"),
+                F.lit(0.0).alias("cosine"),
             ).limit(0),
             k, query_id_col, id_col,
         )
@@ -303,6 +307,8 @@ def brute_force_topk_pandas(
 
     scored = (
         corpus.select(id_col, vec_col)
+        # NULL embeddings would poison the whole batch matmul
+        .filter(F.col(vec_col).isNotNull())
         .mapInPandas(score, out_schema)
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("cosine", F.round("cosine", 6))

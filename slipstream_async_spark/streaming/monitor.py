@@ -113,12 +113,16 @@ class StreamHealthMonitor(StreamingQueryListener):
                 h.max_event_time is None or mx > h.max_event_time
             ):
                 h.max_event_time = mx
+            rows_total = 0
             for so in p.stateOperators or []:
                 h.dropped_by_watermark += int(
                     getattr(so, "numRowsDroppedByWatermark", 0) or 0
                 )
-                h.state_rows = int(getattr(so, "numRowsTotal", 0) or 0)
-            self._check_health_locked()
+                rows_total += int(getattr(so, "numRowsTotal", 0) or 0)
+            if p.stateOperators:
+                h.state_rows = rows_total
+            fire = self._check_health_locked()
+        self._fire(fire)
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - timing
         pass
@@ -135,30 +139,52 @@ class StreamHealthMonitor(StreamingQueryListener):
 
     # -- health logic ------------------------------------------------------
 
-    def _check_health_locked(self) -> None:
-        """T2/T3: a query whose event-time frontier lags the global
-        frontier by more than the threshold is down; catching back up is
-        recovery."""
+    def _check_health_locked(self, now: float | None = None) -> list:
+        """T2/T3 state transitions. A query is down when EITHER its
+        event-time frontier lags the global frontier beyond the
+        threshold (relative check — needs a second live query) OR its
+        own wall clock has been silent longer than the threshold
+        (absolute check — catches the single-query 'source went dead'
+        case). Returns the callbacks to fire; the CALLER must invoke
+        them after releasing the lock (user callbacks may re-enter
+        snapshot()/wait_until(), and the lock is not reentrant)."""
+        to_fire: list = []
         frontiers = [
             h.max_event_time
             for h in self._health.values()
             if h.max_event_time is not None and not h.terminated
         ]
-        if not frontiers:
-            return
-        global_frontier = max(frontiers)
+        global_frontier = max(frontiers) if frontiers else None
         for qid, h in self._health.items():
-            if h.terminated or h.max_event_time is None:
+            if h.terminated:
                 continue
-            lag = global_frontier - h.max_event_time
+            lag = timedelta(0)
+            if global_frontier is not None and h.max_event_time is not None:
+                lag = global_frontier - h.max_event_time
+            if now is not None and h.last_progress_wall:
+                wall_lag = timedelta(seconds=now - h.last_progress_wall)
+                lag = max(lag, wall_lag)
             if not h.is_down and lag > self.downtime_threshold:
                 h.is_down = True
                 if self.on_downtime:
-                    self.on_downtime(qid, lag)
+                    to_fire.append((self.on_downtime, (qid, lag)))
             elif h.is_down and lag <= self.downtime_threshold:
                 h.is_down = False
                 if self.on_recovery:
-                    self.on_recovery(qid)
+                    to_fire.append((self.on_recovery, (qid,)))
+        return to_fire
+
+    def _fire(self, callbacks: list) -> None:
+        for cb, args in callbacks:
+            cb(*args)
+
+    def check_now(self) -> None:
+        """Wall-clock health sweep — call from a timer/poll loop to catch
+        queries that stopped producing progress events entirely (no
+        event, no relative check). Fires the same callbacks."""
+        with self._lock:
+            fire = self._check_health_locked(now=time.time())
+        self._fire(fire)
 
     # -- inspection --------------------------------------------------------
 

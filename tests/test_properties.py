@@ -295,7 +295,7 @@ def test_stratified_sample_model(spark, rates, default_rate):
     want = {
         i
         for i, src in rows
-        if bucket(i) < int(rates.get(src, default_rate) * _BUCKETS)
+        if bucket(i) < round(rates.get(src, default_rate) * _BUCKETS)
     }
     assert got == want
 

@@ -499,7 +499,11 @@ def test_stream_health_monitor_downtime_recovery(spark, stream_dir):
     ups: list[str] = []
     mon = StreamHealthMonitor(
         downtime_threshold=timedelta(minutes=60),
-        on_downtime=lambda qid, lag: downs.append(qid),
+        # re-entering the monitor from the callback must not deadlock
+        # (callbacks fire outside the lock)
+        on_downtime=lambda qid, lag: downs.append(
+            (qid, mon.snapshot()[qid].is_down)[0]
+        ),
         on_recovery=lambda qid: ups.append(qid),
     )
     spark.streams.addListener(mon)
@@ -715,3 +719,41 @@ def test_pipeline_pipes_compose_before_handler(spark, stream_dir):
     got = sorted(r["s"] for r in spark.sql("SELECT * FROM out_piped").collect())
     p.stop()
     assert got == ["v=3", "v=5", "v=7"]
+
+
+def test_stream_health_monitor_wall_clock_stall(spark, stream_dir):
+    """Single-query stall (no second frontier to compare against): the
+    explicit check_now() sweep flags a query whose progress events went
+    silent beyond the threshold on the wall clock."""
+    from datetime import timedelta
+
+    from slipstream_async_spark.streaming.monitor import StreamHealthMonitor
+
+    src_path = os.path.join(stream_dir, "src")
+    schema = "ts timestamp, k string"
+    _write_batch(spark, src_path, [(ts(0.0), "a")], schema, 0)
+
+    downs: list[str] = []
+    mon = StreamHealthMonitor(
+        downtime_threshold=timedelta(seconds=1),
+        on_downtime=lambda qid, lag: downs.append(qid),
+    )
+    spark.streams.addListener(mon)
+    q = (
+        _file_stream(spark, src_path, schema)
+        .writeStream.format("memory").queryName("out_stall")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        qid = str(q.id)
+        assert mon.wait_until(lambda s: qid in s and s[qid].n_progress >= 1)
+        import time as _time
+
+        _time.sleep(1.3)  # silent past the 1s threshold
+        mon.check_now()
+        assert downs and downs[0] == qid
+        assert mon.snapshot()[qid].is_down
+    finally:
+        q.stop()
+        spark.streams.removeListener(mon)
