@@ -381,3 +381,29 @@ def test_operators_on_empty_inputs(spark):
     one_row = spark.createDataFrame([("a", 1.0)], "k string, v double")
     z = grouped_zscore(one_row, ["k"], "v").collect()
     assert len(z) == 1 and z[0]["zscore"] == 0.0
+
+
+def test_zero_norm_embeddings_rank_last_not_first(spark):
+    """Regression: a zero vector's cosine is 0.0 (not NaN, which sorts
+    first under desc and would top every ranking); both scoring lanes
+    agree and never rank the broken vector above real matches."""
+    from slipstream_async_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # padding / failed-encode artifact
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    for lane in (brute_force_topk, brute_force_topk_pandas):
+        rows = lane(emb, q, k=2).orderBy(F.desc("cosine")).collect()
+        assert [r["vec_id"] for r in rows] == [2, 3]
+        assert rows[-1]["cosine"] == 0.0
