@@ -129,8 +129,18 @@ def _bucket_pairs(
     return out.select("_p.id_a", "_p.id_b")
 
 
+# Adaptive-broadcast gates: the candidate-pair side of verification is
+# always the big side, so when the per-document set table (hashed: ~1 KB/doc)
+# or the shingle-frequency table (~50 B/shingle) measures small, shipping it
+# to every task turns a 3-way shuffle join into a map-side join. Both tables
+# grow with the corpus — at 100 TB neither fits, so the decision is made from
+# a measured count, never assumed.
+_BC_MAX_DOCS = 100_000
+_BC_MAX_VOCAB = 1_000_000
+
+
 def _verified_pairs(cand: DataFrame, sets: DataFrame, id_col: str,
-                    threshold: float) -> DataFrame:
+                    threshold: float, broadcast_sets: bool = False) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to shingle sets and keep
     pairs with exact Jaccard >= threshold.
 
@@ -140,6 +150,10 @@ def _verified_pairs(cand: DataFrame, sets: DataFrame, id_col: str,
     one pair's union are ~|u|^2/2^64 ≈ 1e-14 — no effect on any
     realistic corpus), and |A∪B| is computed as nA + nB − |A∩B| instead
     of materializing the union array — one array op per pair, on ints.
+
+    ``broadcast_sets`` hints both set sides into broadcast-hash joins
+    (cost-based stats through cache + transform lineage underestimate
+    nothing/overestimate wildly, so AQE alone won't pick this up).
     """
     hsh = F.transform("sh", lambda s: F.xxhash64(s))
     a = sets.select(
@@ -148,6 +162,8 @@ def _verified_pairs(cand: DataFrame, sets: DataFrame, id_col: str,
     b = sets.select(
         F.col(id_col).alias("id_b"), hsh.alias("_hb"), F.size("sh").alias("_nb")
     )
+    if broadcast_sets:
+        a, b = F.broadcast(a), F.broadcast(b)
     i = F.size(F.array_intersect("_ha", "_hb"))
     return (
         cand.join(a, "id_a").join(b, "id_b")
@@ -177,12 +193,21 @@ def dedup_ngram_jaccard(
     inverted index: 1.1M candidate pairs for 5k docs here) land outside
     most prefixes and candidates collapse to near the true-pair count.
     Survivors are verified with exact Jaccard on the shingle sets.
-    """
-    import math
 
+    Joins against the (small when they are small) set/frequency tables are
+    broadcast adaptively: the set table is cached anyway, so counting it to
+    make the decision is the cache materialization, not an extra pass.
+    """
     sets = shingle_sets(df, text_col, id_col, k).cache()
+    n_docs = sets.count()  # materializes the cache; drives broadcast choice
+    small_sets = n_docs <= _BC_MAX_DOCS
     inv = sets.select(F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s"))
     freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
+    if small_sets:
+        # vocab <= total shingle occurrences, a one-scan bound off the cache
+        total_sh = sets.agg(F.sum(F.size("sh"))).first()[0] or 0
+        if total_sh <= _BC_MAX_VOCAB:
+            freq = F.broadcast(freq)
     w = Window.partitionBy(id_col).orderBy(F.col("_f").asc(), F.col("s").asc())
     prefix = (
         inv.join(freq, "s")
@@ -202,7 +227,8 @@ def dedup_ngram_jaccard(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verified_pairs(cand, sets, id_col, threshold)
+    return _verified_pairs(cand, sets, id_col, threshold,
+                           broadcast_sets=small_sets)
 
 
 def duplicate_clusters(
@@ -332,8 +358,13 @@ def dedup_minhash_lsh(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
     cand = _bucket_pairs(bands, ["band_id", "band_key"], id_col).distinct()
-    sets = shingle_sets(df, text_col, id_col, k)
-    return _verified_pairs(cand, sets, id_col, threshold)
+    # Cache + count: verification reads the set table twice (a/b sides), so
+    # the count is paid back by the second read; it also drives the same
+    # adaptive broadcast decision as dedup_ngram_jaccard.
+    sets = shingle_sets(df, text_col, id_col, k).cache()
+    n_docs = sets.count()
+    return _verified_pairs(cand, sets, id_col, threshold,
+                           broadcast_sets=n_docs <= _BC_MAX_DOCS)
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
