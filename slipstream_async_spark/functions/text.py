@@ -162,3 +162,25 @@ def est_bpe_token_count(col: Column | str, chars_per_token: int = 4) -> Column:
         F.aggregate(per, F.lit(0).cast("bigint"), lambda acc, x: acc + x),
         F.lit(0).cast("bigint"),
     )
+
+
+def chunk_windows(toks: Column, size: int = 128, stride: int = 64) -> Column:
+    """Overlapping token windows — context-window construction for
+    training/RAG pipelines: chunk c starts at token ``1 + c*stride`` and
+    spans up to ``size`` tokens, so consecutive chunks overlap by
+    ``size - stride`` tokens (set ``stride == size`` for disjoint
+    chunks). Returns ``array<struct<start:int, chunk:array<string>>>``;
+    an empty token array yields one empty chunk.
+
+    Pure JVM expression (``sequence`` + ``slice`` inside ``transform``) —
+    chunking a 100 TB corpus is a scan-stage map with no shuffle, and the
+    slices reference the one token array instead of re-tokenizing.
+    """
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"), F.slice(toks, s, size).alias("chunk")
+        ),
+    )

@@ -39,3 +39,37 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     into every top-k."""
     d = norm(a) * norm(b)
     return F.when(d == 0.0, F.lit(0.0)).otherwise(dot(a, b) / d)
+
+
+def quantize_int8(v: Column) -> Column:
+    """Symmetric per-vector int8 quantization — the storage path that
+    makes billion-scale ANN affordable (4x smaller than float32, SIMD
+    int8 dot products): ``scale = max|x| / 127``, ``q_i = floor(x_i /
+    scale + 0.5)`` (explicit floor-of-shifted instead of a round()
+    builtin so every engine computes the identical integer — round()
+    half-case rules differ across engines; this formula is pure IEEE
+    arithmetic). Zero vectors quantize to zeros with scale 0.
+
+    Returns ``struct<scale:double, q:array<bigint>>``. Reconstruction is
+    ``q_i * scale``; see ``dequantize_error`` for the fidelity metric.
+    """
+    x = _as_double(v)
+    maxabs = F.aggregate(x, F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e)))
+    scale = maxabs / F.lit(127.0)
+    zeros = F.transform(x, lambda e: F.lit(0).cast("bigint"))
+    q = F.when(
+        scale > 0, F.transform(x, lambda e: F.floor(e / scale + F.lit(0.5)))
+    ).otherwise(zeros)
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_error(v: Column, quant: Column) -> Column:
+    """Mean absolute reconstruction error of ``quantize_int8`` output
+    against the original vector — the quality gauge that decides whether
+    int8 is safe for a given embedding family. Index-ordered fold, so the
+    double result is bit-reproducible cross-engine."""
+    x = _as_double(v)
+    scale = quant["scale"]
+    diffs = F.zip_with(x, quant["q"], lambda a, b: F.abs(a - b * scale))
+    total = F.aggregate(diffs, F.lit(0.0), lambda acc, e: acc + e)
+    return total / F.greatest(F.size(x), F.lit(1))

@@ -29,6 +29,9 @@ from slipstream_async_spark.operators.sampling import (
     deterministic_stratified_sample,
     train_test_split,
 )
+from slipstream_async_spark.operators.mixing import (
+    temperature_mix,
+)
 from slipstream_async_spark.operators.multimodal import (
     attach_payloads,
     decode_features,
@@ -64,4 +67,5 @@ __all__ = [
     "deterministic_sample",
     "deterministic_stratified_sample",
     "train_test_split",
+    "temperature_mix",
 ]

@@ -2747,3 +2747,183 @@ def win_balance_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("balance_pr"),
         F.round(F.cume_dist().over(w), 6).alias("balance_cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M7 widening: context-window chunking, int8 embedding quantization,
+# temperature mixture weighting, quality-argmax canonical selection.
+# ---------------------------------------------------------------------------
+
+_CHUNKS = rf"""
+WITH t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST((s - 1) // 8 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(toks, s, s + 15)) AS BIGINT) AS chunk_len,
+       md5(array_to_string(list_slice(toks, s, s + 15), ' ')) AS chunk_md5
+FROM t, UNNEST(generate_series(1, greatest(len(toks), 1), 8)) AS u(s)
+"""
+
+
+@register("text_chunk_windows", oracle=_CHUNKS)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (functions.text.chunk_windows:
+    16-token windows, stride 8) — the document -> training-sample /
+    RAG-passage step. Chunk identity is the md5 of the chunk's tokens so
+    the oracle verifies actual chunk CONTENT, not just offsets. Pure
+    scan-stage expression: no shuffle, no re-tokenization per chunk."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TXT.tokens("text").alias("_toks"))
+    ch = toked.select(
+        "doc_id",
+        F.posexplode(TXT.chunk_windows(F.col("_toks"), size=16, stride=8)).alias(
+            "chunk_id", "c"
+        ),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint"),
+        F.col("c.start").cast("bigint").alias("chunk_start"),
+        F.size("c.chunk").cast("bigint").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", "c.chunk")).alias("chunk_md5"),
+    )
+
+
+_QUANT = """
+WITH x AS (SELECT vec_id, list_transform(embedding, e -> e::DOUBLE) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, e -> abs(e)),
+                         (a, b) -> greatest(a, b)) / 127.0 AS scale
+      FROM x),
+q AS (SELECT vec_id, scale,
+        CASE WHEN scale > 0
+             THEN list_transform(v, e -> CAST(floor(e / scale + 0.5) AS BIGINT))
+             ELSE list_transform(v, e -> CAST(0 AS BIGINT)) END AS qv,
+        CASE WHEN scale > 0
+             THEN list_reduce(
+                    list_transform(
+                      list_zip(v, list_transform(v, e -> floor(e / scale + 0.5))),
+                      p -> abs(p[1] - p[2] * scale)),
+                    (a, b) -> a + b) / greatest(len(v), 1)
+             ELSE 0.0 END AS err
+      FROM s)
+SELECT vec_id,
+       CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+       CAST(floor(err * 1000000 + 0.5) AS BIGINT) AS err_micro,
+       md5(array_to_string(qv, ',')) AS q_md5
+FROM q
+"""
+
+
+@register("emb_quantize_int8", oracle=_QUANT)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization + reconstruction error
+    (functions.vectors.quantize_int8 / dequantize_error) — the 4x
+    storage/bandwidth reduction that makes 100 TB-scale ANN serving
+    affordable. The oracle checks the EXACT quantized vector (md5 over
+    the int codes) and the mean reconstruction error in micro units —
+    floor-of-shifted rounding keeps every engine's integers identical."""
+    from slipstream_async_spark.functions import vectors as V
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        V.quantize_int8(F.col("embedding")).alias("qz"),
+    )
+    err = V.dequantize_error(F.col("v"), F.col("qz"))
+    return quant.select(
+        "vec_id",
+        F.floor(F.col("qz.scale") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("scale_micro"),
+        F.floor(err * 1000000 + F.lit(0.5)).cast("bigint").alias("err_micro"),
+        F.md5(
+            F.concat_ws(",", F.transform("qz.q", lambda x: x.cast("string")))
+        ).alias("q_md5"),
+    )
+
+
+_MIX = rf"""
+WITH t AS (SELECT source, len({_DK_TOKS}) AS n_tokens FROM documents),
+per AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens
+        FROM t GROUP BY source)
+SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
+       round(pow(tokens, 0.5) / SUM(pow(tokens, 0.5)) OVER (), 6) AS weight,
+       round(1000000000 * (pow(tokens, 0.5) / SUM(pow(tokens, 0.5)) OVER ())
+             / tokens, 6) AS epochs
+FROM per
+"""
+
+
+@register("mix_temperature_weights", oracle=_MIX)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture design (operators.mixing.
+    temperature_mix, alpha=0.5, 1B-token budget): the per-source sampling
+    weights and implied epoch counts that balance a multi-source
+    pretraining corpus. Token totals stay exact integers; one tiny
+    shuffle on source + a one-row broadcast normalizer."""
+    from slipstream_async_spark.operators.mixing import temperature_mix
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return temperature_mix(
+        sized, "source", "n_tokens", alpha=0.5, token_budget=1_000_000_000
+    )
+
+
+_CANON = f"""
+WITH RECURSIVE
+pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
+),
+m AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node),
+quality AS ({_ORACLES["text_quality"]}),
+ranked AS (
+  SELECT m.cluster_id, m.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                            ORDER BY q.quality DESC, m.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members
+  FROM m JOIN quality q ON q.doc_id = m.doc_id
+)
+SELECT cluster_id, doc_id AS keep_doc, quality, n_members
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("dedup_canonical_quality", oracle=_CANON)
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax canonical selection: within each near-duplicate
+    cluster keep the HIGHEST-quality member (tie -> lowest doc_id), not
+    the lowest-id one — the curation policy that preserves the best copy
+    of each duplicated document. Quality is pre-rounded to 6 decimals on
+    both engines, so the ordering key is bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    clusters = DD.duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    q = docs.select("doc_id", TXT.quality_score("text").alias("quality"))
+    joined = clusters.join(q, "doc_id")
+    part = Window.partitionBy("cluster_id")
+    w = part.orderBy(F.desc("quality"), F.col("doc_id"))
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(part))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc"),
+            "quality",
+            "n_members",
+        )
+    )

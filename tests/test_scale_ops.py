@@ -153,3 +153,86 @@ def test_contiguous_pack_serial_step_is_tiny(spark):
     # ...and exactly one serial exchange (the aggregated totals branch;
     # formatted mode prints it as an Exchange with SinglePartition args).
     assert plan.count("SinglePartition") == 1
+
+
+def test_chunk_windows_offsets_and_overlap(spark):
+    from slipstream_async_spark.functions.text import chunk_windows, tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")], "id long, text string"
+    )
+    out = {
+        r["id"]: r["ch"]
+        for r in df.select(
+            "id", chunk_windows(tokens("text"), size=3, stride=2).alias("ch")
+        ).collect()
+    }
+    # 7 tokens, size 3, stride 2 -> starts 1,3,5,7
+    assert [(c["start"], c["chunk"]) for c in out[1]] == [
+        (1, ["a", "b", "c"]),
+        (3, ["c", "d", "e"]),
+        (5, ["e", "f", "g"]),
+        (7, ["g"]),
+    ]
+    assert [(c["start"], c["chunk"]) for c in out[2]] == [(1, ["x"])]
+    # empty text -> one empty chunk (start sequence is clamped to [1,1])
+    assert [(c["start"], c["chunk"]) for c in out[3]] == [(1, [])]
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    from slipstream_async_spark.functions.vectors import (
+        dequantize_error,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.27, -1.27, 0.0, 0.635]), (2, [0.0, 0.0])],
+        "id long, v array<double>",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            quantize_int8(F.col("v")).alias("qz"),
+            F.round(dequantize_error(F.col("v"), quantize_int8(F.col("v"))), 9)
+            .alias("err"),
+        ).collect()
+    }
+    # max|x| = 1.27 -> scale = 0.01; codes are exact multiples
+    assert abs(rows[1]["qz"]["scale"] - 0.01) < 1e-12
+    assert rows[1]["qz"]["q"] == [127, -127, 0, 64]  # 63.5 rounds half-up
+    assert rows[1]["err"] <= 0.005  # bounded by scale/2
+    # zero vector: scale 0, all-zero codes, zero error
+    assert rows[2]["qz"]["scale"] == 0.0
+    assert rows[2]["qz"]["q"] == [0, 0]
+    assert rows[2]["err"] == 0.0
+
+
+def test_temperature_mix_alpha_limits(spark):
+    from slipstream_async_spark.operators.mixing import temperature_mix
+
+    docs = spark.createDataFrame(
+        [("big", 90), ("big", 90), ("small", 20)], "source string, n_tokens long"
+    )
+    natural = {
+        r["source"]: r
+        for r in temperature_mix(
+            docs, "source", "n_tokens", alpha=1.0, token_budget=200
+        ).collect()
+    }
+    # alpha=1 -> natural proportions: 180/200 vs 20/200, every source 1 epoch
+    assert natural["big"]["weight"] == 0.9 and natural["small"]["weight"] == 0.1
+    assert natural["big"]["epochs"] == 1.0 and natural["small"]["epochs"] == 1.0
+
+    uniform = {
+        r["source"]: r["weight"]
+        for r in temperature_mix(docs, "source", "n_tokens", alpha=0.0).collect()
+    }
+    assert uniform == {"big": 0.5, "small": 0.5}
+
+    # temperature between: small source up-weighted, never above uniform
+    mid = {
+        r["source"]: r["weight"]
+        for r in temperature_mix(docs, "source", "n_tokens", alpha=0.5).collect()
+    }
+    assert 0.1 < mid["small"] < 0.5 < mid["big"] < 0.9
