@@ -79,6 +79,7 @@ def _bucket_pairs(
     bucket_cols: list[str],
     id_col: str,
     size_col: str | None = None,
+    pos_col: str | None = None,
 ) -> DataFrame:
     """(id_a < id_b) pairs co-occurring in a bucket — candidate generation
     for every LSH/blocking scheme here.
@@ -92,11 +93,16 @@ def _bucket_pairs(
 
     With ``size_col``, each pair also carries both set sizes (``_na``,
     ``_nb``) so callers can apply the Jaccard length bound
-    (min >= t * max) before the expensive dedup + verify stages.
+    (min >= t * max) before the expensive dedup + verify stages. With
+    ``pos_col`` (the element's 1-based rank in the document's globally
+    ordered set), pairs also carry ``_pa``/``_pb`` for PPJoin's
+    positional filter.
     """
+    extra = [(size_col, "_n"), (pos_col, "_p")]
+    carried = [(c, a) for c, a in extra if c]
     item = (
-        F.struct(F.col(id_col), F.col(size_col).alias("_n"))
-        if size_col
+        F.struct(F.col(id_col), *[F.col(c).alias(a) for c, a in carried])
+        if carried
         else F.col(id_col)
     )
     ids = F.col("_ids")
@@ -106,10 +112,10 @@ def _bucket_pairs(
         .agg(F.sort_array(F.collect_list(item)).alias("_ids"))
         .filter(F.size(ids) >= 2)
     )
-    if size_col:
+    if carried:
         mk = lambda x, y: F.struct(  # noqa: E731
             x[id_col].alias("id_a"), y[id_col].alias("id_b"),
-            x["_n"].alias("_na"), y["_n"].alias("_nb"),
+            *[f for _, a in carried for f in (x[a].alias(a + "a"), y[a].alias(a + "b"))],
         )
     else:
         mk = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))  # noqa: E731
@@ -124,9 +130,8 @@ def _bucket_pairs(
         )
     )
     out = buckets.select(pairs.alias("_p"))
-    if size_col:
-        return out.select("_p.id_a", "_p.id_b", "_p._na", "_p._nb")
-    return out.select("_p.id_a", "_p.id_b")
+    cols = ["_p.id_a", "_p.id_b"] + [f"_p.{a}{s}" for _, a in carried for s in "ab"]
+    return out.select(*cols)
 
 
 # Adaptive-broadcast gates: the candidate-pair side of verification is
@@ -212,17 +217,35 @@ def dedup_ngram_jaccard(
     prefix = (
         inv.join(freq, "s")
         .withColumn("_r", F.row_number().over(w))
-        # prefix length = n - ceil(t*n) + 1
+        # prefix length = n - ceil(t*n) + 1; _r is also the shingle's rank
+        # in the doc's full rarest-first order, which the positional
+        # filter below needs.
         .filter(F.col("_r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
-        .select(F.col(id_col), "n", "s")
+        .select(F.col(id_col), "n", "s", "_r")
     )
-    # Jaccard length bound: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|);
-    # prune before the distinct + verify joins ever see the pair.
+    # Two exact prunes before the distinct + verify joins ever see a pair:
+    # 1. Jaccard length bound: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|).
+    # 2. PPJoin positional filter: J >= t <=> overlap >= t/(1+t)*(nA+nB),
+    #    and a shared shingle at ranks (pA, pB) bounds the overlap by
+    #    1 + min(nA-pA, nB-pB) (everything before the shared shingle in
+    #    either doc's global order can't contribute more). The epsilon
+    #    keeps float round-up from ever pruning a boundary pair — too-low
+    #    alpha only admits extras, which exact verification removes.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb"))
+        - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(
+        F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
+    )
     cand = (
-        _bucket_pairs(prefix, ["s"], id_col, size_col="n")
+        _bucket_pairs(prefix, ["s"], id_col, size_col="n", pos_col="_r")
         .filter(
-            F.least("_na", "_nb").cast("double")
-            >= F.lit(threshold) * F.greatest("_na", "_nb")
+            (
+                F.least("_na", "_nb").cast("double")
+                >= F.lit(threshold) * F.greatest("_na", "_nb")
+            )
+            & (ubound >= alpha)
         )
         .select("id_a", "id_b")
         .distinct()
