@@ -27,7 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Queries whose plan is EXPECTED to contain a broadcast nested-loop/cross
 # join (broadcasted query set / centroid set against the corpus) or a
 # Python stage.
-ALLOW_BNLJ = {"sim_topk_bruteforce", "sim_topk_ivf"}
+ALLOW_BNLJ = {
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    # one-row normalizer (sum of source weights) broadcast against the
+    # per-source aggregate — the scalar-subquery shape, not a data cross
+    "mix_temperature_weights",
+}
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
 
