@@ -466,3 +466,92 @@ def dedup_simhash(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch against an existing corpus (and
+    within the batch itself) — the nightly-ingest shape of corpus dedup:
+    at 100 TB you never re-pair the whole corpus against itself; you
+    probe the day's arrivals against the standing index.
+
+    Candidate generation is a prefix-index PROBE instead of the full
+    bucket expansion: only the batch's prefix rows join the combined
+    prefix index on shingle, so corpus-side rows pair exclusively with
+    batch rows — corpus x corpus pairs are never generated (the full
+    operator's quadratic term). Same exact filters as
+    ``dedup_ngram_jaccard`` (rarest-first prefix, length bound, PPJoin
+    positional bound, exact-Jaccard verification); returns
+    (id_a < id_b, jaccard) where at least one side is a batch document.
+
+    In production the corpus-side prefix index is a persisted table that
+    each ingest appends to; here it is rebuilt because the fixture is
+    bounded.
+    """
+    tagged = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+    ).unionByName(
+        batch.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
+    )
+    sets = tagged.select(
+        F.col(id_col),
+        F.col("_new"),
+        shingles_of_tokens(tokens(text_col), k).alias("sh"),
+    ).cache()
+    n_docs = sets.count()
+    small = n_docs <= _BC_MAX_DOCS
+    inv = sets.select(
+        F.col(id_col), "_new", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
+    if small:
+        total_sh = sets.agg(F.sum(F.size("sh"))).first()[0] or 0
+        if total_sh <= _BC_MAX_VOCAB:
+            freq = F.broadcast(freq)
+    w = Window.partitionBy(id_col).orderBy(F.col("_f").asc(), F.col("s").asc())
+    prefix = (
+        inv.join(freq, "s")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select(F.col(id_col), "_new", "n", "s", "_r")
+    )
+    probe = prefix.filter(F.col("_new")).select(
+        F.col("s"), F.col(id_col).alias("_i1"), F.col("n").alias("_n1"),
+        F.col("_r").alias("_p1"),
+    )
+    index = prefix.select(
+        F.col("s"), F.col(id_col).alias("_i2"), F.col("n").alias("_n2"),
+        F.col("_r").alias("_p2"),
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_n1") + F.col("_n2"))
+        - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(F.col("_n1") - F.col("_p1"), F.col("_n2") - F.col("_p2"))
+    cand = (
+        probe.join(index, "s")
+        .filter(F.col("_i1") != F.col("_i2"))
+        .filter(
+            (
+                F.least("_n1", "_n2").cast("double")
+                >= F.lit(threshold) * F.greatest("_n1", "_n2")
+            )
+            & (ubound >= alpha)
+        )
+        # orient after the symmetric filters: batch-batch pairs arrive in
+        # both directions and collapse in the distinct
+        .select(
+            F.least("_i1", "_i2").alias("id_a"),
+            F.greatest("_i1", "_i2").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _verified_pairs(
+        cand, sets.select(id_col, "sh"), id_col, threshold, broadcast_sets=small
+    )

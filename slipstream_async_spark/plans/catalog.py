@@ -2927,3 +2927,50 @@ def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+_INCR = f"""
+WITH sets AS (
+  SELECT doc_id, {_DK_SHINGLES} AS sh FROM documents
+), flags AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('ingest' || doc_id::VARCHAR), 1, 8))::BIGINT
+          % 10000) < 2000 AS is_new
+  FROM documents
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM sets
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM sets
+), pair_counts AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c::DOUBLE / (na.n + nb.n - c), 6) AS jaccard
+FROM pair_counts
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+JOIN flags fa ON fa.doc_id = id_a
+JOIN flags fb ON fb.doc_id = id_b
+WHERE round(c::DOUBLE / (na.n + nb.n - c), 6) >= 0.5
+  AND (fa.is_new OR fb.is_new)
+"""
+
+
+@register("dedup_incremental", oracle=_INCR)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (nightly-ingest) near-dup detection: a deterministic
+    ~20% id-hash slice plays the new batch, the rest the standing corpus;
+    candidates come from probing the batch's prefix rows against the
+    combined index, so corpus x corpus pairs are never generated
+    (operators.dedup.dedup_incremental). Oracle = full pair space
+    restricted to pairs touching the batch."""
+    from slipstream_async_spark.operators.sampling import hash_bucket
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id", salt="ingest") < 2000
+    return DD.dedup_incremental(
+        docs.filter(~is_new), docs.filter(is_new), "text", "doc_id",
+        k=3, threshold=0.5,
+    )

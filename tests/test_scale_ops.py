@@ -236,3 +236,36 @@ def test_temperature_mix_alpha_limits(spark):
         for r in temperature_mix(docs, "source", "n_tokens", alpha=0.5).collect()
     }
     assert 0.1 < mid["small"] < 0.5 < mid["big"] < 0.9
+
+
+def test_dedup_incremental_matches_full_restricted(spark):
+    """Probe-based incremental dedup == full-corpus pairs restricted to
+    pairs touching the batch (and finds batch-batch pairs too)."""
+    from slipstream_async_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_ngram_jaccard,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # ~dup of 1
+        (3, "completely different words about spark shuffles and joins"),
+        (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1, batch
+        (11, "completely different words about spark shuffles and joins"),  # dup of 3
+        (12, "the quick brown fox jumps over the lazy dog today now"),  # ~dup, batch
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, batch = df.filter("doc_id < 10"), df.filter("doc_id >= 10")
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_incremental(corpus, batch, "text", "doc_id").collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_ngram_jaccard(df, "text", "doc_id").collect()
+    }
+    expected = {p for p in full if p[0] >= 10 or p[1] >= 10}
+    assert inc == expected
+    assert any(a >= 10 and b >= 10 for a, b, _ in inc)  # batch-batch found
+    assert any(a < 10 <= b for a, b, _ in inc)  # corpus-batch found
+    assert not any(a < 10 and b < 10 for a, b, _ in inc)  # no corpus-corpus
