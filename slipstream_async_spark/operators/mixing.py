@@ -53,7 +53,13 @@ def temperature_mix(
             F.count("*").alias("n_docs"),
             F.sum(size_col).cast("bigint").alias("tokens"),
         )
-    powed = F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
+    # sqrt for the alpha=0.5 default: IEEE sqrt is correctly rounded in
+    # every engine, pow() is only ~1-ulp accurate — bit-stable weights
+    # matter when downstream materialization thresholds on them.
+    if alpha == 0.5:
+        powed = F.sqrt(F.col("tokens").cast("double"))
+    else:
+        powed = F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
     total = per.agg(F.sum(powed).alias("_z"))
     weight = powed / F.col("_z")
     return (
@@ -67,4 +73,53 @@ def temperature_mix(
                 F.lit(float(token_budget)) * weight / F.col("tokens"), 6
             ).alias("epochs"),
         )
+    )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    size_col: str,
+    alpha: float = 0.5,
+    token_budget: int = 100_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize the designed mixture as an actual sampled/duplicated
+    corpus: every document of source ``s`` appears ``floor(epochs_s)``
+    times, plus one more copy for the deterministic id-hash slice sized
+    to the fractional part — over-represented sources are down-sampled
+    (epochs < 1: only the fractional slice survives) and rare sources
+    are repeated (epochs > 1: the duplication step of data scheduling).
+
+    Membership/duplication derives from the PUBLISHED 6-decimal epochs
+    (what ``temperature_mix`` reports), not the raw double — the
+    materialized corpus matches the spec humans signed off on, and the
+    decision threshold is bit-identical on any engine. Output = input
+    row repeated with ``copy_id`` 1..n; deterministic and rerun-stable.
+
+    Scale shape: the weight table is a per-source broadcast; copies come
+    from ``explode(sequence(...))`` in the scan stage — no shuffle of
+    the corpus, no driver loop, and epoch counts bound the blowup.
+    """
+    from slipstream_async_spark.operators.sampling import _BUCKETS, hash_bucket
+
+    weights = temperature_mix(
+        df, source_col, size_col, alpha=alpha, token_budget=token_budget
+    ).select(source_col, "epochs")
+    joined = df.join(F.broadcast(weights), source_col)
+    n_full = F.floor("epochs")
+    frac = F.col("epochs") - n_full
+    extra = (
+        hash_bucket(id_col, salt) < F.round(frac * F.lit(float(_BUCKETS)))
+    ).cast("bigint")
+    copies = (n_full + extra).cast("bigint")
+    return (
+        joined.withColumn("_copies", copies)
+        .filter(F.col("_copies") >= 1)
+        .withColumn(
+            "copy_id",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("_copies"))),
+        )
+        .drop("_copies", "epochs")
     )

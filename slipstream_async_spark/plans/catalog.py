@@ -2974,3 +2974,45 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(~is_new), docs.filter(is_new), "text", "doc_id",
         k=3, threshold=0.5,
     )
+
+
+_MIX_MAT = rf"""
+WITH t AS (SELECT doc_id, source, len({_DK_TOKS}) AS n_tokens FROM documents),
+per AS (SELECT source, SUM(n_tokens) AS tokens FROM t GROUP BY source),
+w AS (SELECT source,
+             round(100000 * (sqrt(tokens) / SUM(sqrt(tokens)) OVER ())
+                   / tokens, 6) AS epochs
+      FROM per),
+j AS (SELECT t.doc_id, t.source, w.epochs,
+             ('0x' || substr(md5('mix' || t.doc_id::VARCHAR), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM t JOIN w USING (source)),
+c AS (SELECT doc_id, source,
+             CAST(floor(epochs)
+                  + CASE WHEN bucket < round((epochs - floor(epochs)) * 10000)
+                         THEN 1 ELSE 0 END AS BIGINT) AS copies
+      FROM j)
+SELECT doc_id, source, u.c AS copy_id
+FROM c, UNNEST(generate_series(1, copies)) AS u(c)
+"""
+
+
+@register("mix_materialize", oracle=_MIX_MAT)
+def mix_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized temperature mixture (operators.mixing.
+    materialize_mixture, alpha=0.5, 100k-token budget): per-source epoch
+    counts become actual row repetition/down-sampling — floor(epochs)
+    full copies plus a deterministic id-hash slice for the fraction.
+    Epoch thresholds come from the published 6-decimal mixture, so
+    membership is bit-identical cross-engine (and sqrt, unlike pow, is
+    IEEE-correctly-rounded in every engine)."""
+    from slipstream_async_spark.operators.mixing import materialize_mixture
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return materialize_mixture(
+        sized, "source", "doc_id", "n_tokens", alpha=0.5,
+        token_budget=100_000, salt="mix",
+    ).select("doc_id", "source", "copy_id")

@@ -269,3 +269,39 @@ def test_dedup_incremental_matches_full_restricted(spark):
     assert any(a >= 10 and b >= 10 for a, b, _ in inc)  # batch-batch found
     assert any(a < 10 <= b for a, b, _ in inc)  # corpus-batch found
     assert not any(a < 10 and b < 10 for a, b, _ in inc)  # no corpus-corpus
+
+
+def test_materialize_mixture_epochs_and_fraction(spark):
+    from slipstream_async_spark.operators.mixing import materialize_mixture
+
+    # one source, budget = 2.5x its tokens -> epochs 2.5: every doc twice,
+    # ~half of docs a third time (deterministic id-hash slice)
+    docs = spark.createDataFrame(
+        [(i, "s", 10) for i in range(200)], "doc_id long, source string, n_tokens long"
+    )
+    out = materialize_mixture(
+        docs, "source", "doc_id", "n_tokens", alpha=0.5, token_budget=5000
+    )
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(per_doc) == 200  # epochs >= 1: every doc survives
+    assert set(per_doc.values()) <= {2, 3}
+    n3 = sum(1 for v in per_doc.values() if v == 3)
+    assert 60 <= n3 <= 140  # ~50% slice
+    # rerun-stable
+    again = {
+        r["doc_id"]: r["n"]
+        for r in materialize_mixture(
+            docs, "source", "doc_id", "n_tokens", alpha=0.5, token_budget=5000
+        ).groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert again == per_doc
+
+    # budget = 0.4x tokens -> epochs 0.4: only the fractional slice, once
+    down = materialize_mixture(
+        docs, "source", "doc_id", "n_tokens", alpha=0.5, token_budget=800
+    )
+    rows = down.collect()
+    assert 0 < len(rows) < 200 and all(r["copy_id"] == 1 for r in rows)

@@ -33,6 +33,7 @@ ALLOW_BNLJ = {
     # one-row normalizer (sum of source weights) broadcast against the
     # per-source aggregate — the scalar-subquery shape, not a data cross
     "mix_temperature_weights",
+    "mix_materialize",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
