@@ -3016,3 +3016,46 @@ def mix_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sized, "source", "doc_id", "n_tokens", alpha=0.5,
         token_budget=100_000, salt="mix",
     ).select("doc_id", "source", "copy_id")
+
+
+_SURPRISAL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DK_TOKS}) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS total FROM tok)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       round(ln((SELECT total FROM n))
+             - SUM(ln(f.cnt)) / COUNT(*), 6) AS surprisal
+FROM tok t JOIN freq f ON f.token = t.token
+GROUP BY t.doc_id
+"""
+
+
+@register("text_unigram_surprisal", oracle=_SURPRISAL)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean surprisal under the corpus's own unigram LM —
+    the statistical-LM quality gate (high surprisal = rare-token soup /
+    noise; low = boilerplate): -avg ln p(token) = ln N - avg ln cnt.
+    One token explosion feeds both the vocabulary counts and the
+    per-doc score; the corpus total enters as a scalar subquery; the
+    vocabulary joins back token->count (AQE broadcasts it when small).
+    """
+    _views(spark, sf_dir, "documents")
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("token")
+    ).createOrReplaceTempView("surp_tok")
+    return spark.sql(
+        """
+WITH freq AS (SELECT token, COUNT(*) AS cnt FROM surp_tok GROUP BY token),
+n AS (SELECT COUNT(*) AS total FROM surp_tok)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       round(ln((SELECT total FROM n))
+             - SUM(ln(f.cnt)) / COUNT(*), 6) AS surprisal
+FROM surp_tok t JOIN freq f ON f.token = t.token
+GROUP BY t.doc_id
+"""
+    )
