@@ -38,21 +38,27 @@ def asof_join(
     tolerance: Column | None = None,
 ) -> DataFrame:
     """For each left row, attach the closest right row at-or-before
-    (direction='backward') or at-or-after ('forward') its ``on`` time,
-    optionally matching equal ``by`` keys. Left rows with no match keep
-    NULL right columns (reference fallback semantics, cookbook.rst:342).
+    (direction='backward'), at-or-after ('forward'), or closest in
+    absolute gap either way ('nearest', ties -> the earlier/backward
+    row), optionally matching equal ``by`` keys. Left rows with no match
+    keep NULL right columns (reference fallback semantics,
+    cookbook.rst:342).
 
     Implementation: tag both sides, union on a common schema, and compute
     ``last(right_value, ignorenulls=True)`` over a window ordered by
     (time, side) — right rows sort before left rows at equal timestamps,
     making the match inclusive (ties: a right row at exactly left.ts
-    matches, same as DuckDB ASOF JOIN).
+    matches, same as DuckDB ASOF JOIN). 'nearest' evaluates the backward
+    and forward windows over the SAME union (one shuffle on the by keys,
+    two in-partition sorts) and picks per row.
 
     ``tolerance``: max allowed gap (a Column interval or numeric), e.g.
     ``F.expr("INTERVAL 1 HOUR")``; matches farther than this are nulled.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
     right_on = right_on or on
     by_cols = [by] if isinstance(by, str) else list(by or [])
 
@@ -74,32 +80,73 @@ def asof_join(
     )
     unioned = left.select(*lsel).unionByName(right.select(*rsel))
 
-    if direction == "backward":
-        order = [F.col("_t").asc(), F.col("_side").asc()]
-    else:
-        order = [F.col("_t").desc(), F.col("_side").asc()]
-    w = (
-        Window.partitionBy(*by_cols).orderBy(*order)
-        if by_cols
-        else Window.orderBy(*order)
-    ).rowsBetween(Window.unboundedPreceding, 0)
+    def mk_window(desc: bool) -> Window:
+        order = [
+            F.col("_t").desc() if desc else F.col("_t").asc(),
+            F.col("_side").asc(),
+        ]
+        return (
+            Window.partitionBy(*by_cols).orderBy(*order)
+            if by_cols
+            else Window.orderBy(*order)
+        ).rowsBetween(Window.unboundedPreceding, 0)
 
+    if direction in ("backward", "forward"):
+        w = mk_window(desc=direction == "forward")
+        filled = unioned
+        for c in right_vals:
+            filled = filled.withColumn(
+                c + suffix, F.last(c + suffix, ignorenulls=True).over(w)
+            )
+        filled = filled.withColumn("_rt", F.last("_rt", ignorenulls=True).over(w))
+        out = filled.filter(F.col("_side") == 1)
+        if tolerance is not None:
+            gap_ok = (
+                (F.col("_t") - F.col("_rt")) <= tolerance
+                if direction == "backward"
+                else (F.col("_rt") - F.col("_t")) <= tolerance
+            )
+            for c in right_vals:
+                out = out.withColumn(c + suffix, F.when(gap_ok, F.col(c + suffix)))
+            out = out.withColumn("_rt", F.when(gap_ok, F.col("_rt")))
+        return out.drop("_t", "_side", "_rt")
+
+    # nearest: fill from both directions over the same union, pick per row
+    wb, wf = mk_window(desc=False), mk_window(desc=True)
     filled = unioned
     for c in right_vals:
-        filled = filled.withColumn(c + suffix, F.last(c + suffix, ignorenulls=True).over(w))
-    filled = filled.withColumn("_rt", F.last("_rt", ignorenulls=True).over(w))
-
-    out = filled.filter(F.col("_side") == 1)
-    if tolerance is not None:
-        gap_ok = (
-            (F.col("_t") - F.col("_rt")) <= tolerance
-            if direction == "backward"
-            else (F.col("_rt") - F.col("_t")) <= tolerance
+        filled = (
+            filled.withColumn(
+                c + "__b", F.last(c + suffix, ignorenulls=True).over(wb)
+            ).withColumn(c + "__f", F.last(c + suffix, ignorenulls=True).over(wf))
         )
+    filled = (
+        filled.withColumn("_rtb", F.last("_rt", ignorenulls=True).over(wb))
+        .withColumn("_rtf", F.last("_rt", ignorenulls=True).over(wf))
+    )
+    out = filled.filter(F.col("_side") == 1)
+    # backward wins when forward is absent, or both exist and the
+    # backward gap is <= the forward gap (tie -> earlier row)
+    choose_b = F.col("_rtf").isNull() | (
+        F.col("_rtb").isNotNull()
+        & ((F.col("_t") - F.col("_rtb")) <= (F.col("_rtf") - F.col("_t")))
+    )
+    for c in right_vals:
+        out = out.withColumn(
+            c + suffix, F.when(choose_b, F.col(c + "__b")).otherwise(F.col(c + "__f"))
+        ).drop(c + "__b", c + "__f")
+    out = out.withColumn(
+        "_rt", F.when(choose_b, F.col("_rtb")).otherwise(F.col("_rtf"))
+    )
+    if tolerance is not None:
+        gap_ok = F.when(
+            F.col("_rt") <= F.col("_t"),
+            (F.col("_t") - F.col("_rt")) <= tolerance,
+        ).otherwise((F.col("_rt") - F.col("_t")) <= tolerance)
         for c in right_vals:
             out = out.withColumn(c + suffix, F.when(gap_ok, F.col(c + suffix)))
         out = out.withColumn("_rt", F.when(gap_ok, F.col("_rt")))
-    return out.drop("_t", "_side", "_rt")
+    return out.drop("_t", "_side", "_rt", "_rtb", "_rtf")
 
 
 def interval_join(

@@ -3059,3 +3059,41 @@ FROM surp_tok t JOIN freq f ON f.token = t.token
 GROUP BY t.doc_id
 """
     )
+
+
+_ASOF_NEAR = """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+best AS (
+  SELECT v.event_id, c.value,
+         ROW_NUMBER() OVER (PARTITION BY v.event_id
+                            ORDER BY abs(epoch_us(v.ts - c.ts)), c.ts) AS rk
+  FROM v JOIN c USING (user_id)
+)
+SELECT v.event_id, v.user_id, v.ts,
+       round(b.value, 6) AS near_click_value
+FROM v LEFT JOIN (SELECT event_id, value FROM best WHERE rk = 1) b
+  USING (event_id)
+"""
+
+
+@register("j1_asof_nearest", oracle=_ASOF_NEAR)
+def j1_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 nearest direction: each view enriched with the click closest in
+    absolute event-time distance either way (tie -> the earlier click) —
+    completes the as-of family (backward/forward/nearest, the pandas
+    merge_asof directions). Both directional fills run over the SAME
+    union: one shuffle on user_id, two in-partition sorts, no range
+    join."""
+    (ev,) = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("near_click_value")
+    )
+    out = J.asof_join(left, right, on="ts", by="user_id", direction="nearest")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("near_click_value_right"), 6).alias("near_click_value"),
+    )

@@ -57,16 +57,25 @@ def _model_asof(left, right, direction, by: bool, tol_min=None):
     """Exact per-row model of asof_join on (key, minute, value) tuples."""
     out = []
     for lk, lm, lv in left:
-        cands = [
-            (rk, rm, rv)
-            for rk, rm, rv in right
-            if (rm <= lm if direction == "backward" else rm >= lm)
-            and (not by or rk == lk)
-        ]
+        if direction == "nearest":
+            cands = [
+                (rk, rm, rv) for rk, rm, rv in right if not by or rk == lk
+            ]
+        else:
+            cands = [
+                (rk, rm, rv)
+                for rk, rm, rv in right
+                if (rm <= lm if direction == "backward" else rm >= lm)
+                and (not by or rk == lk)
+            ]
         if cands:
-            best = (max if direction == "backward" else min)(
-                cands, key=lambda c: c[1]
-            )
+            if direction == "nearest":
+                # min absolute gap; tie -> the earlier (backward) row
+                best = min(cands, key=lambda c: (abs(lm - c[1]), c[1]))
+            else:
+                best = (max if direction == "backward" else min)(
+                    cands, key=lambda c: c[1]
+                )
             gap = abs(lm - best[1])
             if tol_min is not None and gap > tol_min:
                 best = None
@@ -76,7 +85,7 @@ def _model_asof(left, right, direction, by: bool, tol_min=None):
     return sorted(out, key=lambda r: (r[0], r[1], r[2], r[3] is None, r[3]))
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("use_by", [True, False])
 @given(left=_left_rows, right=_right_rows)
 @_prop_settings
