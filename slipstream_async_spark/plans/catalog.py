@@ -3097,3 +3097,50 @@ def j1_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.round(F.col("near_click_value_right"), 6).alias("near_click_value"),
     )
+
+
+_QGATE = f"""
+WITH quality AS ({_ORACLES["text_quality"]}),
+r AS (
+  SELECT q.doc_id, d.source, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY q.quality, q.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY d.source) AS n
+  FROM quality q JOIN documents d USING (doc_id)
+),
+t AS (SELECT source, quality AS q25 FROM r
+      WHERE rk = CAST(ceil(0.25 * n) AS BIGINT))
+SELECT r.doc_id, r.source, r.quality, t.q25
+FROM r JOIN t USING (source)
+WHERE r.quality >= t.q25
+"""
+
+
+@register("quality_percentile_gate", oracle=_QGATE)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gating: keep documents at or above their OWN
+    source's exact 25th-percentile quality — absolute thresholds
+    over-prune clean sources and under-prune noisy ones; per-source
+    percentiles adapt. The percentile is rank-exact (row at
+    ceil(0.25*n) in (quality, doc_id) order), not an approx sketch, so
+    it is engine-reproducible; the tiny per-source threshold table
+    broadcasts back onto the scored scan."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", TXT.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = (
+        q.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("source")))
+    )
+    thresh = ranked.filter(
+        F.col("_rk") == F.ceil(F.lit(0.25) * F.col("_n"))
+    ).select("source", F.col("quality").alias("q25"))
+    return (
+        q.join(F.broadcast(thresh), "source")
+        .filter(F.col("quality") >= F.col("q25"))
+        .select("doc_id", "source", "quality", "q25")
+    )
