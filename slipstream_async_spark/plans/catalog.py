@@ -3144,3 +3144,59 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= F.col("q25"))
         .select("doc_id", "source", "quality", "q25")
     )
+
+
+def _dk_kgram(k: int) -> str:
+    """DuckDB k-word-shingle expression mirroring shingles_of_tokens."""
+    cat = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return f"""
+CASE WHEN len(t) >= {k}
+     THEN list_distinct(list_transform(range(1, len(t) - {k - 2}),
+          i -> {cat}))
+     ELSE [array_to_string(t, ' ')] END
+"""
+
+
+_CONTAM_NG = f"""
+WITH toks AS (SELECT doc_id, {_DK_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, {_dk_kgram(8)} AS sh,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 10000 AS b
+  FROM toks
+),
+ti AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE b < 1000),
+tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE b >= 1000)
+SELECT ti.doc_id, COUNT(DISTINCT ti.s) AS n_overlap
+FROM ti JOIN tr ON ti.s = tr.s
+GROUP BY ti.doc_id
+"""
+
+
+@register("contamination_ngram", oracle=_CONTAM_NG)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram collision (the GPT-3-style
+    check, 8-token shingles): flag test documents sharing ANY 8-gram with
+    the train split and report how many distinct shingles collide —
+    catches partial/embedded leakage the exact-fingerprint check
+    (contamination_fingerprint) misses. Plans as an inverted-index
+    equi-join on the shingle: the test side is the small probe; no pair
+    expansion, no cross join."""
+    from slipstream_async_spark.functions.text import shingles_of_tokens
+    from slipstream_async_spark.operators.sampling import hash_bucket
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        shingles_of_tokens(TXT.tokens("text"), 8).alias("sh"),
+        hash_bucket("doc_id", salt="split").alias("_b"),
+    )
+    ti = sh.filter(F.col("_b") < 1000).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    tr = sh.filter(F.col("_b") >= 1000).select(F.explode("sh").alias("s")).distinct()
+    return (
+        ti.join(tr, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_overlap"))
+    )
