@@ -757,3 +757,71 @@ def test_stream_health_monitor_wall_clock_stall(spark, stream_dir):
     finally:
         q.stop()
         spark.streams.removeListener(mon)
+
+
+def test_streaming_asof_enrichment_two_streams(spark, stream_dir):
+    """The reference's flagship live scenario (cookbook.rst:289-356) as
+    two concurrent streaming queries: a weather stream maintains keyed
+    state; an activity stream enriches each micro-batch with the latest
+    weather at-or-before its event time via an as-of join against the
+    state snapshot — the stream-to-state temporal join, end to end."""
+    from slipstream_async_spark.operators.joins import asof_join
+    from slipstream_async_spark.streaming.state import StateTable, foreach_batch_upsert
+
+    w_path = os.path.join(stream_dir, "weather")
+    a_path = os.path.join(stream_dir, "activity")
+    w_schema = "ts timestamp, condition string"
+    a_schema = "ts timestamp, activity string"
+    _write_batch(spark, w_path, [(ts(0.0), "sunny"), (ts(10.0), "rainy")], w_schema, 0)
+    _write_batch(spark, a_path, [(ts(5.0), "walk")], a_schema, 0)
+
+    table = StateTable(spark, os.path.join(stream_dir, "wstate"))
+    weather_q = (
+        _file_stream(spark, w_path, w_schema)
+        .select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("key"),
+            F.col("condition").alias("value"),
+        )
+        .writeStream.foreachBatch(foreach_batch_upsert(table))
+        .option("checkpointLocation", os.path.join(stream_dir, "ck_w"))
+        .start()
+    )
+
+    enriched: list[tuple] = []
+
+    def enrich(batch_df, epoch_id):
+        weather = table.df().select(
+            F.to_timestamp("key").alias("ts"), F.col("value").alias("condition")
+        )
+        out = asof_join(batch_df, weather, on="ts").select(
+            "ts", "activity", "condition_right"
+        )
+        enriched.extend(
+            (r["ts"], r["activity"], r["condition_right"]) for r in out.collect()
+        )
+
+    # drain the weather side first: enrichment state must exist before
+    # the dependent stream consumes (the reference's Checkpoint pause
+    # semantics — here expressed as start ordering)
+    weather_q.processAllAvailable()
+    activity_q = (
+        _file_stream(spark, a_path, a_schema)
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", os.path.join(stream_dir, "ck_a"))
+        .start()
+    )
+    try:
+        activity_q.processAllAvailable()
+        assert (ts(5.0), "walk", "sunny") in enriched
+
+        # weather moves on; a later activity sees the newer state, and an
+        # activity BEFORE all weather keeps the NULL fallback ('?')
+        _write_batch(spark, a_path, [(ts(12.0), "run"), (ts(-1.0), "sleep")],
+                     a_schema, 1)
+        activity_q.processAllAvailable()
+        got = {(a, c) for _, a, c in enriched}
+        assert ("run", "rainy") in got and ("sleep", None) in got
+    finally:
+        weather_q.stop()
+        activity_q.stop()
+        table.destroy()
