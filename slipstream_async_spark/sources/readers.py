@@ -46,17 +46,6 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         return []
 
 
-# Files above this size get re-spread across the cluster after the scan.
-# The fixtures are single-file/single-row-group parquet, so however small
-# maxPartitionBytes goes, only ONE task ever receives rows — every map-side
-# stage (tokenize, shingle, partial agg) would run serially. One round-robin
-# exchange of a small file is cheap and unlocks full-width scans; real
-# multi-row-group/multi-file lakes split natively, and predicate pushdown /
-# column pruning pass through the Repartition node untouched (verified in
-# the plan audit: PushedFilters/ReadSchema still reach the scan).
-_RESPREAD_MIN_BYTES = 256 * 1024
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (columnar scan; Catalyst prunes/pushes).
 
@@ -64,42 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader) are read as epoch-nano longs and floor-converted to
     microsecond timestamps — matching DuckDB's ns->us truncation so the
     oracle comparison sees identical values.
-
-    Single-row-group files larger than ``_RESPREAD_MIN_BYTES`` are
-    round-robin repartitioned to the session's default parallelism so
-    map-side work is not serialized on one task (see note above).
     """
-    import os as _os
-
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_columns(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # Integer `div`, not `/`: float division of epoch-nanos (~1.7e18)
         # exceeds double's 2^53 integer range and drifts by ±1us.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    try:
-        needs_spread = (
-            _os.path.getsize(path) >= _RESPREAD_MIN_BYTES
-            and _single_row_group(path)
-        )
-    except OSError:
-        needs_spread = False
-    if needs_spread:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
-
-
-def _single_row_group(path: str) -> bool:
-    """Footer-only check: can the scan parallelize natively?"""
-    try:
-        import pyarrow.parquet as pq
-
-        return pq.ParquetFile(path).metadata.num_row_groups <= 1
-    except Exception:
-        return False
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
