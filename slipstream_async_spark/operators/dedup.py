@@ -254,6 +254,82 @@ def dedup_ngram_jaccard(
                            broadcast_sets=small_sets)
 
 
+def containment_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Directed partial-dup pairs by exact shingle containment
+    C(A→B) = |S(A) ∩ S(B)| / |S(A)| >= threshold, A != B.
+
+    Jaccard resemblance (dedup_ngram_jaccard) misses the quote/excerpt
+    case: a short document wholly embedded in a much longer one has tiny
+    Jaccard but containment ~1.0. Broder's original sketching paper
+    ("On the resemblance and containment of documents", SEQUENCES 1997)
+    defines both measures; training-corpus curation needs containment to
+    catch pages that merely wrap boilerplate around copied articles.
+
+    Scale design: candidates from an inverted shingle index with prefix
+    filtering applied on the PROBE (contained, A) side only — C >= t
+    forces A to share one of its first ``n_a - ceil(t*n_a) + 1`` shingles
+    (rarest-first order) with B, so probing only prefixes against the full
+    index is EXACT while skipping most hot-shingle pair expansion. The
+    index (B) side cannot be pruned: containment puts no lower bound on
+    which of B's shingles overlap. A size bound (n_b >= t*n_a, since
+    |A∩B| <= n_b) prunes candidates before the verify joins. Verification
+    is the same hashed-intersection used by the Jaccard path.
+    """
+    sets = shingle_sets(df, text_col, id_col, k).cache()
+    n_docs = sets.count()  # materializes the cache; drives broadcast choice
+    small_sets = n_docs <= _BC_MAX_DOCS
+    inv = sets.select(
+        F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
+    if small_sets:
+        total_sh = sets.agg(F.sum(F.size("sh"))).first()[0] or 0
+        if total_sh <= _BC_MAX_VOCAB:
+            freq = F.broadcast(freq)
+    w = Window.partitionBy(id_col).orderBy(F.col("_f").asc(), F.col("s").asc())
+    probe = (
+        inv.join(freq, "s")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(
+            F.col("_r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select(F.col(id_col).alias("id_a"), F.col("n").alias("_pna"), "s")
+    )
+    index = inv.select(F.col(id_col).alias("id_b"), F.col("n").alias("_pnb"), "s")
+    cand = (
+        probe.join(index, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # |A∩B| <= n_b and C >= t together force n_b >= t*n_a; epsilon
+        # guards float round-up (extras are removed by exact verification).
+        .filter(
+            F.col("_pnb").cast("double")
+            >= F.lit(threshold) * F.col("_pna") - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hsh = F.transform("sh", lambda s: F.xxhash64(s))
+    a = sets.select(
+        F.col(id_col).alias("id_a"), hsh.alias("_ha"), F.size("sh").alias("_na")
+    )
+    b = sets.select(F.col(id_col).alias("id_b"), hsh.alias("_hb"))
+    if small_sets:
+        a, b = F.broadcast(a), F.broadcast(b)
+    i = F.size(F.array_intersect("_ha", "_hb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment", F.round(i.cast("double") / F.col("_na"), 6)
+        )
+        # Compare post-round so boundary pairs agree with the oracle.
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -3200,3 +3200,184 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("s").alias("n_overlap"))
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH sets AS (
+  SELECT doc_id, {_DK_SHINGLES} AS sh FROM documents
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM sets
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM sets
+), pair_counts AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id != y.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c::DOUBLE / na.n, 6) AS containment
+FROM pair_counts
+JOIN sizes na ON na.doc_id = id_a
+WHERE round(c::DOUBLE / na.n, 6) >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed partial-dup pairs: shingle containment |A∩B|/|A| >= 0.8
+    (operators.dedup.containment_pairs) — the quote/excerpt case Jaccard
+    misses. Probe-side prefix filtering against a full inverted index;
+    exact hashed-set verification."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+
+
+_NTILE_SQL = """
+WITH r AS (
+  SELECT c_acctbal,
+         ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT CAST(quartile AS BIGINT) AS quartile,
+       COUNT(*) AS n,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS hi,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM r
+GROUP BY quartile
+"""
+
+
+@register("win_ntile_quartiles", oracle=_NTILE_SQL)
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) balance quartiles (unique tie-break => deterministic),
+    then per-quartile stats. A global ntile is a single-partition sort —
+    fine as a bucketing demo; at 100 TB assign quantile buckets from
+    approx_percentile boundaries instead (one pass, mergeable t-digest,
+    no global sort)."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_NTILE_SQL)
+
+
+_NAV_SQL = """
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order,
+       last_value(o_orderkey) OVER w AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("win_value_navigation", oracle=_NAV_SQL)
+def win_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / last_value over each customer's order
+    history (full frame, unique tie-break). One shuffle on o_custkey;
+    per-group sort, no global sort."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_NAV_SQL)
+
+
+@register(
+    "hof_token_lengths",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> len(x) >= 6)) AS BIGINT) AS n_long,
+       CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+            AS BIGINT) AS total_chars,
+       CAST(coalesce(list_max(list_transform(toks, x -> len(x))), 0)
+            AS BIGINT) AS max_len
+FROM t
+""",
+)
+def hof_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate/array_max)
+    over per-document token arrays — pure JVM expressions, no UDF, no
+    explode-shuffle: the whole computation stays inside the scan stage."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        r"""
+WITH t AS (
+  SELECT doc_id, filter(split(text, '\\s+'), x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(size(filter(toks, x -> length(x) >= 6)) AS BIGINT) AS n_long,
+       CAST(aggregate(toks, 0L, (acc, x) -> acc + length(x)) AS BIGINT)
+         AS total_chars,
+       CAST(coalesce(array_max(transform(toks, x -> length(x))), 0)
+            AS BIGINT) AS max_len
+FROM t
+"""
+    )
+
+
+_BANDS = [
+    ("budget", 0.0, 20000.0),
+    ("mid", 20000.0, 50000.0),
+    ("premium", 50000.0, 1e12),
+]
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@register(
+    "join_range_price_bands",
+    oracle=f"""
+SELECT band,
+       COUNT(*) AS n_items,
+       CAST(SUM({_DEC}) AS DOUBLE) AS band_revenue
+FROM lineitem
+JOIN (VALUES {_BANDS_VALUES}) AS bands(band, lo, hi)
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+""",
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range/theta) join against a tiny inline dimension: Catalyst
+    plans it as a broadcast nested-loop join — each lineitem row tests 3
+    band predicates map-side, no shuffle of the fact table before the
+    aggregation. The classic banding pattern for histograms over a fact
+    table at scale."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    bands = li.sparkSession.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("band_revenue"),
+        )
+    )
+
+
+@register("agg_approx_sketches")
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per return flag: approx_count_distinct (HLL++)
+    and approx_percentile (t-digest-style) — the mergeable one-pass
+    forms that replace exact distinct-count / sort-based percentile at
+    100 TB. No DuckDB oracle: sketch estimates are engine-specific
+    (rows-only check); exact counterparts are covered by
+    stats_price_distribution and q16_supplier_part_counts."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       approx_count_distinct(l_orderkey) AS approx_orders,
+       CAST(approx_percentile(l_extendedprice, 0.5) AS DOUBLE) AS approx_median
+FROM lineitem
+GROUP BY l_returnflag
+"""
+    )

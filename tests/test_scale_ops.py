@@ -305,3 +305,48 @@ def test_materialize_mixture_epochs_and_fraction(spark):
     )
     rows = down.collect()
     assert 0 < len(rows) < 200 and all(r["copy_id"] == 1 for r in rows)
+
+
+def test_containment_pairs_directed_excerpt(spark):
+    """Containment catches the excerpt-in-page case Jaccard misses, is
+    directed (small→big only at high threshold), and never pairs a doc
+    with itself. A brute-force exact recompute cross-checks the
+    prefix-filtered candidate generation."""
+    from slipstream_async_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, quote),  # fully contained in 2
+        (2, "intro words here " + quote + " outro words trailing after end"),
+        (3, "totally unrelated text about shuffle partitions and joins"),
+        (4, quote),  # exact dup of 1: contained both ways
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc_id", k=3, threshold=0.8).collect()
+    }
+    assert got[(1, 2)] == 1.0  # quote contained in page
+    assert (2, 1) not in got  # page NOT contained in quote
+    assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0  # exact dups: both ways
+    assert not any(a == b for a, b in got)
+    assert not any(3 in p for p in got)
+
+    # Brute-force oracle: exact containment over all ordered pairs.
+    from slipstream_async_spark.operators.dedup import shingle_sets
+
+    sets = {r["doc_id"]: set(r["sh"]) for r in shingle_sets(df, "text", "doc_id").collect()}
+    brute = {
+        (a, b): round(len(sa & sb) / len(sa), 6)
+        for a, sa in sets.items()
+        for b, sb in sets.items()
+        if a != b and len(sa & sb) / len(sa) >= 0.8
+    }
+    assert got == brute
+
+
+def test_containment_pairs_empty_input(spark):
+    from slipstream_async_spark.operators.dedup import containment_pairs
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert containment_pairs(empty, "text", "doc_id").count() == 0
