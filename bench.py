@@ -18,6 +18,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # The driver parses stdout as JSON, so stdout must carry EXACTLY one
+    # line. The JVM child process inherits fd 1 and writes startup noise
+    # (log-level banner, Ivy resolution) there — redirect fd 1 to stderr
+    # at the OS level for the whole run, then restore it for the final
+    # print. Python-level sys.stdout swaps can't catch child-process
+    # writes; dup2 does.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        timings, sf_val = _run()
+    finally:
+        sys.stdout.flush()
+        os.dup2(real_stdout, 1)
+        os.close(real_stdout)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+
+
+def _run() -> tuple[dict[str, float], float | str]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from slipstream_async_spark.plans.catalog import queries
     from slipstream_async_spark.session import get_spark
@@ -48,17 +78,7 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    return timings, sf_val
 
 
 if __name__ == "__main__":

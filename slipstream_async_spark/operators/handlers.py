@@ -26,6 +26,7 @@ for small streams / parity tests. At 100 TB always pass a key.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 from functools import reduce
 
@@ -33,6 +34,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 Pipe = Callable[[DataFrame], DataFrame]
+
+
+class GlobalSortWarning(UserWarning):
+    """An operator fell back to a single-partition global window.
+
+    Correct but sequential: the whole input is sorted in ONE task. Fine
+    for small parity streams; a scale-killer on large data. Pass a
+    partitioning ``key``/``by`` to distribute."""
+
+
+def warn_global_sort(op: str, key_param: str = "key") -> None:
+    warnings.warn(
+        f"{op}: no '{key_param}' given — falling back to a GLOBAL window "
+        "(single partition, sequential). Pass a partitioning "
+        f"'{key_param}' for any data that doesn't fit one task.",
+        GlobalSortWarning,
+        stacklevel=3,
+    )
 
 
 def pipe(df: DataFrame, *pipes: Pipe) -> DataFrame:
@@ -50,10 +69,10 @@ def _ordered_window(order_col, key: str | None) -> Window:
     unique tie-break (e.g. ["ts", "event_id"]) whenever the primary order
     key can collide, or ranking output is run-dependent."""
     cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    w = Window.orderBy(*cols)
-    if key is not None:
-        w = Window.partitionBy(key).orderBy(*cols)
-    return w
+    if key is None:
+        warn_global_sort("ordered window op")
+        return Window.orderBy(*cols)
+    return Window.partitionBy(key).orderBy(*cols)
 
 
 def pairwise(

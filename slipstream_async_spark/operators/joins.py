@@ -80,6 +80,11 @@ def asof_join(
     )
     unioned = left.select(*lsel).unionByName(right.select(*rsel))
 
+    if not by_cols:
+        from slipstream_async_spark.operators.handlers import warn_global_sort
+
+        warn_global_sort("asof_join", key_param="by")
+
     def mk_window(desc: bool) -> Window:
         order = [
             F.col("_t").desc() if desc else F.col("_t").asc(),

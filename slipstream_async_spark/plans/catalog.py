@@ -49,12 +49,47 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Queries already green in a prior round's driver CORRECTNESS file
+# (CORRECTNESS_r01.json: 50/50 pass). The driver verifies only the first
+# ~50 entries of ``queries()`` per round, so never-verified names are
+# ordered FIRST to rotate the whole catalog through the hard gate across
+# rounds; previously-verified ones (still covered every round by the
+# in-repo oracle suite, tests/test_catalog_oracle.py) follow.
+_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "agg_rollup_lineitem", "setop_intersect_users", "setop_except_users",
+        "join_semi_open_orders", "join_anti_no_orders",
+        "topk_orders_per_customer", "a1_count_by_key", "a3_sliding_count",
+        "a4_tumbling_daily", "a5_hopping_1h_15m", "a6_sessions_30m",
+        "a7_dedup_first_per_key", "j1_asof_join", "j2_interval_join",
+        "j3_lookup_join", "p2_flatmap_tokens", "p4_filter_map_json",
+        "p10_pairwise", "p11_accumulate", "scalar_funcs", "dedup_exact",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+        "text_token_count", "text_quality", "text_langid",
+        "text_fingerprint", "sim_topk_bruteforce", "sim_topk_lsh",
+        "emb_near_dup_pairs", "mm_metadata", "mm_frame_sample",
+        "mm_decode_features", "agg_cube_events", "p3_generator_handler",
+        "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
+        "sim_topk_ivf", "dedup_clusters", "pipeline_curation",
+        "q7_nation_volume", "q10_returned_revenue", "q13_order_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+    }
+)
+
+
+def _rotated(mapping: dict) -> dict:
+    unverified = {k: v for k, v in mapping.items() if k not in _DRIVER_VERIFIED}
+    verified = {k: v for k, v in mapping.items() if k in _DRIVER_VERIFIED}
+    return {**unverified, **verified}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _rotated(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _rotated(_ORACLES)
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -3363,21 +3398,46 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_sketches")
+@register(
+    "agg_approx_sketches",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS hll_within_5pct,
+       TRUE AS median_within_p40_p60
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per return flag: approx_count_distinct (HLL++)
-    and approx_percentile (t-digest-style) — the mergeable one-pass
-    forms that replace exact distinct-count / sort-based percentile at
-    100 TB. No DuckDB oracle: sketch estimates are engine-specific
-    (rows-only check); exact counterparts are covered by
-    stats_price_distribution and q16_supplier_part_counts."""
+    and approx_percentile (GK) — the mergeable one-pass forms that
+    replace exact distinct-count / sort-based percentile at 100 TB.
+
+    Sketch estimates are engine-specific, so the raw estimates can't
+    hash-match a DuckDB oracle. Instead the query validates the sketch
+    against its own exact counterpart and emits deterministic columns:
+    the exact distinct count plus booleans asserting the HLL estimate
+    lands within 5% of exact and the approx median lands inside the
+    exact p40..p60 band. A broken sketch flips a boolean and fails the
+    driver's hash check; the exact column verifies the grouping."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(
         """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(DISTINCT l_orderkey) AS exact_orders,
+         approx_count_distinct(l_orderkey, 0.01) AS hll_orders,
+         approx_percentile(l_extendedprice, 0.5) AS ap_median,
+         percentile(l_extendedprice, 0.4) AS p40,
+         percentile(l_extendedprice, 0.6) AS p60
+  FROM lineitem
+  GROUP BY l_returnflag)
 SELECT l_returnflag,
-       approx_count_distinct(l_orderkey) AS approx_orders,
-       CAST(approx_percentile(l_extendedprice, 0.5) AS DOUBLE) AS approx_median
-FROM lineitem
-GROUP BY l_returnflag
+       CAST(exact_orders AS BIGINT) AS exact_orders,
+       hll_orders >= exact_orders * 0.95
+         AND hll_orders <= exact_orders * 1.05 AS hll_within_5pct,
+       ap_median >= p40 AND ap_median <= p60 AS median_within_p40_p60
+FROM s
 """
     )

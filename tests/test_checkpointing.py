@@ -161,3 +161,128 @@ def test_enrichment_correction_flow(spark, tmp_path):
     )
     out = {r["activity"]: r["weather"] for r in corrected.collect()}
     assert out == {"swimming": "🌞", "walking home": "🌧"}
+
+
+def test_reference_golden_sequence(spark, tmp_path):
+    """End-to-end replica of the reference's Kafka integration golden
+    sequence (tests/integration/test_kafka_integration.py:128-162):
+
+      🌞 -> (None, swimming/🌞) -> ⛅ -> (None, walking home/⛅)
+      -> (5400s, shopping/⛅ STALE; dependency down, PAUSE)
+      -> 🌦️ (still behind, still down) -> 🌧 (caught up, RESUME,
+      recovery seeks the activity stream back to the stale offset)
+      -> (None, shopping/🌦️ CORRECTED) -> (None, lunch/🌧)
+
+    File-backed micro-batches stand in for Kafka partitions: each
+    activity message is one parquet file, the file index is the offset,
+    and the recovery callback rewinds the cursor exactly like the
+    reference's ``t.seek({partition: offset})``. The weather dependency
+    writes its observations into a StateTable (cache-as-sink, S7);
+    enrichment as-of joins each activity micro-batch against that cache;
+    outputs land in a second StateTable via idempotent upsert so the
+    seek-back replay compacts the correction in place.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.operators import asof_join
+    from slipstream_async_spark.streaming.state import StateTable
+
+    def h(hour: int, minute: int = 0) -> datetime:
+        return datetime(2023, 1, 1, hour, minute)
+
+    weather_events = [(h(10), "🌞"), (h(11), "⛅"), (h(12), "🌦️"), (h(13), "🌧")]
+    activities = [
+        (h(10, 30), "swimming"),
+        (h(11, 30), "walking home"),
+        (h(12, 30), "shopping"),
+        (h(13, 10), "lunch"),
+    ]
+    act_dir = str(tmp_path / "activity_topic")
+    for i, (ats, val) in enumerate(activities):
+        spark.createDataFrame(
+            [(ats, val)], "ts timestamp, activity string"
+        ).write.parquet(os.path.join(act_dir, f"offset={i}"))
+
+    weather_cache = StateTable(spark, str(tmp_path / "weather_state"))
+    enriched = StateTable(spark, str(tmp_path / "enriched"))
+    signals: list[str] = []
+    cursor = {"next": 0}
+
+    def on_downtime(c: Checkpoint, d: Dependency) -> None:
+        signals.append("PAUSE")
+
+    def on_recovery(c: Checkpoint, d: Dependency) -> None:
+        signals.append("RESUME")
+        cursor["next"] = c.state["offset"]  # seek-back reprocess (T5)
+
+    cp = Checkpoint(
+        "activity",
+        [Dependency("weather", downtime_threshold=timedelta(hours=1))],
+        downtime_callback=on_downtime,
+        recovery_callback=on_recovery,
+    )
+
+    wi = iter(weather_events)
+
+    def next_weather() -> str:
+        wts, val = next(wi)
+        weather_cache.put(wts.isoformat(), val)
+        cp.heartbeat(wts)
+        return val
+
+    def next_activity():
+        offset = cursor["next"]
+        batch = spark.read.parquet(os.path.join(act_dir, f"offset={offset}"))
+        ats = batch.first()["ts"]
+        downtime = cp.check_pulse(ats, offset=offset)
+        wdf = spark.createDataFrame(
+            [(datetime.fromisoformat(k), v) for k, v in weather_cache.items()],
+            "ts timestamp, weather string",
+        )
+        row = asof_join(
+            batch.withColumn("k", F.lit(1)),
+            wdf.withColumn("k", F.lit(1)),
+            on="ts",
+            by="k",
+        ).first()
+        enriched.upsert(
+            spark.createDataFrame(
+                [(row["activity"], row["weather_right"])], "key string, value string"
+            )
+        )
+        cursor["next"] = offset + 1
+        return (downtime, row["activity"], row["weather_right"])
+
+    dep = cp.dependencies["weather"]
+
+    assert next_weather() == "🌞"
+    assert next_activity() == (None, "swimming", "🌞")
+    assert next_weather() == "⛅"
+    assert next_activity() == (None, "walking home", "⛅")
+    # <- wrongly enriched with stale data; 5400s downtime detected
+    assert next_activity() == (timedelta(seconds=5400), "shopping", "⛅")
+    assert dep.is_down is True
+    assert signals == ["PAUSE"]
+    assert enriched.get("shopping") == "⛅"  # stale row persisted
+    # <- the weather stream recovers but hasn't caught up yet
+    assert next_weather() == "🌦️"
+    assert dep.is_down is True
+    # <- the weather stream catches up: RESUME + seek-back
+    assert next_weather() == "🌧"
+    assert dep.is_down is False
+    assert signals == ["PAUSE", "RESUME"]
+    assert cursor["next"] == 2  # rewound to the stale offset
+    # <- correction: shopping re-emitted with the right weather
+    assert next_activity() == (None, "shopping", "🌦️")
+    assert next_activity() == (None, "lunch", "🌧")
+    # Idempotent upsert compacted the correction in place (exactly one
+    # row per activity, stale value replaced).
+    final = {k: v for k, v in enriched.items()}
+    assert final == {
+        "swimming": "🌞",
+        "walking home": "⛅",
+        "shopping": "🌦️",
+        "lunch": "🌧",
+    }
