@@ -1,0 +1,107 @@
+"""HTTP-polling DataSource tests (sources/http.py, S10): batch fetch,
+streaming poll-per-microbatch offset progression, and JSON parsing of
+the envelope — the reference's streaming-HTTP-API source capability
+(docs/source/cookbook.rst:59-81) through Spark's engine-managed source
+API. Uses file:// URLs so no network egress is required; the reader is
+scheme-agnostic via urllib.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module", autouse=True)
+def register(spark):
+    from slipstream_async_spark.sources.http import HttpPollDataSource
+
+    spark.dataSource.register(HttpPollDataSource)
+
+
+@pytest.fixture()
+def feed_url(tmp_path):
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        "\n".join(json.dumps({"id": i, "kind": "edit" if i % 2 else "new"}) for i in range(6))
+        + "\n\n"  # trailing blank lines must be dropped
+    )
+    return p.as_uri()
+
+
+def test_batch_fetch_envelope(spark, feed_url):
+    df = spark.read.format("http_poll").option("url", feed_url).load()
+    assert df.schema.simpleString() == "struct<seq:bigint,poll:bigint,body:string>"
+    rows = df.orderBy("seq").collect()
+    assert [r["seq"] for r in rows] == list(range(6))
+    assert all(r["poll"] == 0 for r in rows)
+    # envelope -> typed columns is the caller's from_json, like Kafka
+    parsed = df.select(
+        F.from_json("body", "id bigint, kind string").alias("j")
+    ).select("j.id", "j.kind")
+    assert parsed.filter(F.col("kind") == "edit").count() == 3
+
+
+def test_stream_polls_advance_and_stop(spark, feed_url, tmp_path):
+    q = (
+        spark.readStream.format("http_poll")
+        .option("url", feed_url)
+        .option("maxPolls", 3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("http_out")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT poll, count(*) AS n FROM http_out GROUP BY poll").collect()
+    # 3 polls, 6 lines each; each poll ran exactly once
+    assert {(r["poll"], r["n"]) for r in out} == {(0, 6), (1, 6), (2, 6)}
+
+
+def test_stream_checkpoint_resume_no_repoll(spark, feed_url, tmp_path):
+    """A restart from the checkpoint must not re-issue committed polls.
+
+    Memory sinks can't recover from a checkpoint, so this uses the
+    parquet file sink (which can) and counts rows per poll on disk.
+    """
+    cp = str(tmp_path / "cp2")
+    out = str(tmp_path / "out")
+
+    def run(max_polls: int):
+        q = (
+            spark.readStream.format("http_poll")
+            .option("url", feed_url)
+            .option("maxPolls", max_polls)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(2)
+    first = spark.read.parquet(out)
+    assert first.count() == 12
+    # Resume with a higher cap: polls 0 and 1 are committed, so only
+    # polls 2 and 3 run — nothing repeats (maxPolls caps the ABSOLUTE
+    # poll counter, and the new reader starts its counter at the
+    # checkpointed offset... asserted by per-poll counts below).
+    run(4)
+    by_poll = {
+        (r["poll"], r["n"])
+        for r in spark.read.parquet(out)
+        .groupBy("poll")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_poll == {(0, 6), (1, 6), (2, 6), (3, 6)}
