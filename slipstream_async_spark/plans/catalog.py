@@ -3435,24 +3435,35 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact distinct count plus booleans asserting the HLL estimate
     lands within 5% of exact and the approx median lands inside the
     exact p40..p60 band. A broken sketch flips a boolean and fails the
-    driver's hash check; the exact column verifies the grouping."""
+    driver's hash check; the exact column verifies the grouping.
+
+    Plan note: the exact distinct count is a SEPARATE aggregation joined
+    back on the (3-row) group key, NOT a COUNT(DISTINCT) alongside the
+    sketches — mixing distinct and buffer-backed aggregates makes
+    Catalyst rewrite through Expand, duplicating every input row and
+    dragging the percentile buffers through the doubled shuffle (~40×
+    slower at sf0.1, measured; ruinous at 100 TB)."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(
         """
-WITH s AS (
+WITH ex AS (
+  SELECT l_returnflag, COUNT(*) AS exact_orders
+  FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)
+  GROUP BY l_returnflag),
+sk AS (
   SELECT l_returnflag,
-         COUNT(DISTINCT l_orderkey) AS exact_orders,
          approx_count_distinct(l_orderkey, 0.01) AS hll_orders,
          approx_percentile(l_extendedprice, 0.5) AS ap_median,
          percentile(l_extendedprice, 0.4) AS p40,
          percentile(l_extendedprice, 0.6) AS p60
   FROM lineitem
   GROUP BY l_returnflag)
-SELECT l_returnflag,
-       CAST(exact_orders AS BIGINT) AS exact_orders,
-       hll_orders >= exact_orders * 0.95
-         AND hll_orders <= exact_orders * 1.05 AS hll_within_5pct,
-       ap_median >= p40 AND ap_median <= p60 AS median_within_p40_p60
-FROM s
+SELECT sk.l_returnflag,
+       CAST(ex.exact_orders AS BIGINT) AS exact_orders,
+       sk.hll_orders >= ex.exact_orders * 0.95
+         AND sk.hll_orders <= ex.exact_orders * 1.05 AS hll_within_5pct,
+       sk.ap_median >= sk.p40 AND sk.ap_median <= sk.p60
+         AS median_within_p40_p60
+FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag
 """
     )
