@@ -3467,3 +3467,308 @@ SELECT sk.l_returnflag,
 FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 widening: mergeable sketches, range-frame windows, sequence path
+# mining, BPE-style vocab statistics, embedding outlier gating, and
+# Gopher-style repetition quality metrics.
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE = """
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_global,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,
+       TRUE AS union_within_5pct
+FROM orders
+"""
+
+
+@register("agg_hll_mergeable", oracle=_HLL_MERGE)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (A8 at scale): per-priority
+    DataSketches HLL sketches built with ``hll_sketch_agg``, then merged
+    to a global estimate with ``hll_union_agg`` — the re-aggregatable
+    rollup pattern. At 100 TB you materialize per-partition/per-day
+    sketches ONCE and answer any coarser distinct-count rollup by
+    merging kilobyte sketches, never re-scanning the fact table.
+
+    Sketch bytes are engine-specific, so (like agg_approx_sketches) the
+    query emits the exact global count plus a boolean asserting the
+    merged estimate lands within 5% — a broken merge flips the boolean.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+WITH per_group AS (
+  SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk
+  FROM orders GROUP BY o_orderpriority),
+merged AS (
+  SELECT COUNT(*) AS n_groups,
+         hll_sketch_estimate(hll_union_agg(sk)) AS est
+  FROM per_group),
+exact AS (
+  SELECT COUNT(*) AS exact_global
+  FROM (SELECT DISTINCT o_custkey FROM orders))
+SELECT CAST(exact.exact_global AS BIGINT) AS exact_global,
+       CAST(merged.n_groups AS BIGINT) AS n_groups,
+       merged.est >= exact.exact_global * 0.95
+         AND merged.est <= exact.exact_global * 1.05 AS union_within_5pct
+FROM merged CROSS JOIN exact
+"""
+    )
+
+
+_ROLL7 = """
+WITH d AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day_no,
+         o_totalprice
+  FROM orders),
+daily AS (
+  SELECT o_custkey, day_no, SUM(o_totalprice) AS day_rev
+  FROM d GROUP BY o_custkey, day_no)
+SELECT o_custkey, CAST(day_no AS BIGINT) AS day_no,
+       round(SUM(day_rev) OVER (
+         PARTITION BY o_custkey ORDER BY day_no
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+FROM daily
+"""
+
+
+@register("win_rolling_7d_revenue", oracle=_ROLL7)
+def win_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue per customer via a RANGE window frame over
+    the day number (W2): unlike a ROWS frame, the range frame is gap-
+    aware — a customer with orders on days 1 and 30 gets two singleton
+    windows, not a 2-row one. Pre-aggregating to (customer, day) before
+    the window keeps the frame input minimal: the window sees one row
+    per active day, not one per order — at 100 TB that collapses the
+    sort input by the per-day order count before any window state is
+    held."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    daily = (
+        orders.select(
+            "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("day_no"),
+            "o_totalprice",
+        )
+        .groupBy("o_custkey", "day_no")
+        .agg(F.sum("o_totalprice").alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_custkey",
+        "day_no",
+        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+    )
+
+
+_PATHS = """
+WITH ordered AS (
+  SELECT user_id,
+         array_agg(event_type ORDER BY ts, event_id) AS types
+  FROM events GROUP BY user_id)
+SELECT array_to_string(types[1:3], '>') AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ordered
+GROUP BY path
+HAVING COUNT(*) >= 3
+"""
+
+
+@register("events_top_paths", oracle=_PATHS)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining (the sequence analog of the funnel query):
+    each user's first three event types in event-time order, collapsed to
+    a '>'-joined path, counted across users, rare paths dropped. The
+    ordered prefix comes from ``sort_array`` over collected (ts,
+    event_id, type) structs — a per-user in-memory sort of that user's
+    events only (bounded, shuffle-partitioned by user), not a global
+    sort; the path count is then an ordinary partial-aggregated
+    groupBy. Deterministic: event_id breaks ts ties inside the struct
+    sort."""
+    (events,) = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    path = F.array_join(
+        F.slice(F.col("evs.event_type"), 1, 3), ">"
+    ).alias("path")
+    return (
+        per_user.select(path)
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .filter(F.col("n_users") >= 3)
+    )
+
+
+_PAIRS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DK_TOKS} AS t FROM documents),
+pairs AS (
+  SELECT u.pair FROM toks,
+    UNNEST(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS u(pair)
+  WHERE len(t) >= 2)
+SELECT pair[1] AS left_tok, pair[2] AS right_tok,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY left_tok, right_tok
+HAVING COUNT(*) >= 30
+"""
+
+
+@register("vocab_pair_frequencies", oracle=_PAIRS_SQL)
+def vocab_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent token-pair frequencies — the first merge round of BPE
+    vocabulary training, corpus-wide. Pairs are built inside the array
+    domain (``arrays_zip`` of the token array against its shift) BEFORE
+    the explode, so the shuffle carries (pair, partial count) after
+    map-side combine, never raw token streams. The >= 30 support floor
+    is the standard merge-candidate cutoff shape."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(TXT.tokens("text").alias("t")).filter(F.size("t") >= 2)
+    zipped = toks.select(
+        F.arrays_zip(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+        ).alias("pairs")
+    )
+    return (
+        zipped.select(F.explode("pairs").alias("p"))
+        .select(F.col("p.0").alias("left_tok"), F.col("p.1").alias("right_tok"))
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= 30)
+    )
+
+
+_EMB_OUTLIER = """
+WITH unnested AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+centroids AS (
+  SELECT label, dim, AVG(v) AS c
+  FROM unnested GROUP BY label, dim),
+dists AS (
+  SELECT n.vec_id, n.label, sqrt(SUM((n.v - c.c) * (n.v - c.c))) AS dist
+  FROM unnested n JOIN centroids c ON n.label = c.label AND n.dim = c.dim
+  GROUP BY n.vec_id, n.label),
+thresh AS (SELECT quantile_cont(dist, 0.95) AS t FROM dists)
+SELECT d.vec_id, CAST(d.label AS BIGINT) AS label,
+       round(d.dist, 6) AS dist
+FROM dists d, thresh
+WHERE d.dist > thresh.t
+"""
+
+
+@register("emb_outlier_gate", oracle=_EMB_OUTLIER)
+def emb_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier gate: distance of every vector to its
+    label centroid, flagging the global top-5% — the curation filter
+    that drops mislabeled or off-distribution samples before training.
+
+    Shape: centroids are a tiny per-label aggregate computed with ONE
+    pass of vectorized array arithmetic (``aggregate`` over zipped
+    arrays), broadcast back; distances are a zip_with/aggregate
+    expression per row — no posexplode of the fact side, so the big
+    table is scanned once and never widened to (row x dim)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    zeros = F.array([F.lit(0.0)] * dim)
+    sums = emb.groupBy("label").agg(
+        F.aggregate(
+            F.collect_list("embedding"),
+            zeros,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("vec_sum"),
+        F.count("*").alias("n"),
+    )
+    centroids = sums.select(
+        "label",
+        F.transform("vec_sum", lambda s: s / F.col("n")).alias("centroid"),
+    )
+    dists = (
+        emb.join(F.broadcast(centroids), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        "centroid",
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("dist"),
+        )
+    )
+    thresh = dists.agg(
+        F.expr("percentile(dist, 0.95)").alias("t")
+    )
+    return (
+        dists.join(F.broadcast(thresh))
+        .filter(F.col("dist") > F.col("t"))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )
+
+
+_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {_DK_TOKS} AS t FROM documents),
+counts AS (
+  SELECT doc_id, u.tok AS tok, COUNT(*) AS c
+  FROM toks, UNNEST(t) AS u(tok)
+  GROUP BY doc_id, tok),
+stats AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n, COUNT(*) AS n_distinct
+  FROM counts GROUP BY doc_id)
+SELECT doc_id,
+       round(top_c / n, 6) AS top_token_frac,
+       round(n_distinct / n, 6) AS distinct_ratio
+FROM stats
+WHERE top_c / n > 0.125
+"""
+
+
+@register("text_repetition_metrics", oracle=_REPETITION)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition gate: per-document fraction of
+    tokens taken by the single most frequent token, plus the distinct-
+    token ratio; documents past the repetition threshold are flagged
+    (these are the 'aaaa aaaa aaaa' / boilerplate-loop documents the
+    quality rules exist to drop). Both metrics come from ONE explode +
+    two-level aggregation with map-side combine — the shuffle carries
+    (doc, token, partial count), never document text."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+    )
+    return stats.filter(F.col("top_c") / F.col("n") > 0.125).select(
+        "doc_id",
+        F.round(F.col("top_c") / F.col("n"), 6).alias("top_token_frac"),
+        F.round(F.col("n_distinct") / F.col("n"), 6).alias("distinct_ratio"),
+    )
