@@ -67,9 +67,11 @@ def _run() -> tuple[dict[str, float | None], dict[str, str], float | str]:
     # Per-query fault isolation: one broken plan must not zero out the
     # other ~100 measurements (round-2 lesson — a single plan-time
     # AnalysisException aborted the whole run with rc=1 and no timings).
+    import gc
+
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    for name, fn in queries().items():
+    for i, (name, fn) in enumerate(queries().items()):
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -79,6 +81,18 @@ def _run() -> tuple[dict[str, float | None], dict[str, str], float | str]:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             continue
         timings[name] = round(time.time() - t0, 3)
+        # Three leaks would otherwise accrue across 100+ measurements and
+        # tax later queries with multi-second GC debt (measured): cached
+        # tables (cache() holds STRONG refs in the CacheManager — never
+        # GC-reclaimed; the dedup family caches its shingle-set table per
+        # query), JVM-side localCheckpoint blocks pinned by live py4j
+        # refs, and dead broadcast/shuffle state awaiting a GC-triggered
+        # ContextCleaner sweep. Clear all three OUTSIDE the measured
+        # windows.
+        spark.catalog.clearCache()
+        gc.collect()
+        if (i + 1) % 10 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

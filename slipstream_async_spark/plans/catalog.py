@@ -3396,7 +3396,13 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. The classic banding pattern for histograms over a fact
     table at scale."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    bands = li.sparkSession.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    # Inline VALUES keeps the 3-row dim JVM-side: createDataFrame over a
+    # Python list plans as an ExistingRDD and spins up Python workers
+    # just to serve three rows (measured as multi-second jitter in the
+    # bench when workers need respawning).
+    bands = li.sparkSession.sql(
+        f"SELECT * FROM (VALUES {_BANDS_VALUES}) AS bands(band, lo, hi)"
+    )
     return (
         li.join(
             F.broadcast(bands),
