@@ -1,0 +1,148 @@
+"""Physical-plan contracts for the catalog's headline shapes.
+
+Correctness tests prove the small-SF answer; these prove the PLAN — the
+properties that decide whether the same query survives a 100 TB run:
+filters and projections reaching the parquet scan, small dimensions
+broadcast instead of shuffled, aggregates pre-combined map-side, range
+joins staying out of cartesian territory, and expressions staying inside
+whole-stage codegen. A regression that silently flips one of these
+(e.g. a broadcast that becomes a sort-merge join after a refactor)
+passes every value test and only shows up here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    from slipstream_async_spark.plans.catalog import _QUERIES
+
+    return {name: fn(spark, SF) for name, fn in _QUERIES.items()}
+
+
+def test_filter_and_projection_pushed_to_scan(q):
+    """q6: the date/discount/quantity predicates and the 4-column
+    projection must reach the parquet reader — a scan that reads every
+    column and filters afterwards re-reads the whole 100 TB table."""
+    plan = _plan(q["q6_forecast_revenue"])
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not just IsNotNull
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert any(op in pushed for op in ("GreaterThan", "LessThan", "EqualTo")), pushed
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_comment" not in read
+    assert len(read) < 200, f"projection not pruned: {read}"
+
+
+def test_dimension_joins_broadcast(q):
+    """q3/q5: customer/nation/region dimensions must come in as
+    broadcast joins (no shuffle of the fact table on the dim key)."""
+    for name in ("q3_shipping_priority", "q5_region_revenue"):
+        plan = _plan(q[name], "simple")
+        assert "BroadcastHashJoin" in plan, f"{name}:\n{plan}"
+
+
+def test_aggregates_partial_map_side(q):
+    """q1: the big groupBy must plan as partial HashAggregate ->
+    Exchange -> final HashAggregate, so the shuffle carries one row per
+    (partition, group), not one per input row."""
+    plan = _plan(q["q1_pricing_summary"])
+    first_exchange = plan.find("Exchange")
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1 and first_exchange != -1
+    # formatted mode prints operators leaf-first: the partial aggregate
+    # appears before the exchange that feeds the final aggregate
+    assert "partial_" in plan
+
+
+def test_interval_join_is_not_cartesian(q):
+    """j2: the interval join must carry its range predicates inside the
+    join, not degenerate to CartesianProduct + post-filter."""
+    plan = _plan(q["j2_interval_join"], "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_no_global_single_partition_sort(q):
+    """j1: the keyed as-of join must distribute by key — no
+    single-partition global Sort/Window (the keyless fallback warns and
+    is not what the catalog query plans)."""
+    plan = _plan(q["j1_asof_join"], "formatted")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_lookup_join_broadcasts_small_side(q):
+    plan = _plan(q["j3_lookup_join"], "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_band_join_broadcasts_tiny_dim(q):
+    """Banded range join: 3-row dim must broadcast (nested-loop against
+    a broadcast, never a shuffle or cartesian of the fact table)."""
+    plan = _plan(q["join_range_price_bands"], "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_gates_stay_jvm_side_single_scan(q):
+    """Text quality gates are pure JVM expressions (higher-order
+    functions run interpreted but JVM-side — they are excluded from
+    whole-stage codegen by design): the contract is no Python eval
+    operators and exactly one scan of documents."""
+    plan = _plan(q["text_quality"], "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_repetition_metrics_no_python_no_extra_scan(q):
+    """Round-3 addition keeps the same contract: one documents scan,
+    all-JVM expressions, map-side combine below both shuffles."""
+    plan = _plan(q["text_repetition_metrics"], "simple")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in _plan(q["text_repetition_metrics"], "formatted")
+
+
+def test_emb_outlier_gate_broadcasts_centroids(q):
+    """Centroids and the scalar threshold must broadcast; the embedding
+    fact table must not be posexploded (scan stays at row granularity).
+    Two scans of the fact side (centroid pass + distance pass) are the
+    expected shape."""
+    plan = _plan(q["emb_outlier_gate"], "simple")
+    assert "PosExplode" not in plan
+    assert plan.count("Broadcast") >= 2, plan
+
+
+def test_rolling_window_preaggregates_before_frame(q):
+    """win_rolling_7d_revenue: the RANGE-frame window input must be the
+    (customer, day) pre-aggregate — a partial aggregation appears below
+    the Window operator."""
+    plan = _plan(q["win_rolling_7d_revenue"], "formatted")
+    w = plan.find("Window")
+    assert w != -1
+    assert "partial_sum" in plan
+
+
+def test_exact_dedup_shuffles_hashes_not_documents(spark):
+    """dedup_exact's shuffle must carry the md5 key + id, never the
+    document text column."""
+    from slipstream_async_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup_exact(docs, "text", "doc_id"))
+    # the exchange feeding the final agg carries content_md5/keep_id
+    # only; 'text' may appear in the scan but not above the partial agg
+    above_exchange = plan.split("Exchange", 1)[0]
+    assert "partial_" in above_exchange or "text" not in above_exchange
