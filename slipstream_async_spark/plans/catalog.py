@@ -3778,3 +3778,171 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("top_c") / F.col("n"), 6).alias("top_token_frac"),
         F.round(F.col("n_distinct") / F.col("n"), 6).alias("distinct_ratio"),
     )
+
+
+_TOKEN_BUDGET = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens,
+         md5('budget' || doc_id::VARCHAR) AS h
+  FROM documents),
+runn AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS prior_tokens
+  FROM sized)
+SELECT doc_id, source, n_tokens, prior_tokens
+FROM runn
+WHERE prior_tokens < 3000
+"""
+
+
+@register("mix_token_budget", oracle=_TOKEN_BUDGET)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling per source: take documents in a
+    deterministic salted-hash order until each source's cumulative token
+    count reaches the budget (the doc that crosses the boundary is
+    kept, so every source lands within one document of its budget) —
+    how a mixture spec ('3k tokens of src0, 3k of src1, ...') becomes a
+    concrete document set, rerun-stable because the order is a content
+    hash, not a random().
+
+    Scale: one window per source partition (cumulative sum), shuffle
+    keyed by source; the budget predicate prunes before any downstream
+    materialization. Skewed sources are the window's partition — at
+    real scale pre-bucket by (source, hash prefix) and take per-bucket
+    budgets."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat(F.lit("budget"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sized.withColumn(
+            "prior_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+        )
+        .filter(F.col("prior_tokens") < 3000)
+        .select("doc_id", "source", "n_tokens", "prior_tokens")
+    )
+
+
+_SRC_OVERLAP = f"""
+WITH fp AS (
+  SELECT DISTINCT
+    md5(array_to_string(({_DK_TOKS})[1:10], ' ')) AS h, source
+  FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+GROUP BY src_a, src_b
+"""
+
+
+@register("source_overlap_matrix", oracle=_SRC_OVERLAP)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct document OPENINGS (first-10-token fingerprint) appear
+    in both — the 'is my crawl duplicated across dumps/registries'
+    diagnostic that decides whether sources can be mixed independently;
+    the prefix fingerprint catches re-hosted copies whose tails diverge
+    (byte-identical cross-source dups are typically absent — they are
+    here — while copied openings are common).
+
+    Shape: openings collapse to 16-byte md5 first (distinct per
+    source), then sources co-occurring on a hash pair up INSIDE a
+    per-hash aggregation (sorted set + pair expansion) — one shuffle on
+    the hash, no self-join of the documents table, and the shuffle
+    carries (hash, source), never text."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.md5(F.array_join(F.slice(TXT.tokens("text"), 1, 10), " ")).alias("h"),
+        "source",
+    ).distinct()
+    per_hash = (
+        fp.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    srcs = F.col("srcs")
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                srcs,
+                lambda x, i: F.transform(
+                    F.slice(srcs, i + 2, F.size(srcs)),
+                    lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+                ),
+            )
+        )
+    )
+    return (
+        per_hash.select(pairs.alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+
+
+_HH = f"""
+WITH toks AS (
+  SELECT source, u.tok AS tok
+  FROM (SELECT source, {_DK_TOKS} AS t FROM documents), UNNEST(t) AS u(tok)),
+counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+ranked AS (
+  SELECT source, tok, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+  FROM counts)
+SELECT source,
+       array_to_string(array_agg(tok ORDER BY r), ',') AS top3_tokens,
+       TRUE AS sketch_covers_top3
+FROM ranked WHERE r <= 3
+GROUP BY source
+"""
+
+
+@register("text_heavy_hitters", oracle=_HH)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens per source: exact top-3 (count desc, token
+    asc tie-break) alongside ``approx_top_k`` — the bounded-memory
+    frequent-items sketch whose (item, count) summaries are the 100 TB
+    path (mergeable, fixed size, no per-token shuffle at full
+    cardinality). The sketch's top-10 must cover the exact top-3; a
+    broken sketch flips the boolean under the driver's hash gate while
+    the exact columns pin the values."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+WITH toks AS (
+  SELECT source, explode(filter(split(text, '\\\\s+'), x -> x != '')) AS tok
+  FROM documents),
+counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+ranked AS (
+  SELECT source, tok, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+  FROM counts),
+exact3 AS (
+  SELECT source,
+         transform(sort_array(collect_list(struct(r, tok))), x -> x.tok)
+           AS top3_arr
+  FROM ranked WHERE r <= 3 GROUP BY source),
+sketch AS (
+  SELECT source, transform(approx_top_k(tok, 10), x -> x.item) AS hh
+  FROM toks GROUP BY source)
+SELECT e.source, array_join(e.top3_arr, ',') AS top3_tokens,
+       size(array_intersect(e.top3_arr, s.hh)) = 3 AS sketch_covers_top3
+FROM exact3 e JOIN sketch s ON e.source = s.source
+"""
+    )
