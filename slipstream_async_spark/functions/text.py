@@ -114,7 +114,12 @@ def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
     lambda.
     """
     n = F.size(toks)
-    shifted = [F.slice(toks, i + 1, n - k + 1) for i in range(k)]
+    # Total slice length: the n >= k CASE branch does NOT guarantee the
+    # slice is never evaluated for shorter docs — generator rewrites
+    # (explode over this expression) can evaluate it on rows a guard
+    # excludes, and slice raises on negative lengths. Clamp to 0.
+    win = F.greatest(n - k + 1, F.lit(0))
+    shifted = [F.slice(toks, i + 1, win) for i in range(k)]
     zipped = F.arrays_zip(*[s.alias(f"t{i}") for i, s in enumerate(shifted)])
     sh = F.transform(
         zipped,

@@ -3643,10 +3643,15 @@ def vocab_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the standard merge-candidate cutoff shape."""
     (docs,) = _t(spark, sf_dir, "documents")
     toks = docs.select(TXT.tokens("text").alias("t")).filter(F.size("t") >= 2)
+    # slice length must be total: the generator rewrite can evaluate
+    # this expression on rows the size>=2 filter excludes (observed:
+    # explode(arrays_zip(slice(...))) crashing on an empty doc), so
+    # clamp instead of relying on filter order.
+    n1 = F.greatest(F.size("t") - 1, F.lit(0))
     zipped = toks.select(
         F.arrays_zip(
-            F.slice("t", 1, F.size("t") - 1),
-            F.slice("t", 2, F.size("t") - 1),
+            F.slice("t", 1, n1),
+            F.slice("t", 2, n1),
         ).alias("pairs")
     )
     return (
