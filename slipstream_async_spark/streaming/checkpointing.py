@@ -264,3 +264,59 @@ def marker_tracker(
             checkpoint.check_pulse(marker, epoch_id=epoch_id)
 
     return hook
+
+
+def pausing_foreach_batch(
+    checkpoint: Checkpoint,
+    sink: Callable[[DataFrame, int], None],
+    poll_interval: float = 0.1,
+    max_wait: float = 30.0,
+    on_timeout: str = "raise",
+) -> Callable[[DataFrame, int], None]:
+    """T4's hard PAUSE, Spark-native: wrap a foreachBatch sink so the
+    dependent query BLOCKS at the micro-batch boundary while any
+    dependency is marked down, and resumes the moment recovery flips it
+    back up.
+
+    The reference pauses its Kafka consumer in-place on ``Signal.PAUSE``
+    (slipstream/core.py:88-94, consumer pause/resume loop
+    core.py:516-527). Structured Streaming has no mid-query pause, but
+    blocking inside foreachBatch is the exact operational analog: the
+    micro-batch never completes, so **no offsets are committed and no
+    further batches are scheduled** — on restart or resume nothing is
+    lost or skipped. The dependency's own query keeps running (separate
+    StreamingQuery); its ``heartbeat`` flips ``is_down`` from another
+    foreachBatch thread on the shared driver-side Checkpoint, which
+    unblocks this one.
+
+    ``max_wait`` bounds the stall (a stuck dependency must surface as a
+    failure, not a silent forever-hang): ``on_timeout='raise'`` fails
+    the query (supervision restarts it and it re-blocks if still down);
+    ``'proceed'`` lets the batch through — the reference's
+    "enrich-with-stale-then-correct" mode, paired with seek-reprocess
+    on recovery (T5).
+    """
+    import time as _time
+
+    if on_timeout not in ("raise", "proceed"):
+        raise ValueError("on_timeout must be raise|proceed")
+
+    def hook(batch_df: DataFrame, epoch_id: int) -> None:
+        waited = 0.0
+        while any(d.is_down for d in checkpoint.dependencies.values()):
+            if waited >= max_wait:
+                if on_timeout == "raise":
+                    down = [
+                        n
+                        for n, d in checkpoint.dependencies.items()
+                        if d.is_down
+                    ]
+                    raise TimeoutError(
+                        f"dependencies still down after {max_wait}s: {down}"
+                    )
+                break
+            _time.sleep(poll_interval)
+            waited += poll_interval
+        sink(batch_df, epoch_id)
+
+    return hook

@@ -286,3 +286,65 @@ def test_reference_golden_sequence(spark, tmp_path):
         "shopping": "🌦️",
         "lunch": "🌧",
     }
+
+
+def test_pausing_foreach_batch_blocks_until_recovery(spark):
+    """T4 hard pause: the wrapped sink must not run while a dependency
+    is down, must unblock promptly when recovery (from another thread —
+    the dependency query's heartbeat in real flows) flips it up, and
+    must time out loudly when recovery never comes."""
+    import threading
+    import time
+
+    from slipstream_async_spark.streaming.checkpointing import (
+        pausing_foreach_batch,
+    )
+
+    dep = Dependency("w", downtime_threshold=timedelta(minutes=10))
+    cp = Checkpoint("a", [dep])
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    cp.heartbeat(t0, dependency="w")
+    cp.check_pulse(t0 + timedelta(minutes=20))  # -> downtime detected
+    assert dep.is_down
+
+    seen: list[int] = []
+    hook = pausing_foreach_batch(
+        cp, lambda df, epoch: seen.append(epoch), poll_interval=0.01, max_wait=5.0
+    )
+    batch = spark.createDataFrame([(1,)], "x int")
+
+    def recover():
+        time.sleep(0.3)
+        # dependency catches up past the dependent's marker -> recovery
+        cp.heartbeat(t0 + timedelta(minutes=21), dependency="w")
+
+    th = threading.Thread(target=recover)
+    start = time.time()
+    th.start()
+    hook(batch, 7)  # blocks ~0.3s, then runs the sink
+    elapsed = time.time() - start
+    th.join()
+    assert seen == [7]
+    assert 0.25 <= elapsed < 4.0, elapsed
+    assert not dep.is_down
+
+    # timeout path: down again, nobody recovers
+    cp.check_pulse(t0 + timedelta(minutes=40))
+    assert dep.is_down
+    strict = pausing_foreach_batch(
+        cp, lambda df, epoch: seen.append(epoch), poll_interval=0.01, max_wait=0.1
+    )
+    with pytest.raises(TimeoutError, match="w"):
+        strict(batch, 8)
+    assert seen == [7]  # sink never ran
+
+    # proceed mode: stale-enrich-then-correct lane lets the batch pass
+    lenient = pausing_foreach_batch(
+        cp,
+        lambda df, epoch: seen.append(epoch),
+        poll_interval=0.01,
+        max_wait=0.1,
+        on_timeout="proceed",
+    )
+    lenient(batch, 9)
+    assert seen == [7, 9]
