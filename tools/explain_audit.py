@@ -34,6 +34,15 @@ ALLOW_BNLJ = {
     # per-source aggregate — the scalar-subquery shape, not a data cross
     "mix_temperature_weights",
     "mix_materialize",
+    # banded range join: 3-row band dim broadcast against the fact table,
+    # each row tests the band predicates map-side — the intended shape
+    "join_range_price_bands",
+    # one-row exact-count x one-row merged-sketch-estimate cross — two
+    # scalars, not data
+    "agg_hll_mergeable",
+    # one-row p95 threshold broadcast against the per-vector distances —
+    # the scalar-subquery shape
+    "emb_outlier_gate",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
