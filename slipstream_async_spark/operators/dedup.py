@@ -204,15 +204,16 @@ def dedup_ngram_jaccard(
     make the decision is the cache materialization, not an extra pass.
     """
     sets = shingle_sets(df, text_col, id_col, k).cache()
-    n_docs = sets.count()  # materializes the cache; drives broadcast choice
+    # ONE action materializes the cache and yields both broadcast
+    # decisions (doc count, and vocab bounded by total occurrences).
+    n_docs, total_sh = sets.agg(
+        F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
+    ).first()
     small_sets = n_docs <= _BC_MAX_DOCS
     inv = sets.select(F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s"))
     freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
-    if small_sets:
-        # vocab <= total shingle occurrences, a one-scan bound off the cache
-        total_sh = sets.agg(F.sum(F.size("sh"))).first()[0] or 0
-        if total_sh <= _BC_MAX_VOCAB:
-            freq = F.broadcast(freq)
+    if small_sets and total_sh <= _BC_MAX_VOCAB:
+        freq = F.broadcast(freq)
     w = Window.partitionBy(id_col).orderBy(F.col("_f").asc(), F.col("s").asc())
     prefix = (
         inv.join(freq, "s")
@@ -278,16 +279,17 @@ def containment_pairs(
     is the same hashed-intersection used by the Jaccard path.
     """
     sets = shingle_sets(df, text_col, id_col, k).cache()
-    n_docs = sets.count()  # materializes the cache; drives broadcast choice
+    # ONE action: cache materialization + both broadcast decisions.
+    n_docs, total_sh = sets.agg(
+        F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
+    ).first()
     small_sets = n_docs <= _BC_MAX_DOCS
     inv = sets.select(
         F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
     freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
-    if small_sets:
-        total_sh = sets.agg(F.sum(F.size("sh"))).first()[0] or 0
-        if total_sh <= _BC_MAX_VOCAB:
-            freq = F.broadcast(freq)
+    if small_sets and total_sh <= _BC_MAX_VOCAB:
+        freq = F.broadcast(freq)
     w = Window.partitionBy(id_col).orderBy(F.col("_f").asc(), F.col("s").asc())
     probe = (
         inv.join(freq, "s")
@@ -586,16 +588,16 @@ def dedup_incremental(
         F.col("_new"),
         shingles_of_tokens(tokens(text_col), k).alias("sh"),
     ).cache()
-    n_docs = sets.count()
+    n_docs, total_sh = sets.agg(
+        F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
+    ).first()
     small = n_docs <= _BC_MAX_DOCS
     inv = sets.select(
         F.col(id_col), "_new", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
     freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
-    if small:
-        total_sh = sets.agg(F.sum(F.size("sh"))).first()[0] or 0
-        if total_sh <= _BC_MAX_VOCAB:
-            freq = F.broadcast(freq)
+    if small and total_sh <= _BC_MAX_VOCAB:
+        freq = F.broadcast(freq)
     w = Window.partitionBy(id_col).orderBy(F.col("_f").asc(), F.col("s").asc())
     prefix = (
         inv.join(freq, "s")
