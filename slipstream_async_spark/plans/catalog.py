@@ -3951,3 +3951,74 @@ SELECT e.source, array_join(e.top3_arr, ',') AS top3_tokens,
 FROM exact3 e JOIN sketch s ON e.source = s.source
 """
     )
+
+
+_FEATURES = f"""
+WITH quality AS ({_ORACLES["text_quality"]}),
+langs AS ({_ORACLES["text_langid"]}),
+surp AS ({_SURPRISAL}),
+toks AS (SELECT doc_id, {_DK_TOKS} AS t FROM documents),
+rep AS (
+  SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_frac,
+         COUNT(*)::DOUBLE / SUM(c) AS distinct_ratio
+  FROM (SELECT doc_id, u.tok AS tok, COUNT(*) AS c
+        FROM toks, UNNEST(t) AS u(tok) GROUP BY doc_id, tok)
+  GROUP BY doc_id)
+SELECT q.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       q.quality,
+       l.lang_pred,
+       round(r.top_frac, 6) AS top_token_frac,
+       round(r.distinct_ratio, 6) AS distinct_ratio,
+       s.surprisal
+FROM quality q
+JOIN langs l ON l.doc_id = q.doc_id
+JOIN rep r ON r.doc_id = q.doc_id
+JOIN surp s ON s.doc_id = q.doc_id
+"""
+
+
+@register("quality_feature_matrix", oracle=_FEATURES)
+def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality-feature matrix — the training input for a
+    learned corpus filter (the fastText/logistic quality-classifier
+    stage of LLM data pipelines): rule-based quality score, language
+    prediction, repetition metrics, and corpus-LM surprisal, one row
+    per document.
+
+    Plan shape: the expression metrics (quality, lang) ride ONE
+    documents scan; the token-level metrics need the explode domain —
+    repetition aggregates (doc, token) partials and surprisal joins the
+    corpus unigram counts back to the same token stream. Three scans
+    total, joined on doc_id with map-side combine everywhere; nothing
+    shuffles document text."""
+    _views(spark, sf_dir, "documents")
+    (docs,) = _t(spark, sf_dir, "documents")
+    expr_metrics = docs.select(
+        "doc_id",
+        TXT.quality_score("text").alias("quality"),
+        TXT.lang_id("text").alias("lang_pred"),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    rep = counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_ratio"),
+    )
+    surp = text_unigram_surprisal(spark, sf_dir)
+    return (
+        expr_metrics.join(rep, "doc_id")
+        .join(surp, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "quality",
+            "lang_pred",
+            "top_token_frac",
+            "distinct_ratio",
+            "surprisal",
+        )
+    )
