@@ -67,7 +67,10 @@ def _driver_verified() -> frozenset[str]:
     import json as _json
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    green: set[str] = set()
+    # Later rounds override earlier ones per query: a regression (green
+    # in r_k, red in r_{k+n}) must rotate the query back into the
+    # driver's verification window, not hide behind its old green row.
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -75,15 +78,14 @@ def _driver_verified() -> frozenset[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if (
+            latest[name] = (
                 isinstance(row, dict)
                 and row.get("rows_match") is True
                 and row.get("schema_match") is True
                 and row.get("hash_match") is True
                 and row.get("err") in (None, "")
-            ):
-                green.add(name)
-    return frozenset(green)
+            )
+    return frozenset(n for n, ok in latest.items() if ok)
 
 
 _DRIVER_VERIFIED: frozenset[str] = _driver_verified()
