@@ -4024,3 +4024,66 @@ def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surprisal",
         )
     )
+
+
+_ANN_RECALL = f"""
+WITH e AS (SELECT vec_id, embedding,
+                  {_DK_BUCKET.format(v="embedding")} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+      FROM e WHERE vec_id < 10),
+exact_scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_dk_cos("q.qv", "e.embedding")}, 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+exact_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rk
+    FROM exact_scored) WHERE rk <= 5),
+ann_scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_dk_cos("q.qv", "e.embedding")}, 6) AS cosine
+  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id != q.query_id),
+ann_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rk
+    FROM ann_scored) WHERE rk <= 5)
+SELECT x.query_id,
+       round(COUNT(a.vec_id)::DOUBLE / 5, 6) AS recall_at_5
+FROM exact_top x
+LEFT JOIN ann_top a
+  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY x.query_id
+"""
+
+
+@register("sim_ann_recall", oracle=_ANN_RECALL)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@5 of the sign-LSH bucketed search
+    against exact brute force, per query — the metric that decides
+    whether an ANN index's speed is worth its misses before pointing a
+    dedup or retrieval pipeline at it. Both arms reuse the production
+    operators (similarity.brute_force_topk / lsh_bucket_topk); the
+    oracle recomputes both in SQL. At 100 TB this runs on a query
+    SAMPLE, which is exactly this shape (10 queries here)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(emb, q, k=5).select("query_id", "vec_id")
+    ann = SIM.lsh_bucket_topk(emb, q, k=5, n_planes=8).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("av")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.count("av") / F.lit(5), 6).alias("recall_at_5"))
+    )
