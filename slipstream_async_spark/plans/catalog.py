@@ -4087,3 +4087,72 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.round(F.count("av") / F.lit(5), 6).alias("recall_at_5"))
     )
+
+
+_CHUNK_DEDUP = rf"""
+WITH t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, s, s + 15), ' ')) AS chunk_md5,
+         CAST(len(list_slice(toks, s, s + 15)) AS BIGINT) AS chunk_len
+  FROM t, UNNEST(generate_series(1, greatest(len(toks), 1), 8)) AS u(s)),
+owners AS (
+  SELECT chunk_md5, MIN(doc_id) AS owner, COUNT(*) AS n_copies,
+         MAX(chunk_len) AS chunk_len
+  FROM chunks GROUP BY chunk_md5)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN o.owner = c.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_canonical,
+       CAST(SUM(CASE WHEN o.owner != c.doc_id THEN c.chunk_len ELSE 0 END)
+            AS BIGINT) AS tokens_saved
+FROM chunks c JOIN owners o ON o.chunk_md5 = c.chunk_md5
+GROUP BY c.doc_id
+HAVING SUM(CASE WHEN o.owner != c.doc_id THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register("dedup_chunks", oracle=_CHUNK_DEDUP)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup (the passage-level pass that doc-
+    level dedup misses: shared spans embedded in otherwise-distinct
+    documents): chunk every document (16-token windows, stride 8),
+    assign each distinct chunk content a canonical owner (min doc_id),
+    and report per affected document how many chunks it contributes vs
+    duplicates elsewhere — ``tokens_saved`` is the dedup benefit of
+    dropping its duplicated chunks at training-sample granularity.
+
+    Shape: chunks collapse to 16-byte md5 at the scan stage; ownership
+    is one groupBy on the hash; the join back is hash->owner (two
+    16-byte columns). Document text never shuffles. This composes
+    chunking (text_chunk_windows) with the dedup_exact ownership rule
+    at chunk granularity."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TXT.tokens("text").alias("_toks"))
+    chunks = toked.select(
+        "doc_id",
+        F.explode(TXT.chunk_windows(F.col("_toks"), size=16, stride=8)).alias("c"),
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "c.chunk")).alias("chunk_md5"),
+        F.size("c.chunk").cast("bigint").alias("chunk_len"),
+    )
+    owners = chunks.groupBy("chunk_md5").agg(
+        F.min("doc_id").alias("owner"),
+        F.count("*").alias("n_copies"),
+    )
+    joined = chunks.join(owners, "chunk_md5")
+    dup = F.col("owner") != F.col("doc_id")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(~dup, 1).otherwise(0)).cast("bigint").alias("n_canonical"),
+            F.sum(F.when(dup, F.col("chunk_len")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_saved"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("_n_dup"),
+        )
+        .filter(F.col("_n_dup") > 0)
+        .select("doc_id", "n_chunks", "n_canonical", "tokens_saved")
+    )
