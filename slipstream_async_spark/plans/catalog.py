@@ -4156,3 +4156,43 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n_dup") > 0)
         .select("doc_id", "n_chunks", "n_canonical", "tokens_saved")
     )
+
+
+_PROPS_MAP = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       round(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+         AS avg_k,
+       CAST(COUNT(DISTINCT json_extract_string(props, '$.k')) AS BIGINT)
+         AS n_distinct_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_props_map_stats", oracle=_PROPS_MAP)
+def events_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured properties through the MAP domain (F1 JSON codec +
+    F7 map functions): each event's JSON ``props`` parses to
+    MAP<STRING,BIGINT> at the scan stage (one from_json, schema-on-read
+    — the payload stays schemaless at rest like the reference's JSON
+    values), then per-type aggregates read the map with element_at.
+    The parse happens ONCE in a projected column; the aggregation
+    shuffles (type, k) pairs, never raw JSON strings."""
+    (events,) = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.element_at(
+            F.from_json("props", "map<string,bigint>"), F.lit("k")
+        ).alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.countDistinct(F.col("k").cast("string")).cast("bigint").alias(
+            "n_distinct_k"
+        ),
+    )
