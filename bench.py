@@ -75,24 +75,25 @@ def _run() -> tuple[dict[str, float | None], dict[str, str], float | str]:
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            continue
-        timings[name] = round(time.time() - t0, 3)
-        # Three leaks would otherwise accrue across 100+ measurements and
-        # tax later queries with multi-second GC debt (measured): cached
-        # tables (cache() holds STRONG refs in the CacheManager — never
-        # GC-reclaimed; the dedup family caches its shingle-set table per
-        # query), JVM-side localCheckpoint blocks pinned by live py4j
-        # refs, and dead broadcast/shuffle state awaiting a GC-triggered
-        # ContextCleaner sweep. Clear all three OUTSIDE the measured
-        # windows.
-        spark.catalog.clearCache()
-        gc.collect()
-        if (i + 1) % 10 == 0:
-            spark.sparkContext._jvm.System.gc()
+        finally:
+            # Three leaks would otherwise accrue across 100+ measurements
+            # and tax later queries with multi-second GC debt (measured):
+            # cached tables (cache() holds STRONG refs in the
+            # CacheManager — never GC-reclaimed; the dedup family caches
+            # its shingle-set table per query), JVM-side localCheckpoint
+            # blocks pinned by live py4j refs, and dead broadcast/shuffle
+            # state awaiting a GC-triggered ContextCleaner sweep. Clear
+            # all three OUTSIDE the measured windows — on the failure
+            # path too, where a half-built query may have cached already.
+            spark.catalog.clearCache()
+            gc.collect()
+            if (i + 1) % 10 == 0:
+                spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -3589,7 +3589,7 @@ SELECT array_to_string(types[1:3], '>') AS path,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM ordered
 GROUP BY path
-HAVING COUNT(*) >= 3
+HAVING COUNT(*) >= 2
 """
 
 
@@ -3617,7 +3617,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.select(path)
         .groupBy("path")
         .agg(F.count("*").cast("bigint").alias("n_users"))
-        .filter(F.col("n_users") >= 3)
+        .filter(F.col("n_users") >= 2)
     )
 
 
@@ -3760,26 +3760,34 @@ WHERE top_c / n > 0.125
 """
 
 
+def _repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token-repetition partials (doc_id, top_c, n,
+    n_distinct) from ONE explode + two-level aggregation with map-side
+    combine — the shuffle carries (doc, token, partial count), never
+    document text. Shared by text_repetition_metrics and
+    quality_feature_matrix so the metric cannot silently diverge
+    between the gate and the feature it feeds."""
+    counts = (
+        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+    )
+
+
 @register("text_repetition_metrics", oracle=_REPETITION)
 def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/RefinedWeb-style repetition gate: per-document fraction of
     tokens taken by the single most frequent token, plus the distinct-
     token ratio; documents past the repetition threshold are flagged
     (these are the 'aaaa aaaa aaaa' / boilerplate-loop documents the
-    quality rules exist to drop). Both metrics come from ONE explode +
-    two-level aggregation with map-side combine — the shuffle carries
-    (doc, token, partial count), never document text."""
+    quality rules exist to drop)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    counts = (
-        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-    )
-    stats = counts.groupBy("doc_id").agg(
-        F.max("c").alias("top_c"),
-        F.sum("c").alias("n"),
-        F.count("*").alias("n_distinct"),
-    )
+    stats = _repetition_stats(docs)
     return stats.filter(F.col("top_c") / F.col("n") > 0.125).select(
         "doc_id",
         F.round(F.col("top_c") / F.col("n"), 6).alias("top_token_frac"),
@@ -3994,23 +4002,18 @@ def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus unigram counts back to the same token stream. Three scans
     total, joined on doc_id with map-side combine everywhere; nothing
     shuffles document text."""
-    _views(spark, sf_dir, "documents")
     (docs,) = _t(spark, sf_dir, "documents")
     expr_metrics = docs.select(
         "doc_id",
         TXT.quality_score("text").alias("quality"),
         TXT.lang_id("text").alias("lang_pred"),
     )
-    counts = (
-        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
+    rep = _repetition_stats(docs).select(
+        "doc_id",
+        F.round(F.col("top_c") / F.col("n"), 6).alias("top_token_frac"),
+        F.round(F.col("n_distinct") / F.col("n"), 6).alias("distinct_ratio"),
     )
-    rep = counts.groupBy("doc_id").agg(
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
-        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_ratio"),
-    )
-    surp = text_unigram_surprisal(spark, sf_dir)
+    surp = text_unigram_surprisal(spark, sf_dir)  # registers its own views
     return (
         expr_metrics.join(rep, "doc_id")
         .join(surp, "doc_id")

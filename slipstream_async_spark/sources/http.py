@@ -82,9 +82,15 @@ class _HttpStreamReader(DataSourceStreamReader):
         return {"poll": 0}
 
     def latestOffset(self):
-        self._latest += 1
+        # Never regress below the current counter: after a checkpoint
+        # restore, commit()/partitions() fast-forward _latest to the
+        # committed poll, and a (possibly lowered) maxPolls cap must not
+        # clamp BELOW it — a regressed offset would be written to the
+        # offset log and re-issue committed polls on a later restart.
+        target = self._latest + 1
         if self.max_polls >= 0:
-            self._latest = min(self._latest, self.max_polls)
+            target = min(target, self.max_polls)
+        self._latest = max(self._latest, target)
         return {"poll": self._latest}
 
     def partitions(self, start: dict, end: dict):

@@ -53,22 +53,29 @@ _LOG_SCHEMA = (
 )
 
 
+# Codec marker: put() tags its rows so get()/items() know the value is
+# JSON-encoded. DataFrame upsert() rows carry no tag and round-trip
+# VERBATIM — decoding is driven by provenance, never by sniffing the
+# content (a raw string that happens to look like JSON, e.g. "42",
+# must come back as the string "42"). One explicit codec boundary,
+# like the reference's Cache (slipstream/caching.py:150-159).
+_CODEC_KEY = "__codec"
+_CODEC_JSON = "json"
+
+
 def _encode(value: Any) -> str:
     return json.dumps(value, default=str, sort_keys=True)
 
 
-def _decode(s: str | None) -> Any:
-    """Single decode boundary for BOTH write lanes (the reference's Cache
-    has exactly one codec boundary, slipstream/caching.py:150-159).
-    ``put()`` JSON-encodes; DataFrame ``upsert()`` stores verbatim — so
-    a value that isn't valid JSON is, by construction, a raw string from
-    the upsert lane and is returned as-is rather than raising."""
+def _decode(s: str | None, attrs) -> Any:
     if s is None:
         return None
-    try:
-        return json.loads(s)
-    except (json.JSONDecodeError, ValueError):
-        return s
+    if attrs is not None and attrs.get(_CODEC_KEY) == _CODEC_JSON:
+        try:
+            return json.loads(s)
+        except (json.JSONDecodeError, ValueError):
+            return s  # tagged but corrupt: surface the raw payload
+    return s
 
 
 class StateTable:
@@ -150,13 +157,20 @@ class StateTable:
 
     def put(self, key: str, value: Any) -> None:
         self.upsert(
-            self.spark.createDataFrame([(str(key), _encode(value))], "key string, value string")
+            self.spark.createDataFrame(
+                [(str(key), _encode(value), {_CODEC_KEY: _CODEC_JSON})], _SCHEMA
+            )
         )
 
     def get(self, key: str, default: Any = None) -> Any:
         """None/default on miss, never KeyError (interfaces.py:84-90)."""
-        rows = self.snapshot().filter(F.col("key") == str(key)).select("value").take(1)
-        return _decode(rows[0][0]) if rows else default
+        rows = (
+            self.snapshot()
+            .filter(F.col("key") == str(key))
+            .select("value", "attrs")
+            .take(1)
+        )
+        return _decode(rows[0][0], rows[0][1]) if rows else default
 
     def __contains__(self, key: str) -> bool:
         return bool(self.snapshot().filter(F.col("key") == str(key)).take(1))
@@ -181,7 +195,10 @@ class StateTable:
 
     def get_entity(self, key: str) -> dict[str, str] | None:
         rows = self.snapshot().filter(F.col("key") == str(key)).select("attrs").take(1)
-        return dict(rows[0][0]) if rows and rows[0][0] is not None else None
+        if not rows or rows[0][0] is None:
+            return None
+        ent = {k: v for k, v in rows[0][0].items() if k != _CODEC_KEY}
+        return ent or None
 
     def columns(self, key: str) -> list[str]:
         ent = self.get_entity(key)
@@ -212,8 +229,8 @@ class StateTable:
         return df.orderBy(order)
 
     def items(self, **kwargs) -> Iterator[tuple[str, Any]]:
-        for r in self.scan(**kwargs).select("key", "value").toLocalIterator():
-            yield r["key"], _decode(r["value"])
+        for r in self.scan(**kwargs).select("key", "value", "attrs").toLocalIterator():
+            yield r["key"], _decode(r["value"], r["attrs"])
 
     def keys(self, **kwargs) -> Iterator[str]:
         for k, _ in self.items(**kwargs):

@@ -105,3 +105,17 @@ def test_stream_checkpoint_resume_no_repoll(spark, feed_url, tmp_path):
         .collect()
     }
     assert by_poll == {(0, 6), (1, 6), (2, 6), (3, 6)}
+
+
+def test_stream_reader_offset_never_regresses():
+    """A lowered maxPolls must not clamp latestOffset below the
+    restored committed offset (a regressed offset would re-issue
+    committed polls after a later restart)."""
+    from slipstream_async_spark.sources.http import _HttpStreamReader
+
+    r = _HttpStreamReader({"url": "file:///dev/null", "maxPolls": "2"})
+    r.commit({"poll": 4})  # checkpoint restore fast-forwards the counter
+    assert r.latestOffset() == {"poll": 4}  # held, not clamped to 2
+    r2 = _HttpStreamReader({"url": "file:///dev/null", "maxPolls": "6"})
+    r2.commit({"poll": 4})
+    assert r2.latestOffset() == {"poll": 5}  # normal advance under the cap

@@ -110,3 +110,30 @@ def test_changelog_stream(spark, table):
     )
     q.stop()
     assert got == [("a", "1"), ("b", "2")]
+
+
+def test_codec_provenance_not_content_sniffing(spark, tmp_path):
+    """put() values round-trip through JSON typed; upsert() raw strings
+    come back VERBATIM even when they look like JSON — decoding follows
+    write provenance (the codec marker), never value content."""
+    from slipstream_async_spark.streaming.state import StateTable
+
+    t = StateTable(spark, str(tmp_path / "codec"))
+    t.put("a", 42)
+    t.put("b", {"x": 1})
+    t.upsert(
+        spark.createDataFrame(
+            [("c", "42"), ("d", "true"), ("e", "[1,2]"), ("f", "plain")],
+            "key string, value string",
+        )
+    )
+    assert t.get("a") == 42 and t.get("b") == {"x": 1}
+    assert t.get("c") == "42"  # raw string, NOT int
+    assert t.get("d") == "true"  # raw string, NOT bool
+    assert t.get("e") == "[1,2]"  # raw string, NOT list
+    assert t.get("f") == "plain"
+    got = dict(t.items())
+    assert got == {"a": 42, "b": {"x": 1}, "c": "42", "d": "true",
+                   "e": "[1,2]", "f": "plain"}
+    # the codec marker is internal: entity view doesn't leak it
+    assert t.get_entity("a") is None
