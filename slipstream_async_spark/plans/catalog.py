@@ -4199,3 +4199,40 @@ def events_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_k"
         ),
     )
+
+
+_AUTOCORR = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+  FROM orders GROUP BY d),
+lagged AS (
+  SELECT rev, lag(rev) OVER (ORDER BY d) AS prev_rev FROM daily)
+SELECT round(corr(rev, prev_rev), 6) AS lag1_autocorr,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM lagged WHERE prev_rev IS NOT NULL
+"""
+
+
+@register("stats_daily_autocorr", oracle=_AUTOCORR)
+def stats_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series (F6 statistical
+    aggregates: corr over a windowed lag) — the seasonality probe run
+    before forecasting or anomaly thresholds. The raw fact table
+    collapses to one row per day FIRST (partial-aggregated groupBy), so
+    the ordered window and corr run over the tiny daily series — a
+    global sort over ~day-count rows, not over orders."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .groupBy("d")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    lagged = daily.select(
+        "rev", F.lag("rev").over(Window.orderBy("d")).alias("prev_rev")
+    ).filter(F.col("prev_rev").isNotNull())
+    return lagged.agg(
+        F.round(F.corr("rev", "prev_rev"), 6).alias("lag1_autocorr"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
