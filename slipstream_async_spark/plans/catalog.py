@@ -1905,6 +1905,27 @@ def contamination_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fingerprint")
 
 
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid as ``(label, centroid array<double>)`` via the
+    only shape that survives 100 TB: posexplode -> groupBy(label, pos) ->
+    avg -> ordered reassemble. The shuffle carries (label, pos, partial
+    sum/count) — never whole vectors — so a popular label spreads over
+    ``dim`` reducers instead of OOMing one. The final collect_list is of
+    (pos, v) structs bounded by the embedding dimension, which is the
+    acceptable buffer. The dimension is derived from the data (posexplode
+    emits whatever positions exist), never hardcoded. Shared by
+    emb_label_centroids and emb_outlier_gate so the two cannot diverge."""
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    a = ex.groupBy("label", "pos").agg(F.avg("val").alias("v"))
+    return (
+        a.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+        .select(
+            "label", F.transform("s", lambda x: x["v"]).alias("centroid")
+        )
+    )
+
+
 _CENTROIDS = """
 WITH e AS (
   SELECT label, unnest(embedding) AS val,
@@ -1925,24 +1946,21 @@ FROM a GROUP BY label
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class embedding centroid (the k-means update step / the class
     prototype for dataset pruning): posexplode -> groupBy(label, pos) ->
-    avg -> reassemble ordered. Scales as a single shuffle of (label, pos)
-    partial sums — never a collect_list of whole vectors per label, which
-    would OOM one reducer per class at 100 TB. Emitted as micro-unit
-    integers so the cross-engine compare is exact."""
+    avg -> reassemble ordered (the shared ``_label_centroids`` helper).
+    Scales as a single shuffle of (label, pos) partial sums — never a
+    collect_list of whole vectors per label, which would OOM one reducer
+    per class at 100 TB. Emitted as micro-unit integers so the
+    cross-engine compare is exact."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
-    a = ex.groupBy("label", "pos").agg(
-        F.round(F.avg("val") * 1000000).cast("bigint").alias("v")
-    )
-    return (
-        a.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
-        .select(
-            F.col("label").cast("bigint").alias("label"),
-            F.array_join(
-                F.transform("s", lambda x: x["v"].cast("string")), ","
-            ).alias("centroid_micro"),
-        )
+    return _label_centroids(emb).select(
+        F.col("label").cast("bigint").alias("label"),
+        F.array_join(
+            F.transform(
+                "centroid",
+                lambda c: F.round(c * 1000000).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_micro"),
     )
 
 
@@ -3691,26 +3709,16 @@ def emb_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     label centroid, flagging the global top-5% — the curation filter
     that drops mislabeled or off-distribution samples before training.
 
-    Shape: centroids are a tiny per-label aggregate computed with ONE
-    pass of vectorized array arithmetic (``aggregate`` over zipped
-    arrays), broadcast back; distances are a zip_with/aggregate
-    expression per row — no posexplode of the fact side, so the big
-    table is scanned once and never widened to (row x dim)."""
+    Shape: centroids come from the shared ``_label_centroids`` helper —
+    posexplode -> groupBy(label, pos) -> avg, a partial-aggregated
+    shuffle of scalars that spreads each label over ``dim`` reducers
+    (never a collect_list of whole vectors in one buffer, which would
+    OOM a reducer for a popular label at 100 TB). The tiny per-label
+    result broadcasts back; distances are a zip_with/aggregate
+    expression per row on a second scan of the fact side. The embedding
+    dimension is derived from the data, not hardcoded."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    dim = 64
-    zeros = F.array([F.lit(0.0)] * dim)
-    sums = emb.groupBy("label").agg(
-        F.aggregate(
-            F.collect_list("embedding"),
-            zeros,
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        ).alias("vec_sum"),
-        F.count("*").alias("n"),
-    )
-    centroids = sums.select(
-        "label",
-        F.transform("vec_sum", lambda s: s / F.col("n")).alias("centroid"),
-    )
+    centroids = _label_centroids(emb)
     dists = (
         emb.join(F.broadcast(centroids), "label")
         .select(

@@ -116,13 +116,20 @@ def test_repetition_metrics_no_python_no_extra_scan(q):
 
 
 def test_emb_outlier_gate_broadcasts_centroids(q):
-    """Centroids and the scalar threshold must broadcast; the embedding
-    fact table must not be posexploded (scan stays at row granularity).
-    Two scans of the fact side (centroid pass + distance pass) are the
-    expected shape."""
+    """Centroids and the scalar threshold must broadcast, and the
+    centroid pass must be the partial-aggregated posexplode ->
+    groupBy(label, pos) shape: NO aggregation buffer may hold whole
+    embedding vectors (a collect_list of the embedding column OOMs one
+    reducer per popular label at 100 TB). The only collect_list allowed
+    is the dim-bounded (pos, v) struct reassembly."""
     plan = _plan(q["emb_outlier_gate"], "simple")
-    assert "PosExplode" not in plan
+    assert "posexplode" in plan.lower(), plan
     assert plan.count("Broadcast") >= 2, plan
+    for line in plan.splitlines():
+        if "collect_list(embedding" in line:
+            raise AssertionError(
+                f"aggregation over whole embedding vectors: {line}"
+            )
 
 
 def test_rolling_window_preaggregates_before_frame(q):

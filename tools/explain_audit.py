@@ -43,6 +43,10 @@ ALLOW_BNLJ = {
     # one-row p95 threshold broadcast against the per-vector distances —
     # the scalar-subquery shape
     "emb_outlier_gate",
+    # the exact arm reuses brute_force_topk: a 10-row query SAMPLE
+    # broadcast-crossed against the corpus — the deliberate recall
+    # measurement shape (same as sim_topk_bruteforce)
+    "sim_ann_recall",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
