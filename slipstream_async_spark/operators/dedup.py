@@ -80,6 +80,8 @@ def _bucket_pairs(
     id_col: str,
     size_col: str | None = None,
     pos_col: str | None = None,
+    max_bucket_size: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id_a < id_b) pairs co-occurring in a bucket — candidate generation
     for every LSH/blocking scheme here.
@@ -88,8 +90,16 @@ def _bucket_pairs(
     expansion, instead of a bucket self-join: the upstream pipeline is
     computed once and shuffled once on the bucket key. Quadratic
     blowup inside a hot bucket is intrinsic to blocking (the self-join
-    has the same output); at corpus scale cap or drop pathological
-    buckets before calling this.
+    has the same output); ``max_bucket_size`` is the guardrail: buckets
+    with more members are DROPPED before pair expansion — the standard
+    LSH skew defense (Leskovec/Rajaraman/Ullman ch. 3: a bucket that
+    hot is boilerplate/degenerate hashes, not near-duplicates worth
+    O(size²) pairs). The drop happens after the id collect (a linear
+    buffer of ids — 10M ids ≈ 80 MB transient, survivable) but before
+    the quadratic expansion (5·10¹³ pairs — the actual killer). Pass
+    ``stats`` (a dict) to get accounting: ``stats['dropped_buckets']``
+    is set to a lazy DataFrame of (bucket key cols, bucket_size) for
+    every dropped bucket — count it for the audit line.
 
     With ``size_col``, each pair also carries both set sizes (``_na``,
     ``_nb``) so callers can apply the Jaccard length bound
@@ -112,6 +122,14 @@ def _bucket_pairs(
         .agg(F.sort_array(F.collect_list(item)).alias("_ids"))
         .filter(F.size(ids) >= 2)
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
+        if stats is not None:
+            stats["dropped_buckets"] = buckets.filter(
+                F.size(ids) > max_bucket_size
+            ).select(*bucket_cols, F.size(ids).alias("bucket_size"))
+        buckets = buckets.filter(F.size(ids) <= max_bucket_size)
     if carried:
         mk = lambda x, y: F.struct(  # noqa: E731
             x[id_col].alias("id_a"), y[id_col].alias("id_b"),
@@ -184,7 +202,13 @@ def _verified_pairs(cand: DataFrame, sets: DataFrame, id_col: str,
 
 
 def dedup_ngram_jaccard(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact k-word-shingle Jaccard, candidates from an
     inverted shingle index (pairs must share >= 1 shingle — implied by any
@@ -240,7 +264,8 @@ def dedup_ngram_jaccard(
         F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
     )
     cand = (
-        _bucket_pairs(prefix, ["s"], id_col, size_col="n", pos_col="_r")
+        _bucket_pairs(prefix, ["s"], id_col, size_col="n", pos_col="_r",
+                      max_bucket_size=max_bucket_size, stats=stats)
         .filter(
             (
                 F.least("_na", "_nb").cast("double")
@@ -433,7 +458,13 @@ def minhash_signatures(
 
 
 def dedup_minhash_lsh(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified by exact Jaccard.
 
@@ -464,7 +495,10 @@ def dedup_minhash_lsh(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
-    cand = _bucket_pairs(bands, ["band_id", "band_key"], id_col).distinct()
+    cand = _bucket_pairs(
+        bands, ["band_id", "band_key"], id_col,
+        max_bucket_size=max_bucket_size, stats=stats,
+    ).distinct()
     # Cache + count: verification reads the set table twice (a/b sides), so
     # the count is paid back by the second read; it also drives the same
     # adaptive broadcast decision as dedup_ngram_jaccard.
@@ -509,7 +543,12 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
 
 def dedup_simhash(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -538,7 +577,10 @@ def dedup_simhash(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_val")
-    cand = _bucket_pairs(bands, ["band_id", "band_val"], id_col).distinct()
+    cand = _bucket_pairs(
+        bands, ["band_id", "band_val"], id_col,
+        max_bucket_size=max_bucket_size, stats=stats,
+    ).distinct()
     fa = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
     fb = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
     return (

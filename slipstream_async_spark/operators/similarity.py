@@ -218,16 +218,38 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold), candidates from shared sign-LSH bucket. Approximate: pairs
     straddling a bucket boundary are missed — raise recall by lowering
     ``n_planes`` or adding rotated bucket tables.
+
+    ``max_bucket_size`` is the hot-bucket guardrail: a degenerate bucket
+    (e.g. a spike of near-zero vectors all hashing together) makes the
+    bucket self-join quadratic in that bucket's size, so buckets with
+    more members are dropped BEFORE the join, from a count-only
+    pre-aggregate (the keep-list is at most 2^n_planes rows — broadcast).
+    Pass ``stats`` to get ``stats['dropped_buckets']``, a lazy DataFrame
+    of (_bucket, bucket_size) for the audit line.
     """
     cb = corpus.select(
         F.col(id_col), F.col(vec_col),
         sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
+        sizes = cb.groupBy("_bucket").agg(F.count("*").alias("bucket_size"))
+        if stats is not None:
+            stats["dropped_buckets"] = sizes.filter(
+                F.col("bucket_size") > max_bucket_size
+            )
+        keep = sizes.filter(F.col("bucket_size") <= max_bucket_size).select(
+            "_bucket"
+        )
+        cb = cb.join(F.broadcast(keep), "_bucket", "left_semi")
     pairs = (
         cb.alias("x")
         .join(cb.alias("y"), "_bucket")

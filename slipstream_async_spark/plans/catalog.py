@@ -3615,22 +3615,32 @@ HAVING COUNT(*) >= 2
 def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral path mining (the sequence analog of the funnel query):
     each user's first three event types in event-time order, collapsed to
-    a '>'-joined path, counted across users, rare paths dropped. The
-    ordered prefix comes from ``sort_array`` over collected (ts,
-    event_id, type) structs — a per-user in-memory sort of that user's
-    events only (bounded, shuffle-partitioned by user), not a global
-    sort; the path count is then an ordinary partial-aggregated
-    groupBy. Deterministic: event_id breaks ts ties inside the struct
-    sort."""
+    a '>'-joined path, counted across users, rare paths dropped. A
+    ``row_number() <= 3`` window caps each user to its first three
+    events BEFORE anything is collected, so the aggregation buffer holds
+    at most 3 structs per user — a bot with millions of events costs the
+    window sort, never an unbounded collect_list buffer. The window and
+    the groupBy share the user_id hash partitioning (one exchange);
+    ``sort_array`` then orders the <=3 survivors and the path count is an
+    ordinary partial-aggregated groupBy. Deterministic: event_id breaks
+    ts ties in both the window order and the struct sort."""
+    from pyspark.sql import Window
+
     (events,) = _t(spark, sf_dir, "events")
-    per_user = events.groupBy("user_id").agg(
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") <= 3)
+    per_user = first3.groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "event_type"))
         ).alias("evs")
     )
-    path = F.array_join(
-        F.slice(F.col("evs.event_type"), 1, 3), ">"
-    ).alias("path")
+    path = F.array_join(F.col("evs.event_type"), ">").alias("path")
     return (
         per_user.select(path)
         .groupBy("path")

@@ -132,6 +132,24 @@ def test_emb_outlier_gate_broadcasts_centroids(q):
             )
 
 
+def test_events_top_paths_caps_buffer_before_collect(q):
+    """events_top_paths: a row_number Window must sit BELOW the
+    collect_list aggregate so the agg buffer holds <=3 structs per user
+    — without the cap a skewed user (bot) buffers its whole history to
+    extract 3 events."""
+    plan = _plan(q["events_top_paths"], "formatted")
+    w = plan.find("Window")
+    c = plan.find("collect_list")
+    assert w != -1 and c != -1, plan
+    # formatted plans print leaves-last: the Window node must appear
+    # AFTER the collecting aggregate in text, i.e. below it in the tree
+    assert "row_number" in plan
+    first_agg = plan.find("ObjectHashAggregate")
+    if first_agg == -1:
+        first_agg = plan.find("SortAggregate")
+    assert first_agg != -1 and w > first_agg, plan
+
+
 def test_rolling_window_preaggregates_before_frame(q):
     """win_rolling_7d_revenue: the RANGE-frame window input must be the
     (customer, day) pre-aggregate — a partial aggregation appears below

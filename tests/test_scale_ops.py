@@ -350,3 +350,59 @@ def test_containment_pairs_empty_input(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert containment_pairs(empty, "text", "doc_id").count() == 0
+
+
+def test_bucket_pairs_hot_bucket_cap(spark):
+    """max_bucket_size drops a pathological bucket BEFORE pair expansion
+    and accounts for it: the hot bucket contributes zero pairs, the
+    normal bucket is untouched, and stats['dropped_buckets'] carries the
+    dropped key + size."""
+    from slipstream_async_spark.operators.dedup import _bucket_pairs
+
+    rows = [("hot", i) for i in range(10)] + [("ok", 100), ("ok", 101)]
+    df = spark.createDataFrame(rows, "bucket string, id long")
+
+    # uncapped: C(10,2) + 1 pairs
+    assert _bucket_pairs(df, ["bucket"], "id").count() == 45 + 1
+
+    stats: dict = {}
+    capped = _bucket_pairs(
+        df, ["bucket"], "id", max_bucket_size=5, stats=stats
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    dropped = stats["dropped_buckets"].collect()
+    assert [(r["bucket"], r["bucket_size"]) for r in dropped] == [("hot", 10)]
+
+    with pytest.raises(ValueError):
+        _bucket_pairs(df, ["bucket"], "id", max_bucket_size=1)
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """embedding_near_dup_pairs with max_bucket_size: a degenerate spike
+    of identical vectors (one sign-LSH bucket) is dropped from candidate
+    generation; a small bucket's pair survives; accounting reports the
+    dropped bucket."""
+    from slipstream_async_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # 8 identical vectors -> bucket 3 (both dims >= 0); 2 near-identical
+    # negatives -> bucket 0.
+    rows = [(i, [1.0, 1.0]) for i in range(8)]
+    rows += [(100, [-1.0, -1.0]), (101, [-1.0, -0.99])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = embedding_near_dup_pairs(
+        emb, threshold=0.9, n_planes=2
+    ).count()
+    assert uncapped == 28 + 1  # C(8,2) hot pairs + the negative pair
+
+    stats: dict = {}
+    capped = embedding_near_dup_pairs(
+        emb, threshold=0.9, n_planes=2, max_bucket_size=5, stats=stats
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    dropped = stats["dropped_buckets"].collect()
+    assert [(r["_bucket"], r["bucket_size"]) for r in dropped] == [(3, 8)]
