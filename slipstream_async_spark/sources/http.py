@@ -22,6 +22,15 @@ Design:
   from a checkpoint does not re-issue committed polls. ``maxPolls``
   bounds the stream so ``availableNow`` triggers terminate in tests;
   leave it unset for an endless feed.
+
+  Exactly-once applies to poll SCHEDULING, not content: ``read()``
+  fetches the live endpoint, so a task retry or a replay of a
+  WAL'd-but-uncommitted batch re-fetches and can observe different
+  content for the same poll offset (a live feed is not a replayable
+  log). If replays must return identical rows, spool each poll's
+  payload to durable storage (e.g. under the checkpoint dir) and serve
+  retries from the spool — that trades a write per poll for Kafka-like
+  replay stability.
 - ``timeoutSec`` bounds each fetch; a failed poll raises into Spark's
   normal task-retry machinery rather than being swallowed.
 
