@@ -1,10 +1,19 @@
 """Benchmark: run the catalog's headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "queries_runs": {name: [sec, ...]}, "sf": ...}.
 
 Each query is forced end-to-end with a noop sink (full materialization,
 no driver collect / sink-format cost).
+
+Noise resistance: this host is co-tenant (the same commit has measured
+112.8 s and 150.7 s totals under different background load), so a single
+measurement is not round-over-round comparable. Every query runs twice,
+sub-second queries a third time, and ``queries`` carries the MIN — the
+standard co-tenancy-robust statistic (background load only ever adds
+time). The raw runs are emitted under ``queries_runs`` so the spread
+itself is inspectable. ``SPARK_GRAFT_BENCH_RUNS=1`` restores the old
+single-pass behavior for quick local iteration.
 """
 
 from __future__ import annotations
@@ -27,7 +36,7 @@ def main() -> None:
     real_stdout = os.dup(1)
     os.dup2(2, 1)
     try:
-        timings, errors, sf_val = _run()
+        timings, runs_all, errors, sf_val = _run()
     finally:
         sys.stdout.flush()
         os.dup2(real_stdout, 1)
@@ -37,6 +46,7 @@ def main() -> None:
         "value": round(sum(t for t in timings.values() if t is not None), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_runs": runs_all,
         "sf": sf_val,
     }
     if errors:
@@ -44,7 +54,12 @@ def main() -> None:
     print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 
-def _run() -> tuple[dict[str, float | None], dict[str, str], float | str]:
+def _run() -> tuple[
+    dict[str, float | None],
+    dict[str, list[float]],
+    dict[str, str],
+    float | str,
+]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from slipstream_async_spark.plans.catalog import queries
     from slipstream_async_spark.session import get_spark
@@ -69,38 +84,54 @@ def _run() -> tuple[dict[str, float | None], dict[str, str], float | str]:
     # AnalysisException aborted the whole run with rc=1 and no timings).
     import gc
 
+    # Repeat policy: >=2 runs per query, a 3rd when the running min is
+    # sub-second (where co-tenancy jitter is proportionally worst); the
+    # reported number is the min. SPARK_GRAFT_BENCH_RUNS=1 forces the
+    # old single-pass for quick iteration; higher values raise the cap.
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    base_runs = min(2, max_runs)
+
     timings: dict[str, float | None] = {}
+    runs_all: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for i, (name, fn) in enumerate(queries().items()):
-        t0 = time.time()
+        runs: list[float] = []
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            for r in range(max_runs):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+                # Cache/broadcast leaks would otherwise accrue across
+                # 100+ measurements and tax later queries with
+                # multi-second GC debt (measured): cache() holds STRONG
+                # refs in the CacheManager; localCheckpoint blocks stay
+                # pinned by live py4j refs. Clear between runs too, so
+                # every repeat measures the same cold-cache work.
+                spark.catalog.clearCache()
+                gc.collect()
+                if r + 1 >= base_runs and min(runs) >= 1.0:
+                    break
+            timings[name] = min(runs)
+            runs_all[name] = runs
         except Exception as exc:  # noqa: BLE001 — record, keep benching
-            timings[name] = None
+            # Per-query fault isolation (round-2 lesson: one plan-time
+            # AnalysisException zeroed out the whole run). A repeat-run
+            # failure after a good first run still yields that min.
+            timings[name] = min(runs) if runs else None
+            runs_all[name] = runs
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-        finally:
-            # Three leaks would otherwise accrue across 100+ measurements
-            # and tax later queries with multi-second GC debt (measured):
-            # cached tables (cache() holds STRONG refs in the
-            # CacheManager — never GC-reclaimed; the dedup family caches
-            # its shingle-set table per query), JVM-side localCheckpoint
-            # blocks pinned by live py4j refs, and dead broadcast/shuffle
-            # state awaiting a GC-triggered ContextCleaner sweep. Clear
-            # all three OUTSIDE the measured windows — on the failure
-            # path too, where a half-built query may have cached already.
             spark.catalog.clearCache()
             gc.collect()
-            if (i + 1) % 10 == 0:
-                spark.sparkContext._jvm.System.gc()
+        if (i + 1) % 10 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    return timings, errors, sf_val
+    return timings, runs_all, errors, sf_val
 
 
 if __name__ == "__main__":
