@@ -167,8 +167,49 @@ def ivf_index(
     return cents, assigned
 
 
-def ivf_topk(
+def ivf_index_write(
     corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index ONCE: centroids to ``<path>/centroids``
+    (tiny, single file) and list assignments to ``<path>/lists``
+    partitioned by ``list_id``.
+
+    At 100 TB the index is built once and probed many times — rebuilding
+    centroids + assignments per query batch (what the in-memory
+    ``ivf_topk`` path does) re-pays a full corpus scan and argmax
+    shuffle on every call. Directory partitioning by ``list_id`` is
+    chosen over bucketing deliberately: the probe join side is a
+    broadcast (so bucket co-location buys nothing), while partition
+    pruning lets a probe read ONLY the probed lists' files — the whole
+    point of an inverted-file index. Reference parity:
+    slipstream-async keeps its state partitioned and persistent in
+    RocksDB (slipstream/caching.py); here the layout lives in the
+    parquet directory structure.
+    """
+    cents, assigned = ivf_index(corpus, n_lists, id_col, vec_col)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def ivf_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) from a materialized IVF index. The
+    partition column comes back type-inferred, so it is cast to long to
+    keep the probe join key exactly as the in-memory path builds it."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/lists").withColumn(
+        "list_id", F.col("list_id").cast("long")
+    )
+    return cents, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 5,
     n_lists: int = 16,
@@ -176,6 +217,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: probe the ``n_probe`` nearest
     inverted lists per query, exact-rank within.
@@ -183,8 +225,18 @@ def ivf_topk(
     The scan per query drops from N to ~N * n_probe / n_lists; recall is
     the fraction of true neighbors living in probed lists — the standard
     IVF recall/cost dial (raise n_probe toward n_lists for recall 1).
+
+    With ``index_path`` (written by ``ivf_index_write``), the index is
+    READ instead of rebuilt — ``corpus``/``n_lists`` are ignored — and
+    the probe join triggers dynamic partition pruning on ``list_id``:
+    only probed lists' files are scanned.
     """
-    cents, assigned = ivf_index(corpus, n_lists, id_col, vec_col)
+    if index_path is not None:
+        cents, assigned = ivf_index_read(queries.sparkSession, index_path)
+    else:
+        if corpus is None:
+            raise ValueError("ivf_topk needs either corpus or index_path")
+        cents, assigned = ivf_index(corpus, n_lists, id_col, vec_col)
     qc = queries.crossJoin(F.broadcast(cents)).withColumn(
         "_qc", cosine_similarity(F.col(vec_col), F.col("cent_vec"))
     )

@@ -1381,6 +1381,33 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, q, k=5, n_lists=16, n_probe=4)
 
 
+_IVF_INDEXED_SQL = _ORACLES["sim_topk_ivf"]
+
+
+@register("sim_topk_ivf_indexed", oracle=_IVF_INDEXED_SQL)
+def sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-index IVF lane: ``ivf_index_write`` persists
+    centroids + list assignments (parquet partitioned by list_id) ONCE,
+    then ``ivf_topk(index_path=...)`` probes the stored index — at
+    100 TB the build cost amortizes over every later query batch, and
+    dynamic partition pruning restricts the probe scan to probed lists'
+    files only. Same oracle as sim_topk_ivf: the stored index must
+    reproduce the in-memory path's results exactly (the round-trip
+    contract tests/test_operators.py also asserts)."""
+    import tempfile
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"slipstream_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    SIM.ivf_index_write(emb, idx, n_lists=16)
+    return SIM.ivf_topk(None, q, k=5, n_probe=4, index_path=idx)
+
+
 @register(
     "dedup_clusters",
     oracle=f"""

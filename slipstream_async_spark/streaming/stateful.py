@@ -200,7 +200,10 @@ def ttl_fold(
     ``google.protobuf`` (ships with ``pyspark[connect]``). Absent that,
     constructing the plan raises at stream start — use ``stateful_fold``
     (applyInPandasWithState) which has no such dependency; its state
-    simply never expires.
+    simply never expires. (Install attempted 2026-08-14: the build
+    container has no network egress — pypi.org unresolvable — and no
+    vendorable protobuf wheel on disk, so the TTL test remains
+    skip-gated here; it runs wherever ``pip install protobuf`` has.)
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

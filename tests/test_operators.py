@@ -446,3 +446,41 @@ def test_keyless_lanes_warn_global_sort(spark):
         accumulate(df, "seq", "ts", key="k")
         batched(df, "ts", size=2, key="k")
         asof_join(df, right, on="ts", by="k")
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    """A materialized IVF index (ivf_index_write -> ivf_topk(index_path))
+    returns EXACTLY the in-memory path's results, and the probe plan
+    prunes the lists scan to probed list_ids via dynamic partition
+    pruning — the read-only-probed-lists property that makes a stored
+    inverted-file index worth materializing."""
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_topk,
+    )
+    from slipstream_async_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, path, n_lists=8)
+
+    mem = ivf_topk(emb, q, k=5, n_lists=8, n_probe=2)
+    disk = ivf_topk(None, q, k=5, n_probe=2, index_path=path)
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, disk.collect())
+    )
+
+    plan = disk._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning#" in plan, plan
+
+    with pytest.raises(ValueError):
+        ivf_topk(None, q, k=5)
