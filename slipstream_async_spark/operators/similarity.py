@@ -76,14 +76,26 @@ def brute_force_topk(
     return _ranked_topk(scored, k, query_id_col, id_col)
 
 
-def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """Axis-aligned sign-LSH bucket: bit i set iff vec[i] >= 0."""
+def sign_bucket(vec: Column, n_planes: int = 8, offset: int = 0) -> Column:
+    """Axis-aligned sign-LSH bucket: bit i set iff
+    ``vec[(offset + i) mod dim] >= 0``.
+
+    ``offset`` selects a DIFFERENT slice of dimensions per bucket table —
+    the multi-table LSH recall lever: two near vectors that disagree on
+    one of dims [0, n_planes) (missed by table 0) still collide in a
+    table keyed off dims [n_planes, 2*n_planes). Offsets should step by
+    ``n_planes`` so tables use disjoint dimensions (until they wrap at
+    the embedding dim)."""
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
         F.lit(0).cast("bigint"),
         lambda acc, i: acc
         + F.when(
-            F.element_at(vec.cast("array<double>"), i + 1) >= 0,
+            F.element_at(
+                vec.cast("array<double>"),
+                (F.pmod(i + F.lit(offset), F.size(vec)) + 1).cast("int"),
+            )
+            >= 0,
             # 2^i as bigint (F.shiftleft needs a literal count; i is a Column).
             F.pow(F.lit(2.0), i).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint")),
@@ -98,29 +110,47 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's LSH
     bucket (equi-join on bucket key — a shuffle on an 8-bit key instead of
     a cross join), exact cosine rank within.
+
+    ``n_tables`` is the recall dial: each extra table re-buckets on a
+    rotated slice of dimensions (``sign_bucket`` offset ``t*n_planes``)
+    and candidates are UNIONED — a true neighbor missed by one table's
+    split is found by another (candidate sets are supersets, so recall
+    is monotone in n_tables; cost is one corpus bucket pass per table).
+    Duplicate hits across tables collapse with a distinct on the
+    deterministic (query, id, cosine) row.
     """
-    cb = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
-    )
-    qb = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-            sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    per_table = []
+    for t in range(n_tables):
+        off = t * n_planes
+        cb = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            sign_bucket(F.col(vec_col), n_planes, off).alias("_bucket"),
         )
-    )
-    scored = (
-        cb.join(qb, "_bucket")
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
+        qb = F.broadcast(
+            queries.select(
+                F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+                sign_bucket(F.col(vec_col), n_planes, off).alias("_bucket"),
+            )
         )
-        .select(query_id_col, id_col, "cosine")
-    )
+        per_table.append(
+            cb.join(qb, "_bucket")
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .withColumn(
+                "cosine",
+                F.round(cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6),
+            )
+            .select(query_id_col, id_col, "cosine")
+        )
+    scored = per_table[0]
+    if n_tables > 1:
+        for extra in per_table[1:]:
+            scored = scored.union(extra)
+        scored = scored.distinct()
     return _ranked_topk(scored, k, query_id_col, id_col)
 
 
@@ -272,39 +302,63 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
     stats: dict | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold), candidates from shared sign-LSH bucket. Approximate: pairs
     straddling a bucket boundary are missed — raise recall by lowering
-    ``n_planes`` or adding rotated bucket tables.
+    ``n_planes`` or raising ``n_tables`` (rotated bucket tables on
+    offset dimension slices; candidates are unioned across tables, so
+    the pair set is monotone in n_tables at one extra bucket pass +
+    self-join per table).
 
     ``max_bucket_size`` is the hot-bucket guardrail: a degenerate bucket
     (e.g. a spike of near-zero vectors all hashing together) makes the
     bucket self-join quadratic in that bucket's size, so buckets with
     more members are dropped BEFORE the join, from a count-only
-    pre-aggregate (the keep-list is at most 2^n_planes rows — broadcast).
-    Pass ``stats`` to get ``stats['dropped_buckets']``, a lazy DataFrame
-    of (_bucket, bucket_size) for the audit line.
+    pre-aggregate (the keep-list is at most n_tables * 2^n_planes rows —
+    broadcast). The cap applies per (table, bucket). Pass ``stats`` to
+    get ``stats['dropped_buckets']``, a lazy DataFrame of
+    (_table, _bucket, bucket_size) for the audit line.
     """
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
     cb = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("_table"),
+                        sign_bucket(
+                            F.col(vec_col), n_planes, t * n_planes
+                        ).alias("_bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_tb._table").alias("_table"),
+        F.col("_tb._bucket").alias("_bucket"),
     )
+    keys = ["_table", "_bucket"]
     if max_bucket_size is not None:
-        if max_bucket_size < 2:
-            raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
-        sizes = cb.groupBy("_bucket").agg(F.count("*").alias("bucket_size"))
+        sizes = cb.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
         if stats is not None:
             stats["dropped_buckets"] = sizes.filter(
                 F.col("bucket_size") > max_bucket_size
             )
         keep = sizes.filter(F.col("bucket_size") <= max_bucket_size).select(
-            "_bucket"
+            *keys
         )
-        cb = cb.join(F.broadcast(keep), "_bucket", "left_semi")
+        cb = cb.join(F.broadcast(keep), keys, "left_semi")
     pairs = (
         cb.alias("x")
-        .join(cb.alias("y"), "_bucket")
+        .join(cb.alias("y"), keys)
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
@@ -314,6 +368,8 @@ def embedding_near_dup_pairs(
             ).alias("cosine"),
         )
     )
+    if n_tables > 1:
+        pairs = pairs.distinct()
     return pairs.filter(F.col("cosine") >= threshold)
 
 

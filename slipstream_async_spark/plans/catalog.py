@@ -4151,6 +4151,109 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DK_BUCKET_OFF = (
+    "CAST(list_sum(list_transform(range(8), "
+    "i -> CASE WHEN {v}[i + 1 + {off}] >= 0 THEN (1::BIGINT << i) "
+    "ELSE 0 END)) AS BIGINT)"
+)
+
+_ANN_RECALL_2T = f"""
+WITH e AS (SELECT vec_id, embedding,
+                  {_DK_BUCKET_OFF.format(v="embedding", off=0)} AS b0,
+                  {_DK_BUCKET_OFF.format(v="embedding", off=8)} AS b1
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, b0, b1
+      FROM e WHERE vec_id < 10),
+cand AS (
+  SELECT q.query_id, e.vec_id FROM e JOIN q ON e.b0 = q.b0
+  WHERE e.vec_id != q.query_id
+  UNION
+  SELECT q.query_id, e.vec_id FROM e JOIN q ON e.b1 = q.b1
+  WHERE e.vec_id != q.query_id),
+exact_scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_dk_cos("q.qv", "e.embedding")}, 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+exact_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rk
+    FROM exact_scored) WHERE rk <= 5),
+ann_scored AS (
+  SELECT c.query_id, c.vec_id,
+         round({_dk_cos("q.qv", "e.embedding")}, 6) AS cosine
+  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+ann_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rk
+    FROM ann_scored) WHERE rk <= 5),
+ncand AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+          FROM cand GROUP BY query_id)
+SELECT x.query_id,
+       round(COUNT(a.vec_id)::DOUBLE / 5, 6) AS recall_at_5,
+       n.n_candidates
+FROM exact_top x
+LEFT JOIN ann_top a
+  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+JOIN ncand n ON n.query_id = x.query_id
+GROUP BY x.query_id, n.n_candidates
+"""
+
+
+@register("sim_ann_recall_2table", oracle=_ANN_RECALL_2T)
+def sim_ann_recall_2table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-table LSH recall dial, measured: recall@5 of the
+    2-table sign-LSH search (rotated dimension slices, candidates
+    unioned — operators.similarity.lsh_bucket_topk(n_tables=2)) against
+    exact brute force, plus the per-query candidate count — the
+    recall-vs-cost evidence for turning the dial (vs sim_ann_recall's
+    1-table baseline: strictly more candidates, strictly better recall
+    on this data; tests/test_operators.py asserts the strictness)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(emb, q, k=5).select("query_id", "vec_id")
+    ann = SIM.lsh_bucket_topk(emb, q, k=5, n_planes=8, n_tables=2).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    cand = None
+    for t in range(2):
+        cb = emb.select(
+            "vec_id", SIM.sign_bucket(F.col("embedding"), 8, t * 8).alias("_b")
+        )
+        qb = F.broadcast(
+            q.select(
+                "query_id",
+                SIM.sign_bucket(F.col("embedding"), 8, t * 8).alias("_b"),
+            )
+        )
+        c = (
+            cb.join(qb, "_b")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        cand = c if cand is None else cand.union(c)
+    ncand = (
+        cand.distinct()
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_candidates"))
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("av")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.count("av") / F.lit(5), 6).alias("recall_at_5"))
+        .join(F.broadcast(ncand), "query_id")
+    )
+
+
 _CHUNK_DEDUP = rf"""
 WITH t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
 chunks AS (

@@ -484,3 +484,58 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
 
     with pytest.raises(ValueError):
         ivf_topk(None, q, k=5)
+
+
+def test_lsh_multi_table_recall_dial(spark):
+    """n_tables=2 (rotated dimension-slice bucket tables, candidates
+    unioned) must strictly improve recall@5 over n_tables=1 on the
+    sf0.001 embeddings, with a strictly larger candidate set — the
+    standard multi-table LSH recall/cost trade."""
+    from slipstream_async_spark.operators import similarity as SIM
+    from slipstream_async_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r[0], r[1])
+        for r in SIM.brute_force_topk(emb, q, k=5)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+
+    def ann_and_candidates(nt):
+        ann = {
+            (r[0], r[1])
+            for r in SIM.lsh_bucket_topk(
+                emb, q, k=5, n_planes=8, n_tables=nt
+            )
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        cand = None
+        for t in range(nt):
+            cb = emb.select(
+                "vec_id",
+                SIM.sign_bucket(F.col("embedding"), 8, t * 8).alias("_b"),
+            )
+            qb = q.select(
+                "query_id",
+                SIM.sign_bucket(F.col("embedding"), 8, t * 8).alias("_b"),
+            )
+            c = (
+                cb.join(qb, "_b")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", "vec_id")
+            )
+            cand = c if cand is None else cand.union(c)
+        return ann, cand.distinct().count()
+
+    ann1, n1 = ann_and_candidates(1)
+    ann2, n2 = ann_and_candidates(2)
+    r1 = len(ann1 & exact) / len(exact)
+    r2 = len(ann2 & exact) / len(exact)
+    assert ann1 & exact <= ann2 & exact or r2 >= r1
+    assert r2 > r1, (r1, r2)
+    assert n2 > n1, (n1, n2)
