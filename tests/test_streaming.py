@@ -825,3 +825,69 @@ def test_streaming_asof_enrichment_two_streams(spark, stream_dir):
         weather_q.stop()
         activity_q.stop()
         table.destroy()
+
+
+def test_streaming_incremental_dedup_two_batches(spark, stream_dir):
+    """The nightly-ingest dedup story as a streaming query (cache-update
+    -stream pattern, reference cookbook.rst:522-588): micro-batch 2 is
+    deduped against the standing index that micro-batch 1 built — the
+    cross-batch near-dup pair appears ONLY after batch 2, batch 1's
+    in-batch pair appears immediately, and unrelated docs never pair."""
+    from slipstream_async_spark.streaming.dedup_flow import (
+        incremental_dedup_sink,
+    )
+    from slipstream_async_spark.streaming.pipeline import (
+        Pipeline,
+        foreach_batch_sink,
+    )
+    from slipstream_async_spark.streaming.state import StateTable
+
+    src = os.path.join(stream_dir, "docs_src")
+    schema = "doc_id long, text string"
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely unrelated text about spark structured streaming"
+    # batch 1: two exact-ish copies (in-batch pair) + one unrelated doc
+    _write_batch(
+        spark, src,
+        [(1, dup), (2, dup + " ok"), (3, other)],
+        schema, 0,
+    )
+
+    corpus = StateTable(spark, os.path.join(stream_dir, "dedup_corpus"))
+    pairs = StateTable(spark, os.path.join(stream_dir, "dedup_pairs"))
+    p = Pipeline()
+
+    @p.handle(
+        _file_stream(spark, src, schema),
+        sink=[foreach_batch_sink(
+            incremental_dedup_sink(corpus, pairs, threshold=0.5),
+            checkpoint=os.path.join(stream_dir, "dedup_ckpt"),
+        )],
+    )
+    def flow(df):
+        return df
+
+    p.stream()
+    try:
+        p.process_all_available()
+        got1 = set(pairs.keys())
+        assert got1 == {"1|2"}, got1
+        assert set(corpus.keys()) == {"1", "2", "3"}
+
+        # batch 2: a near-copy of doc 1 (cross-batch dup, found ONLY
+        # via the standing index) + a fresh unrelated doc
+        _write_batch(
+            spark, src,
+            [(4, dup + " yes"), (5, "totally different content here")],
+            schema, 1,
+        )
+        p.process_all_available()
+        got2 = set(pairs.keys())
+        assert got2 == {"1|2", "1|4", "2|4"}, got2
+        assert set(corpus.keys()) == {"1", "2", "3", "4", "5"}
+        # jaccard values ride along as the pair payload
+        assert float(pairs.get("1|4")) >= 0.5
+    finally:
+        p.stop()
+        corpus.destroy()
+        pairs.destroy()
