@@ -373,6 +373,95 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def semdedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup — Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): cluster the embedding space coarsely, then drop
+    any vector whose cosine to a HIGHER-PRIORITY member of its own
+    cluster exceeds ``threshold``. Priority follows the paper's keep
+    rule — lower similarity to the cluster centroid wins (the most
+    atypical member of a duplicate group is retained; ties break on id).
+
+    Shape: the coarse quantizer is ``ivf_index`` (deterministic seeded
+    centroids, broadcast assignment — one corpus scan + one argmax
+    window), pairs come from an equi-join on cluster id (never a corpus
+    cross join), and the greedy prune is one anti-join against the
+    distinct dropped-id set. At 100 TB pick n_clusters ~ N / target
+    cluster size so each cluster's pair block stays a tractable task;
+    ``max_cluster_size`` is the same hot-bucket guardrail as
+    ``embedding_near_dup_pairs`` — clusters larger than the cap are
+    exempted from pruning (kept whole, counted in
+    ``stats['skipped_clusters']``) rather than paying a quadratic join.
+
+    Returns one row per corpus vector: (id_col, list_id, cent_cos,
+    keep) — ``keep=false`` marks semantic duplicates to discard.
+    """
+    cents, assigned = ivf_index(corpus, n_clusters, id_col, vec_col)
+    withc = (
+        assigned.join(
+            F.broadcast(cents.withColumnRenamed("cent_id", "list_id")),
+            "list_id",
+        )
+        .withColumn(
+            # Rounded BEFORE it becomes a sort key: full-precision ties
+            # could order differently in an independent engine.
+            "cent_cos",
+            F.round(cosine_similarity(F.col(vec_col), F.col("cent_vec")), 6),
+        )
+        .drop("cent_vec")
+    )
+    w = Window.partitionBy("list_id").orderBy(
+        F.col("cent_cos").asc(), F.col(id_col).asc()
+    )
+    ranked = withc.withColumn("_pri", F.row_number().over(w))
+    prunable = ranked
+    if max_cluster_size is not None:
+        if max_cluster_size < 2:
+            raise ValueError(
+                f"max_cluster_size must be >= 2, got {max_cluster_size}"
+            )
+        sizes = ranked.groupBy("list_id").agg(F.count("*").alias("cluster_size"))
+        if stats is not None:
+            stats["skipped_clusters"] = sizes.filter(
+                F.col("cluster_size") > max_cluster_size
+            )
+        keep_lists = sizes.filter(
+            F.col("cluster_size") <= max_cluster_size
+        ).select("list_id")
+        prunable = ranked.join(F.broadcast(keep_lists), "list_id", "left_semi")
+    dropped = (
+        prunable.alias("x")
+        .join(prunable.alias("y"), "list_id")
+        .filter(F.col("x._pri") < F.col("y._pri"))
+        .filter(
+            F.round(
+                cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6
+            )
+            >= threshold
+        )
+        .select(F.col(f"y.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        ranked.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("list_id"),
+            F.col("cent_cos"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def brute_force_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1409,6 +1409,50 @@ def sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_semdedup",
+    oracle=f"""
+WITH {_DK_IVF_CENTS},
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS list_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_dk_cos("e.embedding", "c.cv")} DESC, c.cent_id) AS rk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rk = 1
+),
+r AS (
+  SELECT a.vec_id, a.embedding, a.list_id,
+         round({_dk_cos("a.embedding", "c.cv")}, 6) AS cent_cos,
+         ROW_NUMBER() OVER (PARTITION BY a.list_id
+           ORDER BY round({_dk_cos("a.embedding", "c.cv")}, 6), a.vec_id) AS pri
+  FROM assigned a JOIN cents c ON c.cent_id = a.list_id
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM r x JOIN r y ON x.list_id = y.list_id AND x.pri < y.pri
+  WHERE round({_dk_cos("x.embedding", "y.embedding")}, 6) >= 0.3
+)
+SELECT r.vec_id, r.list_id, r.cent_cos,
+       (d.vec_id IS NULL) AS keep
+FROM r LEFT JOIN dropped d ON d.vec_id = r.vec_id
+""",
+)
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators.similarity.semdedup; Abbas et
+    al., arXiv:2303.09540): coarse-cluster the embeddings (the same
+    deterministic 16-list IVF quantizer as sim_topk_ivf), then inside
+    each cluster greedily drop vectors with cosine >= 0.3 to a
+    higher-priority member, priority = least-similar-to-centroid first
+    (the paper's keep rule). Pairs come from the cluster equi-join, so
+    the work is sum of per-cluster blocks, never corpus x corpus. (0.3
+    sits between the p99 and the max of the within-cluster pair-cosine
+    distribution of the synthetic embeddings — a real corpus with true
+    semantic dups would run ~0.95+.)"""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return SIM.semdedup(emb, n_clusters=16, threshold=0.3)
+
+
+@register(
     "dedup_clusters",
     oracle=f"""
 WITH RECURSIVE

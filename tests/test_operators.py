@@ -539,3 +539,46 @@ def test_lsh_multi_table_recall_dial(spark):
     assert ann1 & exact <= ann2 & exact or r2 >= r1
     assert r2 > r1, (r1, r2)
     assert n2 > n1, (n1, n2)
+
+
+def test_semdedup_keep_rule_and_cluster_guard(spark):
+    """SemDeDup greedy prune: exactly one of a mutual near-dup pair is
+    dropped (whichever has the higher cosine to the cluster centroid —
+    the paper keeps the atypical member), vectors with no near-dup
+    survive, and ``max_cluster_size`` exempts oversized clusters from
+    pruning instead of paying their quadratic pair join."""
+    from slipstream_async_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.001, 0.0, 0.0]),  # near-dup of 0 at cos ~0.9999995
+            (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to both
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(emb, n_clusters=1, threshold=0.99).collect()
+    }
+    assert len(out) == 3
+    # the dup pair loses exactly one member; the orthogonal vector stays
+    assert sorted([out[0]["keep"], out[1]["keep"]]) == [False, True]
+    assert out[2]["keep"] is True
+    # the kept member of the pair is the one LESS similar to the centroid
+    kept = 0 if out[0]["keep"] else 1
+    dropped = 1 - kept
+    assert out[kept]["cent_cos"] <= out[dropped]["cent_cos"]
+
+    # hot-cluster guard: the single 3-vector cluster exceeds the cap, so
+    # it is exempted wholesale (all kept) and surfaced in stats
+    stats: dict = {}
+    guarded = semdedup(
+        emb, n_clusters=1, threshold=0.99, max_cluster_size=2, stats=stats
+    )
+    assert all(r["keep"] for r in guarded.collect())
+    skipped = stats["skipped_clusters"].collect()
+    assert len(skipped) == 1 and skipped[0]["cluster_size"] == 3
+
+    with pytest.raises(ValueError):
+        semdedup(emb, n_clusters=1, max_cluster_size=1)
