@@ -462,6 +462,136 @@ def semdedup(
     )
 
 
+def _pq_seed_codebook(
+    corpus: DataFrame,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The PQ codebook's seed vectors: the ``n_codes`` corpus vectors
+    with the smallest md5-derived id hashes — the SAME deterministic
+    selection rule as ``ivf_index``, so an independent engine rebuilds
+    the identical codebook. Codeword j of subspace s is seed j's dims
+    [s*d_sub, (s+1)*d_sub).
+
+    This is the one collect in the PQ family: n_codes rows (~16 vectors,
+    a few KB). The codebook then ships to executors as plan literals,
+    which is what makes encode/score a pure narrow projection — at
+    100 TB a trained codebook is tiny-by-construction too (k* * dim
+    floats), so the shape survives scale unchanged."""
+    from slipstream_async_spark.functions.text import hash32
+
+    rows = (
+        corpus.withColumn("_h", hash32(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_codes)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _pq_sub_exprs(
+    vec: Column, seeds: list[list[float]], m: int
+) -> tuple[list[Column], list[Column]]:
+    """(codes, reconstruction) expressions for one vector column.
+
+    Per subspace s: the squared-L2 distance to each of the ``len(seeds)``
+    codewords is an index-ordered fold; the code is the FIRST argmin
+    (``array_position(dists, array_min(dists))`` — first occurrence, so
+    ties break toward the lower code, reproducible anywhere); the
+    reconstruction element is the chosen codeword, looked up with
+    ``element_at`` over the literal codeword array. All plan literals +
+    folds: no join, no shuffle, whole-stage codegen."""
+    dim = len(seeds[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    x = vec.cast("array<double>")
+    codes, recon = [], []
+    for s in range(m):
+        sub_x = F.slice(x, s * d_sub + 1, d_sub)
+        cws = [
+            F.array(*[F.lit(float(v)) for v in seed[s * d_sub : (s + 1) * d_sub]])
+            for seed in seeds
+        ]
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(sub_x, cw, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for cw in cws
+            ]
+        )
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        codes.append(code)
+        recon.append(F.element_at(F.array(*cws), code + 1))
+    return codes, recon
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds: list[list[float]] | None = None,
+) -> DataFrame:
+    """Product-quantize an embedding column (Jégou et al., "Product
+    quantization for nearest neighbor search", TPAMI 2011): split each
+    vector into ``m`` subspaces, store only the nearest-codeword index
+    per subspace — m bytes instead of dim*4 (32x at dim=64, m=8), the
+    compression that makes billion-vector ANN fit in memory.
+
+    Returns (id_col, codes array<int>, recon array<double>): ``codes``
+    is the stored representation, ``recon`` the codebook reconstruction
+    used by asymmetric-distance scoring. One narrow projection over the
+    corpus — the codebook is plan literals (see _pq_seed_codebook)."""
+    if seeds is None:
+        seeds = _pq_seed_codebook(corpus, n_codes, id_col, vec_col)
+    codes, recon = _pq_sub_exprs(F.col(vec_col), seeds, m)
+    return corpus.select(
+        F.col(id_col),
+        F.array(*codes).alias("codes"),
+        F.flatten(F.array(*recon)).alias("recon"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: the query stays full-precision, the
+    corpus side is its codebook reconstruction — cosine(q, recon(x)),
+    ranked per query. Same broadcast-queries/one-corpus-scan shape as
+    ``brute_force_topk`` but the corpus representation is m bytes per
+    vector; compose with ``ivf_index`` lists for the classic IVFADC
+    pipeline."""
+    seeds = _pq_seed_codebook(corpus, n_codes, id_col, vec_col)
+    enc = pq_encode(corpus, m, n_codes, id_col, vec_col, seeds=seeds)
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    )
+    scored = (
+        enc.crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("_qvec"), F.col("recon")), 6),
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    return _ranked_topk(scored, k, query_id_col, id_col)
+
+
 def brute_force_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from slipstream_async_spark.functions import text as TXT
+from slipstream_async_spark.functions import vectors as VEC
 from slipstream_async_spark.operators import aggregations as AGG
 from slipstream_async_spark.operators import dedup as DD
 from slipstream_async_spark.operators import handlers as H
@@ -1450,6 +1451,115 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic dups would run ~0.95+.)"""
     (emb,) = _t(spark, sf_dir, "embeddings")
     return SIM.semdedup(emb, n_clusters=16, threshold=0.3)
+
+
+# Shared PQ oracle plumbing: the deterministic seed codebook (same md5
+# ordering as the IVF centroids), per-(vector, subspace) argmin codes,
+# and the codebook reconstruction. dim=64, m=8 subspaces, 16 codewords.
+_DK_L2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> ((p[1]::DOUBLE) - (p[2]::DOUBLE)) * ((p[1]::DOUBLE) - (p[2]::DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+_DK_PQ = f"""
+seeds AS (
+  SELECT embedding AS sv,
+         ROW_NUMBER() OVER (ORDER BY
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) - 1 AS j
+  FROM embeddings
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id
+  LIMIT 16
+),
+subs AS (SELECT unnest(range(8)) AS sub),
+cb AS (
+  SELECT subs.sub, seeds.j,
+         list_slice(seeds.sv, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cw
+  FROM seeds CROSS JOIN subs
+),
+subx AS (
+  SELECT e.vec_id, subs.sub,
+         list_slice(e.embedding, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sx
+  FROM embeddings e CROSS JOIN subs
+),
+chosen AS (
+  SELECT vec_id, sub, j, cw FROM (
+    SELECT subx.vec_id, subx.sub, cb.j, cb.cw,
+           ROW_NUMBER() OVER (PARTITION BY subx.vec_id, subx.sub
+             ORDER BY {_DK_L2.format(a="subx.sx", b="cb.cw")}, cb.j) AS rk
+    FROM subx JOIN cb ON cb.sub = subx.sub)
+  WHERE rk = 1
+),
+recon AS (
+  SELECT vec_id, flatten(list(cw ORDER BY sub)) AS r,
+         string_agg(j::VARCHAR, '-' ORDER BY sub) AS codes_str
+  FROM chosen GROUP BY vec_id
+)"""
+
+
+@register(
+    "sim_topk_pq",
+    oracle=f"""
+WITH {_DK_PQ},
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, recon.vec_id,
+         round({_dk_cos("q.qv", "recon.r")}, 6) AS cosine
+  FROM recon CROSS JOIN q
+  WHERE recon.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rk <= 5
+""",
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 (operators.similarity.pq_topk; Jégou
+    et al., TPAMI 2011): corpus compressed to 8 one-byte codes per
+    vector (32x vs float32), queries full-precision, asymmetric-distance
+    scoring against the codebook reconstruction. Encode is a single
+    narrow projection (codebook = plan literals), search the same
+    broadcast/one-scan shape as the brute-force lane."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_topk(emb, q, k=5, m=8, n_codes=16)
+
+
+@register(
+    "sim_pq_fidelity",
+    oracle=f"""
+WITH {_DK_PQ}
+SELECT e.vec_id, recon.codes_str,
+       round({_dk_cos("e.embedding", "recon.r")}, 6) AS recon_cos
+FROM embeddings e JOIN recon ON recon.vec_id = e.vec_id
+""",
+)
+def sim_pq_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code assignment + reconstruction fidelity, one row per corpus
+    vector: the full 8-code word (as 'c0-c1-...'), and the cosine
+    between the vector and its codebook reconstruction — the quality
+    lens on the 32x compression (operators.similarity.pq_encode)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    enc = SIM.pq_encode(emb, m=8, n_codes=16)
+    return (
+        emb.join(enc, "vec_id")
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform(F.col("codes"), lambda c: c.cast("string")), "-"
+            ).alias("codes_str"),
+            F.round(
+                VEC.cosine_similarity(F.col("embedding"), F.col("recon")), 6
+            ).alias("recon_cos"),
+        )
+    )
 
 
 @register(

@@ -582,3 +582,88 @@ def test_semdedup_keep_rule_and_cluster_guard(spark):
 
     with pytest.raises(ValueError):
         semdedup(emb, n_clusters=1, max_cluster_size=1)
+
+
+def test_pq_encode_roundtrip_invariants(spark):
+    """Product quantization: every vector gets m codes in [0, n_codes);
+    a vector that IS a codebook seed reconstructs to itself exactly
+    (its subvectors argmin to their own codewords), so its
+    reconstruction cosine is 1; and pq_topk ranks by cosine against the
+    reconstruction (spot-checked against a manual rescore)."""
+    from slipstream_async_spark.functions.vectors import cosine_similarity
+    from slipstream_async_spark.operators.similarity import (
+        _pq_seed_codebook,
+        pq_encode,
+        pq_topk,
+    )
+    from slipstream_async_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = _pq_seed_codebook(emb, n_codes=16)
+    assert len(seeds) == 16 and len(seeds[0]) == 64
+
+    enc = pq_encode(emb, m=8, n_codes=16)
+    rows = enc.collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+    # seed vectors reconstruct exactly -> recon cosine 1
+    seed_ids = [
+        r[0]
+        for r in emb.selectExpr(
+            "vec_id",
+            "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)"
+            " as bigint) as h",
+        )
+        .orderBy("h", "vec_id")
+        .limit(16)
+        .collect()
+    ]
+    fid = (
+        emb.join(enc, "vec_id")
+        .filter(F.col("vec_id").isin(seed_ids))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("recon")), 6
+            ).alias("rc"),
+        )
+        .collect()
+    )
+    assert len(fid) == 16 and all(r["rc"] == 1.0 for r in fid)
+
+    # pq_topk == rank-by-cosine-over-reconstruction
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r[0], r[1])
+        for r in pq_topk(emb, q, k=3).select("query_id", "vec_id").collect()
+    }
+    manual = (
+        emb.join(enc.select("vec_id", "recon"), "vec_id")
+        .crossJoin(
+            F.broadcast(
+                q.select("query_id", F.col("embedding").alias("_qv"))
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("_qv"), F.col("recon")), 6).alias(
+                "c"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wm = W.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    want = {
+        (r[0], r[1])
+        for r in manual.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    assert got == want
