@@ -189,3 +189,37 @@ def chunk_windows(toks: Column, size: int = 128, stride: int = 64) -> Column:
             s.alias("start"), F.slice(toks, s, size).alias("chunk")
         ),
     )
+
+
+# PII patterns chosen for cross-engine regex portability: no lookarounds,
+# ASCII classes and \b word boundaries only — identical semantics under
+# Java regex (Spark) and RE2 (DuckDB, Go scrubbers).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (email / ipv4 / phone) — the audit
+    metric of a redaction pass; scan-stage JVM regex, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
+        for kind, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Redact PII in-place: emails, then dotted-quad IPv4s, then
+    NNN-NNN-NNNN phone numbers become typed placeholder tokens — the
+    C4/Dolma-style scrubbing stage of a web-corpus pipeline. Order
+    matters and is fixed (email first: its local part may contain
+    digit runs the later patterns could otherwise clip). One chained
+    ``regexp_replace`` projection over the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "ipv4", "phone"):
+        pat, token = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pat, token)
+    return c

@@ -123,3 +123,69 @@ def materialize_mixture(
         )
         .drop("_copies", "epochs")
     )
+
+
+def epoch_capped_mix(
+    df: DataFrame,
+    source_col: str,
+    size_col: str,
+    alpha: float = 0.5,
+    token_budget: int = 1_000_000_000,
+    max_epochs: float = 4.0,
+    rounds: int = 3,
+    pre_aggregated: bool = False,
+) -> DataFrame:
+    """Temperature mixture under a repetition cap (the data-constrained
+    regime — Muennighoff et al., "Scaling Data-Constrained Language
+    Models", NeurIPS 2023: repeating data beyond ~4 epochs stops paying):
+    each source's allocation is capped at ``max_epochs * tokens_s`` and
+    the freed budget is re-spread over the still-uncapped sources in
+    proportion to their temperature weights — a fixed-``rounds``
+    waterfill (each round can only saturate MORE sources, so a handful
+    of rounds reaches the fixpoint for realistic source counts; the
+    round count is fixed, not convergence-tested, to keep the
+    computation reproducible on any engine).
+
+    Everything happens on the per-source aggregate (one row per source —
+    control-plane-sized even at 100 TB): per round, one single-row
+    broadcast carries (saturated allocation, unsaturated weight mass).
+    No driver collect, no data-pass beyond the initial token count.
+
+    Returns per source: tokens, weight, alloc_tokens (post-waterfill),
+    epochs (= alloc/tokens, rounded), capped.
+    """
+    base = temperature_mix(
+        df, source_col, size_col, alpha=alpha,
+        token_budget=token_budget, pre_aggregated=pre_aggregated,
+    ).select(source_col, "n_docs", "tokens", "weight")
+    budget = F.lit(float(token_budget))
+    cap = F.col("tokens").cast("double") * F.lit(float(max_epochs))
+    # round 0: the uncapped temperature allocation
+    cur = base.withColumn("alloc", budget * F.col("weight"))
+    for _ in range(rounds):
+        cur = cur.withColumn("sat", F.col("alloc") >= cap)
+        totals = cur.agg(
+            F.sum(F.when(F.col("sat"), cap)).alias("_sat_alloc"),
+            F.sum(F.when(~F.col("sat"), F.col("weight"))).alias("_z"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(totals))
+            .withColumn(
+                "alloc",
+                F.when(F.col("sat"), cap).otherwise(
+                    (budget - F.coalesce(F.col("_sat_alloc"), F.lit(0.0)))
+                    * F.col("weight")
+                    / F.col("_z")
+                ),
+            )
+            .drop("_sat_alloc", "_z", "sat")
+        )
+    return cur.select(
+        source_col,
+        "n_docs",
+        "tokens",
+        "weight",
+        F.round("alloc", 2).alias("alloc_tokens"),
+        F.round(F.col("alloc") / F.col("tokens"), 6).alias("epochs"),
+        (F.col("alloc") >= cap).alias("capped"),
+    )

@@ -3322,6 +3322,239 @@ GROUP BY t.doc_id
     )
 
 
+_CCNET = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_DK_TOKS}) AS token FROM documents
+),
+freq AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+tot AS (SELECT lang, COUNT(*) AS total FROM tok GROUP BY 1),
+surp AS (
+  SELECT t.doc_id, t.lang,
+         round(ln(any_value(tot.total)) - SUM(ln(f.cnt)) / COUNT(*), 6)
+           AS surprisal
+  FROM tok t
+  JOIN freq f ON f.lang = t.lang AND f.token = t.token
+  JOIN tot ON tot.lang = t.lang
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang, surprisal,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM (SELECT *, NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY surprisal, doc_id) AS nt
+      FROM surp)
+"""
+
+
+@register("quality_surprisal_buckets", oracle=_CCNET)
+def quality_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.,
+    "CCNet: Extracting high quality monolingual datasets from web crawl
+    data", LREC 2020): score each document's surprisal under ITS OWN
+    language's unigram LM, then split each language into head / middle /
+    tail terciles — the standard curriculum/quality partition of a
+    multilingual crawl. Per-language frequencies and totals are two
+    partial-aggregated groupBys off one token explosion; the tercile is
+    an NTILE window per language ordered by the ROUNDED score (rounded
+    before ordering so an independent engine draws identical
+    boundaries)."""
+    _views(spark, sf_dir, "documents")
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id", "lang", F.explode(TXT.tokens("text")).alias("token")
+    ).createOrReplaceTempView("ccnet_tok")
+    return spark.sql(
+        """
+WITH freq AS (SELECT lang, token, COUNT(*) AS cnt
+              FROM ccnet_tok GROUP BY 1, 2),
+tot AS (SELECT lang, COUNT(*) AS total FROM ccnet_tok GROUP BY 1),
+surp AS (
+  SELECT t.doc_id, t.lang,
+         round(ln(any_value(tot.total)) - SUM(ln(f.cnt)) / COUNT(*), 6)
+           AS surprisal
+  FROM ccnet_tok t
+  JOIN freq f ON f.lang = t.lang AND f.token = t.token
+  JOIN tot ON tot.lang = t.lang
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang, surprisal,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM (SELECT *, NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY surprisal, doc_id) AS nt
+      FROM surp)
+"""
+    )
+
+
+_DSIR = rf"""
+WITH toks AS (SELECT doc_id, source, {_DK_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         unnest(t || CASE WHEN len(t) >= 2
+                          THEN list_transform(range(1, len(t)),
+                                              i -> t[i] || ' ' || t[i + 1])
+                          ELSE [] END) AS gram
+  FROM toks
+),
+bucketed AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 128 AS bucket
+  FROM grams
+),
+stats AS (
+  SELECT bucket,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ct,
+         SUM(CASE WHEN source != 'src0' THEN 1 ELSE 0 END)::BIGINT AS cr
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM stats),
+lr AS (
+  SELECT bucket,
+         ln((ct + 1)::DOUBLE) - ln((tot.nt + 128)::DOUBLE)
+         - ln((cr + 1)::DOUBLE) + ln((tot.nr + 128)::DOUBLE) AS logratio
+  FROM stats, tot
+),
+scored AS (
+  SELECT b.doc_id, any_value(b.source) AS source,
+         COUNT(*) AS n_grams,
+         round(SUM(lr.logratio) / COUNT(*), 6) AS dsir_logw
+  FROM bucketed b JOIN lr ON lr.bucket = b.bucket
+  GROUP BY b.doc_id
+)
+SELECT doc_id, source, n_grams, dsir_logw,
+       (PERCENT_RANK() OVER (ORDER BY dsir_logw DESC, doc_id) <= 0.25)
+         AS selected
+FROM scored
+"""
+
+
+@register("dsir_importance", oracle=_DSIR)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): word
+    uni+bigrams hash into 128 buckets (md5-portable), the target domain
+    (source 'src0' as the quality proxy) and the raw rest each induce an
+    add-one-smoothed bucket distribution, and every document scores the
+    mean log-likelihood ratio of its grams — top-quartile docs are
+    flagged ``selected`` (the deterministic stand-in for weighted
+    resampling). One gram explosion; the 128-row log-ratio table joins
+    back via broadcast; per-doc score is a partial-aggregated groupBy —
+    the same scale shape as the surprisal gate."""
+    _views(spark, sf_dir, "documents")
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i.cast("int")),
+                F.lit(" "),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    ).withColumn(
+        "bucket", TXT.hash32("gram") % 128
+    ).createOrReplaceTempView("dsir_grams")
+    return spark.sql(
+        """
+WITH stats AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+  FROM dsir_grams GROUP BY bucket
+),
+tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM stats),
+lr AS (
+  SELECT bucket,
+         ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(tot.nt + 128 AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(tot.nr + 128 AS DOUBLE))
+           AS logratio
+  FROM stats, tot
+),
+scored AS (
+  SELECT b.doc_id, any_value(b.source) AS source,
+         COUNT(*) AS n_grams,
+         round(SUM(lr.logratio) / COUNT(*), 6) AS dsir_logw
+  FROM dsir_grams b JOIN lr ON lr.bucket = b.bucket
+  GROUP BY b.doc_id
+)
+SELECT doc_id, source, n_grams, dsir_logw,
+       (PERCENT_RANK() OVER (ORDER BY dsir_logw DESC, doc_id) <= 0.25)
+         AS selected
+FROM scored
+"""
+    )
+
+
+_DK_DIRTY = """
+CASE WHEN doc_id % 3 = 0
+     THEN text || ' reach user' || doc_id::VARCHAR
+          || '@mail.example.com from 10.' || (doc_id % 200)::VARCHAR
+          || '.0.7 or call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+          || '-0199'
+     ELSE text END
+"""
+
+
+@register(
+    "pii_redact",
+    oracle=rf"""
+WITH d AS (SELECT doc_id, {_DK_DIRTY} AS t FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+         ::BIGINT AS n_email,
+       len(regexp_extract_all(t, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+         ::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t, '\b\d{{3}}-\d{{3}}-\d{{4}}\b'))::BIGINT AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+           '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '[IP]', 'g'),
+           '\b\d{{3}}-\d{{3}}-\d{{4}}\b', '[PHONE]', 'g')) AS redacted_md5
+FROM d
+""",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions.text.pii_scrub /
+    pii_counts) — the C4/Dolma-style scrub stage: emails, dotted-quad
+    IPs, and phone numbers counted and replaced with typed placeholder
+    tokens, verified via md5 of the redacted text. The synthetic corpus
+    is clean, so every third document gets a deterministic injected
+    contact string (derived from doc_id, reproduced identically by the
+    oracle) — the redaction paths actually fire and the remaining
+    documents pin the no-op path. Scan-stage regex projection: no
+    shuffle, no UDF."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    dirty = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.7 or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ),
+    ).otherwise(F.col("text"))
+    d = docs.select("doc_id", dirty.alias("t"))
+    counts = TXT.pii_counts("t")
+    return d.select(
+        "doc_id",
+        counts["email"].cast("bigint").alias("n_email"),
+        counts["ipv4"].cast("bigint").alias("n_ipv4"),
+        counts["phone"].cast("bigint").alias("n_phone"),
+        F.md5(TXT.pii_scrub("t")).alias("redacted_md5"),
+    )
+
+
 _ASOF_NEAR = """
 WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
 c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
@@ -4021,6 +4254,76 @@ SELECT doc_id, source, n_tokens, prior_tokens
 FROM runn
 WHERE prior_tokens < 3000
 """
+
+
+def _epoch_mix_sql(rounds: int = 3, max_epochs: float = 3.02) -> str:
+    """DuckDB replica of operators.mixing.epoch_capped_mix: the uncapped
+    temperature allocation, then ``rounds`` waterfill rounds, each
+    saturating sources at max_epochs*tokens and re-spreading the freed
+    budget over unsaturated weights. Generated with the same loop the
+    Spark side runs, so round counts can't drift apart."""
+    toks = r"len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))"
+    sql = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs, SUM({toks})::BIGINT AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(sqrt(tokens::DOUBLE)) AS z,
+               (3.0 * SUM(tokens))::DOUBLE AS budget FROM per),
+w0 AS (
+  SELECT source, n_docs, tokens,
+         round(sqrt(tokens::DOUBLE) / tot.z, 6) AS weight,
+         tot.budget AS budget,
+         tokens::DOUBLE * {max_epochs} AS cap
+  FROM per, tot
+),
+a0 AS (SELECT *, budget * weight AS alloc FROM w0)"""
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+s{i} AS (SELECT *, alloc >= cap AS sat FROM {prev}),
+t{i} AS (SELECT SUM(CASE WHEN sat THEN cap END) AS sat_alloc,
+                SUM(CASE WHEN NOT sat THEN weight END) AS z FROM s{i}),
+a{i} AS (
+  SELECT s.source, s.n_docs, s.tokens, s.weight, s.budget, s.cap,
+         CASE WHEN s.sat THEN s.cap
+              ELSE (s.budget - coalesce(t{i}.sat_alloc, 0.0)) * s.weight / t{i}.z
+         END AS alloc
+  FROM s{i} s, t{i}
+)"""
+        prev = f"a{i}"
+    sql += f"""
+SELECT source, n_docs, tokens, weight,
+       round(alloc, 2) AS alloc_tokens,
+       round(alloc / tokens, 6) AS epochs,
+       (alloc >= cap) AS capped
+FROM {prev}
+"""
+    return sql
+
+
+@register("mix_epoch_schedule", oracle=_epoch_mix_sql())
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixture (operators.mixing.epoch_capped_mix;
+    Muennighoff et al., NeurIPS 2023 — repeating data past ~4 epochs
+    stops paying): temperature allocation with per-source repetition
+    capped at 3.02 epochs, freed budget waterfilled back onto uncapped
+    sources over 3 fixed rounds. Budget = 3x the corpus's own token
+    total, so the capped/uncapped split stays meaningful at every scale
+    factor. All rounds run on the per-source aggregate (control-plane
+    sized); each round is one single-row broadcast join."""
+    from slipstream_async_spark.operators.mixing import epoch_capped_mix
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    total = sized.agg(F.sum("n_tokens")).collect()[0][0]
+    return epoch_capped_mix(
+        sized, "source", "n_tokens", alpha=0.5,
+        token_budget=3 * int(total), max_epochs=3.02, rounds=3,
+    )
 
 
 @register("mix_token_budget", oracle=_TOKEN_BUDGET)

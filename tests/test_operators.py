@@ -667,3 +667,72 @@ def test_pq_encode_roundtrip_invariants(spark):
         .collect()
     }
     assert got == want
+
+
+def test_pii_scrub_and_counts(spark):
+    """PII scrub replaces emails, dotted-quad IPs and NNN-NNN-NNNN
+    phones with typed tokens and counts each kind; clean text passes
+    through byte-identical."""
+    from slipstream_async_spark.functions.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or 10.0.42.7 or 555-123-4567 twice "
+                "555-000-1111"),
+            (2, "nothing sensitive here 1.2 v3.4.5 12-34-56"),
+        ],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", pii_scrub("t").alias("red"), *pii_counts("t").values()
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1
+    assert out[1]["n_ipv4"] == 1
+    assert out[1]["n_phone"] == 2
+    assert out[1]["red"] == (
+        "mail [EMAIL] or [IP] or [PHONE] twice [PHONE]"
+    )
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["red"] == "nothing sensitive here 1.2 v3.4.5 12-34-56"
+
+
+def test_epoch_capped_mix_waterfill(spark):
+    """Epoch-capped mixing: capped sources sit at exactly
+    max_epochs * tokens, freed budget flows to uncapped sources
+    (their allocation strictly exceeds the uncapped temperature share),
+    and total allocation never exceeds the budget."""
+    from slipstream_async_spark.operators.mixing import epoch_capped_mix
+
+    # one tiny source (saturates fast) + two large ones
+    df = spark.createDataFrame(
+        [("tiny", 1, 100), ("big_a", 1, 10_000), ("big_b", 1, 12_000)],
+        "source string, n_docs long, tokens long",
+    )
+    out = {
+        r["source"]: r
+        for r in epoch_capped_mix(
+            df, "source", "tokens", alpha=0.5, token_budget=30_000,
+            max_epochs=2.0, pre_aggregated=True,
+        ).collect()
+    }
+    assert out["tiny"]["capped"] and out["tiny"]["epochs"] == 2.0
+    assert out["tiny"]["alloc_tokens"] == 200.0
+    assert not out["big_a"]["capped"] and not out["big_b"]["capped"]
+    total_alloc = sum(r["alloc_tokens"] for r in out.values())
+    assert total_alloc <= 30_000 + 1e-6
+    # freed budget was redistributed: uncapped allocations exceed their
+    # naive uncapped share (weight * budget)
+    for s in ("big_a", "big_b"):
+        assert out[s]["alloc_tokens"] > out[s]["weight"] * 30_000 - 1e-6
+
+    # degenerate: budget so large everything saturates -> all capped,
+    # allocation = cap everywhere, no null/zero-division fallout
+    allcap = epoch_capped_mix(
+        df, "source", "tokens", alpha=0.5, token_budget=10_000_000,
+        max_epochs=2.0, pre_aggregated=True,
+    ).collect()
+    assert all(r["capped"] for r in allcap)
+    assert all(r["epochs"] == 2.0 for r in allcap)
