@@ -154,10 +154,16 @@ def epoch_capped_mix(
     Returns per source: tokens, weight, alloc_tokens (post-waterfill),
     epochs (= alloc/tokens, rounded), capped.
     """
+    # localCheckpoint the per-source aggregate BEFORE the waterfill loop:
+    # each round's totals-aggregate forks the lineage, and without
+    # truncation every fork re-derives the aggregate from the raw corpus
+    # — the plan showed 8 corpus scans for 3 rounds. The checkpoint is
+    # one row per source (control-plane sized), so materializing it is
+    # free and every round reads 20 rows instead of re-scanning 100 TB.
     base = temperature_mix(
         df, source_col, size_col, alpha=alpha,
         token_budget=token_budget, pre_aggregated=pre_aggregated,
-    ).select(source_col, "n_docs", "tokens", "weight")
+    ).select(source_col, "n_docs", "tokens", "weight").localCheckpoint()
     budget = F.lit(float(token_budget))
     cap = F.col("tokens").cast("double") * F.lit(float(max_epochs))
     # round 0: the uncapped temperature allocation

@@ -592,6 +592,111 @@ def pq_topk(
     return _ranked_topk(scored, k, query_id_col, id_col)
 
 
+def ivfadc_topk(
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    index_path: str | None = None,
+) -> DataFrame:
+    """IVFADC: the complete Jégou et al. (TPAMI 2011) billion-vector
+    pipeline — IVF coarse probe restricts the scan to ``n_probe`` of
+    ``n_lists`` inverted lists, PQ asymmetric distance scores each
+    candidate against its m-byte code's reconstruction (query stays
+    full-precision), and optionally the best ``rerank`` ADC candidates
+    per query are re-scored with exact cosine on the original vectors
+    (the "refine" stage of IVFADC+R).
+
+    Why this is THE 100 TB ANN lane: the scan per query is
+    ~N * n_probe / n_lists rows of m BYTES each (the codes), not dim*4
+    — with n_lists ~ sqrt(N) and PQ's 32x compression the probed data
+    for a billion-vector corpus fits an executor's memory. The exact
+    re-rank touches only ``rerank`` full vectors per query. Composes the
+    repo's ``ivf_index`` (optionally materialized: pass ``index_path``
+    from ``ivf_index_write`` to probe a stored, partition-pruned index)
+    with ``pq_encode``'s plan-literal codebook — no join for the
+    encode, one broadcast-probe join for the search.
+
+    Reference parity: the reference has no ANN surface; this extends the
+    training-data-pipeline family (SURVEY §2 M7) with the standard
+    composed index. Recall dial: n_probe (coarse), rerank (refine).
+    """
+    if index_path is not None:
+        cents, assigned = ivf_index_read(queries.sparkSession, index_path)
+    else:
+        if corpus is None:
+            raise ValueError("ivfadc_topk needs either corpus or index_path")
+        cents, assigned = ivf_index(corpus, n_lists, id_col, vec_col)
+    seeds = _pq_seed_codebook(
+        corpus if corpus is not None else assigned, n_codes, id_col, vec_col
+    )
+    _, recon = _pq_sub_exprs(F.col(vec_col), seeds, m)
+    enc_cols = [
+        F.col(id_col),
+        F.col("list_id"),
+        F.flatten(F.array(*recon)).alias("_recon"),
+    ]
+    if rerank > 0:
+        enc_cols.append(F.col(vec_col))
+    enc = assigned.select(*enc_cols)
+    qc = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "_qc", cosine_similarity(F.col(vec_col), F.col("cent_vec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_qc").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        qc.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.col("cent_id").alias("list_id"),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "list_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("_qvec"), F.col("_recon")), 6),
+        )
+    )
+    if rerank <= 0:
+        return _ranked_topk(
+            scored.select(query_id_col, id_col, "cosine"), k,
+            query_id_col, id_col,
+        )
+    # Refine: keep the best `rerank` ADC candidates per query, re-score
+    # those (and only those) with exact cosine on the original vectors.
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        scored.withColumn("_ark", F.row_number().over(wa))
+        .filter(F.col("_ark") <= rerank)
+        .select(
+            query_id_col, id_col, "_qvec",
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+    exact = shortlist.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6).alias(
+            "cosine"
+        ),
+    )
+    return _ranked_topk(exact, k, query_id_col, id_col)
+
+
 def brute_force_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1563,6 +1563,78 @@ def sim_pq_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_topk_ivfadc",
+    oracle=f"""
+WITH {_DK_IVF_CENTS},
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS list_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_dk_cos("e.embedding", "c.cv")} DESC, c.cent_id) AS rk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rk = 1
+),
+{_DK_PQ},
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, cent_id AS list_id FROM (
+    SELECT q.query_id, q.qv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_dk_cos("q.qv", "c.cv")} DESC, c.cent_id) AS rk
+    FROM q CROSS JOIN cents c)
+  WHERE rk <= 4
+),
+adc AS (
+  SELECT p.query_id, a.vec_id,
+         round({_dk_cos("p.qv", "r.r")}, 6) AS adc_cos
+  FROM assigned a
+  JOIN recon r ON r.vec_id = a.vec_id
+  JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id != p.query_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_cos DESC, vec_id) AS ark
+    FROM adc)
+  WHERE ark <= 20
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         round({_dk_cos("q.qv", "e.embedding")}, 6) AS cosine
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN embeddings e ON e.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM exact
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rk <= 5
+""",
+)
+def sim_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVFADC+R pipeline (operators.similarity.ivfadc_topk;
+    Jégou et al., TPAMI 2011): IVF 4-of-16-list coarse probe -> PQ
+    asymmetric-distance scoring over the probed lists' 8-byte codes ->
+    exact-cosine re-rank of the 20 best ADC candidates -> top-5. The
+    probe scan reads ~1/4 of the corpus as m-byte codes (32x compressed)
+    and the exact stage touches 20 full vectors per query — the shape
+    that makes billion-vector ANN tractable on a cluster."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfadc_topk(
+        emb, q, k=5, n_lists=16, n_probe=4, m=8, n_codes=16, rerank=20
+    )
+
+
+@register(
     "dedup_clusters",
     oracle=f"""
 WITH RECURSIVE

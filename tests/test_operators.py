@@ -736,3 +736,53 @@ def test_epoch_capped_mix_waterfill(spark):
     ).collect()
     assert all(r["capped"] for r in allcap)
     assert all(r["epochs"] == 2.0 for r in allcap)
+
+
+def test_ivfadc_composition_and_rerank(spark, tmp_path):
+    """IVFADC contract: with a rerank window covering every probed
+    candidate, the exact re-rank reduces IVFADC to plain IVF (same
+    probed lists, same exact scoring) — the compression must cost
+    nothing when the refine stage sees everything. Pure-ADC (rerank=0)
+    still returns k rows per query from probed lists only, and the
+    stored-index lane reproduces the in-memory one."""
+    from slipstream_async_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_topk,
+        ivfadc_topk,
+    )
+    from slipstream_async_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, n_lists=8, n_probe=2, m=8, n_codes=16)
+
+    ivf = sorted(map(tuple, ivf_topk(emb, q, k=5, n_lists=8, n_probe=2).collect()))
+    adc_full = sorted(
+        map(tuple, ivfadc_topk(emb, q, rerank=10**6, **kw).collect())
+    )
+    assert adc_full == ivf
+
+    pure_adc = ivfadc_topk(emb, q, rerank=0, **kw).collect()
+    assert {r["query_id"] for r in pure_adc} == {0, 1, 2, 3, 4}
+    from collections import Counter
+
+    assert all(c == 5 for c in Counter(r["query_id"] for r in pure_adc).values())
+
+    path = str(tmp_path / "ivfadc_idx")
+    ivf_index_write(emb, path, n_lists=8)
+    mem = sorted(map(tuple, ivfadc_topk(emb, q, rerank=20, **kw).collect()))
+    disk = sorted(
+        map(
+            tuple,
+            ivfadc_topk(
+                None, q, k=5, n_probe=2, m=8, n_codes=16, rerank=20,
+                index_path=path,
+            ).collect(),
+        )
+    )
+    assert mem == disk
+
+    with pytest.raises(ValueError):
+        ivfadc_topk(None, q, k=5)

@@ -171,3 +171,25 @@ def test_exact_dedup_shuffles_hashes_not_documents(spark):
     # only; 'text' may appear in the scan but not above the partial agg
     above_exchange = plan.split("Exchange", 1)[0]
     assert "partial_" in above_exchange or "text" not in above_exchange
+
+
+def test_epoch_mix_waterfill_never_rescans_corpus(q):
+    """mix_epoch_schedule: the waterfill rounds iterate on a
+    localCheckpoint of the per-source aggregate, so the final plan must
+    contain ZERO parquet scans — before the checkpoint was added, every
+    round's totals-fork re-derived the aggregate from the raw corpus (8
+    full scans for 3 rounds), which at 100 TB is 8 corpus passes where
+    one suffices."""
+    plan = _plan(q["mix_epoch_schedule"])
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_ivfadc_probe_side_is_broadcast(q):
+    """sim_topk_ivfadc: the probe join against the encoded lists must be
+    a broadcast of the (query, list) probe set — never a shuffle of the
+    corpus on list_id — and the PQ encode must appear as a projection
+    (no join) over the assigned corpus."""
+    plan = _plan(q["sim_topk_ivfadc"], "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan

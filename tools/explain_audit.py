@@ -47,6 +47,25 @@ ALLOW_BNLJ = {
     # broadcast-crossed against the corpus — the deliberate recall
     # measurement shape (same as sim_topk_bruteforce)
     "sim_ann_recall",
+    # same recall-measurement shape, one exact arm per LSH table count
+    "sim_ann_recall_2table",
+    # 16-row centroid set broadcast-crossed against the corpus for the
+    # coarse assignment — the sim_topk_ivf shape (stored-index variant)
+    "sim_topk_ivf_indexed",
+    # same 16-row centroid cross for the SemDeDup cluster assignment
+    "sim_semdedup",
+    # 10-row query set broadcast-crossed against the PQ-encoded corpus —
+    # the sim_topk_bruteforce shape over reconstructions
+    "sim_topk_pq",
+    # centroid cross (assignment) as in sim_topk_ivf, plus the 10-row
+    # query probe cross — the composed IVFADC pipeline
+    "sim_topk_ivfadc",
+    # one-row corpus-total (nt, nr) cross against the 128-bucket
+    # log-ratio table — the scalar-subquery shape
+    "dsir_importance",
+    # per-waterfill-round one-row (sat_alloc, z) broadcast against the
+    # per-source aggregate — control-plane rows, not data
+    "mix_epoch_schedule",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
