@@ -681,3 +681,78 @@ def dedup_incremental(
     return _verified_pairs(
         cand, sets.select(id_col, "sh"), id_col, threshold, broadcast_sets=small
     )
+
+
+def remove_boilerplate_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate REMOVAL, not just detection: rewrite every document
+    with its repeated passages cut out — the RefinedWeb/CCNet line-dedup
+    stage (Penedo et al., arXiv:2306.01116 §3.3; the reference has no
+    corpus surface — this extends SURVEY §2's M7 curation family) at
+    chunk granularity, since the corpus carries no line breaks.
+
+    A document is chunked into NON-overlapping ``chunk_size``-token
+    windows; a chunk content occurring in >= ``min_docs`` DISTINCT
+    documents is boilerplate (headers, footers, licence blocks, nav
+    text), and every occurrence is dropped from every document. The
+    rewrite happens in the array domain on the docs side: chunks whose
+    index landed in the document's removal list are filtered out, the
+    rest re-join in original order.
+
+    Returns one row per document: ``n_tokens_before``,
+    ``n_tokens_after``, ``n_chunks_removed``, and ``cleaned_md5`` (the
+    md5 of the rewritten text, so an independent engine can verify the
+    rewrite itself, not just the counts).
+
+    Scale shape: the duplicate-content discovery shuffles ONLY
+    (id, pos, 16-byte md5) rows — never chunk text; the boilerplate set
+    is an equi-join on the hash; the per-doc removal-position lists are
+    bounded by chunks-per-doc and re-join the corpus on the id. The
+    document text itself is never exploded and never shuffled: the
+    rewrite is a narrow projection over the original row.
+    """
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_size)).cast("int")
+    chunks = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * chunk_size + 1, chunk_size),
+    )).otherwise(F.array().cast("array<array<string>>"))
+    chunked = docs.select(F.col(id_col), chunks.alias("_chunks"))
+
+    ex = chunked.select(
+        id_col, F.posexplode("_chunks").alias("pos", "chunk")
+    ).select(
+        id_col, "pos", F.md5(F.concat_ws(" ", "chunk")).alias("_m")
+    )
+    boiler = (
+        ex.groupBy("_m")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_m")
+    )
+    removals = (
+        ex.join(boiler, "_m")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_rpos"))
+    )
+    rp = F.coalesce(F.col("_rpos"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_chunks"),
+        lambda c, i: ~F.array_contains(rp, i.cast("int")),
+    )
+    cleaned_toks = F.flatten(kept)
+    return (
+        chunked.join(removals, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(F.flatten("_chunks")).cast("bigint").alias("n_tokens_before"),
+            F.size(cleaned_toks).cast("bigint").alias("n_tokens_after"),
+            F.size(rp).cast("bigint").alias("n_chunks_removed"),
+            F.md5(F.concat_ws(" ", cleaned_toks)).alias("cleaned_md5"),
+        )
+    )

@@ -195,3 +195,50 @@ def epoch_capped_mix(
         F.round(F.col("alloc") / F.col("tokens"), 6).alias("epochs"),
         (F.col("alloc") >= cap).alias("capped"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    phases: int = 4,
+    salt: str = "curr",
+) -> DataFrame:
+    """Curriculum data ordering (Bengio et al., ICML 2009): assign every
+    row a training ``phase`` (1 = lowest-score band ... ``phases`` =
+    highest) and a deterministic within-phase ``order_key``, so the
+    training loader reads phase by phase, shuffled-but-reproducibly
+    within each phase.
+
+    Phases are EQUAL-WIDTH score bands between the global min and max —
+    two scalars from one partial-aggregated pass, broadcast back (the
+    scalar-subquery shape) — not equal-count ntiles: a global ntile
+    needs a total order (single-partition window), which is exactly the
+    shape that dies at 100 TB. ``order_key`` is the md5 hash of the id:
+    the SORT KEY for the loader (write with
+    ``repartitionByRange(phase, order_key)``), not a materialized
+    ordinal — emitting 'position 7,381,224,551' would again need a
+    global order.
+    """
+    from slipstream_async_spark.functions.text import hash32
+
+    s = F.col(score_col).cast("double")
+    bounds = df.agg(
+        F.min(s).alias("_lo"), F.max(s).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(phases))
+    phase = F.when(
+        F.col("_hi") == F.col("_lo"), F.lit(1)
+    ).otherwise(
+        F.least(
+            F.lit(phases),
+            (F.floor((s - F.col("_lo")) / width) + 1).cast("int"),
+        )
+    )
+    return df.crossJoin(F.broadcast(bounds)).select(
+        *[F.col(c) for c in df.columns],
+        phase.cast("int").alias("phase"),
+        hash32(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("order_key"),
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from slipstream_async_spark.functions.text import hash32
 
 _BUCKETS = 10_000
+_U_DENOM = 4_294_967_297  # 2^32 + 1: u = (hash32 + 1) / _U_DENOM lands in (0, 1]
 
 
 def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
@@ -100,3 +101,52 @@ def deterministic_stratified_sample(
             F.col(strata_col) == value, F.lit(round(rate * _BUCKETS))
         ).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    strata_col: str | None = None,
+    salt: str = "wrs",
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006) — each row draws
+    u in (0, 1] and ranks by key u^(1/w); the k largest keys are a
+    without-replacement sample where inclusion probability tracks the
+    weight. Here u is md5-derived from the id (rerun-stable, engine
+    reproducible), and ranking uses the monotone-equivalent
+    ``ln(u)/w`` (avoids pow() underflow for large weights), ROUNDED to
+    6 decimals with an id tie-break so the selected set is bit-stable
+    across engines.
+
+    With ``strata_col``, the top-k is per stratum (e.g. k docs per
+    source, probability proportional to token count — the standard
+    quality-weighted corpus subsample). Rows with weight <= 0 are
+    excluded (they'd get key 0 anyway in A-ES).
+
+    Scale shape: one hash + one division per row, then a per-stratum
+    top-k window (shuffle keyed on the stratum; for the unstratified
+    form at extreme scale, pre-filter with a per-partition top-k before
+    the global window). Returns the sampled rows + ``wrs_key``.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(float(_U_DENOM))
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), 6
+    ).alias("wrs_key")
+    base = df.filter(F.col(weight_col) > 0).withColumn("wrs_key", key)
+    part = [strata_col] if strata_col is not None else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("wrs_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

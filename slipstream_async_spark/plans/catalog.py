@@ -2037,6 +2037,48 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_weighted",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_tokens,
+         round(ln((('0x' || substr(md5('wrs' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   + 1) / 4294967297.0) / n_tokens, 6) AS wrs_key
+  FROM sized WHERE n_tokens > 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY wrs_key DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, source, n_tokens, wrs_key FROM ranked WHERE rk <= 3
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sample, 3 docs per source with
+    inclusion probability proportional to token count
+    (operators.sampling.weighted_sample; Efraimidis–Spirakis A-ES, IPL
+    2006) — the deterministic form of 'sample big documents more often'
+    used for corpus subsampling and eval-set draws. The md5-derived draw
+    makes the selected set rerun- and engine-stable; the oracle
+    recomputes the identical keys."""
+    from slipstream_async_spark.operators.sampling import weighted_sample
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return weighted_sample(
+        sized, "n_tokens", "doc_id", k=3, strata_col="source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus statistics & leakage control (M7 training-data inventory,
 # continued): global term statistics, TF-IDF keyword extraction,
@@ -4850,6 +4892,142 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n_dup") > 0)
         .select("doc_id", "n_chunks", "n_canonical", "tokens_saved")
     )
+
+
+_BOILER_REMOVE = rf"""
+WITH t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+ch AS (
+  SELECT doc_id, CAST((s - 1) / 8 AS INT) AS pos,
+         list_slice(toks, s, s + 7) AS ctoks,
+         md5(array_to_string(list_slice(toks, s, s + 7), ' ')) AS m
+  FROM t, UNNEST(generate_series(1, len(toks), 8)) AS u(s)
+),
+boiler AS (
+  SELECT m FROM ch GROUP BY m HAVING COUNT(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT c.doc_id, c.pos, c.ctoks, (b.m IS NOT NULL) AS rm
+  FROM ch c LEFT JOIN boiler b ON b.m = c.m
+),
+agg AS (
+  SELECT doc_id,
+         SUM(len(ctoks))::BIGINT AS n_tokens_before,
+         SUM(CASE WHEN rm THEN 0 ELSE len(ctoks) END)::BIGINT AS n_tokens_after,
+         SUM(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_chunks_removed,
+         md5(coalesce(string_agg(
+           CASE WHEN NOT rm THEN array_to_string(ctoks, ' ') END,
+           ' ' ORDER BY pos), '')) AS cleaned_md5
+  FROM marked GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_tokens_before, 0) AS n_tokens_before,
+       coalesce(a.n_tokens_after, 0) AS n_tokens_after,
+       coalesce(a.n_chunks_removed, 0) AS n_chunks_removed,
+       coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("text_remove_boilerplate", oracle=_BOILER_REMOVE)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal as a REWRITE (operators.dedup.
+    remove_boilerplate_chunks; RefinedWeb line-dedup, Penedo et al.
+    2306.01116 §3.3, at chunk grain): non-overlapping 8-token chunks
+    occurring in >= 2 distinct documents are cut from every document,
+    and the cleaned text's md5 is emitted so the rewrite itself — not
+    just the counts — is verified cross-engine. Discovery shuffles only
+    (id, pos, md5); the rewrite is a narrow array-domain projection on
+    the original row, so document text never moves."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return DD.remove_boilerplate_chunks(
+        docs, "text", "doc_id", chunk_size=8, min_docs=2
+    )
+
+
+def _zorder_stats_sql() -> str:
+    from slipstream_async_spark.functions.layout import zorder_sql
+
+    return f"""
+WITH k AS (
+  SELECT (o_custkey & 65535) AS x,
+         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS y
+  FROM orders
+),
+z AS (SELECT x, y, {zorder_sql("x", "y", 16)} AS zk FROM k)
+SELECT (zk >> 14) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(x) - MIN(x) AS BIGINT) AS ck_span,
+       CAST(MAX(y) - MIN(y) AS BIGINT) AS day_span
+FROM z GROUP BY bucket
+"""
+
+
+@register("layout_zorder_stats", oracle=_zorder_stats_sql())
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout effectiveness (functions.layout.zorder_key; Morton
+    1966 — the Delta OPTIMIZE ZORDER BY layout): orders keyed by the
+    bit-interleave of (customer, order-day), grouped into
+    leading-bit z-buckets (zk >> 14) a range-partitioned writer would turn into
+    files, reporting each bucket's customer-key span AND day span. The
+    point of the layout is that BOTH spans stay tight simultaneously
+    (a sorted-by-one-column layout makes the other span ~the full
+    domain), so min/max file stats prune scans for predicates on either
+    dimension. Pure JVM bit arithmetic, one partial-aggregated groupBy;
+    the oracle recomputes keys from the shared ``zorder_sql`` emitter."""
+    from slipstream_async_spark.functions.layout import zorder_key
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = orders.select(
+        F.col("o_custkey").bitwiseAND(F.lit(65535)).alias("x"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).cast("bigint").alias("y"),
+    )
+    z = k.withColumn("zk", zorder_key("x", "y", 16))
+    return z.groupBy(
+        F.shiftright("zk", 14).alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.max("x") - F.min("x")).cast("bigint").alias("ck_span"),
+        (F.max("y") - F.min("y")).cast("bigint").alias("day_span"),
+    )
+
+
+@register(
+    "mix_curriculum",
+    oracle=f"""
+WITH q AS ({_ORACLES["text_quality"]}),
+b AS (SELECT MIN(quality) AS lo, MAX(quality) AS hi FROM q)
+SELECT doc_id, quality,
+       CASE WHEN b.hi = b.lo THEN 1
+            ELSE least(4, CAST(floor((quality - b.lo)
+                                     / ((b.hi - b.lo) / 4.0)) AS INT) + 1)
+       END AS phase,
+       ('0x' || substr(md5('curr' || doc_id::VARCHAR), 1, 8))::BIGINT
+         AS order_key
+FROM q, b
+""",
+)
+def mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering (operators.mixing.curriculum_order;
+    Bengio et al., ICML 2009): every document gets a training phase
+    (equal-width quality bands 1..4, low first) and a deterministic
+    within-phase order key (id hash) — the loader reads phase by phase,
+    reproducibly shuffled within each. Bands come from a global
+    min/max scalar broadcast, NOT a global ntile (which would need a
+    single-partition total order); the order key is a sort key for
+    ``repartitionByRange``, not a materialized global ordinal — the two
+    choices that keep a training-order materialization scale-safe.
+    Phase arithmetic is +,-,*,/,floor on IEEE doubles (exactly
+    specified), so the oracle reproduces the banding bit-for-bit."""
+    from slipstream_async_spark.operators.mixing import curriculum_order
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(TXT.quality_score("text"), 6).alias("quality")
+    )
+    return curriculum_order(scored, "quality", "doc_id", phases=4)
 
 
 _PROPS_MAP = """
