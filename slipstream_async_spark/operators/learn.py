@@ -1,0 +1,72 @@
+"""In-engine model fitting for data curation: logistic regression by
+full-batch gradient descent, expressed as DataFrame aggregations.
+
+Why this lives in a data engine: the modern curation stack (CCNet,
+RefinedWeb, DCLM) filters corpora with LEARNED quality classifiers — a
+linear/logistic model over cheap document features, trained to separate
+a trusted target domain from the raw crawl. At 100 TB the features and
+the training pass are exactly the engine's job: each gradient step is
+one partial-aggregated scan (``avg((y - sigmoid(w·x)) * x)``), the
+weight vector is a handful of scalars, and scoring is a pure projection.
+No MLlib dependency, no driver-side data: only the d+1 weight scalars
+ever leave the cluster, once per step.
+
+Determinism/cross-engine contract: features arrive pre-rounded (6 dp),
+weights are re-rounded to 6 dp after every step, and the step count is
+fixed — so an independent engine (the DuckDB oracle generates the same
+fixed step chain) reproduces the trained weights bit-for-bit; the only
+float hazards are libm ``exp`` (1-ulp class) and summation order,
+both absorbed by the per-step rounding.
+
+The reference is a stream processor with no corpus/ML surface; this
+extends SURVEY §2's M7 training-data inventory (the 'learned filter'
+row next to the hand-rule gates in quality_feature_matrix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def logistic_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 5,
+    lr: float = 1.0,
+) -> list[float]:
+    """Fit logistic-regression weights ``[bias, w_1..w_d]`` by ``steps``
+    full-batch gradient-descent rounds over ``df``.
+
+    Each round is ONE aggregation job over the data (the scan cost is
+    inherent to full-batch GD — same shape as a k-means iteration); the
+    collected result is a single row of d+1 gradient means. Weights are
+    rounded to 6 dp per step (see module docstring). Labels are 0/1;
+    features should be bounded (roughly [-1, 1]) for lr ~ 1 to behave.
+    """
+    w = [0.0] * (len(feature_cols) + 1)
+    y = F.col(label_col).cast("double")
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    for _ in range(steps):
+        z = sum((F.lit(w[j]) * xs[j] for j in range(len(xs))), F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = df.agg(
+            *[F.avg((y - p) * xs[j]).alias(f"g{j}") for j in range(len(xs))]
+        ).collect()[0]
+        w = [round(w[j] + lr * row[j], 6) for j in range(len(xs))]
+    return w
+
+
+def logistic_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+) -> F.Column:
+    """The score expression ``sigmoid(w·[1, x])`` for trained
+    ``weights`` — a pure projection to attach to any scan."""
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    z = sum(
+        (F.lit(weights[j]) * xs[j] for j in range(len(xs))), F.lit(0.0)
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

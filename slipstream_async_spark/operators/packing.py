@@ -90,3 +90,68 @@ def chunk_stats(packed: DataFrame, size_col: str) -> DataFrame:
         F.sum(size_col).cast("bigint").alias("n_tokens"),
         F.min("start").cast("bigint").alias("chunk_start"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    size_col: str,
+    max_len: int = 1 << 20,
+) -> DataFrame:
+    """Length-bucketed batching stats: assign every sequence to the
+    smallest power-of-2 bucket holding it and report, per bucket, the
+    padding cost of batching inside the bucket vs padding everything to
+    the corpus maximum — the standard padding-waste reduction for
+    non-packed (padded-batch) training and inference serving.
+
+    Per bucket: ``n_seqs``, real ``n_tokens``, ``padded_tokens`` (=
+    n_seqs * bucket upper edge), ``pad_overhead`` (padded/real - 1,
+    rounded), and ``global_padded_tokens`` (n_seqs * corpus max) — the
+    counterfactual single-bucket cost. Sequences longer than
+    ``max_len`` land in the top bucket (cap documented, not silent:
+    they're counted in ``n_truncated``).
+
+    Scale shape: bucket id is ``ceil(log2(len))`` — pure expression;
+    one partial-aggregated groupBy on ~30 distinct buckets; the corpus
+    max is a one-row broadcast (scalar-subquery shape). No window, no
+    shuffle beyond the 30-group agg.
+    """
+    n = F.col(size_col).cast("bigint")
+    # smallest power of two >= n, via the bit length of n-1 — exact
+    # integer arithmetic (ceil(log2(n)) through libm can land a hair
+    # above an integer at exact powers of two and flip the bucket,
+    # engine-dependently; binary-string length cannot). SQL expr because
+    # the Python F.shiftleft only takes a literal bit count.
+    sized = df.select(n.alias("_n")).withColumn(
+        "bucket_edge",
+        F.expr(
+            "least(CASE WHEN _n <= 1 THEN CAST(1 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(_n - 1))) END, "
+            f"CAST({int(max_len)} AS BIGINT))"
+        ),
+    ).withColumn("_trunc", (F.col("_n") > max_len).cast("int"))
+    gmax = sized.agg(F.max("_n").alias("_gmax"))
+    return (
+        sized.groupBy("bucket_edge")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seqs"),
+            F.sum("_n").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("bucket_edge") * F.lit(1)).cast("bigint").alias(
+                "padded_tokens"
+            ),
+            F.sum("_trunc").cast("bigint").alias("n_truncated"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "bucket_edge",
+            "n_seqs",
+            "n_tokens",
+            "padded_tokens",
+            F.round(
+                F.col("padded_tokens") / F.col("n_tokens") - 1.0, 6
+            ).alias("pad_overhead"),
+            (F.col("n_seqs") * F.col("_gmax")).cast("bigint").alias(
+                "global_padded_tokens"
+            ),
+            "n_truncated",
+        )
+    )

@@ -5030,6 +5030,141 @@ def mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(scored, "quality", "doc_id", phases=4)
 
 
+@register(
+    "pack_length_buckets",
+    oracle=f"""
+WITH sized AS (SELECT CAST(len({_DK_TOKS}) AS BIGINT) AS n FROM documents),
+e AS (
+  SELECT n,
+         CAST(CASE WHEN n <= 1 THEN 1
+                   ELSE least(1 << length(bin(n - 1)), 1048576) END
+              AS BIGINT) AS bucket_edge,
+         CASE WHEN n > 1048576 THEN 1 ELSE 0 END AS tr
+  FROM sized
+),
+g AS (SELECT MAX(n) AS gmax FROM e)
+SELECT bucket_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(bucket_edge) AS BIGINT) AS padded_tokens,
+       round(SUM(bucket_edge)::DOUBLE / SUM(n) - 1.0, 6) AS pad_overhead,
+       CAST(COUNT(*) * g.gmax AS BIGINT) AS global_padded_tokens,
+       CAST(SUM(tr) AS BIGINT) AS n_truncated
+FROM e, g GROUP BY bucket_edge, g.gmax
+""",
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats (operators.packing.length_buckets):
+    power-of-2 length buckets with per-bucket padding overhead vs the
+    pad-to-corpus-max counterfactual — the padded-batch complement to
+    contiguous packing (pack_sequences), and the serving-side batcher's
+    sizing table. Bucket edges are exact integer bit-length arithmetic
+    (no libm), one ~30-group partial agg + a one-row max broadcast."""
+    from slipstream_async_spark.operators.packing import length_buckets
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return length_buckets(sized, "n_tokens")
+
+
+def _logistic_gd_sql(steps: int = 5, lr: float = 1.0) -> str:
+    """DuckDB replica of the quality_classifier_gd training loop,
+    generated with the same fixed-step structure operators.learn runs,
+    so the two cannot drift. Features are rounded to 6 dp on entry and
+    weights re-rounded per step — the cross-engine determinism contract
+    (operators/learn.py module docstring)."""
+    feats = f"""
+feats AS (
+  SELECT CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+         round(least(len(toks) / 100.0, 1.0), 6) AS x1,
+         round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 6)
+           AS x2,
+         round(least(len(list_intersect(toks, {_DK_STOPS}))::DOUBLE * 2.0
+                     / greatest(len(toks), 1), 1.0), 6) AS x3
+  FROM (SELECT source, {_DK_TOKS} AS toks FROM documents)
+),
+w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    sql = "WITH " + feats
+    z = "(w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    for i in range(1, steps + 1):
+        sql += f""",
+g{i} AS (
+  SELECT avg((y - {p}) * 1.0) AS g0, avg((y - {p}) * x1) AS g1,
+         avg((y - {p}) * x2) AS g2, avg((y - {p}) * x3) AS g3
+  FROM feats, w{i - 1} w),
+w{i} AS (
+  SELECT round(w.b + {lr} * g.g0, 6) AS b, round(w.w1 + {lr} * g.g1, 6) AS w1,
+         round(w.w2 + {lr} * g.g2, 6) AS w2, round(w.w3 + {lr} * g.g3, 6) AS w3
+  FROM w{i - 1} w, g{i} g)"""
+    return sql + f""",
+scored AS (SELECT y, {p} AS p FROM feats, w{steps} w)
+SELECT w.b AS w_bias, w.w1 AS w_len, w.w2 AS w_distinct, w.w3 AS w_stop,
+       s.mean_p_target, s.mean_p_rest, s.n
+FROM w{steps} w, (
+  SELECT round(avg(CASE WHEN y = 1.0 THEN p END), 6) AS mean_p_target,
+         round(avg(CASE WHEN y = 0.0 THEN p END), 6) AS mean_p_rest,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored) s
+"""
+
+
+@register("quality_classifier_gd", oracle=_logistic_gd_sql())
+def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A LEARNED quality filter trained inside the engine
+    (operators.learn.logistic_fit; the CCNet/DCLM fasttext-classifier
+    stage reduced to its linear essence): logistic regression separating
+    the target domain (source 'src0', the same proxy DSIR uses) from
+    the rest over three cheap features (length, distinct-token ratio,
+    stopword density), fit by 5 full-batch gradient steps — each step
+    ONE partial-aggregated pass, only the 4 weight scalars ever leave
+    the executors. Output: the trained weights plus the mean predicted
+    probability on target vs rest (the separation readout — threshold-
+    free, so no knife-edge cross-engine flips). Features are
+    materialized once (localCheckpoint; at real scale a parquet temp
+    table) so the 5 passes scan 4 doubles/row, not re-tokenized text."""
+    from slipstream_async_spark.operators.learn import (
+        logistic_fit,
+        logistic_score,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    n = F.size(toks)
+    stops = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in TXT.STOPWORDS]))
+    )
+    feats = docs.select(
+        F.when(F.col("source") == "src0", 1.0).otherwise(0.0).alias("y"),
+        F.round(F.least(n / F.lit(100.0), F.lit(1.0)), 6).alias("x1"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
+        ).alias("x2"),
+        F.round(
+            F.least(
+                stops * F.lit(2.0) / F.greatest(n, F.lit(1)), F.lit(1.0)
+            ),
+            6,
+        ).alias("x3"),
+    ).localCheckpoint()
+    fcols = ["x1", "x2", "x3"]
+    w = logistic_fit(feats, fcols, "y", steps=5, lr=1.0)
+    p = logistic_score(feats, fcols, w)
+    return feats.agg(
+        F.lit(w[0]).alias("w_bias"),
+        F.lit(w[1]).alias("w_len"),
+        F.lit(w[2]).alias("w_distinct"),
+        F.lit(w[3]).alias("w_stop"),
+        F.round(F.avg(F.when(F.col("y") == 1.0, p)), 6).alias(
+            "mean_p_target"
+        ),
+        F.round(F.avg(F.when(F.col("y") == 0.0, p)), 6).alias("mean_p_rest"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
 _PROPS_MAP = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -955,3 +955,72 @@ def test_curriculum_order_bands(spark):
 
     again = {r["id"]: r["order_key"] for r in curriculum_order(df, "score", "id").collect()}
     assert again == {i: out[i]["order_key"] for i in range(8)}
+
+
+def test_logistic_fit_matches_numpy_replica(spark):
+    """logistic_fit: the 5-step full-batch GD weights match a NumPy
+    re-implementation with the same per-step 6dp rounding exactly, and
+    the fit separates a separable toy set (positive class scores
+    higher)."""
+    import numpy as np
+
+    from slipstream_async_spark.operators.learn import (
+        logistic_fit,
+        logistic_score,
+    )
+
+    rows = [
+        (1.0, 0.9, 0.8),
+        (1.0, 0.8, 0.7),
+        (1.0, 0.95, 0.9),
+        (0.0, 0.1, 0.2),
+        (0.0, 0.2, 0.1),
+        (0.0, 0.05, 0.15),
+    ]
+    df = spark.createDataFrame(rows, "y double, a double, b double")
+    got = logistic_fit(df, ["a", "b"], "y", steps=5, lr=1.0)
+
+    X = np.hstack([np.ones((6, 1)), np.array([r[1:] for r in rows])])
+    yv = np.array([r[0] for r in rows])
+    w = np.zeros(3)
+    for _ in range(5):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        w = np.round(w + (X.T @ (yv - p)) / len(yv), 6)
+    assert got == list(w), (got, list(w))
+
+    scored = df.withColumn(
+        "p", logistic_score(df, ["a", "b"], got)
+    ).collect()
+    pos = [r["p"] for r in scored if r["y"] == 1.0]
+    neg = [r["p"] for r in scored if r["y"] == 0.0]
+    assert min(pos) > max(neg)
+
+
+def test_length_buckets_edges_and_overhead(spark):
+    """length_buckets: exact power-of-2 edges (n=1 -> 1, n=2 -> 2,
+    n=3 -> 4, exact powers stay put), truncation counted at the capped
+    top bucket, and padding arithmetic checks out."""
+    from slipstream_async_spark.operators.packing import length_buckets
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (5,), (64,), (100,)], "n long"
+    )
+    out = {r["bucket_edge"]: r for r in length_buckets(df, "n").collect()}
+    assert set(out) == {1, 2, 4, 8, 64, 128}
+    assert out[4]["n_seqs"] == 2  # 3 and 4
+    assert out[4]["n_tokens"] == 7
+    assert out[4]["padded_tokens"] == 8
+    assert out[4]["pad_overhead"] == round(8 / 7 - 1, 6)
+    assert out[64]["n_seqs"] == 1  # exact power stays in its own bucket
+    assert all(r["global_padded_tokens"] == r["n_seqs"] * 100 for r in out.values())
+    assert all(r["n_truncated"] == 0 for r in out.values())
+
+    capped = {
+        r["bucket_edge"]: r
+        for r in length_buckets(
+            spark.createDataFrame([(5,), (100,)], "n long"), "n", max_len=8
+        ).collect()
+    }
+    assert set(capped) == {8}
+    assert capped[8]["n_seqs"] == 2
+    assert capped[8]["n_truncated"] == 1

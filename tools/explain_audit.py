@@ -66,6 +66,11 @@ ALLOW_BNLJ = {
     # per-waterfill-round one-row (sat_alloc, z) broadcast against the
     # per-source aggregate — control-plane rows, not data
     "mix_epoch_schedule",
+    # one-row global (min, max) score bounds broadcast for the phase
+    # banding — the scalar-subquery shape
+    "mix_curriculum",
+    # one-row corpus-max broadcast for the pad-to-global counterfactual
+    "pack_length_buckets",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
