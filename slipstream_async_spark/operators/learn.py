@@ -70,3 +70,94 @@ def logistic_score(
         (F.lit(weights[j]) * xs[j] for j in range(len(xs))), F.lit(0.0)
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, fixed-iteration and
+    deterministic — the TRAINED coarse quantizer the IVF/IVFADC family's
+    docstrings promise ("swap in trained centroids for recall"): seeds
+    are the k smallest-md5-hash vectors (the same rule as ``ivf_index``,
+    so an independent engine reproduces them), then ``iters`` rounds of
+    assign (max-cosine centroid per vector) + update (per-cluster
+    coordinate mean).
+
+    Scale shape per iteration: assignment is a broadcast of k centroids
+    against one corpus scan + a per-vector argmax window; the update is
+    the posexplode -> groupBy(list, pos) -> avg partial-agg shape
+    (_label_centroids' rule: the shuffle carries (list, pos, partial
+    sums), never whole vectors, so a huge cluster spreads over ``dim``
+    reducers). Centroids are localCheckpointed per round (k rows) so
+    lineage doesn't re-derive earlier rounds. An emptied cluster keeps
+    its previous centroid (deterministic, no reseeding).
+
+    Determinism contract: centroid coordinates and the assignment
+    cosine are rounded to 6 dp every round, so the fixed-step DuckDB
+    oracle replays the identical trajectory. Returns (list_id 0..k-1,
+    centroid ARRAY<DOUBLE>).
+    """
+    from pyspark.sql import Window
+
+    from slipstream_async_spark.functions.text import hash32
+    from slipstream_async_spark.functions.vectors import cosine_similarity
+
+    seeds = (
+        corpus.withColumn("_h", hash32(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+    )
+    w_seed = Window.orderBy("_h", id_col)  # k rows — tiny, single task
+    cents = seeds.select(
+        (F.row_number().over(w_seed) - 1).cast("bigint").alias("list_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double"), 6)
+        ).alias("centroid"),
+    ).localCheckpoint()
+    for _ in range(iters):
+        scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+            "_c",
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("centroid")), 6
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_c").desc(), F.col("list_id").asc()
+        )
+        assigned = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(id_col, vec_col, "list_id")
+        )
+        means = (
+            assigned.select(
+                "list_id", F.posexplode(vec_col).alias("pos", "val")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "v"))
+                ).alias("s")
+            )
+            .select(
+                "list_id",
+                F.transform("s", lambda x: x["v"]).alias("_new"),
+            )
+        )
+        cents = (
+            cents.join(F.broadcast(means), "list_id", "left")
+            .select(
+                "list_id",
+                F.coalesce(F.col("_new"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return cents

@@ -159,14 +159,18 @@ def ivf_index(
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse index: (centroids, corpus-with-list-assignment).
 
-    Centroids are the ``n_lists`` corpus vectors with the smallest
-    md5-derived id hashes — a DETERMINISTIC seeded sample, so the index
-    build is one pass (no k-means iterations) and an independent engine
-    can reproduce it exactly. A trained quantizer drops in by replacing
-    ``cents`` only; assignment and query paths are unchanged.
+    By default centroids are the ``n_lists`` corpus vectors with the
+    smallest md5-derived id hashes — a DETERMINISTIC seeded sample, so
+    the index build is one pass (no k-means iterations) and an
+    independent engine can reproduce it exactly. A TRAINED quantizer
+    drops in via ``centroids`` (cent_id, cent_vec) — e.g.
+    ``learn.kmeans_fit(...)`` renamed, see
+    tests/test_operators.py::test_kmeans_trains_and_feeds_ivf;
+    assignment and query paths are unchanged.
 
     Assignment = broadcast the centroids against the corpus and take the
     max-cosine centroid per vector (tie-break: centroid id). One corpus
@@ -175,14 +179,18 @@ def ivf_index(
     """
     from slipstream_async_spark.functions.text import hash32
 
-    cents = (
-        corpus.withColumn("_h", hash32(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(n_lists)
-        .select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cent_vec")
+    else:
+        cents = (
+            corpus.withColumn("_h", hash32(F.col(id_col).cast("string")))
+            .orderBy("_h", id_col)
+            .limit(n_lists)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_vec"),
+            )
         )
-    )
     scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
         "_cc", cosine_similarity(F.col(vec_col), F.col("cent_vec"))
     )

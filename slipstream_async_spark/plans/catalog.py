@@ -5165,6 +5165,106 @@ def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB replica of operators.learn.kmeans_fit's fixed-iteration
+    Lloyd loop (same seed rule, same per-round 6dp rounding of both the
+    assignment cosine and the centroid coordinates), generated from one
+    loop so the trajectories cannot drift."""
+    h = "('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT"
+    sql = f"""
+WITH seeds AS (
+  SELECT embedding,
+         ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS list_id
+  FROM embeddings ORDER BY {h}, vec_id LIMIT {k}
+),
+c0 AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+              list_transform(embedding, x -> round(x::DOUBLE, 6)) AS c
+       FROM seeds)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+a{i} AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_dk_cos("e.embedding", "c.c")}, 6) DESC,
+                      c.list_id) AS rk
+    FROM embeddings e CROSS JOIN c{i - 1} c)
+  WHERE rk = 1
+),
+m{i} AS (
+  SELECT list_id, pos, round(avg(val), 6) AS v FROM (
+    SELECT list_id, unnest(embedding) AS val,
+           unnest(range(len(embedding))) AS pos
+    FROM a{i})
+  GROUP BY list_id, pos
+),
+n{i} AS (SELECT list_id, list(v ORDER BY pos) AS c FROM m{i}
+         GROUP BY list_id),
+c{i} AS (
+  SELECT p.list_id, coalesce(n.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN n{i} n USING (list_id))"""
+    return sql + f""",
+af AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_dk_cos("e.embedding", "c.c")}, 6) DESC,
+                      c.list_id) AS rk
+    FROM embeddings e CROSS JOIN c{iters} c)
+  WHERE rk = 1
+)
+SELECT c.list_id,
+       CAST(coalesce(m.n, 0) AS BIGINT) AS n_members,
+       array_to_string(list_transform(c.c,
+         v -> CAST(round(v * 1000000) AS BIGINT)), ',') AS centroid_micro
+FROM c{iters} c
+LEFT JOIN (SELECT list_id, COUNT(*) AS n FROM af GROUP BY list_id) m
+  USING (list_id)
+"""
+
+
+@register("sim_kmeans_centroids", oracle=_kmeans_sql())
+def sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED coarse quantizer (operators.learn.kmeans_fit): 3
+    deterministic Lloyd iterations, 8 clusters — the 'swap in trained
+    centroids' upgrade the IVF family's docstrings promise. Per
+    iteration: broadcast-assign (one corpus scan + per-vector argmax
+    window) and the posexplode partial-agg centroid update (shuffle
+    carries (list, pos, partial sums), never whole vectors). Output:
+    final centroids as micro-int strings + member counts from the final
+    assignment — the exactness contract emb_label_centroids uses."""
+    from slipstream_async_spark.functions.vectors import cosine_similarity
+    from slipstream_async_spark.operators.learn import kmeans_fit
+    from pyspark.sql import Window
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=3)
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "_c",
+        F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 6),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_c").desc(), F.col("list_id").asc()
+    )
+    members = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    return cents.join(F.broadcast(members), "list_id", "left").select(
+        "list_id",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_members"),
+        F.array_join(
+            F.transform(
+                "centroid",
+                lambda v: F.round(v * 1000000).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_micro"),
+    )
+
+
 _PROPS_MAP = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,

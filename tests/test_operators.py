@@ -1024,3 +1024,61 @@ def test_length_buckets_edges_and_overhead(spark):
     assert set(capped) == {8}
     assert capped[8]["n_seqs"] == 2
     assert capped[8]["n_truncated"] == 1
+
+
+def test_kmeans_trains_and_feeds_ivf(spark):
+    """kmeans_fit: the fixed-iteration Lloyd loop matches a NumPy
+    replica (same seeds, same per-round 6dp rounding) coordinate-for-
+    coordinate, and the trained centroids drop into ivf_index as the
+    coarse quantizer."""
+    import hashlib
+
+    import numpy as np
+
+    from slipstream_async_spark.operators.learn import kmeans_fit
+    from slipstream_async_spark.operators.similarity import ivf_index
+    from slipstream_async_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    k, iters = 4, 2
+    cents = {
+        r["list_id"]: r["centroid"]
+        for r in kmeans_fit(emb, k=k, iters=iters).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def h32(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    order = sorted(range(len(ids)), key=lambda j: (h32(ids[j]), ids[j]))
+    C = np.round(X[order[:k]], 6)
+    for _ in range(iters):
+        cos = np.round(
+            (X @ C.T)
+            / (
+                np.linalg.norm(X, axis=1)[:, None]
+                * np.linalg.norm(C, axis=1)[None, :]
+            ),
+            6,
+        )
+        # argmax with lowest-list tie-break = first max
+        assign = np.argmax(cos, axis=1)
+        for j in range(k):
+            if (assign == j).any():
+                C[j] = np.round(X[assign == j].mean(axis=0), 6)
+    for j in range(k):
+        got = np.array(cents[j])
+        assert np.allclose(got, C[j], atol=2e-6), (j, got[:4], C[j][:4])
+
+    # trained centroids feed ivf_index as the coarse quantizer
+    trained = (
+        kmeans_fit(emb, k=k, iters=iters)
+        .selectExpr("list_id AS cent_id", "centroid AS cent_vec")
+    )
+    _, assigned = ivf_index(emb, centroids=trained)
+    counts = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+    assert counts <= set(range(k)) and len(counts) >= 2
+    assert assigned.count() == emb.count()

@@ -71,6 +71,9 @@ ALLOW_BNLJ = {
     "mix_curriculum",
     # one-row corpus-max broadcast for the pad-to-global counterfactual
     "pack_length_buckets",
+    # k-row centroid set broadcast-crossed against the corpus per Lloyd
+    # assignment round — the sim_topk_ivf shape, iterated
+    "sim_kmeans_centroids",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
