@@ -3516,11 +3516,15 @@ bucketed AS (
          ('0x' || substr(md5(gram), 1, 8))::BIGINT % 128 AS bucket
   FROM grams
 ),
+dbc AS (
+  SELECT doc_id, source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bucketed GROUP BY doc_id, source, bucket
+),
 stats AS (
   SELECT bucket,
-         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ct,
-         SUM(CASE WHEN source != 'src0' THEN 1 ELSE 0 END)::BIGINT AS cr
-  FROM bucketed GROUP BY bucket
+         SUM(CASE WHEN source = 'src0' THEN c ELSE 0 END)::BIGINT AS ct,
+         SUM(CASE WHEN source != 'src0' THEN c ELSE 0 END)::BIGINT AS cr
+  FROM dbc GROUP BY bucket
 ),
 tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM stats),
 lr AS (
@@ -3531,9 +3535,9 @@ lr AS (
 ),
 scored AS (
   SELECT b.doc_id, any_value(b.source) AS source,
-         COUNT(*) AS n_grams,
-         round(SUM(lr.logratio) / COUNT(*), 6) AS dsir_logw
-  FROM bucketed b JOIN lr ON lr.bucket = b.bucket
+         CAST(SUM(b.c) AS BIGINT) AS n_grams,
+         round(SUM(lr.logratio * b.c) / SUM(b.c), 6) AS dsir_logw
+  FROM dbc b JOIN lr ON lr.bucket = b.bucket
   GROUP BY b.doc_id
 )
 SELECT doc_id, source, n_grams, dsir_logw,
@@ -3552,9 +3556,15 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one-smoothed bucket distribution, and every document scores the
     mean log-likelihood ratio of its grams — top-quartile docs are
     flagged ``selected`` (the deterministic stand-in for weighted
-    resampling). One gram explosion; the 128-row log-ratio table joins
-    back via broadcast; per-doc score is a partial-aggregated groupBy —
-    the same scale shape as the surprisal gate."""
+    resampling). ONE gram explosion: the (doc, bucket, count) aggregate
+    — 128x smaller than the gram stream — is materialized once
+    (localCheckpoint, the dedup_clusters pattern; a temp table at real
+    scale) and BOTH the bucket distributions and the per-doc scores
+    read it, so the corpus is scanned and exploded exactly once. The
+    128-row log-ratio table joins back via broadcast; the final
+    quartile flag is a global PERCENT_RANK over per-doc scores (one
+    row per document; at extreme scale swap for the per-source
+    percentile-threshold shape quality_percentile_gate uses)."""
     _views(spark, sf_dir, "documents")
     (docs,) = _t(spark, sf_dir, "documents")
     toks = TXT.tokens("text")
@@ -3569,20 +3579,26 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    docs.select(
+    grams = docs.select(
         "doc_id",
         "source",
         F.explode(F.concat(toks, bigrams)).alias("gram"),
-    ).withColumn(
-        "bucket", TXT.hash32("gram") % 128
-    ).createOrReplaceTempView("dsir_grams")
+    ).withColumn("bucket", TXT.hash32("gram") % 128)
+    dbc = (
+        grams.groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    dbc.createOrReplaceTempView("dsir_dbc")
     return spark.sql(
         """
 WITH stats AS (
   SELECT bucket,
-         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-         CAST(SUM(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cr
-  FROM dsir_grams GROUP BY bucket
+         CAST(SUM(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS BIGINT)
+           AS ct,
+         CAST(SUM(CASE WHEN source != 'src0' THEN c ELSE 0 END) AS BIGINT)
+           AS cr
+  FROM dsir_dbc GROUP BY bucket
 ),
 tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM stats),
 lr AS (
@@ -3594,9 +3610,9 @@ lr AS (
 ),
 scored AS (
   SELECT b.doc_id, any_value(b.source) AS source,
-         COUNT(*) AS n_grams,
-         round(SUM(lr.logratio) / COUNT(*), 6) AS dsir_logw
-  FROM dsir_grams b JOIN lr ON lr.bucket = b.bucket
+         CAST(SUM(b.c) AS BIGINT) AS n_grams,
+         round(SUM(lr.logratio * b.c) / SUM(b.c), 6) AS dsir_logw
+  FROM dsir_dbc b JOIN lr ON lr.bucket = b.bucket
   GROUP BY b.doc_id
 )
 SELECT doc_id, source, n_grams, dsir_logw,

@@ -29,6 +29,10 @@ _DEFAULTS: dict[str, str] = {
     # dimension tables (region/nation/supplier/part fit in executor memory
     # at any SF); 64 MB keeps star-schema joins broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Whole-table COUNT/MIN/MAX answered from parquet footer statistics
+    # without reading row data — free for stats jobs over 100 TB tables.
+    # Exact (footers are exact), so oracle parity is unaffected.
+    "spark.sql.parquet.aggregatePushdown": "true",
     # Streaming state on RocksDB, like the reference's Cache but managed.
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

@@ -47,3 +47,50 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table (plain table read; the bucketing metadata
     rides along in the catalog and the planner uses it automatically)."""
     return spark.table(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 512,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_mb`` each — the nightly maintenance job every real
+    lake needs (streaming sinks and fine-grained ingest produce
+    thousands of KB-sized files; at 100 TB the resulting task-per-file
+    scheduling and footer-reading overhead dominates scan time; the
+    reference's RocksDB analog is SST compaction, SURVEY §2 C9 —
+    engine-owned there, an explicit operator here).
+
+    Sizing comes from the actual on-disk bytes (file listing via the
+    Hadoop FS API — no data read), so the output count tracks the real
+    payload, not a guess. Returns accounting: files/bytes before, files
+    after. Row data is rewritten once with no shuffle beyond a
+    coalesce; use ``write_zordered``/``write_bucketed`` instead when
+    the rewrite should ALSO fix the sort/cluster layout.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(hconf)
+    files = [
+        (f.getPath().toString(), f.getLen())
+        for f in fs.listStatus(path)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    ]
+    total_bytes = sum(b for _, b in files)
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(dst_path)
+    out = jvm.org.apache.hadoop.fs.Path(dst_path)
+    n_after = sum(
+        1
+        for f in fs.listStatus(out)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "files_before": len(files),
+        "bytes_before": total_bytes,
+        "files_after": n_after,
+    }

@@ -193,3 +193,14 @@ def test_ivfadc_probe_side_is_broadcast(q):
     plan = _plan(q["sim_topk_ivfadc"], "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dsir_gram_explosion_materialized_once(q):
+    """dsir_importance: the gram explosion collapses into a
+    localCheckpointed (doc, bucket, count) aggregate that BOTH the
+    bucket-distribution branch and the per-doc scoring branch read — the
+    final plan must contain zero parquet scans (corpus read exactly once
+    at materialization), mirroring the mix_epoch_schedule discipline."""
+    plan = _plan(q["dsir_importance"])
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan

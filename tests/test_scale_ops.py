@@ -406,3 +406,25 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
     assert got == {(100, 101)}
     dropped = stats["dropped_buckets"].collect()
     assert [(r["_bucket"], r["bucket_size"]) for r in dropped] == [(3, 8)]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """compact_parquet: a directory of many tiny files rewrites into the
+    byte-sized file count, content preserved exactly."""
+    from slipstream_async_spark.sources.bucketing import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(src)
+
+    stats = compact_parquet(spark, src, dst, target_file_mb=512)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    assert stats["bytes_before"] > 0
+
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(v)").collect()[0][0] == df.selectExpr(
+        "sum(v)"
+    ).collect()[0][0]
