@@ -193,3 +193,41 @@ def lookup_join(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
+
+
+def scd2_build(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an event/update
+    log: collapse consecutive rows whose tracked attributes are
+    unchanged, emit one row per VERSION with ``valid_from`` /
+    ``valid_to`` (exclusive, NULL while current) and ``is_current`` —
+    the standard warehouse dimension-history shape (Kimball SCD type 2),
+    and the batch analog of the reference's keyed cache upserts
+    (slipstream/caching.py: last write per key wins; here every write
+    is kept with its validity interval).
+
+    Change detection is a null-safe struct compare against the lag row;
+    ``order_cols`` breaks timestamp ties deterministically (pass the
+    event's unique id). Two windows, both partitioned BY KEY — no
+    global sort, shuffle keyed on the dimension key, scale-safe for
+    billions of keys.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    cur = F.struct(*[F.col(c) for c in attr_cols])
+    changed = ~cur.eqNullSafe(F.lag(cur).over(w))
+    versions = df.withColumn(
+        "_chg", F.coalesce(changed, F.lit(True))
+    ).filter(F.col("_chg"))
+    wv = Window.partitionBy(key).orderBy(*order)
+    return versions.select(
+        key,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(wv).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

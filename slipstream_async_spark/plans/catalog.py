@@ -5281,6 +5281,80 @@ def sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_customer_priority",
+    oracle="""
+WITH v AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         (o_orderpriority IS DISTINCT FROM
+            LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey))
+           AS chg
+  FROM orders
+),
+f AS (SELECT * FROM v WHERE chg)
+SELECT o_custkey, o_orderpriority,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)
+         AS valid_to,
+       (LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) IS NULL)
+         AS is_current
+FROM f
+""",
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build (operators.joins.
+    scd2_build; Kimball SCD2): each customer's order-priority history
+    collapsed to change-versions with [valid_from, valid_to) intervals
+    and an is_current flag — the dimension-history shape every
+    warehouse needs, and the batch analog of the reference's keyed
+    cache upserts with history retained. Two key-partitioned windows,
+    no global sort."""
+    from slipstream_async_spark.operators.joins import scd2_build
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return scd2_build(
+        orders, "o_custkey", "o_orderdate", ["o_orderpriority"],
+        order_cols=["o_orderkey"],
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH u AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+c AS (SELECT user_id, MIN(w) AS cohort FROM u GROUP BY user_id),
+a AS (SELECT DISTINCT u.user_id, c.cohort, u.w
+      FROM u JOIN c ON c.user_id = u.user_id)
+SELECT cohort AS cohort_week,
+       CAST(datediff('day', cohort, w) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort, week_offset
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each later week they return — the standard product-
+    analytics triangle. Cohort assignment is a per-user MIN (partial-
+    aggregated), activity is de-duplicated to (user, week) BEFORE the
+    count so the matrix counts users not events, and the week offset is
+    exact day arithmetic on Monday-aligned truncations (identical in
+    both engines). Shuffles: by user (cohort join + distinct), then by
+    (cohort, offset) — a few hundred groups."""
+    (events,) = _t(spark, sf_dir, "events")
+    u = events.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+    c = u.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    a = u.join(c, "user_id").select("user_id", "cohort", "w").distinct()
+    return a.groupBy(
+        F.col("cohort").alias("cohort_week"),
+        (F.datediff(F.col("w"), F.col("cohort")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(F.count("*").cast("bigint").alias("n_users"))
+
+
 _PROPS_MAP = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -1082,3 +1082,36 @@ def test_kmeans_trains_and_feeds_ivf(spark):
     counts = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
     assert counts <= set(range(k)) and len(counts) >= 2
     assert assigned.count() == emb.count()
+
+
+def test_scd2_build_versions(spark):
+    """scd2_build: consecutive unchanged attributes collapse into one
+    version, a re-change opens a new version, intervals chain
+    [valid_from, valid_to) with NULL valid_to on the current row, and
+    same-timestamp updates order deterministically by the tie-break."""
+    from slipstream_async_spark.operators.joins import scd2_build
+
+    rows = [
+        (1, ts(0.0), 10, "gold"),
+        (1, ts(1.0), 11, "gold"),      # unchanged -> collapsed
+        (1, ts(2.0), 12, "silver"),    # change
+        (1, ts(2.0), 13, "bronze"),    # same ts, later id -> after 12
+        (2, ts(5.0), 20, "basic"),
+    ]
+    df = spark.createDataFrame(
+        rows, "cust long, ts timestamp, upd_id long, tier string"
+    )
+    out = scd2_build(df, "cust", "ts", ["tier"], order_cols=["upd_id"])
+    got = sorted(
+        (
+            (r["cust"], r["tier"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in out.collect()
+        )
+    )
+    assert got == [
+        (1, "bronze", ts(2.0), None, True),
+        (1, "gold", ts(0.0), ts(2.0), False),
+        (1, "silver", ts(2.0), ts(2.0), False),
+        (2, "basic", ts(5.0), None, True),
+    ]
