@@ -1946,6 +1946,78 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22)
 
 
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=_Q4)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (late-order priority census; this schema has no
+    l_commitdate/l_receiptdate, so "late" is shipped >60 days after the
+    order date). EXISTS plans as a LEFT SEMI join on l_orderkey — each
+    order counted once no matter how many lines are late, and the date
+    window prunes the orders scan before the join. At 100 TB both sides
+    shuffle only (orderkey, one date) pairs, never full rows."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4)
+
+
+_Q6 = f"""
+SELECT CAST(SUM({_DEC} * {_DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND {_DISC} BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical scan-dominated query — every
+    predicate is a single-column comparison, so all three reach the
+    parquet reader as pushed filters (shipdate additionally prunes row
+    groups via min/max), and the plan is scan -> one partial sum ->
+    one-row exchange. DECIMAL multiply keeps the sum exact; the cast to
+    double happens once on the final scalar."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6)
+
+
+_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+@register("q18_large_volume_customer", oracle=_Q18)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders. The IN subquery aggregates
+    lineitem to one row per orderkey BEFORE any join (partial map-side
+    sums make the shuffle carry (orderkey, qty) only), survivors of the
+    HAVING gate form a small semi-join build side, and the final top-100
+    is TakeOrderedAndProject with an o_orderkey tie-break — no global
+    sort of the joined fact."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q18)
+
+
 _Q2A = """
 WITH m AS (
   SELECT s_nationkey, MIN(s_acctbal) AS mn
