@@ -5502,3 +5502,252 @@ def stats_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("rev", "prev_rev"), 6).alias("lag1_autocorr"),
         F.count("*").cast("bigint").alias("n_days"),
     )
+
+
+_BLOOM = f"""
+WITH fp AS (
+  SELECT doc_id, source, {_FP_EXPR} AS fp,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+           AS b
+  FROM documents),
+bench AS (SELECT DISTINCT fp FROM fp WHERE b < 1000),
+bpos AS (
+  SELECT ('0x' || substr(md5(fp || '#' || i::VARCHAR), 1, 8))::BIGINT % 992
+           AS idx
+  FROM bench, UNNEST([0, 1, 2, 3]) AS u(i)),
+bloom AS (
+  SELECT idx // 62 AS word, bit_or(1::BIGINT << (idx % 62)) AS bm
+  FROM bpos GROUP BY 1),
+corpus AS (SELECT doc_id, source, fp FROM fp WHERE b >= 1000),
+probe AS (
+  SELECT c.doc_id, c.source,
+         ('0x' || substr(md5(c.fp || '#' || i::VARCHAR), 1, 8))::BIGINT % 992
+           AS idx
+  FROM corpus c, UNNEST([0, 1, 2, 3]) AS u(i)),
+hits AS (
+  SELECT p.doc_id, p.source,
+         SUM(CASE WHEN ((coalesce(b.bm, 0) >> (p.idx % 62)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS nbits
+  FROM probe p LEFT JOIN bloom b ON b.word = p.idx // 62
+  GROUP BY 1, 2),
+exact AS (
+  SELECT c.doc_id FROM corpus c
+  WHERE EXISTS (SELECT 1 FROM bench WHERE bench.fp = c.fp))
+SELECT h.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN h.nbits = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_hits,
+       CAST(SUM(CASE WHEN h.nbits = 4 THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM hits h LEFT JOIN exact e ON e.doc_id = h.doc_id
+GROUP BY h.source
+"""
+
+
+@register("contamination_bloom", oracle=_BLOOM)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-filter, validated in-query
+    against the exact semi-join. The benchmark split's fingerprints are
+    folded into a 992-bit Bloom bitmap (k=4 md5-derived hashes, 16
+    words x 62 bits — bit 63 never used, so signed shifts behave
+    identically in every engine); the corpus probes the bitmap and the
+    result reports, per source, Bloom hits vs exact-semi-join hits and
+    the implied false-positive count.
+
+    100 TB shape: the exact decontamination semi-join must shuffle (or
+    at least broadcast) the full benchmark fingerprint SET; the Bloom
+    bitmap is a fixed ~kilobyte regardless of benchmark size — the
+    standard first-pass filter whose survivors (a tiny fraction) go to
+    the exact check. The bitmap here is a <=16-row broadcast join on
+    the word index, built with one groupBy(word)/bit_or partial agg:
+    mergeable across partitions, no collect. False negatives are
+    impossible (the query's n_bloom_hits >= n_true_hits invariant
+    checks this), so the pre-filter is safe to apply before the exact
+    pass."""
+    from slipstream_async_spark.operators.sampling import hash_bucket
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    WORDS_X_BITS, BITS, K = 992, 62, 4
+    fp = docs.select(
+        "doc_id",
+        "source",
+        TXT.text_fingerprint("text").alias("fp"),
+        hash_bucket("doc_id", salt="split").alias("_b"),
+    )
+    bench = fp.filter(F.col("_b") < 1000).select("fp").distinct()
+    corpus = fp.filter(F.col("_b") >= 1000).select("doc_id", "source", "fp")
+
+    def _idx(c):
+        return TXT.hash32(c) % F.lit(WORDS_X_BITS)
+
+    probes = F.array(
+        *[_idx(F.concat(F.col("fp"), F.lit(f"#{i}"))) for i in range(K)]
+    )
+    bloom = (
+        bench.select(F.explode(probes).alias("idx"))
+        .groupBy((F.col("idx") / BITS).cast("int").alias("word"))
+        .agg(F.bit_or(F.expr(f"shiftleft(1L, idx % {BITS})")).alias("bm"))
+    )
+    hit = (
+        corpus.select("doc_id", "source", F.explode(probes).alias("idx"))
+        .join(F.broadcast(bloom), (F.col("idx") / BITS).cast("int") == F.col("word"), "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(f"(shiftright(coalesce(bm, 0L), idx % {BITS}) & 1L) = 1L"),
+                    1,
+                ).otherwise(0)
+            ).alias("_nbits")
+        )
+    )
+    exact = corpus.join(bench, "fp", "left_semi").select("doc_id")
+    exact = exact.withColumn("_true", F.lit(1))
+    joined = hit.join(exact, "doc_id", "left")
+    bloom_hit = F.when(F.col("_nbits") == K, 1).otherwise(0)
+    true_hit = F.when(F.col("_true").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(bloom_hit).cast("bigint").alias("n_bloom_hits"),
+        F.sum(true_hit).cast("bigint").alias("n_true_hits"),
+        (F.sum(bloom_hit) - F.sum(true_hit)).cast("bigint").alias("n_false_pos"),
+    )
+
+
+_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+    AND e.ts <= v.v_ts + INTERVAL '7' DAY
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e
+  JOIN c ON c.user_id = e.user_id
+  JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    AND e.ts <= v.v_ts + INTERVAL '7' DAY
+  GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view_users,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_users,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_users,
+       round((SELECT COUNT(*) FROM c) * 1.0
+             / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+       round((SELECT COUNT(*) FROM p) * 1.0
+             / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view -> click -> purchase) with a
+    7-day conversion window anchored at the user's FIRST view: a click
+    counts only strictly after that view, a purchase only strictly
+    after that click, both within the window. Reports per-step user
+    counts and step-to-step conversion rates.
+
+    Shape: each step is a per-user MIN aggregate (map-side partial)
+    followed by an equi-join on user_id — every stage is keyed by the
+    same column, so AQE coalesces them onto one exchange; the step
+    tables shrink monotonically (funnel property), so later joins get
+    broadcast-sized build sides. No window over raw events, no
+    per-user event buffering — a bot with millions of rows still
+    reduces to one (user_id, min_ts) pair per step."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    week = F.expr("v_ts + INTERVAL 7 DAY")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count("*").alias("n")).select(F.col("n").alias("n_view_users"))
+    nc = c.agg(F.count("*").alias("n")).select(F.col("n").alias("n_click_users"))
+    np_ = p.agg(F.count("*").alias("n")).select(F.col("n").alias("n_purchase_users"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            F.col("n_view_users").cast("bigint"),
+            F.col("n_click_users").cast("bigint"),
+            F.col("n_purchase_users").cast("bigint"),
+            F.round(F.col("n_click_users") / F.col("n_view_users"), 6).alias(
+                "view_to_click"
+            ),
+            F.round(
+                F.col("n_purchase_users") / F.col("n_click_users"), 6
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+_ROLLING_DAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+contrib AS (
+  SELECT user_id, d + (i || ' days')::INTERVAL AS window_end
+  FROM ud, UNNEST(generate_series(0, 6)) AS u(i))
+SELECT c.window_end,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS distinct_users_7d
+FROM contrib c JOIN days ON days.d = c.window_end
+GROUP BY c.window_end
+"""
+
+
+@register("events_rolling_distinct_users", oracle=_ROLLING_DAU)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the windowed
+    COUNT(DISTINCT) no engine's range-frame window can express
+    directly (distinct is not frame-decomposable). The scalable form:
+    deduplicate to (user_id, day) pairs FIRST (partial agg collapses
+    each user's events per day to one row), then each pair contributes
+    to exactly the 7 window-ends it can influence (a bounded x7
+    explode of the already-tiny pair set), then one count-distinct per
+    window_end. Phantom trailing windows beyond the observed day range
+    are dropped by a broadcast semi-join on the day list.
+
+    At 100 TB the raw-event scan reduces to |users| x |active days|
+    pairs before any fan-out — the explode never touches raw events,
+    and the final distinct agg is two-phase (partial distinct on
+    (window_end, user))."""
+    (ev,) = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(
+        "user_id", F.expr("d + make_interval(0, 0, 0, i)").alias("window_end")
+    )
+    return (
+        contrib.join(
+            F.broadcast(days), F.col("window_end") == F.col("d"), "left_semi"
+        )
+        .groupBy("window_end")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("distinct_users_7d"))
+    )

@@ -43,6 +43,9 @@ ALLOW_BNLJ = {
     # one-row p95 threshold broadcast against the per-vector distances —
     # the scalar-subquery shape
     "emb_outlier_gate",
+    # three one-row per-step user counts crossed into a single summary
+    # row — scalar combination, not a data cross
+    "events_funnel",
     # the exact arm reuses brute_force_topk: a 10-row query SAMPLE
     # broadcast-crossed against the corpus — the deliberate recall
     # measurement shape (same as sim_topk_bruteforce)
