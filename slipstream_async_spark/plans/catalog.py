@@ -5751,3 +5751,317 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("window_end")
         .agg(F.count_distinct("user_id").cast("bigint").alias("distinct_users_7d"))
     )
+
+
+_LM_BIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, {_DK_TOKS} AS t,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+           AS b
+  FROM documents),
+tp AS (
+  SELECT doc_id, b, u.pair
+  FROM toks, UNNEST(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS u(pair)
+  WHERE len(t) >= 2),
+c2 AS (SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS c2
+       FROM tp WHERE b >= 1000 GROUP BY 1, 2),
+uni AS (SELECT u.tok, COUNT(*) AS c1
+        FROM toks, UNNEST(t) AS u(tok) WHERE b >= 1000 GROUP BY 1),
+v AS (SELECT COUNT(*) AS v FROM uni),
+h AS (SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM tp WHERE b < 1000)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(ln((coalesce(c2.c2, 0) + 0.5)
+                    / (coalesce(u.c1, 0) + 0.5 * v.v))), 6) AS avg_logprob
+FROM h
+LEFT JOIN c2 ON c2.w1 = h.w1 AND c2.w2 = h.w2
+LEFT JOIN uni u ON u.tok = h.w1
+CROSS JOIN v
+GROUP BY h.doc_id
+"""
+
+
+@register("lm_bigram_score", oracle=_LM_BIGRAM)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring of a held-out split against a model
+    trained on the rest of the corpus — the CCNet-style "LM quality"
+    signal (there, a wiki-trained KenLM; here, an in-engine add-alpha
+    bigram model) used to rank documents by fluency before training.
+    Each held-out document gets its mean log P(w_i | w_{{i-1}}) under
+    add-0.5 smoothing over the train split's bigram/unigram counts.
+
+    Shape: the "model" IS two count tables (vocabulary-sized, partial-
+    aggregated groupBys); scoring is two equi-joins from the held-out
+    bigram stream onto them — no model object, no UDF, and the count
+    tables are the small sides (vocab << corpus) so both joins
+    broadcast at scale. The vocabulary size V enters as a one-row
+    scalar cross (the scalar-subquery shape). Pairs are built in the
+    array domain before the explode, as vocab_pair_frequencies does."""
+    from slipstream_async_spark.operators.sampling import hash_bucket
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        TXT.tokens("text").alias("t"),
+        hash_bucket("doc_id", salt="split").alias("_b"),
+    )
+    n1 = F.greatest(F.size("t") - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice("t", 1, n1), F.slice("t", 2, n1))
+    bi = (
+        toked.filter(F.size("t") >= 2)
+        .select("doc_id", "_b", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            "_b",
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+        )
+    )
+    c2 = (
+        bi.filter(F.col("_b") >= 1000)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    uni = (
+        toked.filter(F.col("_b") >= 1000)
+        .select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    v = uni.agg(F.count("*").alias("v"))
+    held = bi.filter(F.col("_b") < 1000).select("doc_id", "w1", "w2")
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + 0.5)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + 0.5 * F.col("v"))
+    )
+    return (
+        held.join(c2, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("tok", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
+
+
+_INT8_QUANT = """
+WITH unnested AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+dimstats AS (
+  SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM unnested GROUP BY dim),
+err AS (
+  SELECT n.vec_id, n.label,
+         CASE WHEN d.mx > d.mn
+              THEN n.v - (d.mn + least(greatest(
+                     floor((n.v - d.mn) * 255.0 / (d.mx - d.mn) + 0.5),
+                     0), 255) * (d.mx - d.mn) / 255.0)
+              ELSE 0.0 END AS e
+  FROM unnested n JOIN dimstats d ON n.dim = d.dim)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       round(AVG(e * e), 9) AS avg_sq_err,
+       round(MAX(abs(e)), 6) AS max_abs_err
+FROM err
+GROUP BY label
+"""
+
+
+@register("emb_int8_quant", oracle=_INT8_QUANT)
+def emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 (0..255) scalar quantization of the embedding
+    table with in-query reconstruction-error accounting — the standard
+    4x memory compression applied before an ANN index is built, and
+    the cheap sibling of product quantization (sim_topk_pq): one
+    min/max scale per DIMENSION over the whole corpus, quantize q =
+    floor((v-mn)*255/(mx-mn)+0.5) (floor(x+0.5), not round(), so
+    half-way ties break identically in every engine), dequantize, and
+    report per label the mean squared and max absolute reconstruction
+    error.
+
+    Shape: dimension stats are a posexplode -> groupBy(pos) partial
+    agg collapsing to exactly dim rows (never a whole-vector buffer —
+    the emb_label_centroids rule), broadcast back onto the exploded
+    scan; everything else is expression arithmetic and one two-level
+    agg. At 100 TB the stats pass and the quantize pass are two scans
+    with a 64-row broadcast between them."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "label", "dim", F.col("v").cast("double").alias("v"))
+    dimstats = ex.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    q = F.least(
+        F.greatest(
+            F.floor((F.col("v") - F.col("mn")) / scale + F.lit(0.5)), F.lit(0)
+        ),
+        F.lit(255),
+    )
+    e = F.when(
+        F.col("mx") > F.col("mn"), F.col("v") - (F.col("mn") + q * scale)
+    ).otherwise(F.lit(0.0))
+    return (
+        ex.join(F.broadcast(dimstats), "dim")
+        .select("vec_id", "label", e.alias("e"))
+        .groupBy("label")
+        .agg(
+            F.count_distinct("vec_id").cast("bigint").alias("n_vecs"),
+            F.round(F.avg(F.col("e") * F.col("e")), 9).alias("avg_sq_err"),
+            F.round(F.max(F.abs("e")), 6).alias("max_abs_err"),
+        )
+        .select(F.col("label").cast("bigint").alias("label"),
+                "n_vecs", "avg_sq_err", "max_abs_err")
+    )
+
+
+_MATRYOSHKA = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+full_scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_dk_cos("q.qv", "e.embedding")}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+full_rk AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM full_scored),
+tq AS (SELECT vec_id AS query_id, list_slice(embedding, 1, 16) AS qv
+       FROM embeddings WHERE vec_id < 10),
+t_scored AS (
+  SELECT tq.query_id, e.vec_id,
+         round({_dk_cos("tq.qv", "list_slice(e.embedding, 1, 16)")}, 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN tq WHERE e.vec_id != tq.query_id),
+t_rk AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM t_scored)
+SELECT f.query_id,
+       round(SUM(CASE WHEN t.rk IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6)
+         AS recall_at_5
+FROM (SELECT * FROM full_rk WHERE rk <= 5) f
+LEFT JOIN (SELECT * FROM t_rk WHERE rk <= 5) t
+  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY f.query_id
+"""
+
+
+@register("emb_matryoshka_recall", oracle=_MATRYOSHKA)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation fidelity: top-5 cosine
+    retrieval using only the first 16 of 64 dimensions, measured as
+    recall@5 against the full-dimension exact top-5 for the same 10
+    query vectors. The operational question this answers: how much
+    recall does a 4x cheaper (truncated-prefix) index cost? — the MRL
+    deployment decision, measured in-engine exactly like sim_ann_recall
+    measures the LSH dial.
+
+    Shape: both arms are the whitelisted broadcast-cross brute-force
+    shape (10-row query set against one corpus scan each); truncation
+    is a zero-copy array slice at the scan. The recall join compares
+    two 50-row result sets."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = SIM.brute_force_topk(emb, q, k=5).select(
+        F.col("query_id").alias("fq"), F.col("vec_id").alias("fv")
+    )
+    temb = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    tq = q.select("query_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = SIM.brute_force_topk(temb, tq, k=5).select(
+        F.col("query_id").alias("tq"), F.col("vec_id").alias("tv")
+    )
+    return (
+        full.join(
+            F.broadcast(trunc),
+            (F.col("fq") == F.col("tq")) & (F.col("fv") == F.col("tv")),
+            "left",
+        )
+        .groupBy(F.col("fq").alias("query_id"))
+        .agg(F.round(F.count("tv") / F.lit(5.0), 6).alias("recall_at_5"))
+    )
+
+
+_BASKET = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS support
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+pc AS (SELECT l_partkey, COUNT(*) AS n_orders FROM d GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM d)
+SELECT p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
+       CAST(ca.n_orders AS BIGINT) AS n_a,
+       CAST(cb.n_orders AS BIGINT) AS n_b,
+       round(p.support * n.n_orders * 1.0 / (ca.n_orders * cb.n_orders), 6)
+         AS lift
+FROM pairs p
+JOIN pc ca ON ca.l_partkey = p.part_a
+JOIN pc cb ON cb.l_partkey = p.part_b
+CROSS JOIN n
+"""
+
+
+@register("basket_part_pairs", oracle=_BASKET)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining over order lines: every part
+    pair bought together in >= 2 orders, with support and lift (the
+    association-rule screen: lift >> 1 marks genuinely associated
+    parts, not just two popular ones).
+
+    Shape: the pair generator is a self equi-join of the DEDUPLICATED
+    (order, part) pair set on the order key with part_a < part_b — the
+    expansion per order is C(lines, 2), bounded by order size, so the
+    join output is linear-ish in orders, never |parts|^2. Per-part
+    order counts broadcast back onto the surviving pairs; the order
+    total enters as a one-row scalar cross. At 100 TB: one shuffle of
+    the (order, part) set on order key (both join sides share it), a
+    support-floor filter before any per-part join."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a = d.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = d.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    pc = d.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    n = d.agg(F.count_distinct("l_orderkey").alias("n_total"))
+    return (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_a"),
+                                  F.col("n_orders").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_b"),
+                                  F.col("n_orders").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("support") * F.col("n_total")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

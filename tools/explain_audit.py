@@ -46,6 +46,15 @@ ALLOW_BNLJ = {
     # three one-row per-step user counts crossed into a single summary
     # row — scalar combination, not a data cross
     "events_funnel",
+    # one-row vocabulary size V crossed into the smoothing denominator —
+    # the scalar-subquery shape
+    "lm_bigram_score",
+    # both arms are the sim_topk_bruteforce shape: 10-row query set
+    # broadcast-crossed against the corpus (full and truncated lanes)
+    "emb_matryoshka_recall",
+    # one-row total-order count crossed into the lift denominator —
+    # the scalar-subquery shape
+    "basket_part_pairs",
     # the exact arm reuses brute_force_topk: a 10-row query SAMPLE
     # broadcast-crossed against the corpus — the deliberate recall
     # measurement shape (same as sim_topk_bruteforce)
