@@ -6065,3 +6065,217 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_ZSCORE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         date_diff('day', DATE '1995-01-01', date_trunc('day', ts)) AS dn,
+         SUM(value) AS rev
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2),
+win AS (
+  SELECT d, rev,
+         AVG(rev) OVER w AS mu,
+         STDDEV_SAMP(rev) OVER w AS sd,
+         COUNT(*) OVER w AS n_window
+  FROM daily
+  WINDOW w AS (ORDER BY dn RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
+SELECT d AS day, round(rev, 6) AS rev, round(mu, 6) AS trailing_mean,
+       round((rev - mu) / sd, 6) AS zscore
+FROM win
+WHERE n_window >= 14 AND sd > 0 AND abs((rev - mu) / sd) > 2
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ZSCORE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag days whose purchase
+    revenue sits more than 2 sample standard deviations from the
+    trailing 28-day mean (window excludes the current day, so an
+    anomaly cannot suppress its own z-score; days with under 14 prior
+    observations are warm-up and never flagged).
+
+    Shape: the raw event scan collapses to one row per day FIRST
+    (partial-aggregated groupBy), then the RANGE frame — keyed on an
+    integer day number so gaps in the calendar still bound the frame
+    by TIME, not by row count — runs over the tiny daily series. At
+    100 TB the window sees ~3k rows regardless of event volume."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum("value").alias("rev"))
+        .withColumn(
+            "dn", F.datediff(F.col("d").cast("date"), F.lit("1995-01-01").cast("date"))
+        )
+    )
+    w = Window.orderBy("dn").rangeBetween(-28, -1)
+    win = daily.select(
+        "d",
+        "rev",
+        F.avg("rev").over(w).alias("mu"),
+        F.stddev_samp("rev").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_window"),
+    )
+    z = (F.col("rev") - F.col("mu")) / F.col("sd")
+    return (
+        win.filter(
+            (F.col("n_window") >= 14) & (F.col("sd") > 0) & (F.abs(z) > 2)
+        )
+        .select(
+            F.col("d").alias("day"),
+            F.round("rev", 6).alias("rev"),
+            F.round("mu", 6).alias("trailing_mean"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+_KNN_VOTE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+           FROM embeddings WHERE vec_id % 20 = 0),
+c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 != 0),
+scored AS (
+  SELECT q.query_id, q.true_label, c.vec_id, c.label,
+         round({_dk_cos("q.qv", "c.embedding")}, 6) AS cosine
+  FROM c CROSS JOIN q),
+rk AS (
+  SELECT query_id, true_label, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored),
+votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS n
+  FROM rk WHERE rk <= 5 GROUP BY 1, 2, 3),
+pred AS (
+  SELECT query_id, true_label, label AS pred_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n DESC, label) AS vr
+  FROM votes)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS accuracy
+FROM pred WHERE vr = 1
+GROUP BY true_label
+"""
+
+
+@register("knn_label_vote", oracle=_KNN_VOTE)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote classification evaluated in-engine: every
+    20th vector is held out and labeled by the majority label of its 5
+    nearest (cosine) neighbors among the rest; per-class accuracy is
+    the output — the standard embedding-quality probe (kNN accuracy)
+    run before committing a representation to a retrieval or curation
+    pipeline. Vote ties break toward the smaller label id, rank ties
+    toward the smaller vec_id, so the verdict is deterministic.
+
+    Shape: the held-out set is the whitelisted broadcast-cross query
+    sample (sim_topk_bruteforce shape); voting is a per-query count
+    over <= 5 rows and an argmax window over <= |labels| rows."""
+    from pyspark.sql import Window
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding"),
+        F.col("label").alias("true_label"),
+    )
+    c = emb.filter(F.col("vec_id") % 20 != 0)
+    topk = SIM.brute_force_topk(
+        c, q.select("query_id", "embedding"), k=5
+    )
+    labeled = topk.join(
+        F.broadcast(c.select("vec_id", "label")), "vec_id"
+    ).join(F.broadcast(q.select("query_id", "true_label")), "query_id")
+    votes = labeled.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").alias("n")
+    )
+    vw = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return pred.groupBy(
+        F.col("true_label").cast("bigint").alias("true_label")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        F.round(F.sum(correct) / F.count("*"), 6).alias("accuracy"),
+    )
+
+
+_RFM = """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         SUM(o_totalprice) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey, monetary,
+         NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_q,
+         NTILE(4) OVER (ORDER BY freq, o_custkey) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_q
+  FROM cust)
+SELECT (r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(AVG(monetary), 6) AS avg_monetary
+FROM scored
+GROUP BY 1
+"""
+
+
+@register("orders_rfm_segments", oracle=_RFM)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into recency/frequency/
+    monetary quartiles (NTILE(4), customer-key tie-break so quartile
+    boundaries are engine-deterministic), concatenated into the classic
+    64-cell segment code, with population and mean spend per segment —
+    the marketing-analytics workhorse.
+
+    Shape: orders collapse to one row per customer first (partial
+    agg); the three NTILEs are single-pass windows over the customer
+    table. A global NTILE needs a total order — at 100 TB the
+    per-customer table is ~customers rows (millions, not billions),
+    and Spark's window exchange range-partitions it; if even that is
+    too big the quartiles become percentile thresholds broadcast back
+    (the quality_percentile_gate shape)."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_q"),
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.col("r_q").cast("string"),
+                F.col("f_q").cast("string"),
+                F.col("m_q").cast("string"),
+            ).alias("segment"),
+            "monetary",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+        )
+    )

@@ -55,6 +55,9 @@ ALLOW_BNLJ = {
     # one-row total-order count crossed into the lift denominator —
     # the scalar-subquery shape
     "basket_part_pairs",
+    # held-out query sample broadcast-crossed against the corpus —
+    # the sim_topk_bruteforce shape
+    "knn_label_vote",
     # the exact arm reuses brute_force_topk: a 10-row query SAMPLE
     # broadcast-crossed against the corpus — the deliberate recall
     # measurement shape (same as sim_topk_bruteforce)
