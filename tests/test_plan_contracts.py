@@ -204,3 +204,55 @@ def test_dsir_gram_explosion_materialized_once(q):
     plan = _plan(q["dsir_importance"])
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_bloom_bitmap_is_broadcast(q):
+    """contamination_bloom: the <=16-row Bloom bitmap must come in as a
+    broadcast join on the word index — if it ever becomes a shuffle
+    join, the corpus gets hashed on the probe index and the whole point
+    of the kilobyte sketch (no corpus shuffle for the pre-filter) is
+    lost. No sort-merge join anywhere in the query."""
+    plan = _plan(q["contamination_bloom"], "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_int8_quant_dimstats_shape(q):
+    """emb_int8_quant: dimension min/max stats must be partial-
+    aggregated over the exploded scan (a groupBy(pos) that collapses to
+    dim rows) and broadcast back — never a collect_list of whole
+    vectors in one buffer (the emb_label_centroids rule), and never a
+    shuffle of the exploded corpus on the dim key."""
+    plan = _plan(q["emb_int8_quant"])
+    assert "collect_list" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_anomaly_window_runs_over_daily_series(q):
+    """events_anomaly_zscore: the trailing-28-day frame must be a RANGE
+    frame (time-bounded even across calendar gaps) and must run above
+    the partial-aggregated daily rollup — the window input is the tiny
+    per-day series, not raw events."""
+    plan = _plan(q["events_anomaly_zscore"])
+    assert "RangeFrame" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_funnel_steps_are_min_aggregates(q):
+    """events_funnel: every funnel step reduces to a per-user MIN before
+    joining — no window over raw events, no collect_list buffers; the
+    one nested-loop join is the final one-row scalar combination."""
+    plan = _plan(q["events_funnel"])
+    assert "collect_list" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_lm_bigram_count_tables_broadcast(q):
+    """lm_bigram_score: the vocabulary-sized bigram/unigram count
+    tables are the small sides of the scoring joins and must broadcast
+    — a sort-merge join here would shuffle the held-out bigram stream
+    twice for no reason."""
+    plan = _plan(q["lm_bigram_score"], "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
