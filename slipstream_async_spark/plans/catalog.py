@@ -6279,3 +6279,71 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("monetary"), 6).alias("avg_monetary"),
         )
     )
+
+
+_TOKEN_DRIFT = f"""
+WITH tok AS (
+  SELECT d.source, u.tok
+  FROM (SELECT source, {_DK_TOKS} AS t FROM documents) d, UNNEST(t) AS u(tok)),
+sc AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+st AS (SELECT source, SUM(c) AS ns FROM sc GROUP BY 1),
+cc AS (SELECT tok, SUM(c) AS cc FROM sc GROUP BY 1),
+ct AS (SELECT SUM(cc) AS n FROM cc)
+SELECT sc.source,
+       CAST(st.ns AS BIGINT) AS n_tokens,
+       round(-SUM((sc.c * 1.0 / st.ns) * ln(sc.c * 1.0 / st.ns)), 6)
+         AS entropy,
+       round(SUM((sc.c * 1.0 / st.ns)
+                 * ln((sc.c * 1.0 / st.ns) / (cc.cc * 1.0 / ct.n))), 6)
+         AS kl_vs_corpus
+FROM sc
+JOIN st ON st.source = sc.source
+JOIN cc ON cc.tok = sc.tok
+CROSS JOIN ct
+GROUP BY sc.source, st.ns
+"""
+
+
+@register("source_token_drift", oracle=_TOKEN_DRIFT)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: unigram entropy of each
+    source plus KL(source || corpus) — the standard mixture-monitoring
+    pair (a source whose KL jumps between snapshots changed its
+    content; entropy separates "narrow but stable" from "degenerate").
+    KL against the pooled corpus is finite by construction: every
+    source token is in the corpus.
+
+    Shape: one explode -> (source, token) partial-aggregated counts;
+    corpus counts are a re-aggregation OF THOSE COUNTS (never a second
+    corpus scan); per-source totals and the corpus total are tiny
+    broadcasts. All log arithmetic runs on vocabulary-sized tables —
+    at 100 TB the token stream collapses to |sources| x |vocab| rows
+    at the first agg and nothing downstream sees raw text."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    cc = sc.groupBy("tok").agg(F.sum("c").alias("cc"))
+    ct = cc.agg(F.sum("cc").alias("n"))
+    p = F.col("c") / F.col("ns")
+    qq = F.col("cc") / F.col("n")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "tok")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source", "ns")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.sum(p * F.log(p / qq)), 6).alias("kl_vs_corpus"),
+        )
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            "entropy",
+            "kl_vs_corpus",
+        )
+    )

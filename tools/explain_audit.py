@@ -58,6 +58,9 @@ ALLOW_BNLJ = {
     # held-out query sample broadcast-crossed against the corpus —
     # the sim_topk_bruteforce shape
     "knn_label_vote",
+    # one-row corpus token total crossed into the KL denominator —
+    # the scalar-subquery shape
+    "source_token_drift",
     # the exact arm reuses brute_force_topk: a 10-row query SAMPLE
     # broadcast-crossed against the corpus — the deliberate recall
     # measurement shape (same as sim_topk_bruteforce)
