@@ -1,0 +1,105 @@
+"""Mergeable Bloom-filter membership: build a fixed-size bitmap over a
+key column, probe it from any other frame — the kilobyte-scale
+pre-filter that replaces a shuffle/broadcast of a full key SET in
+semi-join-shaped problems (benchmark decontamination, standing-index
+dedup probes, "have we seen this id" gates).
+
+Design (all public Spark API, reproducible in any engine with md5):
+
+- k hash positions per key: ``hash32(key || '#i') % (words * 62)`` —
+  the first 8 hex chars of md5 read base-16 (functions.text.hash32).
+- The bitmap is ``words`` rows of (word, 64-bit mask) built by ONE
+  partial-aggregated groupBy + ``bit_or`` — mergeable across
+  partitions, batches, and days by construction (bit_or again).
+- Only 62 bits per word are used (bit 63 and 62 never set), so signed
+  shifts and sign-extension behave identically in Spark, DuckDB, and
+  any two's-complement engine.
+- Probing is a broadcast join on the word index (<= ``words`` rows)
+  plus pure bit arithmetic; a key is a member iff all k probed bits
+  are set. False negatives are impossible; the false-positive rate is
+  the standard (1 - e^{-kn/m})^k.
+
+At 100 TB: the build side aggregates to ``words`` rows no matter how
+many keys feed it; the probe side never shuffles (the bitmap
+broadcasts). Tune ``words`` to the expected key count (m ~ 10-15 bits
+per key for ~1% FPR at k=4); the plumbing is identical at any size.
+
+Reference parity: the reference's cache layer answers the same
+"might this key exist" question with RocksDB bloom/key_may_exist
+(slipstream-async cookbook's cache lookups); here it is a first-class
+relational operator instead of a storage-engine internal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from slipstream_async_spark.functions.text import hash32
+
+BITS_PER_WORD = 62
+
+
+def _positions(key: Column, k: int, m_bits: int) -> Column:
+    """Array of k bit positions in [0, m_bits) for a key."""
+    return F.array(
+        *[hash32(F.concat(key, F.lit(f"#{i}"))) % F.lit(m_bits) for i in range(k)]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key: str, *, words: int = 16, k: int = 4
+) -> DataFrame:
+    """Fold ``df[key]`` into a Bloom bitmap: a DataFrame of
+    ``(word: int, bm: bigint)`` with at most ``words`` rows.
+
+    One explode of k positions per key, one groupBy(word)/bit_or —
+    partial-aggregated and mergeable: union two builds and re-run
+    ``groupBy("word").agg(bit_or("bm"))`` to merge them.
+    """
+    m_bits = words * BITS_PER_WORD
+    return (
+        df.select(F.explode(_positions(F.col(key), k, m_bits)).alias("idx"))
+        .groupBy((F.col("idx") / BITS_PER_WORD).cast("int").alias("word"))
+        .agg(
+            F.bit_or(F.expr(f"shiftleft(1L, idx % {BITS_PER_WORD})")).alias("bm")
+        )
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR-merge bitmaps built with identical (words, k) parameters."""
+    merged = blooms[0]
+    for b in blooms[1:]:
+        merged = merged.unionByName(b)
+    return merged.groupBy("word").agg(F.bit_or("bm").alias("bm"))
+
+
+def bloom_probe(
+    df: DataFrame, key: str, bloom: DataFrame, *, words: int = 16, k: int = 4
+) -> DataFrame:
+    """Append boolean ``bloom_hit`` to ``df``: True iff all k probed
+    bits for ``df[key]`` are set (definitely-absent keys get False —
+    no false negatives; some absent keys get True at the FPR).
+
+    The bitmap comes in as a broadcast join on the word index; the
+    probe never shuffles ``df``.
+    """
+    m_bits = words * BITS_PER_WORD
+    cols = df.columns
+    probes = df.select(
+        "*", F.posexplode(_positions(F.col(key), k, m_bits)).alias("_pi", "idx")
+    )
+    hit = F.when(
+        F.expr(f"(shiftright(coalesce(bm, 0L), idx % {BITS_PER_WORD}) & 1L) = 1L"),
+        1,
+    ).otherwise(0)
+    return (
+        probes.join(
+            F.broadcast(bloom),
+            (F.col("idx") / BITS_PER_WORD).cast("int") == F.col("word"),
+            "left",
+        )
+        .groupBy(*cols)
+        .agg((F.sum(hit) == k).alias("bloom_hit"))
+    )

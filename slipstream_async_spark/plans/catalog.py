@@ -5566,11 +5566,15 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable across partitions, no collect. False negatives are
     impossible (the query's n_bloom_hits >= n_true_hits invariant
     checks this), so the pre-filter is safe to apply before the exact
-    pass."""
+    pass. Build/probe are operators.membership.bloom_build/bloom_probe
+    — the relational form of the reference cache's key_may_exist."""
+    from slipstream_async_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
     from slipstream_async_spark.operators.sampling import hash_bucket
 
     (docs,) = _t(spark, sf_dir, "documents")
-    WORDS_X_BITS, BITS, K = 992, 62, 4
     fp = docs.select(
         "doc_id",
         "source",
@@ -5579,35 +5583,14 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = fp.filter(F.col("_b") < 1000).select("fp").distinct()
     corpus = fp.filter(F.col("_b") >= 1000).select("doc_id", "source", "fp")
-
-    def _idx(c):
-        return TXT.hash32(c) % F.lit(WORDS_X_BITS)
-
-    probes = F.array(
-        *[_idx(F.concat(F.col("fp"), F.lit(f"#{i}"))) for i in range(K)]
-    )
-    bloom = (
-        bench.select(F.explode(probes).alias("idx"))
-        .groupBy((F.col("idx") / BITS).cast("int").alias("word"))
-        .agg(F.bit_or(F.expr(f"shiftleft(1L, idx % {BITS})")).alias("bm"))
-    )
-    hit = (
-        corpus.select("doc_id", "source", F.explode(probes).alias("idx"))
-        .join(F.broadcast(bloom), (F.col("idx") / BITS).cast("int") == F.col("word"), "left")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr(f"(shiftright(coalesce(bm, 0L), idx % {BITS}) & 1L) = 1L"),
-                    1,
-                ).otherwise(0)
-            ).alias("_nbits")
-        )
+    bloom = bloom_build(bench, "fp", words=16, k=4)
+    hit = bloom_probe(corpus, "fp", bloom, words=16, k=4).select(
+        "doc_id", "source", "bloom_hit"
     )
     exact = corpus.join(bench, "fp", "left_semi").select("doc_id")
     exact = exact.withColumn("_true", F.lit(1))
     joined = hit.join(exact, "doc_id", "left")
-    bloom_hit = F.when(F.col("_nbits") == K, 1).otherwise(0)
+    bloom_hit = F.when(F.col("bloom_hit"), 1).otherwise(0)
     true_hit = F.when(F.col("_true").isNotNull(), 1).otherwise(0)
     return joined.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
