@@ -35,7 +35,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from slipstream_async_spark.functions.text import text_fingerprint
 from slipstream_async_spark.operators.dedup import dedup_incremental
+from slipstream_async_spark.operators.membership import (
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
+)
 from slipstream_async_spark.streaming.state import StateTable
 
 
@@ -87,6 +93,130 @@ def incremental_dedup_sink(
                 )
             )
         finally:
+            batch.unpersist()
+
+    return sink
+
+
+def bloom_gated_exact_dedup_sink(
+    fingerprints: StateTable,
+    bloom_state: StateTable,
+    dupes: StateTable,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: int = 16,
+    k: int = 4,
+    stats: list | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Exact-dedup streaming sink with a persistent Bloom gate in front
+    of the standing fingerprint table — the reference cache's
+    key_may_exist-before-get pattern (RocksDB answers "might this key
+    exist" from its bloom blocks before touching the SSTs) lifted to
+    the micro-batch level: the bitmap itself lives in a StateTable
+    (one row per word) and is bit_or-merged with each batch's bitmap,
+    so the gate survives restarts with the rest of the state.
+
+    Per batch:
+
+    - batch fingerprints probe the STANDING bitmap; bloom misses are
+      definitely-new and never touch the fingerprint table — only the
+      (few) bloom hits join it. At a standing table of N fingerprints
+      and a mostly-novel stream, that turns a |batch| x N join into an
+      |FPR x batch| x N join.
+    - bloom hits that exact-match become (doc_id -> canonical_id) rows
+      in ``dupes``; survivors plus the definite-new docs register
+      their fingerprints (first doc_id per fingerprint, min-id within
+      the batch, becomes canonical) and fold into the bitmap.
+
+    Replay-safe: every write is an idempotent deterministic upsert,
+    and re-merging a batch's bits into the bitmap is a no-op (bit_or).
+    A replayed batch re-probes an index that now contains itself, so
+    self-matches are filtered on canonical_id != doc_id; the min-id
+    canonical rule makes the dup verdict identical either way.
+
+    ``stats``, if given, collects per-epoch gate accounting dicts
+    (n_batch / n_maybe / n_dup) — n_maybe is the measured gate
+    selectivity, the number that says whether the bloom is sized right
+    (words) for the standing key count.
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = (
+            batch_df.select(
+                F.col(id_col).cast("string").alias("doc"),
+                text_fingerprint(text_col).alias("fp"),
+            )
+            .dropDuplicates(["doc"])
+            .cache()
+        )
+        try:
+            standing_bloom = bloom_state.snapshot().select(
+                F.col("key").cast("int").alias("word"),
+                F.col("value").cast("bigint").alias("bm"),
+            )
+            probed = bloom_probe(
+                batch, "fp", standing_bloom, words=words, k=k
+            ).cache()
+            maybe = probed.filter(F.col("bloom_hit")).select("doc", "fp")
+            definite_new = probed.filter(~F.col("bloom_hit")).select(
+                "doc", "fp"
+            )
+            fps = fingerprints.snapshot().select(
+                F.col("key").alias("fp"), F.col("value").alias("canonical")
+            )
+            # only bloom hits probe the standing table (the gate)
+            exact_hits = (
+                maybe.join(fps, "fp")
+                .filter(F.col("canonical") != F.col("doc"))
+                .select("doc", "canonical")
+            )
+            survivors = maybe.join(fps, "fp", "left_anti")
+            # fingerprints never seen by the standing table: register
+            # min-id per fingerprint as canonical, rest are in-batch dups
+            fresh = definite_new.unionByName(survivors)
+            canon = fresh.groupBy("fp").agg(F.min("doc").alias("canonical"))
+            internal = (
+                fresh.join(canon, "fp")
+                .filter(F.col("doc") != F.col("canonical"))
+                .select("doc", "canonical")
+            )
+            all_dupes = exact_hits.unionByName(internal)
+            n_batch, n_maybe, n_dup = (
+                batch.count(),
+                maybe.count(),
+                all_dupes.count(),
+            )
+            dupes.upsert(
+                all_dupes.select(
+                    F.col("doc").alias("key"), F.col("canonical").alias("value")
+                )
+            )
+            fingerprints.upsert(
+                canon.select(
+                    F.col("fp").alias("key"), F.col("canonical").alias("value")
+                )
+            )
+            updated = bloom_merge(
+                standing_bloom,
+                bloom_build(batch.select("fp"), "fp", words=words, k=k),
+            )
+            bloom_state.upsert(
+                updated.select(
+                    F.col("word").cast("string").alias("key"),
+                    F.col("bm").cast("string").alias("value"),
+                )
+            )
+            if stats is not None:
+                stats.append(
+                    {
+                        "epoch": epoch_id,
+                        "n_batch": n_batch,
+                        "n_maybe": n_maybe,
+                        "n_dup": n_dup,
+                    }
+                )
+        finally:
+            probed.unpersist()
             batch.unpersist()
 
     return sink

@@ -891,3 +891,81 @@ def test_streaming_incremental_dedup_two_batches(spark, stream_dir):
         p.stop()
         corpus.destroy()
         pairs.destroy()
+
+
+def test_streaming_bloom_gated_exact_dedup(spark, stream_dir):
+    """The key_may_exist-before-get cache pattern as a streaming query:
+    the Bloom bitmap PERSISTS in a StateTable across micro-batches, so
+    batch 2's definitely-new docs never join the standing fingerprint
+    table (gate accounting proves it), while its exact dup of a batch-1
+    doc is still caught through the gate. In-batch dups resolve to the
+    min-id canonical immediately."""
+    from slipstream_async_spark.streaming.dedup_flow import (
+        bloom_gated_exact_dedup_sink,
+    )
+    from slipstream_async_spark.streaming.pipeline import (
+        Pipeline,
+        foreach_batch_sink,
+    )
+    from slipstream_async_spark.streaming.state import StateTable
+
+    src = os.path.join(stream_dir, "bloom_src")
+    schema = "doc_id long, text string"
+    dup = "same normalized content words"
+    # batch 1: docs 1+2 share a fingerprint (in-batch dup), 3 distinct
+    _write_batch(
+        spark, src,
+        [(1, dup), (2, "words content normalized same"), (3, "something else")],
+        schema, 0,
+    )
+
+    fingerprints = StateTable(spark, os.path.join(stream_dir, "bg_fps"))
+    bloom_state = StateTable(spark, os.path.join(stream_dir, "bg_bloom"))
+    dupes = StateTable(spark, os.path.join(stream_dir, "bg_dupes"))
+    stats: list = []
+    p = Pipeline()
+
+    @p.handle(
+        _file_stream(spark, src, schema),
+        sink=[foreach_batch_sink(
+            bloom_gated_exact_dedup_sink(
+                fingerprints, bloom_state, dupes, stats=stats,
+            ),
+            checkpoint=os.path.join(stream_dir, "bg_ckpt"),
+        )],
+    )
+    def flow(df):
+        return df
+
+    p.stream()
+    try:
+        p.process_all_available()
+        # doc 2 is a bag-of-words dup of doc 1 -> canonical 1
+        assert dict(dupes.items()) == {"2": "1"}
+        assert set(fingerprints.values()) == {"1", "3"}
+        # the bitmap persisted: 16-word table, some rows set
+        assert 0 < len(list(bloom_state.keys())) <= 16
+        assert stats[-1]["n_batch"] == 3
+        # empty standing bloom: nothing can be a maybe-hit in batch 1
+        assert stats[-1]["n_maybe"] == 0
+
+        # batch 2: doc 4 duplicates doc 1 (cross-batch, caught through
+        # the gate), doc 5 is fresh (should be gated OUT of the join)
+        _write_batch(
+            spark, src,
+            [(4, dup), (5, "entirely fresh wording here")],
+            schema, 1,
+        )
+        p.process_all_available()
+        assert dict(dupes.items()) == {"2": "1", "4": "1"}
+        assert set(fingerprints.values()) == {"1", "3", "5"}
+        s2 = stats[-1]
+        assert s2["n_batch"] == 2 and s2["n_dup"] == 1
+        # the gate let through the true dup; the fresh doc may only
+        # pass as a bloom false positive, never as a requirement
+        assert 1 <= s2["n_maybe"] <= 2
+    finally:
+        p.stop()
+        fingerprints.destroy()
+        bloom_state.destroy()
+        dupes.destroy()
