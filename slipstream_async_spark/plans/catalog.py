@@ -5157,21 +5157,26 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_buckets(sized, "n_tokens")
 
 
-def _logistic_gd_sql(steps: int = 5, lr: float = 1.0) -> str:
-    """DuckDB replica of the quality_classifier_gd training loop,
+def _logistic_train_ctes(
+    steps: int = 5, lr: float = 1.0, include_id: bool = False
+) -> str:
+    """The shared WITH-body (feats + per-step gradient/weight CTEs)
+    behind quality_classifier_gd and quality_classifier_calibration,
     generated with the same fixed-step structure operators.learn runs,
-    so the two cannot drift. Features are rounded to 6 dp on entry and
-    weights re-rounded per step — the cross-engine determinism contract
-    (operators/learn.py module docstring)."""
+    so the oracles cannot drift from the engine or from each other.
+    Features are rounded to 6 dp on entry and weights re-rounded per
+    step — the cross-engine determinism contract (operators/learn.py
+    module docstring)."""
+    id_sel = "doc_id, " if include_id else ""
     feats = f"""
 feats AS (
-  SELECT CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+  SELECT {id_sel}CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
          round(least(len(toks) / 100.0, 1.0), 6) AS x1,
          round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 6)
            AS x2,
          round(least(len(list_intersect(toks, {_DK_STOPS}))::DOUBLE * 2.0
                      / greatest(len(toks), 1), 1.0), 6) AS x3
-  FROM (SELECT source, {_DK_TOKS} AS toks FROM documents)
+  FROM (SELECT {id_sel}source, {_DK_TOKS} AS toks FROM documents)
 ),
 w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
     sql = "WITH " + feats
@@ -5187,6 +5192,13 @@ w{i} AS (
   SELECT round(w.b + {lr} * g.g0, 6) AS b, round(w.w1 + {lr} * g.g1, 6) AS w1,
          round(w.w2 + {lr} * g.g2, 6) AS w2, round(w.w3 + {lr} * g.g3, 6) AS w3
   FROM w{i - 1} w, g{i} g)"""
+    return sql
+
+
+def _logistic_gd_sql(steps: int = 5, lr: float = 1.0) -> str:
+    sql = _logistic_train_ctes(steps, lr)
+    z = "(w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
     return sql + f""",
 scored AS (SELECT y, {p} AS p FROM feats, w{steps} w)
 SELECT w.b AS w_bias, w.w1 AS w_len, w.w2 AS w_distinct, w.w3 AS w_stop,
@@ -6329,4 +6341,78 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy",
             "kl_vs_corpus",
         )
+    )
+
+
+_CALIB = _logistic_train_ctes(include_id=True) + """,
+scored AS (
+  SELECT doc_id, y, (w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3) AS z
+  FROM feats, w5 w),
+deciled AS (
+  SELECT y, z, NTILE(10) OVER (ORDER BY z, doc_id) AS decile FROM scored)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(y), 6) AS target_rate,
+       round(AVG(1.0 / (1.0 + exp(-z))), 6) AS mean_p
+FROM deciled GROUP BY decile
+"""
+
+
+@register("quality_classifier_calibration", oracle=_CALIB)
+def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration curve for the in-engine trained quality
+    classifier (quality_classifier_gd's model): documents are ranked by
+    the LINEAR score z — pure +,*,round-6 arithmetic, so the decile
+    assignment is bit-identical across engines; the sigmoid only enters
+    inside round-6 AVERAGES where a 1-ulp libm difference cannot flip
+    anything — and each decile reports its actual target rate next to
+    its mean predicted probability. A well-calibrated filter shows
+    target_rate tracking mean_p monotonically; divergence is the
+    overconfidence diagnostic that decides whether scores can be used
+    as sampling weights or only as a ranking.
+
+    Shape: training is the same 5 partial-aggregated passes over the
+    checkpointed feature frame; the calibration readout is one NTILE
+    window (customer-scale input, the orders_rfm_segments argument) and
+    a 10-group agg."""
+    from pyspark.sql import Window
+
+    from slipstream_async_spark.operators.learn import logistic_fit
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    n = F.size(toks)
+    stops = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in TXT.STOPWORDS]))
+    )
+    feats = docs.select(
+        "doc_id",
+        F.when(F.col("source") == "src0", 1.0).otherwise(0.0).alias("y"),
+        F.round(F.least(n / F.lit(100.0), F.lit(1.0)), 6).alias("x1"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
+        ).alias("x2"),
+        F.round(
+            F.least(stops * F.lit(2.0) / F.greatest(n, F.lit(1)), F.lit(1.0)),
+            6,
+        ).alias("x3"),
+    ).localCheckpoint()
+    w = logistic_fit(feats, ["x1", "x2", "x3"], "y", steps=5, lr=1.0)
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    deciled = feats.select("doc_id", "y", z.alias("z")).withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("z", "doc_id"))
+    )
+    return deciled.groupBy(
+        F.col("decile").cast("bigint").alias("decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("y"), 6).alias("target_rate"),
+        F.round(F.avg(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))), 6).alias(
+            "mean_p"
+        ),
     )
