@@ -6416,3 +6416,100 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             "mean_p"
         ),
     )
+
+
+_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+t AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM t
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current type), the sequence-level
+    behavioral fingerprint (bot sessions and broken flows show up as
+    distorted rows of this matrix before any model sees the data).
+
+    Shape: one lag window per user (shuffle on user_id, in-partition
+    sort — the p10_pairwise shape), then the transition counts collapse
+    to |types|^2 rows at a partial-aggregated groupBy; the row-
+    normalizing window runs over those ~25 rows. Raw events are
+    touched exactly once."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    norm = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    )
+
+
+_ZIPF = f"""
+WITH counts AS (
+  SELECT u.tok, COUNT(*) AS c
+  FROM (SELECT {_DK_TOKS} AS t FROM documents) d, UNNEST(t) AS u(tok)
+  GROUP BY 1),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank
+  FROM counts)
+SELECT round(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+       round(regr_intercept(ln(c), ln(rank)), 6) AS zipf_intercept,
+       round(regr_r2(ln(c), ln(rank)), 6) AS r2,
+       CAST(COUNT(*) AS BIGINT) AS n_types
+FROM ranked WHERE rank <= 1000
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: least-squares slope,
+    intercept, and R^2 of log-frequency against log-rank for the top
+    1000 types. Natural text sits near slope -1 with high R^2; synthetic
+    or templated corpora (like this one) and boilerplate-heavy crawls
+    deviate — a one-row corpus health check. Ranks tie-break on the
+    token so the fit set is engine-identical.
+
+    Shape: the token stream collapses to vocabulary counts at one
+    partial agg; the rank window and regression run over <= 1000 rows.
+    regr_slope/intercept/r2 are single-pass moment aggregates — the
+    same partial-aggregatable form both engines implement."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("tok")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 1000)
+    y, x = F.log("c"), F.log("rank")
+    return ranked.agg(
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
