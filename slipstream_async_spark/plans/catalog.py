@@ -6513,3 +6513,130 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.count("*").cast("bigint").alias("n_types"),
     )
+
+
+_INTERPURCHASE = """
+WITH gaps AS (
+  SELECT date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap
+  FROM orders),
+g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+h AS (SELECT gap, COUNT(*) AS c FROM g GROUP BY gap),
+cum AS (
+  SELECT gap, SUM(c) OVER (ORDER BY gap) AS cum,
+         (SELECT SUM(c) FROM h) AS n
+  FROM h)
+SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN cum >= ceil(0.25 * n) THEN gap END) AS BIGINT)
+         AS p25_days,
+       CAST(MIN(CASE WHEN cum >= ceil(0.50 * n) THEN gap END) AS BIGINT)
+         AS p50_days,
+       CAST(MIN(CASE WHEN cum >= ceil(0.75 * n) THEN gap END) AS BIGINT)
+         AS p75_days,
+       CAST(MIN(CASE WHEN cum >= ceil(0.90 * n) THEN gap END) AS BIGINT)
+         AS p90_days
+FROM cum
+"""
+
+
+@register("orders_interpurchase_percentiles", oracle=_INTERPURCHASE)
+def orders_interpurchase_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact inverted-CDF percentiles (p25/p50/p75/p90) of the days
+    between a customer's consecutive orders — the repurchase-cadence
+    summary behind churn windows and subscription pricing.
+
+    Shape: the scale-safe EXACT percentile. Gaps are integer days, so
+    instead of sorting all gaps globally (or buffering them in a
+    percentile agg — one reducer holds everything), the gaps collapse
+    to a VALUE HISTOGRAM (distinct day-counts: thousands of rows at
+    any corpus size) at a partial-aggregated groupBy; the cumulative
+    window and the threshold picks run over that tiny table. Same
+    two-phase idea as events_rolling_distinct_users: reduce to the
+    bounded domain first, then do the order-dependent work."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    h = gaps.groupBy("gap").agg(F.count("*").alias("c"))
+    cw = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    nw = Window.partitionBy()
+    cum = h.select(
+        "gap",
+        F.sum("c").over(cw).alias("cum"),
+        F.sum("c").over(nw).alias("n"),
+    )
+
+    def pick(q: float):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("gap")
+            )
+        ).cast("bigint")
+
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        pick(0.25).alias("p25_days"),
+        pick(0.50).alias("p50_days"),
+        pick(0.75).alias("p75_days"),
+        pick(0.90).alias("p90_days"),
+    )
+
+
+_CENTROID_DIST = """
+WITH e AS (
+  SELECT label, unnest(embedding)::DOUBLE AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+a AS (SELECT label, pos, AVG(val) AS v FROM e GROUP BY label, pos)
+SELECT CAST(a1.label AS BIGINT) AS label_a,
+       CAST(a2.label AS BIGINT) AS label_b,
+       round(sqrt(SUM((a1.v - a2.v) * (a1.v - a2.v))), 6) AS dist
+FROM a a1 JOIN a a2 ON a1.pos = a2.pos AND a1.label < a2.label
+GROUP BY a1.label, a2.label
+"""
+
+
+@register("emb_centroid_distances", oracle=_CENTROID_DIST)
+def emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid distance matrix (euclidean, all label
+    pairs): the class-separation readout that pairs with
+    emb_outlier_gate's within-class spread — classes whose centroids
+    sit closer than their own p95 radius are the confusable ones, the
+    first thing to check before trusting labels for stratified
+    sampling or kNN curation.
+
+    Shape: centroids are the posexplode -> groupBy(label, pos) partial
+    agg (the _label_centroids rule — never whole-vector buffers); the
+    pair distances come from a self-join of that |labels| x dim table
+    keyed on pos. Everything after the first agg is dimension-scale."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    a = ex.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("v")
+    )
+    a1 = a.select(
+        F.col("label").alias("label_a"), "pos", F.col("v").alias("v1")
+    )
+    a2 = a.select(
+        F.col("label").alias("label_b"), "pos", F.col("v").alias("v2")
+    )
+    d = F.col("v1") - F.col("v2")
+    return (
+        a1.join(F.broadcast(a2), "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy(
+            F.col("label_a").cast("bigint").alias("label_a"),
+            F.col("label_b").cast("bigint").alias("label_b"),
+        )
+        .agg(F.round(F.sqrt(F.sum(d * d)), 6).alias("dist"))
+    )
