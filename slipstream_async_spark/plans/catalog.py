@@ -6640,3 +6640,202 @@ def emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sqrt(F.sum(d * d)), 6).alias("dist"))
     )
+
+
+_FUNNEL_SENS = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.ts <= v.v_ts + INTERVAL '1' DAY THEN e.ts END) AS c1,
+         MIN(CASE WHEN e.ts <= v.v_ts + INTERVAL '3' DAY THEN e.ts END) AS c3,
+         MIN(CASE WHEN e.ts <= v.v_ts + INTERVAL '7' DAY THEN e.ts END) AS c7
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id,
+         MAX(CASE WHEN e.ts > c.c1
+                   AND e.ts <= v.v_ts + INTERVAL '1' DAY THEN 1 ELSE 0 END)
+           AS p1,
+         MAX(CASE WHEN e.ts > c.c3
+                   AND e.ts <= v.v_ts + INTERVAL '3' DAY THEN 1 ELSE 0 END)
+           AS p3,
+         MAX(CASE WHEN e.ts > c.c7
+                   AND e.ts <= v.v_ts + INTERVAL '7' DAY THEN 1 ELSE 0 END)
+           AS p7
+  FROM events e
+  JOIN c ON c.user_id = e.user_id
+  JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view_users,
+       CAST((SELECT COUNT(c1) FROM c) AS BIGINT) AS clicks_1d,
+       CAST((SELECT COUNT(c3) FROM c) AS BIGINT) AS clicks_3d,
+       CAST((SELECT COUNT(c7) FROM c) AS BIGINT) AS clicks_7d,
+       CAST((SELECT COALESCE(SUM(p1), 0) FROM p) AS BIGINT) AS purchases_1d,
+       CAST((SELECT COALESCE(SUM(p3), 0) FROM p) AS BIGINT) AS purchases_3d,
+       CAST((SELECT COALESCE(SUM(p7), 0) FROM p) AS BIGINT) AS purchases_7d
+"""
+
+
+@register("events_funnel_sensitivity", oracle=_FUNNEL_SENS)
+def events_funnel_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity for the view->click->purchase
+    funnel: per-step conversions under 1-, 3-, and 7-day windows in ONE
+    result row — the analysis that decides whether a reported
+    conversion rate is a property of the product or of the window
+    (conversions that only appear at 7d are slow-burn, not funnel).
+
+    Shape: all three windows come from conditional MIN/MAX aggregates
+    inside the SAME per-user pass — the event table is scanned once
+    per step, not once per window; every stage stays keyed on user_id
+    (the events_funnel argument). The final row is a scalar combine of
+    one-row counts."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+
+    def upper(days: int):
+        return F.expr(f"v_ts + INTERVAL {days} DAY")
+
+    clicks = ev.filter(F.col("event_type") == "click").join(v, "user_id")
+    c = (
+        clicks.filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("ts") <= upper(d), F.col("ts"))
+                ).alias(f"c{d}")
+                for d in (1, 3, 7)
+            ]
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+    )
+    p = purchases.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("ts") > F.col(f"c{d}"))
+                    & (F.col("ts") <= upper(d)),
+                    1,
+                ).otherwise(0)
+            ).alias(f"p{d}")
+            for d in (1, 3, 7)
+        ]
+    )
+    nv = v.agg(F.count("*").cast("bigint").alias("n_view_users"))
+    nc = c.agg(
+        *[
+            F.count(f"c{d}").cast("bigint").alias(f"clicks_{d}d")
+            for d in (1, 3, 7)
+        ]
+    )
+    np_ = p.agg(
+        *[
+            F.coalesce(F.sum(f"p{d}"), F.lit(0))
+            .cast("bigint")
+            .alias(f"purchases_{d}d")
+            for d in (1, 3, 7)
+        ]
+    )
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+_PRICE_INDEX = """
+WITH py AS (
+  SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+         AVG(l_extendedprice / l_quantity) AS p,
+         SUM(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2),
+base AS (SELECT l_partkey, p AS p0, q AS q0 FROM py WHERE yr = 1995)
+SELECT py.yr,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(SUM(py.p * base.q0) / SUM(base.p0 * base.q0), 6)
+         AS laspeyres_index
+FROM py JOIN base ON base.l_partkey = py.l_partkey
+WHERE py.yr != 1995
+GROUP BY py.yr
+"""
+
+
+@register("price_index_yoy", oracle=_PRICE_INDEX)
+def price_index_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per year against the 1995 base basket:
+    sum(p_t * q_1995) / sum(p_1995 * q_1995) over parts traded in both
+    years — the fixed-basket inflation measure (new parts and basket
+    drift are excluded by construction, which is exactly the Laspeyres
+    definition).
+
+    Shape: the fact table collapses to (part, year) price/quantity
+    aggregates in one partial-aggregated pass; the base-year slice of
+    that SAME aggregate broadcasts onto the rest (no second fact
+    scan). The index arithmetic runs on |parts| x |years| rows."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        "l_partkey", F.year("l_shipdate").cast("bigint").alias("yr")
+    ).agg(
+        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("p"),
+        F.sum("l_quantity").alias("q"),
+    )
+    base = py.filter(F.col("yr") == 1995).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    return (
+        py.filter(F.col("yr") != 1995)
+        .join(F.broadcast(base), "l_partkey")
+        .groupBy("yr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum(F.col("p") * F.col("q0"))
+                / F.sum(F.col("p0") * F.col("q0")),
+                6,
+            ).alias("laspeyres_index"),
+        )
+    )
+
+
+_TRADE_MATRIX = f"""
+WITH flows AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(SUM({_REV}) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  GROUP BY 1, 2)
+SELECT supp_nation, cust_nation, revenue,
+       round(revenue / SUM(revenue) OVER (), 6) AS share,
+       round(revenue / SUM(revenue) OVER (PARTITION BY supp_nation), 6)
+         AS supp_share
+FROM flows
+"""
+
+
+@register("nation_trade_matrix", oracle=_TRADE_MATRIX)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier-nation x customer-nation revenue matrix with
+    global and per-supplier-nation shares — q7's bilateral slice
+    generalized to the whole flow matrix (the trade-balance view:
+    asymmetry between [a][b] and [b][a] is the net flow).
+
+    Shape: same five-table star as q7 — every dimension broadcasts,
+    one fact scan, grouped agg to |nations|^2 rows; both share windows
+    run over those ~25 rows. DECIMAL revenue keeps the sums exact
+    before the final double division."""
+    _views(
+        spark, sf_dir, "lineitem", "supplier", "nation", "orders", "customer"
+    )
+    return spark.sql(_TRADE_MATRIX)

@@ -46,6 +46,8 @@ ALLOW_BNLJ = {
     # three one-row per-step user counts crossed into a single summary
     # row — scalar combination, not a data cross
     "events_funnel",
+    # same scalar combination across the three attribution windows
+    "events_funnel_sensitivity",
     # one-row vocabulary size V crossed into the smoothing denominator —
     # the scalar-subquery shape
     "lm_bigram_score",
