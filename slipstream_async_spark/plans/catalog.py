@@ -6839,3 +6839,68 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "supplier", "nation", "orders", "customer"
     )
     return spark.sql(_TRADE_MATRIX)
+
+
+_WILSON = """
+WITH b AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand),
+w AS (
+  SELECT p_brand, n, r,
+         r * 1.0 / n AS ph,
+         1.959963985 AS z
+  FROM b)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines, CAST(r AS BIGINT) AS n_returned,
+       round(ph, 6) AS return_rate,
+       round((ph + z * z / (2 * n)
+              - z * sqrt(ph * (1 - ph) / n + z * z / (4 * n * n)))
+             / (1 + z * z / n), 6) AS wilson_low,
+       round((ph + z * z / (2 * n)
+              + z * sqrt(ph * (1 - ph) / n + z * z / (4 * n * n)))
+             / (1 + z * z / n), 6) AS wilson_high
+FROM w
+"""
+
+
+@register("returns_wilson_ci", oracle=_WILSON)
+def returns_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate per brand with a 95% Wilson score interval — the
+    interval that stays honest at small n and extreme rates (a brand
+    with 3 returns out of 5 lines gets a wide interval, not a scary
+    point estimate), i.e. the difference between ranking brands by
+    noise and ranking them by evidence.
+
+    Shape: one broadcast join + grouped conditional count collapses the
+    fact table to |brands| rows; the Wilson algebra is pure closed-form
+    arithmetic on those rows (identical IEEE ops in every engine — no
+    distribution functions, no iteration)."""
+    (li, part) = _t(spark, sf_dir, "lineitem", "part")
+    b = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "r"
+            ),
+        )
+    )
+    ph = F.col("r") * 1.0 / F.col("n")
+    z = F.lit(1.959963985)
+    denom = 1 + z * z / F.col("n")
+    center = ph + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(
+        ph * (1 - ph) / F.col("n") + z * z / (4 * F.col("n") * F.col("n"))
+    )
+    return b.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.col("r").cast("bigint").alias("n_returned"),
+        F.round(ph, 6).alias("return_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_low"),
+        F.round((center + half) / denom, 6).alias("wilson_high"),
+    )
