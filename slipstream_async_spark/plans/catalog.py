@@ -5612,7 +5612,7 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL = """
+_FUNNEL3 = """
 WITH v AS (
   SELECT user_id, MIN(ts) AS v_ts FROM events
   WHERE event_type = 'view' GROUP BY user_id),
@@ -5640,7 +5640,7 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view_users,
 """
 
 
-@register("events_funnel", oracle=_FUNNEL)
+@register("events_funnel", oracle=_FUNNEL3)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered three-step funnel (view -> click -> purchase) with a
     7-day conversion window anchored at the user's FIRST view: a click
