@@ -43,3 +43,20 @@ def test_query_matches_oracle(spark, duck, name):
     assert list(s.columns) == list(d.columns)
     assert len(s) == len(d), f"{name}: {len(s)} != {len(d)} rows"
     pd.testing.assert_frame_equal(s, d, check_dtype=False)
+
+
+def test_no_duplicate_module_level_sql_bindings():
+    """Guard against oracle-variable shadowing: queries that call
+    spark.sql(_VAR) resolve the module global at CALL time, so a later
+    redefinition of the same name silently swaps an earlier query's SQL
+    (the events_funnel/_FUNNEL collision). Every module-level
+    ``_NAME = \"\"\"...\"\"\"`` binding in catalog.py must be unique."""
+    import re
+    from collections import Counter
+
+    import slipstream_async_spark.plans.catalog as cat
+
+    src = open(cat.__file__).read()
+    names = re.findall(r"^(_[A-Z][A-Z0-9_]*) = (?:r?f?\"\"\"|\")", src, re.M)
+    dupes = {n: c for n, c in Counter(names).items() if c > 1}
+    assert not dupes, f"shadowed module-level SQL bindings: {dupes}"
