@@ -1,0 +1,86 @@
+"""Streaming ANN enrichment: a stream of query vectors is enriched
+with top-k neighbors from a MATERIALIZED IVF index — the operational
+read path of the write-once/probe-many index
+(operators.similarity.ivf_index_write): the index is built offline,
+every arriving micro-batch probes it, and only the probed lists'
+parquet partitions are scanned (dynamic partition pruning on list_id).
+
+Reference parity: the cookbook's enrichment-join pattern (a handler
+looks each arriving event up against a prepared RocksDB cache and
+emits the enriched event). The prepared cache here is the IVF index
+directory; the per-event lookup is a per-batch index probe.
+
+Scale: per micro-batch cost is |batch queries| x (n_probe / n_lists)
+of the corpus — never a full scan; results land in a StateTable as
+idempotent upserts (same query vector -> same neighbor list), so
+replayed epochs converge (the at-least-once argument every sink in
+this package uses).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from slipstream_async_spark.operators.similarity import ivf_topk
+from slipstream_async_spark.streaming.state import StateTable
+
+
+def ann_enrich_sink(
+    index_path: str,
+    results: StateTable,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function probing a materialized IVF index for each
+    arriving query vector and upserting ``query_id -> "id:cosine,..."``
+    (neighbors in rank order) into ``results``. Use with
+    ``foreach_batch_sink`` on a ``Pipeline`` flow.
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        q = batch_df.select(
+            F.col(query_id_col), F.col(vec_col)
+        ).dropDuplicates([query_id_col])
+        topk = ivf_topk(
+            None,
+            q,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            index_path=index_path,
+        )
+        per_q = (
+            topk.groupBy(query_id_col)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    (-F.col("cosine")).alias("nc"),
+                                    F.col(id_col).alias("nid"),
+                                    F.col("cosine").alias("c"),
+                                )
+                            )
+                        ),
+                        lambda s: F.concat_ws(":", s["nid"], s["c"]),
+                    ),
+                    ",",
+                ).alias("value")
+            )
+        )
+        results.upsert(
+            per_q.select(
+                F.col(query_id_col).cast("string").alias("key"), "value"
+            )
+        )
+
+    return sink

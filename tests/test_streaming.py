@@ -969,3 +969,79 @@ def test_streaming_bloom_gated_exact_dedup(spark, stream_dir):
         fingerprints.destroy()
         bloom_state.destroy()
         dupes.destroy()
+
+
+def test_streaming_ann_enrichment_from_materialized_index(spark, stream_dir):
+    """The write-once/probe-many index read path as a streaming query:
+    an IVF index is materialized offline, then two micro-batches of
+    query vectors probe it through a foreachBatch flow; every enriched
+    result must equal the direct (batch) index probe for the same
+    query, and batch-2 queries must NOT disturb batch-1 results."""
+    from slipstream_async_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_topk,
+    )
+    from slipstream_async_spark.sources.readers import load_table
+    from slipstream_async_spark.streaming.ann_flow import ann_enrich_sink
+    from slipstream_async_spark.streaming.pipeline import (
+        Pipeline,
+        foreach_batch_sink,
+    )
+    from slipstream_async_spark.streaming.state import StateTable
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index_path = os.path.join(stream_dir, "ann_index")
+    ivf_index_write(corpus, index_path, n_lists=8)
+
+    def queries_for(lo, hi):
+        return corpus.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def expected_for(lo, hi):
+        got = ivf_topk(
+            None, queries_for(lo, hi), k=3, n_probe=4,
+            index_path=index_path,
+        ).collect()
+        exp = {}
+        for r in sorted(
+            got, key=lambda r: (r["query_id"], -r["cosine"], r["vec_id"])
+        ):
+            exp.setdefault(str(r["query_id"]), []).append(
+                f"{r['vec_id']}:{r['cosine']}"
+            )
+        return {q: ",".join(v) for q, v in exp.items()}
+
+    src = os.path.join(stream_dir, "ann_queries")
+    schema = "query_id long, embedding array<float>"
+    b1 = [(int(r["query_id"]), list(r["embedding"]))
+          for r in queries_for(0, 4).collect()]
+    _write_batch(spark, src, b1, schema, 0)
+
+    results = StateTable(spark, os.path.join(stream_dir, "ann_results"))
+    p = Pipeline()
+
+    @p.handle(
+        _file_stream(spark, src, schema),
+        sink=[foreach_batch_sink(
+            ann_enrich_sink(index_path, results, k=3, n_probe=4),
+            checkpoint=os.path.join(stream_dir, "ann_ckpt"),
+        )],
+    )
+    def flow(df):
+        return df
+
+    p.stream()
+    try:
+        p.process_all_available()
+        assert dict(results.items()) == expected_for(0, 4)
+
+        b2 = [(int(r["query_id"]), list(r["embedding"]))
+              for r in queries_for(4, 8).collect()]
+        _write_batch(spark, src, b2, schema, 1)
+        p.process_all_available()
+        combined = expected_for(0, 4) | expected_for(4, 8)
+        assert dict(results.items()) == combined
+    finally:
+        p.stop()
+        results.destroy()
