@@ -6904,3 +6904,70 @@ def returns_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_low"),
         F.round((center + half) / denom, 6).alias("wilson_high"),
     )
+
+
+_CONCENTRATION = """
+WITH cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey),
+d AS (
+  SELECT rev, NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+  FROM cust),
+agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(rev) AS rev
+  FROM d GROUP BY decile)
+SELECT decile,
+       n_customers,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+         AS share,
+       round(CAST(SUM(rev) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS cum_share
+FROM agg
+"""
+
+
+@register("revenue_concentration", oracle=_CONCENTRATION)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) curve: customers bucketed into
+    spend deciles (highest first), each decile's share and the running
+    cumulative share — "the top 10% of customers carry X% of revenue",
+    the whale-dependence readout.
+
+    Shape: orders collapse to one DECIMAL-exact row per customer; the
+    NTILE runs over the customer table (the orders_rfm_segments scale
+    argument); the share windows run over exactly 10 rows. Ties break
+    on the customer key so decile boundaries are engine-identical."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    d = cust.select(
+        "rev",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("rev"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    agg = d.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("_rev"),
+    )
+    total = Window.partitionBy()
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    rev_d = F.col("_rev").cast("double")
+    return agg.select(
+        "decile",
+        "n_customers",
+        rev_d.alias("revenue"),
+        F.round(rev_d / F.sum("_rev").over(total).cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.sum("_rev").over(cum).cast("double")
+            / F.sum("_rev").over(total).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
