@@ -82,24 +82,26 @@ def bloom_probe(
     bits for ``df[key]`` are set (definitely-absent keys get False —
     no false negatives; some absent keys get True at the FPR).
 
-    The bitmap comes in as a broadcast join on the word index; the
-    probe never shuffles ``df``.
+    The bitmap is collected (bounded: at most ``words`` rows by
+    construction) and inlined as plan literals — the PQ-codebook
+    pattern — so the probe is a PURE PROJECTION evaluated at the scan:
+    no join, no shuffle, no row-multiplicity hazards; duplicate input
+    rows each get their own verdict. (An earlier join+re-aggregate
+    formulation collapsed duplicate rows and mis-counted their probe
+    hits — caught by the hypothesis property test.)
     """
     m_bits = words * BITS_PER_WORD
-    cols = df.columns
-    probes = df.select(
-        "*", F.posexplode(_positions(F.col(key), k, m_bits)).alias("_pi", "idx")
+    bm = {int(r["word"]): int(r["bm"]) for r in bloom.collect()}
+    words_arr = F.array(
+        *[F.lit(bm.get(w, 0)).cast("bigint") for w in range(words)]
     )
-    hit = F.when(
-        F.expr(f"(shiftright(coalesce(bm, 0L), idx % {BITS_PER_WORD}) & 1L) = 1L"),
-        1,
-    ).otherwise(0)
-    return (
-        probes.join(
-            F.broadcast(bloom),
-            (F.col("idx") / BITS_PER_WORD).cast("int") == F.col("word"),
-            "left",
+    hit = F.lit(True)
+    for i in range(k):
+        idx = hash32(F.concat(F.col(key), F.lit(f"#{i}"))) % F.lit(m_bits)
+        word = (idx / BITS_PER_WORD).cast("int")
+        bit = (idx % BITS_PER_WORD).cast("int")
+        elem = F.element_at(words_arr, word + 1)
+        hit = hit & (
+            F.call_function("shiftright", elem, bit).bitwiseAND(F.lit(1)) == 1
         )
-        .groupBy(*cols)
-        .agg((F.sum(hit) == k).alias("bloom_hit"))
-    )
+    return df.withColumn("bloom_hit", hit)

@@ -207,12 +207,13 @@ def test_dsir_gram_explosion_materialized_once(q):
 
 
 def test_bloom_bitmap_is_broadcast(q):
-    """contamination_bloom: the <=16-row Bloom bitmap must come in as a
-    broadcast join on the word index — if it ever becomes a shuffle
-    join, the corpus gets hashed on the probe index and the whole point
-    of the kilobyte sketch (no corpus shuffle for the pre-filter) is
-    lost. No sort-merge join anywhere in the query."""
+    """contamination_bloom: the Bloom probe must be a pure projection —
+    the bounded bitmap inlined as plan literals (shiftright bit checks
+    at the scan), never a join that shuffles the corpus on the probe
+    index. The one broadcast join left is the exact-validation
+    semi-join; no sort-merge join anywhere in the query."""
     plan = _plan(q["contamination_bloom"], "simple")
+    assert "shiftright" in plan, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
 

@@ -342,3 +342,79 @@ def test_interval_join_matches_model(spark, left, right):
         if lk == rk and lm - 3 <= rm <= lm + 7
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership vs exact set model
+# ---------------------------------------------------------------------------
+
+_bloom_keys = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(members=_bloom_keys, probes=_bloom_keys)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_bloom_never_false_negative_and_merge_is_union(spark, members, probes):
+    """For ANY key sets: (1) every true member probes as a hit (false
+    negatives are impossible by construction), and (2) building one
+    bitmap over A ∪ B equals bit_or-merging separate bitmaps over A and
+    B — the mergeability contract that makes the sketch shard- and
+    batch-distributive."""
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.operators.membership import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    mdf = spark.createDataFrame(
+        [(k,) for k in members] or [("",)], "k string"
+    )
+    if not members:
+        mdf = mdf.limit(0)
+    bloom = bloom_build(mdf, "k")
+
+    # (1) no false negatives
+    if members:
+        hits = bloom_probe(mdf, "k", bloom)
+        assert hits.filter(~F.col("bloom_hit")).count() == 0
+
+    # (2) merge == union build
+    half = len(members) // 2
+    a = spark.createDataFrame([(k,) for k in members[:half]] or [("",)], "k string")
+    b = spark.createDataFrame([(k,) for k in members[half:]] or [("",)], "k string")
+    if not members[:half]:
+        a = a.limit(0)
+    if not members[half:]:
+        b = b.limit(0)
+    merged = {
+        (r["word"], r["bm"])
+        for r in bloom_merge(bloom_build(a, "k"), bloom_build(b, "k")).collect()
+    }
+    direct = {(r["word"], r["bm"]) for r in bloom.collect()}
+    assert merged == direct
+
+    # probing arbitrary keys agrees with "possibly in set": a miss must
+    # never be a true member (subset direction of the FPR contract)
+    if probes:
+        pdf = spark.createDataFrame([(k,) for k in probes], "k string")
+        out = bloom_probe(pdf, "k", bloom).collect()
+        member_set = set(members)
+        for r in out:
+            if not r["bloom_hit"]:
+                assert r["k"] not in member_set
