@@ -95,9 +95,13 @@ def bloom_probe(
     words_arr = F.array(
         *[F.lit(bm.get(w, 0)).cast("bigint") for w in range(words)]
     )
+    # probe positions come from the SAME helper the build uses — one
+    # source of truth for the hash/salt scheme, or build and probe
+    # silently disagree and the no-false-negative contract breaks.
+    pos_arr = _positions(F.col(key), k, m_bits)
     hit = F.lit(True)
     for i in range(k):
-        idx = hash32(F.concat(F.col(key), F.lit(f"#{i}"))) % F.lit(m_bits)
+        idx = F.element_at(pos_arr, i + 1)
         word = (idx / BITS_PER_WORD).cast("int")
         bit = (idx % BITS_PER_WORD).cast("int")
         elem = F.element_at(words_arr, word + 1)

@@ -43,6 +43,12 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # Last-wins would silently REPLACE an earlier (possibly
+        # driver-verified) query with different semantics under the same
+        # name — fail at import instead (a duplicate q4/q6 registration
+        # once sailed through every test this way).
+        if name in _QUERIES:
+            raise ValueError(f"duplicate catalog query name: {name!r}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
@@ -1944,52 +1950,6 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_Q22)
-
-
-_Q4 = """
-SELECT o_orderpriority, COUNT(*) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1998-01-01'
-  AND o_orderdate < TIMESTAMP '1998-07-01'
-  AND EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey
-                AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
-GROUP BY o_orderpriority
-"""
-
-
-@register("q4_order_priority", oracle=_Q4)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape (late-order priority census; this schema has no
-    l_commitdate/l_receiptdate, so "late" is shipped >60 days after the
-    order date). EXISTS plans as a LEFT SEMI join on l_orderkey — each
-    order counted once no matter how many lines are late, and the date
-    window prunes the orders scan before the join. At 100 TB both sides
-    shuffle only (orderkey, one date) pairs, never full rows."""
-    _views(spark, sf_dir, "orders", "lineitem")
-    return spark.sql(_Q4)
-
-
-_Q6 = f"""
-SELECT CAST(SUM({_DEC} * {_DISC}) AS DOUBLE) AS revenue
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-  AND l_shipdate < TIMESTAMP '1998-01-01'
-  AND {_DISC} BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
-"""
-
-
-@register("q6_forecast_revenue", oracle=_Q6)
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: the canonical scan-dominated query — every
-    predicate is a single-column comparison, so all three reach the
-    parquet reader as pushed filters (shipdate additionally prunes row
-    groups via min/max), and the plan is scan -> one partial sum ->
-    one-row exchange. DECIMAL multiply keeps the sum exact; the cast to
-    double happens once on the final scalar."""
-    _views(spark, sf_dir, "lineitem")
-    return spark.sql(_Q6)
 
 
 _Q18 = """
@@ -5211,6 +5171,33 @@ FROM w{steps} w, (
 """
 
 
+def _quality_feats(docs: DataFrame, include_id: bool = False) -> DataFrame:
+    """The (y, x1, x2, x3) feature frame behind quality_classifier_gd
+    AND quality_classifier_calibration — one definition so the
+    calibration query can never score a different model than the one it
+    claims to calibrate (both SQL oracles already share
+    _logistic_train_ctes for the same reason). Features are rounded to
+    6 dp on entry — the cross-engine determinism contract."""
+    toks = TXT.tokens("text")
+    n = F.size(toks)
+    stops = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in TXT.STOPWORDS]))
+    )
+    cols = ["doc_id"] if include_id else []
+    return docs.select(
+        *cols,
+        F.when(F.col("source") == "src0", 1.0).otherwise(0.0).alias("y"),
+        F.round(F.least(n / F.lit(100.0), F.lit(1.0)), 6).alias("x1"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
+        ).alias("x2"),
+        F.round(
+            F.least(stops * F.lit(2.0) / F.greatest(n, F.lit(1)), F.lit(1.0)),
+            6,
+        ).alias("x3"),
+    )
+
+
 @register("quality_classifier_gd", oracle=_logistic_gd_sql())
 def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A LEARNED quality filter trained inside the engine
@@ -5231,24 +5218,7 @@ def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = TXT.tokens("text")
-    n = F.size(toks)
-    stops = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(s) for s in TXT.STOPWORDS]))
-    )
-    feats = docs.select(
-        F.when(F.col("source") == "src0", 1.0).otherwise(0.0).alias("y"),
-        F.round(F.least(n / F.lit(100.0), F.lit(1.0)), 6).alias("x1"),
-        F.round(
-            F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
-        ).alias("x2"),
-        F.round(
-            F.least(
-                stops * F.lit(2.0) / F.greatest(n, F.lit(1)), F.lit(1.0)
-            ),
-            6,
-        ).alias("x3"),
-    ).localCheckpoint()
+    feats = _quality_feats(docs).localCheckpoint()
     fcols = ["x1", "x2", "x3"]
     w = logistic_fit(feats, fcols, "y", steps=5, lr=1.0)
     p = logistic_score(feats, fcols, w)
@@ -5587,12 +5557,16 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from slipstream_async_spark.operators.sampling import hash_bucket
 
     (docs,) = _t(spark, sf_dir, "documents")
+    # fingerprints feed four consumers (bloom build collect, probe arm,
+    # both sides of the exact semi-join) — materialize the tokenize+md5
+    # scan once instead of re-running it per action (the source_token_
+    # drift / DSIR scan-once convention).
     fp = docs.select(
         "doc_id",
         "source",
         TXT.text_fingerprint("text").alias("fp"),
         hash_bucket("doc_id", salt="split").alias("_b"),
-    )
+    ).localCheckpoint(eager=False)
     bench = fp.filter(F.col("_b") < 1000).select("fp").distinct()
     corpus = fp.filter(F.col("_b") >= 1000).select("doc_id", "source", "fp")
     bloom = bloom_build(bench, "fp", words=16, k=4)
@@ -5890,15 +5864,24 @@ def emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimstats = ex.groupBy("dim").agg(
         F.min("v").alias("mn"), F.max("v").alias("mx")
     )
-    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    # operand order mirrors the oracle EXACTLY ((v-mn)*255/(mx-mn), then
+    # q*(mx-mn)/255) — a different floating-point association could
+    # flip a floor(x+0.5) half-way tie between engines.
     q = F.least(
         F.greatest(
-            F.floor((F.col("v") - F.col("mn")) / scale + F.lit(0.5)), F.lit(0)
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                * F.lit(255.0)
+                / (F.col("mx") - F.col("mn"))
+                + F.lit(0.5)
+            ),
+            F.lit(0),
         ),
         F.lit(255),
     )
+    deq = F.col("mn") + q * (F.col("mx") - F.col("mn")) / F.lit(255.0)
     e = F.when(
-        F.col("mx") > F.col("mn"), F.col("v") - (F.col("mn") + q * scale)
+        F.col("mx") > F.col("mn"), F.col("v") - deq
     ).otherwise(F.lit(0.0))
     return (
         ex.join(F.broadcast(dimstats), "dim")
@@ -6380,23 +6363,7 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     from slipstream_async_spark.operators.learn import logistic_fit
 
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = TXT.tokens("text")
-    n = F.size(toks)
-    stops = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(s) for s in TXT.STOPWORDS]))
-    )
-    feats = docs.select(
-        "doc_id",
-        F.when(F.col("source") == "src0", 1.0).otherwise(0.0).alias("y"),
-        F.round(F.least(n / F.lit(100.0), F.lit(1.0)), 6).alias("x1"),
-        F.round(
-            F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
-        ).alias("x2"),
-        F.round(
-            F.least(stops * F.lit(2.0) / F.greatest(n, F.lit(1)), F.lit(1.0)),
-            6,
-        ).alias("x3"),
-    ).localCheckpoint()
+    feats = _quality_feats(docs, include_id=True).localCheckpoint()
     w = logistic_fit(feats, ["x1", "x2", "x3"], "y", steps=5, lr=1.0)
     z = (
         F.lit(w[0])

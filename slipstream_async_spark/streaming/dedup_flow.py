@@ -149,6 +149,7 @@ def bloom_gated_exact_dedup_sink(
             .dropDuplicates(["doc"])
             .cache()
         )
+        probed = None
         try:
             standing_bloom = bloom_state.snapshot().select(
                 F.col("key").cast("int").alias("word"),
@@ -216,7 +217,8 @@ def bloom_gated_exact_dedup_sink(
                     }
                 )
         finally:
-            probed.unpersist()
+            if probed is not None:
+                probed.unpersist()
             batch.unpersist()
 
     return sink
