@@ -6938,3 +6938,156 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+_TTC = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+  GROUP BY e.user_id),
+g AS (
+  SELECT CAST(floor(epoch(p.p_ts - v.v_ts) / 3600.0) AS BIGINT) AS gap_h
+  FROM p JOIN v ON v.user_id = p.user_id),
+h AS (SELECT gap_h, COUNT(*) AS c FROM g GROUP BY gap_h),
+cum AS (
+  SELECT gap_h, SUM(c) OVER (ORDER BY gap_h) AS cum,
+         (SELECT SUM(c) FROM h) AS n
+  FROM h)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converts,
+       CAST(MIN(CASE WHEN cum >= ceil(0.25 * n) THEN gap_h END) AS BIGINT)
+         AS p25_hours,
+       CAST(MIN(CASE WHEN cum >= ceil(0.50 * n) THEN gap_h END) AS BIGINT)
+         AS p50_hours,
+       CAST(MIN(CASE WHEN cum >= ceil(0.75 * n) THEN gap_h END) AS BIGINT)
+         AS p75_hours,
+       CAST(MIN(CASE WHEN cum >= ceil(0.90 * n) THEN gap_h END) AS BIGINT)
+         AS p90_hours
+FROM cum
+"""
+
+
+@register("events_time_to_convert", oracle=_TTC)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inverted-CDF percentiles of hours from a user's first view
+    to their first subsequent purchase — the latency companion to the
+    funnel's conversion COUNTS (a funnel can convert well but slowly;
+    this is the number an SLA or attribution window is set from).
+
+    Shape: both endpoints are per-user MIN aggregates on one key
+    (events_funnel's argument); the integer-hour gaps collapse to a
+    value histogram before any ordered work, so the percentile pass
+    runs over at most a few thousand distinct hour values at any scale
+    (the orders_interpurchase_percentiles two-phase shape)."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    g = p.join(v, "user_id").select(
+        F.floor(
+            (
+                F.unix_timestamp("p_ts").cast("double")
+                - F.unix_timestamp("v_ts").cast("double")
+            )
+            / 3600.0
+        )
+        .cast("bigint")
+        .alias("gap_h")
+    )
+    h = g.groupBy("gap_h").agg(F.count("*").alias("c"))
+    cw = Window.orderBy("gap_h").rowsBetween(Window.unboundedPreceding, 0)
+    nw = Window.partitionBy()
+    cum = h.select(
+        "gap_h",
+        F.sum("c").over(cw).alias("cum"),
+        F.sum("c").over(nw).alias("n"),
+    )
+
+    def pick(q: float):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("gap_h")
+            )
+        ).cast("bigint")
+
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_converts"),
+        pick(0.25).alias("p25_hours"),
+        pick(0.50).alias("p50_hours"),
+        pick(0.75).alias("p75_hours"),
+        pick(0.90).alias("p90_hours"),
+    )
+
+
+_CHISQ = """
+WITH o AS (
+  SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2),
+t AS (
+  SELECT lang, source, obs,
+         SUM(obs) OVER (PARTITION BY lang) AS row_tot,
+         SUM(obs) OVER (PARTITION BY source) AS col_tot,
+         SUM(obs) OVER () AS n
+  FROM o)
+SELECT round(SUM((obs - row_tot * col_tot * 1.0 / n)
+                 * (obs - row_tot * col_tot * 1.0 / n)
+                 / (row_tot * col_tot * 1.0 / n)), 6) AS chi2,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+            AS BIGINT) AS dof,
+       CAST(MAX(n) AS BIGINT) AS n_docs
+FROM t
+"""
+
+
+@register("lang_source_chisq", oracle=_CHISQ)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for language x source independence — the
+    stratification check run before per-source language quotas are
+    trusted (a large chi2 relative to dof means language mix is a
+    property of the source, so sampling by source silently reshapes the
+    language mix). The statistic and dof are reported raw (no p-value:
+    that needs an incomplete-gamma, which is neither needed for the
+    comparison nor bit-reproducible across engines).
+
+    Shape: documents collapse to the |langs| x |sources| contingency
+    table at one partial agg; the margin windows and the statistic run
+    over those ~25 rows. Observed-only cells are summed (structural
+    zeros contribute nothing, matching the classical computation over
+    observed categories)."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    t = o.select(
+        "lang",
+        "source",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") * F.lit(1.0) / F.col("n")
+    return t.agg(
+        F.round(F.sum((F.col("obs") - e) * (F.col("obs") - e) / e), 6).alias(
+            "chi2"
+        ),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.max("n").cast("bigint").alias("n_docs"),
+    )
