@@ -6169,9 +6169,13 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = SIM.brute_force_topk(
         c, q.select("query_id", "embedding"), k=5
     )
-    labeled = topk.join(
-        F.broadcast(c.select("vec_id", "label")), "vec_id"
-    ).join(F.broadcast(q.select("query_id", "true_label")), "query_id")
+    # broadcast the SMALL side: topk is |queries| x 5 rows; the corpus
+    # label table is corpus-sized and must never be the broadcast build
+    labeled = (
+        c.select("vec_id", "label")
+        .join(F.broadcast(topk), "vec_id")
+        .join(F.broadcast(q.select("query_id", "true_label")), "query_id")
+    )
     votes = labeled.groupBy("query_id", "true_label", "label").agg(
         F.count("*").alias("n")
     )
