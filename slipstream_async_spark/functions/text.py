@@ -203,12 +203,22 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 
 def pii_counts(col: Column | str) -> dict[str, Column]:
     """Per-kind PII match counts (email / ipv4 / phone) — the audit
-    metric of a redaction pass; scan-stage JVM regex, no shuffle."""
+    metric of a redaction pass; scan-stage JVM regex, no shuffle.
+
+    Counts are SEQUENTIAL, mirroring pii_scrub's replace order: ipv4 is
+    counted on email-scrubbed text, phone on email+ip-scrubbed text.
+    Counting every kind on the raw text would overcount overlaps (an
+    address like user.555-123-4567@x.com redacts to one [EMAIL], yet a
+    raw-text phone count would also claim a [PHONE] that never appears
+    in the output) — the audit line must describe what the scrub
+    actually did."""
     c = F.col(col) if isinstance(col, str) else col
-    return {
-        kind: F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
-        for kind, (pat, _) in PII_PATTERNS.items()
-    }
+    out: dict[str, Column] = {}
+    for kind in ("email", "ipv4", "phone"):
+        pat, token = PII_PATTERNS[kind]
+        out[kind] = F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
+        c = F.regexp_replace(c, pat, token)
+    return out
 
 
 def pii_scrub(col: Column | str) -> Column:

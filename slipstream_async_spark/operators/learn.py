@@ -45,6 +45,10 @@ def logistic_fit(
     rounded to 6 dp per step (see module docstring). Labels are 0/1;
     features should be bounded (roughly [-1, 1]) for lr ~ 1 to behave.
     """
+    # NULL features/labels would silently skew each gradient component
+    # over a DIFFERENT row subset (avg skips nulls per column); an empty
+    # frame would make every avg None and crash the update arithmetic.
+    df = df.dropna(subset=[label_col, *feature_cols])
     w = [0.0] * (len(feature_cols) + 1)
     y = F.col(label_col).cast("double")
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
@@ -54,6 +58,10 @@ def logistic_fit(
         row = df.agg(
             *[F.avg((y - p) * xs[j]).alias(f"g{j}") for j in range(len(xs))]
         ).collect()[0]
+        if row[0] is None:
+            raise ValueError(
+                "logistic_fit: no non-null training rows to fit on"
+            )
         w = [round(w[j] + lr * row[j], 6) for j in range(len(xs))]
     return w
 

@@ -186,13 +186,19 @@ def epoch_capped_mix(
             )
             .drop("_sat_alloc", "_z", "sat")
         )
+    # Final hard clamp: a saturation cascade deeper than ``rounds`` can
+    # leave the last redistribution pushing a source past its cap — the
+    # contract (alloc <= max_epochs * tokens) must hold regardless, so
+    # the residual budget is simply left unspent rather than violating
+    # the repetition cap.
+    final = F.least(F.col("alloc"), cap)
     return cur.select(
         source_col,
         "n_docs",
         "tokens",
         "weight",
-        F.round("alloc", 2).alias("alloc_tokens"),
-        F.round(F.col("alloc") / F.col("tokens"), 6).alias("epochs"),
+        F.round(final, 2).alias("alloc_tokens"),
+        F.round(final / F.col("tokens"), 6).alias("epochs"),
         (F.col("alloc") >= cap).alias("capped"),
     )
 

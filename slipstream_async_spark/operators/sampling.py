@@ -117,9 +117,14 @@ def weighted_sample(
     without-replacement sample where inclusion probability tracks the
     weight. Here u is md5-derived from the id (rerun-stable, engine
     reproducible), and ranking uses the monotone-equivalent
-    ``ln(u)/w`` (avoids pow() underflow for large weights), ROUNDED to
-    6 decimals with an id tie-break so the selected set is bit-stable
-    across engines.
+    ``ln(u) * max(w) / w`` (avoids pow() underflow; the max(w)
+    normalization — exact and engine-identical, scaling by a positive
+    constant per ranking scope preserves the A-ES order — keeps keys
+    O(1) so the 6-decimal rounding keeps its resolution: unnormalized
+    ln(u)/w with token-count-sized weights collapses to a handful of
+    rounded values and the 'weighted' sample degenerates to id order),
+    ROUNDED to 6 decimals with an id tie-break so the selected set is
+    bit-stable across engines.
 
     With ``strata_col``, the top-k is per stratum (e.g. k docs per
     source, probability proportional to token count — the standard
@@ -137,10 +142,16 @@ def weighted_sample(
         hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
         + F.lit(1)
     ) / F.lit(float(_U_DENOM))
-    key = F.round(
-        F.log(u) / F.col(weight_col).cast("double"), 6
-    ).alias("wrs_key")
-    base = df.filter(F.col(weight_col) > 0).withColumn("wrs_key", key)
+    wcol = F.col(weight_col).cast("double")
+    base = df.filter(F.col(weight_col) > 0)
+    if strata_col is not None:
+        mx = base.groupBy(strata_col).agg(F.max(wcol).alias("_maxw"))
+        base = base.join(F.broadcast(mx), strata_col)
+    else:
+        mx = base.agg(F.max(wcol).alias("_maxw"))
+        base = base.crossJoin(F.broadcast(mx))
+    key = F.round(F.log(u) * F.col("_maxw") / wcol, 6).alias("wrs_key")
+    base = base.withColumn("wrs_key", key).drop("_maxw")
     part = [strata_col] if strata_col is not None else []
     w = Window.partitionBy(*part).orderBy(
         F.col("wrs_key").desc(), F.col(id_col).asc()

@@ -228,20 +228,40 @@ def ivf_index_write(
     RocksDB (slipstream/caching.py); here the layout lives in the
     parquet directory structure.
     """
+    from pyspark.sql import Window as _W
+
+    from slipstream_async_spark.functions.text import hash32
+
     cents, assigned = ivf_index(corpus, n_lists, id_col, vec_col)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/lists"
     )
+    # Persist the PQ seed vectors too (rank-ordered; same deterministic
+    # (md5-hash, id) selection _pq_seed_codebook uses, 32 stored so any
+    # n_codes <= 32 slices them) — a stored-index IVFADC probe must
+    # never re-scan the corpus just to rebuild a few-KB codebook.
+    seeds = (
+        corpus.withColumn("_h", hash32(F.col(id_col).cast("string")))
+        .withColumn(
+            "seed_rank", F.row_number().over(_W.orderBy("_h", id_col))
+        )
+        .filter(F.col("seed_rank") <= 32)
+        .select("seed_rank", F.col(vec_col).alias("seed_vec"))
+    )
+    seeds.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_seeds")
 
 
 def ivf_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) from a materialized IVF index. The
-    partition column comes back type-inferred, so it is cast to long to
-    keep the probe join key exactly as the in-memory path builds it."""
+    partition column comes back type-inferred as string, so it is cast
+    to the CENTROID ID's dtype (list_id == cent_id by construction) —
+    casting blindly to long would null every list_id for string-id
+    corpora and make all probes silently return empty."""
     cents = spark.read.parquet(f"{path}/centroids")
+    cent_type = dict(cents.dtypes)["cent_id"]
     assigned = spark.read.parquet(f"{path}/lists").withColumn(
-        "list_id", F.col("list_id").cast("long")
+        "list_id", F.col("list_id").cast(cent_type)
     )
     return cents, assigned
 
@@ -331,28 +351,38 @@ def embedding_near_dup_pairs(
     """
     if max_bucket_size is not None and max_bucket_size < 2:
         raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
-    cb = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("_table"),
-                        sign_bucket(
-                            F.col(vec_col), n_planes, t * n_planes
-                        ).alias("_bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("_tb"),
-    ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("_tb._table").alias("_table"),
-        F.col("_tb._bucket").alias("_bucket"),
-    )
+    if n_tables == 1:
+        # single-table: keep the bucket as a narrow column projection —
+        # no Generate node, no struct array per row
+        cb = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(0).alias("_table"),
+            sign_bucket(F.col(vec_col), n_planes, 0).alias("_bucket"),
+        )
+    else:
+        cb = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("_table"),
+                            sign_bucket(
+                                F.col(vec_col), n_planes, t * n_planes
+                            ).alias("_bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("_tb"),
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_tb._table").alias("_table"),
+            F.col("_tb._bucket").alias("_bucket"),
+        )
     keys = ["_table", "_bucket"]
     if max_bucket_size is not None:
         sizes = cb.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
@@ -636,15 +666,35 @@ def ivfadc_topk(
     training-data-pipeline family (SURVEY §2 M7) with the standard
     composed index. Recall dial: n_probe (coarse), rerank (refine).
     """
+    seeds = None
     if index_path is not None:
         cents, assigned = ivf_index_read(queries.sparkSession, index_path)
+        if corpus is None:
+            # stored seeds (ivf_index_write) — identical to the
+            # in-memory selection, no corpus/assignment re-scan
+            try:
+                rows = (
+                    queries.sparkSession.read.parquet(
+                        f"{index_path}/pq_seeds"
+                    )
+                    .orderBy("seed_rank")
+                    .limit(n_codes)
+                    .collect()
+                )
+                if len(rows) >= n_codes:
+                    seeds = [
+                        [float(x) for x in r["seed_vec"]] for r in rows
+                    ]
+            except Exception:
+                seeds = None  # legacy index without pq_seeds
     else:
         if corpus is None:
             raise ValueError("ivfadc_topk needs either corpus or index_path")
         cents, assigned = ivf_index(corpus, n_lists, id_col, vec_col)
-    seeds = _pq_seed_codebook(
-        corpus if corpus is not None else assigned, n_codes, id_col, vec_col
-    )
+    if seeds is None:
+        seeds = _pq_seed_codebook(
+            corpus if corpus is not None else assigned, n_codes, id_col, vec_col
+        )
     _, recon = _pq_sub_exprs(F.col(vec_col), seeds, m)
     enc_cols = [
         F.col(id_col),

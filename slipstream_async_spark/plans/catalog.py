@@ -2079,7 +2079,9 @@ WITH sized AS (
 keyed AS (
   SELECT doc_id, source, n_tokens,
          round(ln((('0x' || substr(md5('wrs' || doc_id::VARCHAR), 1, 8))::BIGINT
-                   + 1) / 4294967297.0) / n_tokens, 6) AS wrs_key
+                   + 1) / 4294967297.0)
+               * MAX(n_tokens::DOUBLE) OVER (PARTITION BY source)
+               / n_tokens, 6) AS wrs_key
   FROM sized WHERE n_tokens > 0
 ),
 ranked AS (
@@ -3668,18 +3670,28 @@ CASE WHEN doc_id % 3 = 0
 @register(
     "pii_redact",
     oracle=rf"""
-WITH d AS (SELECT doc_id, {_DK_DIRTY} AS t FROM documents)
+WITH d AS (SELECT doc_id, {_DK_DIRTY} AS t FROM documents),
+s1 AS (
+  SELECT doc_id, t,
+         regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g')
+           AS t1
+  FROM d),
+s2 AS (
+  SELECT doc_id, t, t1,
+         regexp_replace(t1,
+           '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '[IP]', 'g')
+           AS t2
+  FROM s1)
 SELECT doc_id,
        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
          ::BIGINT AS n_email,
-       len(regexp_extract_all(t, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+       len(regexp_extract_all(t1, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
          ::BIGINT AS n_ipv4,
-       len(regexp_extract_all(t, '\b\d{{3}}-\d{{3}}-\d{{4}}\b'))::BIGINT AS n_phone,
-       md5(regexp_replace(regexp_replace(regexp_replace(t,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
-           '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '[IP]', 'g'),
-           '\b\d{{3}}-\d{{3}}-\d{{4}}\b', '[PHONE]', 'g')) AS redacted_md5
-FROM d
+       len(regexp_extract_all(t2, '\b\d{{3}}-\d{{3}}-\d{{4}}\b'))::BIGINT AS n_phone,
+       md5(regexp_replace(t2, '\b\d{{3}}-\d{{3}}-\d{{4}}\b', '[PHONE]', 'g'))
+         AS redacted_md5
+FROM s2
 """,
 )
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4456,8 +4468,8 @@ a{i} AS (
         prev = f"a{i}"
     sql += f"""
 SELECT source, n_docs, tokens, weight,
-       round(alloc, 2) AS alloc_tokens,
-       round(alloc / tokens, 6) AS epochs,
+       round(least(alloc, cap), 2) AS alloc_tokens,
+       round(least(alloc, cap) / tokens, 6) AS epochs,
        (alloc >= cap) AS capped
 FROM {prev}
 """

@@ -74,9 +74,25 @@ def compact_parquet(
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(src_path)
     fs = path.getFileSystem(hconf)
+    statuses = list(fs.listStatus(path))
+    # A partitioned layout (subdirectories) would list zero top-level
+    # files: sizing would see 0 bytes and coalesce(1) would flatten a
+    # multi-GB partitioned dataset into one file, destroying the
+    # layout. Refuse and point at the per-partition form instead.
+    subdirs = [
+        s.getPath().getName()
+        for s in statuses
+        if s.isDirectory() and not s.getPath().getName().startswith(("_", "."))
+    ]
+    if subdirs:
+        raise ValueError(
+            "compact_parquet: partitioned layout detected "
+            f"(subdirectories {subdirs[:3]}...); compact each partition "
+            "directory separately to preserve partition pruning"
+        )
     files = [
         (f.getPath().toString(), f.getLen())
-        for f in fs.listStatus(path)
+        for f in statuses
         if f.isFile() and f.getPath().getName().endswith(".parquet")
     ]
     total_bytes = sum(b for _, b in files)

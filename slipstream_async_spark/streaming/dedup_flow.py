@@ -12,8 +12,10 @@ cache is a :class:`~slipstream_async_spark.streaming.state.StateTable`:
   corpus index WITH :func:`~slipstream_async_spark.operators.dedup.
   dedup_incremental` (prefix-index probe: batch x corpus and batch x
   batch pairs only — the corpus is never re-paired against itself);
-- discovered pairs land in a pairs StateTable (key ``id_a|id_b``,
-  value jaccard) — the operator's continuously-growing output;
+- discovered pairs land in a pairs StateTable (key
+  ``len(id_a)|id_a|id_b`` — length-prefixed so ids containing the
+  separator cannot collide; value jaccard) — the operator's
+  continuously-growing output;
 - the batch's documents are then upserted into the corpus StateTable,
   so the NEXT micro-batch dedups against them.
 
@@ -80,9 +82,18 @@ def incremental_dedup_sink(
             found = dedup_incremental(
                 standing, batch, text_col, id_col, k=k, threshold=threshold
             )
+            # length-prefixed key: a bare 'id_a|id_b' concat is ambiguous
+            # when an id itself contains '|' ('a|b'+'c' == 'a'+'b|c'),
+            # which would let two distinct pairs overwrite one row
             pairs.upsert(
                 found.select(
-                    F.concat_ws("|", "id_a", "id_b").alias("key"),
+                    F.concat(
+                        F.length("id_a").cast("string"),
+                        F.lit("|"),
+                        F.col("id_a"),
+                        F.lit("|"),
+                        F.col("id_b"),
+                    ).alias("key"),
                     F.col("jaccard").cast("string").alias("value"),
                 )
             )

@@ -871,7 +871,7 @@ def test_streaming_incremental_dedup_two_batches(spark, stream_dir):
     try:
         p.process_all_available()
         got1 = set(pairs.keys())
-        assert got1 == {"1|2"}, got1
+        assert got1 == {"1|1|2"}, got1
         assert set(corpus.keys()) == {"1", "2", "3"}
 
         # batch 2: a near-copy of doc 1 (cross-batch dup, found ONLY
@@ -883,10 +883,10 @@ def test_streaming_incremental_dedup_two_batches(spark, stream_dir):
         )
         p.process_all_available()
         got2 = set(pairs.keys())
-        assert got2 == {"1|2", "1|4", "2|4"}, got2
+        assert got2 == {"1|1|2", "1|1|4", "1|2|4"}, got2
         assert set(corpus.keys()) == {"1", "2", "3", "4", "5"}
         # jaccard values ride along as the pair payload
-        assert float(pairs.get("1|4")) >= 0.5
+        assert float(pairs.get("1|1|4")) >= 0.5
     finally:
         p.stop()
         corpus.destroy()
