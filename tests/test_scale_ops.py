@@ -428,3 +428,135 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert back.selectExpr("sum(v)").collect()[0][0] == df.selectExpr(
         "sum(v)"
     ).collect()[0][0]
+
+
+def test_weighted_sample_respects_large_weights(spark):
+    """Regression: with token-count-sized weights (1e6+), the rounded
+    A-ES key used to collapse to a handful of values and selection
+    degenerated to ascending-id order. After max-normalization a row
+    with overwhelming weight must (a) produce distinct keys and (b) be
+    selected."""
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1_000_000) for i in range(1, 40)] + [(99, 4_000_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, "w", "doc_id", k=5)
+    got = {r["doc_id"] for r in out.collect()}
+    assert 99 in got, got
+    keys = [r["wrs_key"] for r in out.collect()]
+    assert len(set(keys)) > 1, keys
+    # the degenerate behavior would have returned exactly ids 1..5
+    assert got != {1, 2, 3, 4, 5}, got
+
+
+def test_epoch_capped_mix_never_exceeds_cap(spark):
+    """Regression: a saturation cascade deeper than the fixed waterfill
+    rounds pushed a source over its cap in the final redistribution.
+    The contract alloc <= max_epochs * tokens must hold for EVERY
+    source on a weight profile engineered to saturate one source per
+    round."""
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.operators.mixing import epoch_capped_mix
+
+    rows = [
+        ("a", 10, 100), ("b", 10, 1_000), ("c", 10, 10_000),
+        ("d", 10, 100_000), ("e", 10, 1_000_000),
+    ]
+    agg = spark.createDataFrame(rows, "source string, n_docs long, tokens long")
+    out = epoch_capped_mix(
+        agg, "source", "tokens", alpha=0.2,
+        token_budget=3_000_000, max_epochs=2.0, rounds=2,
+        pre_aggregated=True,
+    ).collect()
+    for r in out:
+        assert r["alloc_tokens"] <= 2.0 * r["tokens"] + 0.01, r
+        assert r["epochs"] <= 2.000001, r
+
+
+def test_compact_parquet_refuses_partitioned_layout(spark, tmp_path):
+    """Regression: a partitionBy-written directory used to size as 0
+    bytes and get flattened into one file; it must now raise."""
+    import pytest as _pytest
+
+    from slipstream_async_spark.sources.bucketing import compact_parquet
+
+    src = str(tmp_path / "part_src")
+    spark.range(100).withColumn("p", F.col("id") % 3).write.partitionBy(
+        "p"
+    ).parquet(src)
+    with _pytest.raises(ValueError, match="partitioned layout"):
+        compact_parquet(spark, src, str(tmp_path / "part_dst"))
+
+
+def test_ivf_index_roundtrip_string_ids(spark, tmp_path):
+    """Regression: ivf_index_read cast list_id to long unconditionally,
+    nulling every probe key for string-id corpora; the stored-index
+    probe must match the in-memory probe for string ids."""
+    from slipstream_async_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_topk,
+    )
+    from slipstream_async_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    path = str(tmp_path / "str_idx")
+    ivf_index_write(emb, path, n_lists=8)
+    q = emb.limit(0).union(
+        emb.filter(F.col("vec_id").isin("doc-1", "doc-2"))
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    stored = ivf_topk(None, q, k=3, n_probe=4, index_path=path)
+    mem = ivf_topk(emb, q, k=3, n_probe=4, n_lists=8)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, mem.collect())
+    )
+    assert stored.count() > 0
+
+
+def test_ivfadc_stored_index_uses_persisted_seeds(spark, tmp_path):
+    """ivfadc_topk over a materialized index must produce the same
+    result as the in-memory path (the persisted pq_seeds replace the
+    per-call codebook rebuild), and the index dir must actually carry
+    the seeds."""
+    import os as _os
+
+    from slipstream_async_spark.operators.similarity import (
+        ivf_index_write,
+        ivfadc_topk,
+    )
+    from slipstream_async_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "adc_idx")
+    ivf_index_write(emb, path, n_lists=8)
+    assert _os.path.isdir(f"{path}/pq_seeds")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    stored = ivfadc_topk(None, q, k=3, n_probe=8, index_path=path)
+    mem = ivfadc_topk(emb, q, k=3, n_probe=8, n_lists=8)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, mem.collect())
+    )
+
+
+def test_pii_counts_sequential_on_overlap(spark):
+    """Counts must describe what pii_scrub actually redacts: an email
+    whose local part contains a phone-shaped digit run redacts to ONE
+    [EMAIL] and must count zero phones."""
+    from slipstream_async_spark.functions.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [("reach john.555-123-4567@mail.com now",)], "t string"
+    )
+    c = pii_counts("t")
+    row = df.select(
+        c["email"], c["ipv4"], c["phone"], pii_scrub("t").alias("s")
+    ).collect()[0]
+    assert row["n_email"] == 1 and row["n_phone"] == 0, row
+    assert "[EMAIL]" in row["s"] and "[PHONE]" not in row["s"]
