@@ -7107,3 +7107,115 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.max("n").cast("bigint").alias("n_docs"),
     )
+
+
+_ALPHA_SENS = f"""
+WITH per AS (
+  SELECT source,
+         SUM(len({_DK_TOKS}))::BIGINT AS tokens
+  FROM documents GROUP BY source),
+t AS (
+  SELECT SUM(pow(tokens::DOUBLE, 0.3)) AS z3,
+         SUM(pow(tokens::DOUBLE, 0.5)) AS z5,
+         SUM(pow(tokens::DOUBLE, 0.7)) AS z7,
+         SUM(tokens)::DOUBLE AS n
+  FROM per)
+SELECT source, tokens,
+       round(pow(tokens::DOUBLE, 0.3) / t.z3, 6) AS w_alpha_03,
+       round(pow(tokens::DOUBLE, 0.5) / t.z5, 6) AS w_alpha_05,
+       round(pow(tokens::DOUBLE, 0.7) / t.z7, 6) AS w_alpha_07,
+       round(tokens / t.n, 6) AS w_natural
+FROM per, t
+"""
+
+
+@register("mix_alpha_sensitivity", oracle=_ALPHA_SENS)
+def mix_alpha_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling sensitivity: each source's mixture weight at
+    alpha = 0.3 / 0.5 / 0.7 next to its natural (proportional) share —
+    the one-table view of how hard each temperature flattens the
+    source distribution, read before committing a mixture (the spread
+    between w_alpha_03 and w_natural IS the upsampling pressure on
+    small sources).
+
+    Shape: one partial-aggregated token count per source; all four
+    weight columns are arithmetic over the per-source aggregate with
+    three scalar normalizers from one one-row broadcast."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(TXT.tokens("text"))).cast("bigint").alias("tokens")
+    )
+    td = F.col("tokens").cast("double")
+    t = per.agg(
+        F.sum(F.pow(td, 0.3)).alias("z3"),
+        F.sum(F.pow(td, 0.5)).alias("z5"),
+        F.sum(F.pow(td, 0.7)).alias("z7"),
+        F.sum(td).alias("n"),
+    )
+    return per.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tokens",
+        F.round(F.pow(td, 0.3) / F.col("z3"), 6).alias("w_alpha_03"),
+        F.round(F.pow(td, 0.5) / F.col("z5"), 6).alias("w_alpha_05"),
+        F.round(F.pow(td, 0.7) / F.col("z7"), 6).alias("w_alpha_07"),
+        F.round(td / F.col("n"), 6).alias("w_natural"),
+    )
+
+
+_DAU_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+contrib AS (
+  SELECT user_id, d + (i || ' days')::INTERVAL AS window_end
+  FROM ud, UNNEST(generate_series(0, 6)) AS u(i)),
+wau AS (
+  SELECT c.window_end AS d, COUNT(DISTINCT c.user_id) AS wau
+  FROM contrib c JOIN days ON days.d = c.window_end
+  GROUP BY c.window_end)
+SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
+"""
+
+
+@register("events_dau_wau", oracle=_DAU_WAU)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily actives over trailing-7-day
+    actives — the engagement ratio (1/7 = everyone visits once a week,
+    1.0 = everyone visits daily). Composes the deduplicated (user, day)
+    pair set two ways: a direct per-day count and the bounded x7
+    explode that makes trailing-window distinct counts scale
+    (events_rolling_distinct_users' shape); both consume ONE
+    deduplicated pair set."""
+    (ev,) = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct().localCheckpoint(eager=False)
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(
+        "user_id", F.expr("d + make_interval(0, 0, 0, i)").alias("window_end")
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(days), F.col("window_end") == F.col("d"), "left_semi"
+        )
+        .groupBy(F.col("window_end").alias("wd"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["wd"])
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

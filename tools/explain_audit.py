@@ -63,6 +63,9 @@ ALLOW_BNLJ = {
     # one-row corpus token total crossed into the KL denominator —
     # the scalar-subquery shape
     "source_token_drift",
+    # one-row normalizer triple (z3/z5/z7/n) crossed onto the
+    # per-source aggregate — the scalar-subquery shape
+    "mix_alpha_sensitivity",
     # the exact arm reuses brute_force_topk: a 10-row query SAMPLE
     # broadcast-crossed against the corpus — the deliberate recall
     # measurement shape (same as sim_topk_bruteforce)
