@@ -5683,13 +5683,40 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROLLING_DAU = """
-WITH ud AS (
+_DK_UD_CONTRIB = """
+ud AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
 days AS (SELECT DISTINCT d FROM ud),
 contrib AS (
   SELECT user_id, d + (i || ' days')::INTERVAL AS window_end
-  FROM ud, UNNEST(generate_series(0, 6)) AS u(i))
+  FROM ud, UNNEST(generate_series(0, 6)) AS u(i))"""
+
+
+def _user_day_contrib(ev, checkpoint: bool = False):
+    """(ud, days, contrib): the deduplicated (user, day) pair set, its
+    distinct-day list, and each pair's 7 trailing window-end
+    contributions — ONE definition shared by
+    events_rolling_distinct_users and events_dau_wau (and mirrored by
+    the _DK_UD_CONTRIB oracle fragment) so the trailing-window shape
+    cannot diverge between the two queries or their oracles."""
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    if checkpoint:
+        ud = ud.localCheckpoint(eager=False)
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(
+        "user_id", F.expr("d + make_interval(0, 0, 0, i)").alias("window_end")
+    )
+    return ud, days, contrib
+
+
+_ROLLING_DAU = f"""
+WITH {_DK_UD_CONTRIB}
 SELECT c.window_end,
        CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS distinct_users_7d
 FROM contrib c JOIN days ON days.d = c.window_end
@@ -5714,17 +5741,7 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     and the final distinct agg is two-phase (partial distinct on
     (window_end, user))."""
     (ev,) = _t(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
-    ).distinct()
-    days = ud.select("d").distinct()
-    contrib = ud.select(
-        "user_id",
-        "d",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
-    ).select(
-        "user_id", F.expr("d + make_interval(0, 0, 0, i)").alias("window_end")
-    )
+    _ud, days, contrib = _user_day_contrib(ev)
     return (
         contrib.join(
             F.broadcast(days), F.col("window_end") == F.col("d"), "left_semi"
@@ -7162,14 +7179,9 @@ def mix_alpha_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DAU_WAU = """
-WITH ud AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
-days AS (SELECT DISTINCT d FROM ud),
+_DAU_WAU = f"""
+WITH {_DK_UD_CONTRIB},
 dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
-contrib AS (
-  SELECT user_id, d + (i || ' days')::INTERVAL AS window_end
-  FROM ud, UNNEST(generate_series(0, 6)) AS u(i)),
 wau AS (
   SELECT c.window_end AS d, COUNT(DISTINCT c.user_id) AS wau
   FROM contrib c JOIN days ON days.d = c.window_end
@@ -7191,18 +7203,8 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events_rolling_distinct_users' shape); both consume ONE
     deduplicated pair set."""
     (ev,) = _t(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
-    ).distinct().localCheckpoint(eager=False)
-    days = ud.select("d").distinct()
+    ud, days, contrib = _user_day_contrib(ev, checkpoint=True)
     dau = ud.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
-    contrib = ud.select(
-        "user_id",
-        "d",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
-    ).select(
-        "user_id", F.expr("d + make_interval(0, 0, 0, i)").alias("window_end")
-    )
     wau = (
         contrib.join(
             F.broadcast(days), F.col("window_end") == F.col("d"), "left_semi"

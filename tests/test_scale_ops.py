@@ -436,16 +436,14 @@ def test_weighted_sample_respects_large_weights(spark):
     degenerated to ascending-id order. After max-normalization a row
     with overwhelming weight must (a) produce distinct keys and (b) be
     selected."""
-    from pyspark.sql import functions as F
-
     from slipstream_async_spark.operators.sampling import weighted_sample
 
     rows = [(i, 1_000_000) for i in range(1, 40)] + [(99, 4_000_000_000)]
     df = spark.createDataFrame(rows, "doc_id long, w long")
-    out = weighted_sample(df, "w", "doc_id", k=5)
-    got = {r["doc_id"] for r in out.collect()}
+    rows_out = weighted_sample(df, "w", "doc_id", k=5).collect()
+    got = {r["doc_id"] for r in rows_out}
     assert 99 in got, got
-    keys = [r["wrs_key"] for r in out.collect()]
+    keys = [r["wrs_key"] for r in rows_out]
     assert len(set(keys)) > 1, keys
     # the degenerate behavior would have returned exactly ids 1..5
     assert got != {1, 2, 3, 4, 5}, got
@@ -457,8 +455,6 @@ def test_epoch_capped_mix_never_exceeds_cap(spark):
     The contract alloc <= max_epochs * tokens must hold for EVERY
     source on a weight profile engineered to saturate one source per
     round."""
-    from pyspark.sql import functions as F
-
     from slipstream_async_spark.operators.mixing import epoch_capped_mix
 
     rows = [
@@ -507,15 +503,17 @@ def test_ivf_index_roundtrip_string_ids(spark, tmp_path):
     )
     path = str(tmp_path / "str_idx")
     ivf_index_write(emb, path, n_lists=8)
-    q = emb.limit(0).union(
-        emb.filter(F.col("vec_id").isin("doc-1", "doc-2"))
-    ).select(F.col("vec_id").alias("query_id"), "embedding")
-    stored = ivf_topk(None, q, k=3, n_probe=4, index_path=path)
+    q = emb.filter(F.col("vec_id").isin("doc-1", "doc-2")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    stored_rows = ivf_topk(
+        None, q, k=3, n_probe=4, index_path=path
+    ).collect()
     mem = ivf_topk(emb, q, k=3, n_probe=4, n_lists=8)
-    assert sorted(map(tuple, stored.collect())) == sorted(
+    assert sorted(map(tuple, stored_rows)) == sorted(
         map(tuple, mem.collect())
     )
-    assert stored.count() > 0
+    assert len(stored_rows) > 0
 
 
 def test_ivfadc_stored_index_uses_persisted_seeds(spark, tmp_path):
