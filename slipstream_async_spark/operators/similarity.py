@@ -549,23 +549,34 @@ def _pq_sub_exprs(
     codes, recon = [], []
     for s in range(m):
         sub_x = F.slice(x, s * d_sub + 1, d_sub)
-        cws = [
-            F.array(*[F.lit(float(v)) for v in seed[s * d_sub : (s + 1) * d_sub]])
-            for seed in seeds
-        ]
-        dists = F.array(
+        # one 2-D literal + ONE transform/aggregate template per
+        # subspace instead of n_codes separate fold expressions — same
+        # arithmetic in the same order (transform preserves codeword
+        # order, so the first-argmin tie-break is unchanged), but the
+        # Catalyst tree shrinks ~n_codes-fold, which is the dominant
+        # constant cost of these literal-codebook plans
+        cw_table = F.array(
             *[
-                F.aggregate(
-                    F.zip_with(sub_x, cw, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
+                F.array(
+                    *[
+                        F.lit(float(v))
+                        for v in seed[s * d_sub : (s + 1) * d_sub]
+                    ]
                 )
-                for cw in cws
+                for seed in seeds
             ]
+        )
+        dists = F.transform(
+            cw_table,
+            lambda cw: F.aggregate(
+                F.zip_with(sub_x, cw, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
         )
         code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         codes.append(code)
-        recon.append(F.element_at(F.array(*cws), code + 1))
+        recon.append(F.element_at(cw_table, code + 1))
     return codes, recon
 
 
