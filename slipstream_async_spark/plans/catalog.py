@@ -7221,3 +7221,94 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+_CLUSTER_SIZES = f"""
+WITH RECURSIVE
+pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+cc(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
+),
+members AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM members GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY cluster_size
+"""
+
+
+@register("dedup_cluster_sizes", oracle=_CLUSTER_SIZES)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup clusters of
+    each size the corpus contains and how many documents each size
+    class would shed under keep-one-per-cluster — the capacity-planning
+    readout of a dedup pass (a corpus dominated by size-2 clusters
+    dedups cheaply; a few giant clusters mean templated spam and a very
+    different removal ratio).
+
+    Shape: composes duplicate_clusters (min-label propagation over the
+    PPJoin-filtered pair set) with two tiny re-aggregations — members
+    per cluster, then clusters per size. Everything after the pair
+    stage is cluster-count-sized."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    members = DD.duplicate_clusters(pairs)
+    sizes = members.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy(
+        F.col("cluster_size").cast("bigint").alias("cluster_size")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+    )
+
+
+_SEASONALITY = """
+WITH m AS (
+  SELECT month(o_orderdate) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1),
+t AS (SELECT SUM(rev) AS tot FROM m)
+SELECT CAST(month AS BIGINT) AS month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(n AS BIGINT) AS n_orders,
+       round(CAST(rev AS DOUBLE) / CAST(t.tot AS DOUBLE) * 12, 6)
+         AS seasonal_index
+FROM m, t
+"""
+
+
+@register("orders_seasonality", oracle=_SEASONALITY)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year revenue seasonality index: each calendar month's
+    share of total revenue scaled by 12, so 1.0 = an average month —
+    the decomposition-lite seasonal profile read before comparing
+    year-over-year numbers or staffing a quarter.
+
+    Shape: the fact table collapses to 12 DECIMAL-exact rows at one
+    partial agg; the total enters as a one-row scalar cross."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.month("o_orderdate").cast("bigint").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    t = m.agg(F.sum("rev").alias("tot"))
+    return m.crossJoin(F.broadcast(t)).select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        F.round(
+            F.col("rev").cast("double") / F.col("tot").cast("double") * 12, 6
+        ).alias("seasonal_index"),
+    )

@@ -66,6 +66,9 @@ ALLOW_BNLJ = {
     # one-row normalizer triple (z3/z5/z7/n) crossed onto the
     # per-source aggregate — the scalar-subquery shape
     "mix_alpha_sensitivity",
+    # one-row revenue total crossed onto the 12-month aggregate —
+    # the scalar-subquery shape
+    "orders_seasonality",
     # the exact arm reuses brute_force_topk: a 10-row query SAMPLE
     # broadcast-crossed against the corpus — the deliberate recall
     # measurement shape (same as sim_topk_bruteforce)
