@@ -29,6 +29,7 @@ Charikar's rounding-hyperplane scheme (STOC 2002).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -241,12 +242,18 @@ def ivf_index_write(
     # (md5-hash, id) selection _pq_seed_codebook uses, 32 stored so any
     # n_codes <= 32 slices them) — a stored-index IVFADC probe must
     # never re-scan the corpus just to rebuild a few-KB codebook.
+    # orderBy().limit() compiles to TakeOrderedAndProject (each
+    # partition keeps its local top-32, the driver merges) — a global
+    # row_number() window here would shuffle the ENTIRE corpus into
+    # one partition just to pick 32 rows. The rank window below runs
+    # on the already-limited 32 rows, so its single partition is fine.
     seeds = (
         corpus.withColumn("_h", hash32(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(32)
         .withColumn(
             "seed_rank", F.row_number().over(_W.orderBy("_h", id_col))
         )
-        .filter(F.col("seed_rank") <= 32)
         .select("seed_rank", F.col(vec_col).alias("seed_vec"))
     )
     seeds.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_seeds")
@@ -696,8 +703,14 @@ def ivfadc_topk(
                     seeds = [
                         [float(x) for x in r["seed_vec"]] for r in rows
                     ]
-            except Exception:
-                seeds = None  # legacy index without pq_seeds
+            except AnalysisException as e:
+                # only the documented case — a legacy index written
+                # before pq_seeds existed — may fall back to the
+                # assignment rescan; real IO/corruption/schema errors
+                # must propagate, not silently degrade to a full scan
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                seeds = None
     else:
         if corpus is None:
             raise ValueError("ivfadc_topk needs either corpus or index_path")

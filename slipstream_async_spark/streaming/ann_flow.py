@@ -71,7 +71,15 @@ def ann_enrich_sink(
                                 )
                             )
                         ),
-                        lambda s: F.concat_ws(":", s["nid"], s["c"]),
+                        # explicit %.6f: Spark's double->string cast
+                        # flips to scientific notation for |x|<1e-3
+                        # ('1.0E-4'), which would make the payload
+                        # format magnitude-dependent and engine-
+                        # specific; a fixed format keeps the
+                        # StateTable value stable for any consumer
+                        lambda s: F.concat_ws(
+                            ":", s["nid"], F.format_string("%.6f", s["c"])
+                        ),
                     ),
                     ",",
                 ).alias("value")

@@ -136,8 +136,16 @@ def bloom_gated_exact_dedup_sink(
       |FPR x batch| x N join.
     - bloom hits that exact-match become (doc_id -> canonical_id) rows
       in ``dupes``; survivors plus the definite-new docs register
-      their fingerprints (first doc_id per fingerprint, min-id within
-      the batch, becomes canonical) and fold into the bitmap.
+      their fingerprints (first doc_id per fingerprint becomes
+      canonical — the LEXICOGRAPHIC min of the string-cast id, since
+      ids of any source type are carried as strings in the
+      StateTable; for numeric ids "10" sorts before "9") and fold
+      into the bitmap.
+    - rows whose fingerprint is NULL (e.g. null text) carry no dedup
+      signal and would otherwise vanish silently from BOTH bloom
+      branches (NULL matches neither ``filter(hit)`` nor
+      ``filter(~hit)``); they are dropped explicitly up front and
+      counted in ``stats`` as ``n_null_fp``.
 
     Replay-safe: every write is an idempotent deterministic upsert,
     and re-merging a batch's bits into the bitmap is a no-op (bit_or).
@@ -152,7 +160,7 @@ def bloom_gated_exact_dedup_sink(
     """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batch = (
+        keyed = (
             batch_df.select(
                 F.col(id_col).cast("string").alias("doc"),
                 text_fingerprint(text_col).alias("fp"),
@@ -160,8 +168,13 @@ def bloom_gated_exact_dedup_sink(
             .dropDuplicates(["doc"])
             .cache()
         )
+        # NULL fingerprints match neither filter(hit) nor filter(~hit)
+        # below — divert them explicitly so no input row is silently
+        # lost from detection, registration, or the accounting.
+        batch = keyed.filter(F.col("fp").isNotNull())
         probed = None
         try:
+            n_keyed = keyed.count()
             standing_bloom = bloom_state.snapshot().select(
                 F.col("key").cast("int").alias("word"),
                 F.col("value").cast("bigint").alias("bm"),
@@ -225,11 +238,12 @@ def bloom_gated_exact_dedup_sink(
                         "n_batch": n_batch,
                         "n_maybe": n_maybe,
                         "n_dup": n_dup,
+                        "n_null_fp": n_keyed - n_batch,
                     }
                 )
         finally:
             if probed is not None:
                 probed.unpersist()
-            batch.unpersist()
+            keyed.unpersist()
 
     return sink

@@ -1008,7 +1008,7 @@ def test_streaming_ann_enrichment_from_materialized_index(spark, stream_dir):
             got, key=lambda r: (r["query_id"], -r["cosine"], r["vec_id"])
         ):
             exp.setdefault(str(r["query_id"]), []).append(
-                f"{r['vec_id']}:{r['cosine']}"
+                f"{r['vec_id']}:{r['cosine']:.6f}"
             )
         return {q: ",".join(v) for q, v in exp.items()}
 
