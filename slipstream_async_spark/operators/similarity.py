@@ -707,8 +707,11 @@ def ivfadc_topk(
                 # only the documented case — a legacy index written
                 # before pq_seeds existed — may fall back to the
                 # assignment rescan; real IO/corruption/schema errors
-                # must propagate, not silently degrade to a full scan
-                if "PATH_NOT_FOUND" not in str(e):
+                # must propagate, not silently degrade to a full scan.
+                # getCondition() is the typed error-class accessor —
+                # immune to message-format drift and to paths that
+                # happen to contain the literal text.
+                if e.getCondition() != "PATH_NOT_FOUND":
                     raise
                 seeds = None
     else:

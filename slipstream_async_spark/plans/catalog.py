@@ -1640,19 +1640,28 @@ def sim_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
-WITH RECURSIVE
-pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+# Shared connected-components oracle fragment: symmetrized edges over a
+# `pairs` CTE + min-label-reachability recursion. Interpolated into every
+# cluster-based oracle AT DEFINITION TIME (f-string), so the six
+# cluster oracles cannot silently diverge on the edge symmetrization or
+# the label rule — the same single-source-of-truth move the DAU queries
+# made with _DK_UD_CONTRIB.
+_CC_FROM_PAIRS = """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL
           SELECT id_b AS src, id_a AS dst FROM pairs),
 cc(node, label) AS (
   SELECT DISTINCT src, src FROM edges
   UNION
   SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
-)
+)"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
+{_CC_FROM_PAIRS}
 SELECT node AS doc_id,
        MIN(label) AS cluster_id,
        (node = MIN(label)) AS is_canonical
@@ -1674,14 +1683,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH RECURSIVE
 pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM pairs),
-cc(node, label) AS (
-  SELECT DISTINCT src, src FROM edges
-  UNION
-  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
-),
+{_CC_FROM_PAIRS},
 drops AS (SELECT node FROM cc GROUP BY node HAVING node != MIN(label)),
 quality AS ({_ORACLES["text_quality"]}),
 langs AS ({_ORACLES["text_langid"]}),
@@ -2640,14 +2642,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH RECURSIVE
 pairs AS ({_ORACLES["emb_near_dup_pairs"]}),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM pairs),
-cc(node, label) AS (
-  SELECT DISTINCT src, src FROM edges
-  UNION
-  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
-)
+{_CC_FROM_PAIRS}
 SELECT node AS vec_id,
        MIN(label) AS cluster_id,
        (node = MIN(label)) AS is_canonical
@@ -2931,14 +2926,7 @@ docs_gated AS (
   WHERE q.quality >= 0.73 AND l.lang_pred = 'en'
 ),
 pairs AS ({_GATED_PAIRS}),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM pairs),
-cc(node, label) AS (
-  SELECT DISTINCT src, src FROM edges
-  UNION
-  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
-),
+{_CC_FROM_PAIRS},
 drops AS (SELECT node FROM cc GROUP BY node HAVING node != MIN(label))
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -3287,14 +3275,7 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CANON = f"""
 WITH RECURSIVE
 pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM pairs),
-cc(node, label) AS (
-  SELECT DISTINCT src, src FROM edges
-  UNION
-  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
-),
+{_CC_FROM_PAIRS},
 m AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node),
 quality AS ({_ORACLES["text_quality"]}),
 ranked AS (
@@ -7226,14 +7207,7 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_SIZES = f"""
 WITH RECURSIVE
 pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM pairs),
-cc(node, label) AS (
-  SELECT DISTINCT src, src FROM edges
-  UNION
-  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
-),
+{_CC_FROM_PAIRS},
 members AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
 sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
           FROM members GROUP BY cluster_id)

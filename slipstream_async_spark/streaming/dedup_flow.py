@@ -163,7 +163,15 @@ def bloom_gated_exact_dedup_sink(
         keyed = (
             batch_df.select(
                 F.col(id_col).cast("string").alias("doc"),
-                text_fingerprint(text_col).alias("fp"),
+                # null text carries no content signal: fingerprint it
+                # as NULL (diverted below) rather than md5('') — which
+                # would silently declare every null-text doc a
+                # duplicate of every other one
+                F.when(
+                    F.col(text_col).isNull(), F.lit(None).cast("string")
+                )
+                .otherwise(text_fingerprint(text_col))
+                .alias("fp"),
             )
             .dropDuplicates(["doc"])
             .cache()
@@ -174,7 +182,9 @@ def bloom_gated_exact_dedup_sink(
         batch = keyed.filter(F.col("fp").isNotNull())
         probed = None
         try:
-            n_keyed = keyed.count()
+            # stats-only action: don't pay an extra per-epoch count
+            # on the production hot path when nobody collects it
+            n_keyed = keyed.count() if stats is not None else 0
             standing_bloom = bloom_state.snapshot().select(
                 F.col("key").cast("int").alias("word"),
                 F.col("value").cast("bigint").alias("bm"),

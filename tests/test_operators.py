@@ -788,6 +788,48 @@ def test_ivfadc_composition_and_rerank(spark, tmp_path):
         ivfadc_topk(None, q, k=5)
 
 
+def test_ivfadc_legacy_index_fallback_and_error_propagation(spark, tmp_path):
+    """The stored-seeds read may fall back to the assignment rescan ONLY
+    for a legacy index that predates pq_seeds (PATH_NOT_FOUND); any
+    other read error — here an unreadable empty pq_seeds dir — must
+    propagate, not silently degrade to a full corpus rescan."""
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    from slipstream_async_spark.operators.similarity import (
+        ivf_index_write,
+        ivfadc_topk,
+    )
+    from slipstream_async_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, n_probe=2, m=8, n_codes=16, rerank=20)
+    path = str(tmp_path / "legacy_idx")
+    ivf_index_write(emb, path, n_lists=8)
+    with_seeds = sorted(
+        map(tuple, ivfadc_topk(None, q, index_path=path, **kw).collect())
+    )
+
+    # legacy index: no pq_seeds at all -> rebuild seeds from the stored
+    # assignments; same (md5, id) selection -> identical results
+    shutil.rmtree(os.path.join(path, "pq_seeds"))
+    legacy = sorted(
+        map(tuple, ivfadc_topk(None, q, index_path=path, **kw).collect())
+    )
+    assert legacy == with_seeds
+
+    # a pq_seeds path that EXISTS but is unreadable is corruption, not
+    # a legacy index — it must raise, not rescan
+    os.makedirs(os.path.join(path, "pq_seeds"))
+    with pytest.raises(AnalysisException):
+        ivfadc_topk(None, q, index_path=path, **kw).collect()
+
+
 def test_remove_boilerplate_chunks_rewrite(spark):
     """Boilerplate removal rewrites documents: a chunk content shared by
     >= min_docs documents is cut from every occurrence, unique chunks

@@ -912,10 +912,13 @@ def test_streaming_bloom_gated_exact_dedup(spark, stream_dir):
     src = os.path.join(stream_dir, "bloom_src")
     schema = "doc_id long, text string"
     dup = "same normalized content words"
-    # batch 1: docs 1+2 share a fingerprint (in-batch dup), 3 distinct
+    # batch 1: docs 1+2 share a fingerprint (in-batch dup), 3 distinct,
+    # 9 has NULL text — no dedup signal, must be diverted (not silently
+    # lost, not declared a dup of other null docs) and counted
     _write_batch(
         spark, src,
-        [(1, dup), (2, "words content normalized same"), (3, "something else")],
+        [(1, dup), (2, "words content normalized same"),
+         (3, "something else"), (9, None)],
         schema, 0,
     )
 
@@ -948,6 +951,11 @@ def test_streaming_bloom_gated_exact_dedup(spark, stream_dir):
         assert stats[-1]["n_batch"] == 3
         # empty standing bloom: nothing can be a maybe-hit in batch 1
         assert stats[-1]["n_maybe"] == 0
+        # the null-text doc was diverted and accounted, and appears in
+        # neither the dup verdicts nor the registered fingerprints
+        assert stats[-1]["n_null_fp"] == 1
+        assert "9" not in dict(dupes.items())
+        assert "9" not in set(fingerprints.values())
 
         # batch 2: doc 4 duplicates doc 1 (cross-batch, caught through
         # the gate), doc 5 is fresh (should be gated OUT of the join)
@@ -961,6 +969,7 @@ def test_streaming_bloom_gated_exact_dedup(spark, stream_dir):
         assert set(fingerprints.values()) == {"1", "3", "5"}
         s2 = stats[-1]
         assert s2["n_batch"] == 2 and s2["n_dup"] == 1
+        assert s2["n_null_fp"] == 0
         # the gate let through the true dup; the fresh doc may only
         # pass as a bloom false positive, never as a requirement
         assert 1 <= s2["n_maybe"] <= 2
