@@ -7286,3 +7286,702 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.col("tot").cast("double") * 12, 6
         ).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: curation diagnostics — gate attribution, split hygiene,
+# decontamination sensitivity, tokenizer economics, embedding geometry.
+# ---------------------------------------------------------------------------
+
+_GATE_ATTRIBUTION = f"""
+WITH RECURSIVE
+pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
+{_CC_FROM_PAIRS},
+drops AS (SELECT node FROM cc GROUP BY node HAVING node != MIN(label)),
+quality AS ({_ORACLES["text_quality"]}),
+langs AS ({_ORACLES["text_langid"]})
+SELECT q.quality >= 0.73 AS pass_quality,
+       l.lang_pred = 'en' AS pass_lang,
+       q.doc_id NOT IN (SELECT node FROM drops) AS is_canonical,
+       COUNT(*) AS n_docs
+FROM quality q JOIN langs l ON l.doc_id = q.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+@register("quality_gate_attribution", oracle=_GATE_ATTRIBUTION)
+def quality_gate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate attribution for the curation pipeline: every document
+    bucketed by WHICH of the three gates it passes (quality >= 0.73,
+    lang == 'en', near-dup canonical) — the 2x2x2 contingency table
+    that tells you which filter does the work, how much the gates
+    overlap, and what loosening one threshold would actually recover.
+    pipeline_curation reports only the surviving intersection; this is
+    the full decomposition around it.
+
+    Shape: the two text gates are scan-fused expressions; the dedup
+    drop-list (min-label connected components over the PPJoin pair set)
+    joins in as a broadcast left join on doc_id; the result is an
+    8-row aggregate. One documents scan + the pair stage the dedup
+    family already pays."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    drops = (
+        DD.duplicate_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id", F.lit(True).alias("_dropped"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            (TXT.quality_score("text") >= 0.73).alias("pass_quality"),
+            (TXT.lang_id("text") == "en").alias("pass_lang"),
+        )
+        .join(F.broadcast(drops), "doc_id", "left")
+        .groupBy(
+            "pass_quality",
+            "pass_lang",
+            F.col("_dropped").isNull().alias("is_canonical"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SPLIT_LEAKAGE = """
+WITH b AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(regexp_split_to_array(
+                 lower(regexp_replace(text, '[^0-9A-Za-z\\s]', ' ', 'g')),
+                 '\\s+'),
+             x -> x != ''))), ' ')) AS fp,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 10000 AS bucket
+  FROM documents
+),
+m AS (
+  SELECT DISTINCT fp,
+         CASE WHEN bucket < 1000 THEN 'test'
+              WHEN bucket < 2000 THEN 'val'
+              ELSE 'train' END AS split
+  FROM b
+)
+SELECT x.split AS split_a, y.split AS split_b,
+       COUNT(DISTINCT x.fp) AS n_shared_fps
+FROM m x JOIN m y ON x.fp = y.fp AND x.split < y.split
+GROUP BY 1, 2
+"""
+
+
+@register("split_leakage_check", oracle=_SPLIT_LEAKAGE)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split hygiene: near-duplicate leakage ACROSS the deterministic
+    train/val/test split — for every split pair, how many distinct
+    bag-of-words fingerprints occur on both sides. A nonzero
+    train/test row is exactly the eval contamination a hash-split of
+    un-deduped data produces (the split is per-document; duplicates
+    land on both sides with probability ~ split rate).
+
+    Shape: fingerprint + split are scan-fused expressions; one
+    dropDuplicates to (fp, split) grain; the per-fingerprint split set
+    is collect_set bounded by 3, exploded to at most 3 pairs per
+    fingerprint — never a fingerprint self-join on the Spark side."""
+    from slipstream_async_spark.operators.sampling import hash_bucket
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", salt="split")
+    m = (
+        docs.select(
+            TXT.text_fingerprint("text").alias("fp"),
+            F.when(b < 1000, "test")
+            .when(b < 2000, "val")
+            .otherwise("train")
+            .alias("split"),
+        )
+        .dropDuplicates(["fp", "split"])
+    )
+    sets = m.groupBy("fp").agg(
+        F.array_sort(F.collect_set("split")).alias("splits")
+    )
+    pairs = sets.select(
+        "fp",
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("splits"),
+                        lambda a: F.transform(
+                            F.col("splits"), lambda b2: F.struct(a.alias("sa"), b2.alias("sb"))
+                        ),
+                    )
+                ),
+                lambda s: s["sa"] < s["sb"],
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.sa").alias("split_a"), F.col("p.sb").alias("split_b")
+    ).agg(F.count_distinct("fp").alias("n_shared_fps"))
+
+
+_CONTAM_SWEEP = f"""
+WITH ov AS ({_CONTAM_NG}),
+tot AS (
+  SELECT COUNT(*) AS n FROM documents
+  WHERE ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT
+        % 10000 < 1000
+),
+thr AS (SELECT unnest([1, 2, 4, 8]) AS threshold)
+SELECT thr.threshold,
+       COUNT(ov.doc_id) AS n_flagged,
+       round(COUNT(ov.doc_id)::DOUBLE / tot.n, 6) AS flagged_frac
+FROM thr CROSS JOIN tot
+LEFT JOIN ov ON ov.n_overlap >= thr.threshold
+GROUP BY thr.threshold, tot.n
+"""
+
+
+@register("contamination_threshold_sweep", oracle=_CONTAM_SWEEP)
+def contamination_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sensitivity: how many test-split documents the
+    8-gram collision check flags at overlap thresholds 1/2/4/8, and
+    the flagged fraction of the test split — the sweep you read before
+    committing to a removal threshold (a cliff between 1 and 2 means
+    single-shingle false positives; a flat curve means true embedded
+    leakage).
+
+    Shape: the per-doc overlap counts are computed ONCE (the
+    contamination_ngram inverted-index join); the sweep is a 4-row
+    broadcast cross against that tiny aggregate, and the test-split
+    denominator is a one-row scalar cross."""
+    from slipstream_async_spark.functions.text import shingles_of_tokens
+    from slipstream_async_spark.operators.sampling import hash_bucket
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        shingles_of_tokens(TXT.tokens("text"), 8).alias("sh"),
+        hash_bucket("doc_id", salt="split").alias("_b"),
+    )
+    ti = sh.filter(F.col("_b") < 1000).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    tr = (
+        sh.filter(F.col("_b") >= 1000)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    ov = (
+        ti.join(tr, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_overlap"))
+        .select(F.col("doc_id").alias("ov_doc"), "n_overlap")
+    )
+    tot = sh.filter(F.col("_b") < 1000).agg(F.count("*").alias("n"))
+    thr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in (1, 2, 4, 8)])).alias(
+            "threshold"
+        )
+    )
+    return (
+        thr.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(ov),
+            F.col("n_overlap") >= F.col("threshold"),
+            "left",
+        )
+        .groupBy("threshold", "n")
+        .agg(F.count("ov_doc").alias("n_flagged"))
+        .select(
+            "threshold",
+            "n_flagged",
+            F.round(F.col("n_flagged") / F.col("n"), 6).alias(
+                "flagged_frac"
+            ),
+        )
+    )
+
+
+_TOK_FERTILITY = f"""
+WITH p AS (
+  SELECT source, n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+           AS n_pieces,
+         COALESCE(list_sum(list_transform(
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'),
+             x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS est_toks,
+         len({_DK_TOKS}) AS n_words
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       round(SUM(n_chars)::DOUBLE / SUM(est_toks), 6) AS chars_per_token,
+       round(SUM(n_pieces)::DOUBLE / SUM(n_words), 6) AS pieces_per_word,
+       round(SUM(est_toks)::DOUBLE / SUM(n_words), 6) AS tokens_per_word
+FROM p GROUP BY source
+"""
+
+
+@register("tokenizer_fertility", oracle=_TOK_FERTILITY)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer economics per source: chars per (estimated BPE) token,
+    sub-word pieces per whitespace word, and tokens per word — the
+    fertility numbers that price a corpus in compute (a source at 5
+    chars/token is cheap; one at 2.5 doubles its effective token bill)
+    and flag sources where the tokenizer fragments badly.
+
+    Shape: all three numerators/denominators are integer-exact per-doc
+    expressions fused into the scan, partially aggregated per source —
+    ratios of BIGINT sums, so cross-engine determinism is free."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "n_chars",
+        F.size(TXT.subword_tokens("text")).cast("bigint").alias("n_pieces"),
+        TXT.est_bpe_token_count("text").alias("est_toks"),
+        F.size(TXT.tokens("text")).cast("bigint").alias("n_words"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_chars") / F.sum("est_toks"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(F.sum("n_pieces") / F.sum("n_words"), 6).alias(
+            "pieces_per_word"
+        ),
+        F.round(F.sum("est_toks") / F.sum("n_words"), 6).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
+_EMB_DIM_STATS = """
+WITH q AS (
+  SELECT t.i AS pos,
+         CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings e, (SELECT unnest(range(64)) AS i) t
+)
+SELECT pos,
+       COUNT(*) AS n,
+       round(SUM(qv)::DOUBLE / 1e6 / COUNT(*), 6) AS mean,
+       round((SUM(qv * qv)::DOUBLE / 1e12
+              - (SUM(qv)::DOUBLE / 1e6) * (SUM(qv)::DOUBLE / 1e6)
+                / COUNT(*))
+             / COUNT(*), 6) AS variance
+FROM q GROUP BY pos
+"""
+
+
+@register("emb_dim_stats", oracle=_EMB_DIM_STATS)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean, population variance):
+    the geometry health check read before whitening, quantization, or
+    Matryoshka truncation — dead dimensions (variance ~ 0) are free
+    compression; a dominant dimension explains most of the cosine
+    variance and starves the rest.
+
+    Shape: posexplode -> groupBy(pos) partial aggregation — the
+    emb_label_centroids pattern, never a whole-vector collect. Values
+    are quantized to 1e-6 fixed-point BIGINTs first (floor(x*1e6+0.5),
+    the tie-stable recipe), so both sums are integer-exact and the
+    moments are engine-deterministic; at larger corpora swap the
+    sum-of-squares lane to DECIMAL for headroom."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    return q.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("qv") / F.lit(1e6) / F.count("*"), 6).alias("mean"),
+        F.round(
+            (
+                F.sum(F.col("qv") * F.col("qv")) / F.lit(1e12)
+                - (F.sum("qv") / F.lit(1e6))
+                * (F.sum("qv") / F.lit(1e6))
+                / F.count("*")
+            )
+            / F.count("*"),
+            6,
+        ).alias("variance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: analytics depth — exponentially weighted trends, marketing
+# attribution (as-of join composition), market concentration, window-fn
+# coverage, interval-decomposed backlog.
+# ---------------------------------------------------------------------------
+
+# 0.7^k decay weights, k = 0..14, materialized ONCE as literal strings and
+# interpolated into BOTH engines' plans — pow() ulp drift can never split
+# the hash gate when neither engine computes a pow at all.
+_EWMA_WEIGHTS = [f"{0.7 ** k:.10f}" for k in range(15)]
+_EWMA_W_SQL = (
+    "[" + ", ".join(f"CAST('{w}' AS DECIMAL(12,10))" for w in _EWMA_WEIGHTS) + "]"
+)
+
+_REVENUE_EWMA = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT t.day, t.rev,
+         s.rev * ({_EWMA_W_SQL})[date_diff('day', s.day, t.day) + 1] AS wrev,
+         ({_EWMA_W_SQL})[date_diff('day', s.day, t.day) + 1] AS w
+  FROM daily t JOIN daily s
+    ON s.day <= t.day AND s.day >= t.day - INTERVAL 14 DAY
+)
+SELECT day,
+       CAST(MIN(rev) AS DOUBLE) AS revenue,
+       round(CAST(SUM(wrev) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+         AS ewma_14d
+FROM pairs GROUP BY day
+"""
+
+
+@register("orders_revenue_ewma", oracle=_REVENUE_EWMA)
+def orders_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted (decay 0.7/day, 14-day support) daily
+    revenue trend — the noise-robust smoother read next to the plain
+    7-day rolling sum (win_rolling_7d_revenue): recent days dominate,
+    but a single spike decays instead of falling off a window cliff.
+
+    Shape: the fact table collapses to day grain FIRST (one partial
+    agg), so the closed-form weighted sum is a range self-join over
+    ~day-count rows — broadcastable at any corpus size; weights are
+    shared exact-DECIMAL literals (see _EWMA_WEIGHTS), all sums
+    DECIMAL-exact, one final double division."""
+    w_arr = F.array(
+        *[
+            F.expr(f"CAST('{w}' AS DECIMAL(12,10))")
+            for w in _EWMA_WEIGHTS
+        ]
+    )
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    t = daily.select(F.col("day").alias("t_day"), F.col("rev").alias("t_rev"))
+    s = daily.select(F.col("day").alias("s_day"), F.col("rev").alias("s_rev"))
+    joined = t.join(
+        F.broadcast(s),
+        (F.col("s_day") <= F.col("t_day"))
+        & (F.col("s_day") >= F.col("t_day") - F.expr("INTERVAL 14 DAY")),
+    ).select(
+        "t_day",
+        "t_rev",
+        (
+            F.col("s_rev")
+            * F.element_at(w_arr, F.datediff("t_day", "s_day") + 1)
+        ).alias("wrev"),
+        F.element_at(w_arr, F.datediff("t_day", "s_day") + 1).alias("w"),
+    )
+    return joined.groupBy(F.col("t_day").alias("day")).agg(
+        F.min("t_rev").cast("double").alias("revenue"),
+        F.round(
+            F.sum("wrev").cast("double") / F.sum("w").cast("double"), 6
+        ).alias("ewma_14d"),
+    )
+
+
+_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.event_id, p.value, t.event_type,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY t.ts DESC
+         ) AS rn
+  FROM p JOIN t
+    ON t.user_id = p.user_id AND t.ts <= p.ts
+   AND t.ts >= p.ts - INTERVAL 7 DAY
+),
+best AS (SELECT event_id, value, event_type FROM j WHERE rn = 1),
+labeled AS (
+  SELECT COALESCE(b.event_type, 'direct') AS channel, p.value
+  FROM p LEFT JOIN best b ON b.event_id = p.event_id
+)
+SELECT channel,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM labeled GROUP BY channel
+"""
+
+
+@register("events_attribution_last_touch", oracle=_ATTRIBUTION)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the most recent click/view by the same user within 7 days (else
+    'direct') — purchase counts and DECIMAL-exact revenue per channel.
+
+    Shape: this IS the as-of join (operators.joins.asof_join, backward
+    with tolerance) composed with a 3-row aggregate — one shuffle on
+    user_id, no purchase x touch pair expansion, the reference's J1
+    lane (cookbook.rst:342) doing real attribution work."""
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    touches = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select("user_id", "ts", F.col("event_type").alias("channel"))
+    j = J.asof_join(
+        purchases,
+        touches,
+        on="ts",
+        by="user_id",
+        direction="backward",
+        tolerance=F.expr("INTERVAL 7 DAY"),
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("channel_right"), F.lit("direct")).alias(
+                "channel"
+            ),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+_HHI = f"""
+WITH r AS (
+  SELECT p.p_type, l.l_suppkey, SUM({_REV}) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+rc AS (
+  SELECT p_type, rev,
+         CAST(floor(CAST(rev AS DOUBLE) * 100 + 0.5) AS DECIMAL(18,0))
+           AS rev_c
+  FROM r
+)
+SELECT p_type,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(rev) AS DOUBLE) AS total_rev,
+       round(CAST(SUM(rev_c * rev_c) AS DOUBLE)
+             / (CAST(SUM(rev_c) AS DOUBLE) * CAST(SUM(rev_c) AS DOUBLE)),
+             6) AS hhi
+FROM rc GROUP BY p_type
+"""
+
+
+@register("supplier_hhi_by_part_type", oracle=_HHI)
+def supplier_hhi_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part type — the Herfindahl-Hirschman
+    index of revenue shares (1/n = perfectly split, 1.0 = monopoly):
+    the supply-chain-risk readout behind q15/q20's top-supplier views.
+
+    Shape: two-level partial aggregation ((type, supplier) then type);
+    part joins in as a broadcast; HHI is computed as
+    sum(rev^2)/sum(rev)^2 with the per-supplier revenue quantized to
+    integer cents first (floor(x*100+0.5), the tie-stable recipe —
+    re-casting the DECIMAL scale down instead diverges HALF_UP vs
+    HALF_EVEN between engines), so both sums are DECIMAL-exact and no
+    order-dependent double accumulation exists anywhere in the plan."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    r = (
+        lineitem.join(
+            F.broadcast(part),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(rev).alias("rev"))
+        .withColumn(
+            "rev_c",
+            F.floor(F.col("rev").cast("double") * 100 + 0.5).cast(
+                "decimal(18,0)"
+            ),
+        )
+    )
+    return r.groupBy("p_type").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("rev").cast("double").alias("total_rev"),
+        F.round(
+            F.sum(F.col("rev_c") * F.col("rev_c")).cast("double")
+            / (
+                F.sum("rev_c").cast("double")
+                * F.sum("rev_c").cast("double")
+            ),
+            6,
+        ).alias("hhi"),
+    )
+
+
+_LIFT_GRID = f"""
+SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+            WHEN l_discount < 0.06 THEN 'mid'
+            ELSE 'high' END AS disc_band,
+       CASE WHEN l_quantity <= 10 THEN 'small'
+            WHEN l_quantity <= 25 THEN 'medium'
+            ELSE 'large' END AS qty_band,
+       COUNT(*) AS n_lines,
+       CAST(CAST(SUM({_REV}) AS DOUBLE) / COUNT(*) AS DOUBLE)
+         AS avg_revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@register("discount_quantity_lift_grid", oracle=_LIFT_GRID)
+def discount_quantity_lift_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band x quantity-band revenue grid: average discounted
+    revenue and volume in each cell of a 3x3 pricing grid — the
+    promo-effectiveness cross-tab behind q14/q19's targeted variants.
+
+    Shape: one scan, both band keys are scan-fused CASE expressions,
+    one partial aggregation to 9 rows; DECIMAL-exact sums divided once
+    at the end."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    disc_band = (
+        F.when(F.col("l_discount") < 0.03, "low")
+        .when(F.col("l_discount") < 0.06, "mid")
+        .otherwise("high")
+    )
+    qty_band = (
+        F.when(F.col("l_quantity") <= 10, "small")
+        .when(F.col("l_quantity") <= 25, "medium")
+        .otherwise("large")
+    )
+    return (
+        lineitem.groupBy(
+            disc_band.alias("disc_band"), qty_band.alias("qty_band")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.sum(rev).cast("double") / F.count("*"))
+            .cast("double")
+            .alias("avg_revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+_CUME_NTH = """
+SELECT c_custkey, c_nationkey,
+       round(cume_dist() OVER w, 6) AS balance_cume_dist,
+       first_value(c_acctbal) OVER wf AS nation_min_bal,
+       nth_value(c_acctbal, 2) OVER wf AS nation_2nd_bal,
+       last_value(c_acctbal) OVER wf AS nation_max_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+       wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("win_cume_dist_nth", oracle=_CUME_NTH)
+def win_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage closure (SURVEY §2.5 W1/W2): cume_dist
+    plus the full-frame navigation trio (first_value / nth_value(2) /
+    last_value) over per-nation balance order — every customer tagged
+    with its CDF position and the nation's bottom/2nd/top balances.
+
+    Shape: one shuffle on c_nationkey serves all four windows (same
+    partition key, same sort); ties are impossible because c_custkey
+    completes the ordering key — the determinism rule every ranking
+    query here follows."""
+    from pyspark.sql import Window
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("balance_cume_dist"),
+        F.first("c_acctbal").over(wf).alias("nation_min_bal"),
+        F.nth_value("c_acctbal", 2).over(wf).alias("nation_2nd_bal"),
+        F.last("c_acctbal").over(wf).alias("nation_max_bal"),
+    )
+
+
+_BACKLOG = """
+WITH comp AS (
+  SELECT l_orderkey, date_trunc('day', MAX(l_shipdate)) AS comp_day
+  FROM lineitem GROUP BY 1
+),
+d AS (
+  SELECT date_trunc('day', o.o_orderdate) AS day, 1 AS delta
+  FROM orders o JOIN comp c ON c.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT c.comp_day + INTERVAL 1 DAY, -1
+  FROM orders o JOIN comp c ON c.l_orderkey = o.o_orderkey
+),
+g AS (SELECT day, SUM(delta) AS delta FROM d GROUP BY day)
+SELECT day,
+       CAST(SUM(delta) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS open_orders
+FROM g
+"""
+
+
+@register("orders_backlog_daily", oracle=_BACKLOG)
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: how many orders are placed but not
+    yet fully shipped as of each day the count changes — the
+    operational WIP curve (an order is open from its order date through
+    the day its LAST line ships, inclusive).
+
+    Shape: interval decomposition, not a day x order range join — each
+    order contributes exactly TWO delta events (+1 at open, -1 after
+    close), one partial aggregation to day grain, then a running sum
+    over the tiny day-grain result. The naive days-cross-orders form
+    multiplies the fact table by the average open duration; this shape
+    is 2 rows per order no matter how long orders stay open."""
+    from pyspark.sql import Window
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    comp = lineitem.groupBy("l_orderkey").agg(
+        F.date_trunc("day", F.max("l_shipdate")).alias("comp_day")
+    )
+    oc = orders.join(comp, F.col("l_orderkey") == F.col("o_orderkey"))
+    opens = oc.select(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.lit(1).alias("delta"),
+    )
+    closes = oc.select(
+        (F.col("comp_day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    g = opens.unionByName(closes).groupBy("day").agg(
+        F.sum("delta").alias("delta")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "day", F.sum("delta").over(w).cast("bigint").alias("open_orders")
+    )

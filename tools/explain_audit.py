@@ -100,6 +100,14 @@ ALLOW_BNLJ = {
     # k-row centroid set broadcast-crossed against the corpus per Lloyd
     # assignment round — the sim_topk_ivf shape, iterated
     "sim_kmeans_centroids",
+    # 4-row threshold dim crossed with the one-row test-split total and
+    # non-equi-joined to the (broadcast) per-doc overlap aggregate —
+    # every BNLJ side is threshold- or aggregate-sized, never the corpus
+    "contamination_threshold_sweep",
+    # day-grain aggregate range self-join (<= 15 pairs per day): the
+    # fact table is pre-collapsed to ~day-count rows before the
+    # broadcast non-equi join, so the BNLJ sides are calendar-sized
+    "orders_revenue_ewma",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
