@@ -7985,3 +7985,501 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "day", F.sum("delta").over(w).cast("bigint").alias("open_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: text/IR depth — lexical diversity, prototype-balanced coreset,
+# sketch calibration, vocabulary growth, retrieval quality metrics.
+# ---------------------------------------------------------------------------
+
+_TTR_MATTR = f"""
+WITH t AS (
+  SELECT doc_id, {_DK_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_types,
+         CASE WHEN len(toks) >= 50 THEN
+           list_sum(list_transform(range(0, len(toks) - 49),
+                    i -> len(list_distinct(toks[i+1:i+50]))))
+         END AS win_types
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_types::DOUBLE / n_tokens, 6) AS ttr,
+       round(CASE WHEN n_tokens >= 50
+                  THEN win_types::DOUBLE / ((n_tokens - 49) * 50)
+                  ELSE n_types::DOUBLE / n_tokens END, 6) AS mattr_50
+FROM s
+"""
+
+
+@register("text_ttr_mattr", oracle=_TTR_MATTR)
+def text_ttr_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio plus MATTR-50
+    (mean over all sliding 50-token windows of within-window type
+    count / 50 — Covington & McFall's length-robust TTR; plain TTR
+    shrinks with document length, MATTR doesn't) — the diversity
+    signal that separates repetitive boilerplate from varied prose at
+    equal quality score.
+
+    Shape: everything is array-domain expression work fused into the
+    scan (token array built once, windows via sequence->slice->
+    array_distinct); numerators/denominators are integer-exact, one
+    double division per row at the end. No shuffle at all."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    d = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    win_types = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), n - 50),
+            lambda i: F.size(F.array_distinct(F.slice("toks", i + 1, 50))),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("toks")) / n, 6).alias("ttr"),
+        F.round(
+            F.when(n >= 50, win_types / ((n - 49) * 50)).otherwise(
+                F.size(F.array_distinct("toks")) / n
+            ),
+            6,
+        ).alias("mattr_50"),
+    )
+
+
+_BALANCED_CORESET = f"""
+WITH e AS (
+  SELECT label, unnest(embedding) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+a AS (
+  SELECT label, pos, CAST(round(avg(val) * 1000000) AS BIGINT) AS v
+  FROM e GROUP BY label, pos
+),
+c AS (
+  SELECT label, array_agg(v::DOUBLE / 1000000 ORDER BY pos) AS cent
+  FROM a GROUP BY label
+),
+s AS (
+  SELECT emb.vec_id, emb.label,
+         round({_dk_cos("embedding", "cent")}, 6) AS cos_to_centroid
+  FROM embeddings emb JOIN c ON c.label = emb.label
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY cos_to_centroid DESC, vec_id
+  ) AS rk FROM s
+)
+SELECT CAST(label AS BIGINT) AS label, vec_id,
+       CAST(rk AS BIGINT) AS coreset_rank, cos_to_centroid
+FROM r WHERE rk <= 20
+"""
+
+
+@register("emb_balanced_coreset", oracle=_BALANCED_CORESET)
+def emb_balanced_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balanced coreset selection: per class, the 20 vectors
+    closest (cosine) to the class prototype — the class-capped
+    subsample that keeps a skewed corpus from drowning rare classes
+    (the complement of SemDeDup's remove-near-centroid move: here the
+    prototype NEIGHBORHOOD is what's kept, per class, bounded).
+
+    Shape: centroids via the _label_centroids posexplode partial-agg
+    shape, QUANTIZED to micro-units before scoring so both engines
+    rank on identical prototypes; scoring is one corpus scan against
+    broadcast centroids; the cap is a rank window per label."""
+    from pyspark.sql import Window
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb).select(
+        "label",
+        F.transform(
+            "centroid", lambda c: F.round(c * 1000000) / F.lit(1000000.0)
+        ).alias("cent"),
+    )
+    scored = emb.join(
+        F.broadcast(cents), "label"
+    ).select(
+        "vec_id",
+        "label",
+        F.round(
+            VEC.cosine_similarity(F.col("embedding"), F.col("cent")), 6
+        ).alias("cos_to_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_to_centroid").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "vec_id",
+            F.col("rk").cast("bigint").alias("coreset_rank"),
+            "cos_to_centroid",
+        )
+    )
+
+
+_MINHASH_CALIB = f"""
+WITH sets AS (
+  SELECT doc_id, {_DK_SHINGLES} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+  FROM sets
+), sigs AS (
+  SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashed
+), bands AS (
+  {_minhash_bands_sql()}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+), jt AS (
+  {_dk_jaccard_tail(0.0)}
+), m AS (
+  SELECT jt.jaccard,
+         list_sum(list_transform(range(16),
+             i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END))
+           AS matching
+  FROM jt
+  JOIN sigs sa ON sa.doc_id = jt.id_a
+  JOIN sigs sb ON sb.doc_id = jt.id_b
+)
+SELECT CAST(matching AS BIGINT) AS n_matching,
+       COUNT(*) AS n_pairs,
+       round(CAST(matching AS DOUBLE) / 16, 6) AS est_jaccard,
+       round(SUM(CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT))::DOUBLE
+             / COUNT(*) / 1000000, 6) AS avg_true_jaccard
+FROM m GROUP BY matching
+"""
+
+
+@register("minhash_jaccard_calibration", oracle=_MINHASH_CALIB)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the
+    MinHash-estimated Jaccard (matching perms / 16) against the exact
+    shingle Jaccard, grouped by matching count — the measured bias/
+    variance of the 16-perm sketch on THIS corpus, i.e. the evidence
+    for (or against) trusting the estimator before skipping exact
+    verification at scale. E[matching/16] = true Jaccard; a bucket
+    whose avg_true strays far from est is where 16 perms are too few.
+
+    Shape: reuses the production LSH candidate generation
+    (dedup_minhash_lsh at threshold 0 keeps all candidates with exact
+    scores) plus one equi-join of the (id, 16-long) signature table
+    onto the candidate pairs; exact scores are quantized to 1e-6
+    before averaging so the bucket means are integer-exact."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_minhash_lsh(docs, "text", "doc_id", k=3, threshold=0.0)
+    sigs = DD.minhash_signatures(docs, "text", "doc_id")
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    m = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "jaccard",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a",
+                    "sig_b",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("matching"),
+        )
+    )
+    return m.groupBy(
+        F.col("matching").cast("bigint").alias("n_matching")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.max("matching").cast("double") / 16, 6).alias(
+            "est_jaccard"
+        ),
+        F.round(
+            F.sum(
+                F.floor(F.col("jaccard") * 1000000 + 0.5).cast("bigint")
+            )
+            / F.count("*")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_true_jaccard"),
+    )
+
+
+_HEAPS = f"""
+WITH dt AS (
+  SELECT source, doc_id, {_DK_TOKS} AS toks FROM documents
+),
+tok AS (
+  SELECT source, doc_id, unnest(list_distinct(toks)) AS t FROM dt
+),
+first_occ AS (
+  SELECT source, t, MIN(doc_id) AS first_doc FROM tok GROUP BY source, t
+),
+new_per_doc AS (
+  SELECT source, first_doc AS doc_id, COUNT(*) AS n_new
+  FROM first_occ GROUP BY source, first_doc
+),
+base AS (
+  SELECT dt.source, dt.doc_id, len(dt.toks) AS n_toks,
+         COALESCE(n.n_new, 0) AS n_new
+  FROM dt LEFT JOIN new_per_doc n
+    ON n.source = dt.source AND n.doc_id = dt.doc_id
+),
+cum AS (
+  SELECT source, doc_id,
+         SUM(n_toks) OVER w AS big_n,
+         SUM(n_new) OVER w AS v
+  FROM base
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pts AS (
+  SELECT source,
+         CAST(floor(ln(big_n) * 1000000 + 0.5) AS DECIMAL(18,0)) AS x,
+         CAST(floor(ln(v) * 1000000 + 0.5) AS DECIMAL(18,0)) AS y,
+         big_n, v
+  FROM cum WHERE big_n > 0 AND v > 0
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(MAX(v) AS BIGINT) AS vocab_size,
+       CAST(MAX(big_n) AS BIGINT) AS total_tokens,
+       round(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE),
+             6) AS heaps_beta
+FROM pts GROUP BY source
+"""
+
+
+@register("heaps_law_fit", oracle=_HEAPS)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth per source: least-squares slope of
+    log V against log N along the corpus growth curve (docs in doc_id
+    order), where V = cumulative distinct vocabulary and N =
+    cumulative token count. beta ~ 0.5 is natural text; beta near 0
+    means a closed templated vocabulary, near 1 means id-like noise —
+    a one-number generator/boilerplate detector per source.
+
+    Shape: vocabulary growth WITHOUT any cumulative distinct: each
+    type contributes only at its FIRST document (groupBy(source, token)
+    -> min(doc_id) -> counts per doc), so V is a running sum of
+    per-doc integers. The regression runs on 1e-6 fixed-point
+    quantized logs with DECIMAL-exact moment sums — the only doubles
+    are one final division. One explode + two shuffles (token
+    first-occurrence, per-source window)."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    dt = docs.select("source", "doc_id", TXT.tokens("text").alias("toks"))
+    tok = dt.select(
+        "source", "doc_id", F.explode(F.array_distinct("toks")).alias("t")
+    )
+    first_occ = tok.groupBy("source", "t").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    new_per_doc = first_occ.groupBy("source", "doc_id").agg(
+        F.count("*").alias("n_new")
+    )
+    base = (
+        dt.select("source", "doc_id", F.size("toks").alias("n_toks"))
+        .join(new_per_doc, ["source", "doc_id"], "left")
+        .fillna({"n_new": 0})
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.select(
+        "source",
+        F.sum("n_toks").over(w).alias("big_n"),
+        F.sum("n_new").over(w).alias("v"),
+    ).filter((F.col("big_n") > 0) & (F.col("v") > 0))
+    pts = cum.select(
+        "source",
+        "big_n",
+        "v",
+        F.floor(F.log(F.col("big_n")) * 1000000 + 0.5)
+        .cast("decimal(18,0)")
+        .alias("x"),
+        F.floor(F.log(F.col("v")) * 1000000 + 0.5)
+        .cast("decimal(18,0)")
+        .alias("y"),
+    )
+    return pts.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.max("v").cast("bigint").alias("vocab_size"),
+        F.max("big_n").cast("bigint").alias("total_tokens"),
+        F.round(
+            (
+                F.count("*") * F.sum(F.col("x") * F.col("y"))
+                - F.sum("x") * F.sum("y")
+            ).cast("double")
+            / (
+                F.count("*") * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            ).cast("double"),
+            6,
+        ).alias("heaps_beta"),
+    )
+
+
+# DCG position weights 1/log2(i+1), reciprocal ranks 1/i, and IDCG
+# prefix sums, i = 1..5 — materialized once as literal strings shared by
+# both engines (the _EWMA_WEIGHTS move): no engine ever computes a log.
+_DCG_W = [f"{1 / __import__('math').log2(i + 1):.10f}" for i in range(1, 6)]
+_MRR_W = [f"{1 / i:.10f}" for i in range(1, 6)]
+_IDCG_PREFIX = [
+    f"{sum(1 / __import__('math').log2(j + 1) for j in range(1, k + 1)):.10f}"
+    for k in range(1, 6)
+]
+
+
+def _dec_arr_sql(ws: list[str]) -> str:
+    return "[" + ", ".join(f"CAST('{w}' AS DECIMAL(12,10))" for w in ws) + "]"
+
+
+def _dec_arr_spark(ws: list[str]):
+    return F.array(
+        *[F.expr(f"CAST('{w}' AS DECIMAL(12,10))") for w in ws]
+    )
+
+
+_RETRIEVAL_METRICS = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+         round({_dk_cos("e.embedding", "q.qv")}, 6) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, vec_id
+  ) AS rk FROM scored
+),
+top AS (
+  SELECT query_id, qlabel, rk,
+         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE rk <= 5
+),
+per_q AS (
+  SELECT query_id, qlabel,
+         SUM(rel) AS n_rel_at_5,
+         SUM(({_dec_arr_sql(_DCG_W)})[rk] * rel) AS dcg,
+         MAX(({_dec_arr_sql(_MRR_W)})[rk] * rel) AS mrr
+  FROM top GROUP BY query_id, qlabel
+),
+lc AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label)
+SELECT p.query_id,
+       CAST(p.n_rel_at_5 AS BIGINT) AS n_rel_at_5,
+       round(CAST(p.mrr AS DOUBLE), 6) AS mrr,
+       round(CASE WHEN least(5, lc.cnt - 1) >= 1
+                  THEN CAST(p.dcg AS DOUBLE)
+                       / CAST(({_dec_arr_sql(_IDCG_PREFIX)})[least(5, lc.cnt - 1)]
+                              AS DOUBLE)
+                  ELSE 0.0 END, 6) AS ndcg_at_5
+FROM per_q p JOIN lc ON lc.label = p.qlabel
+"""
+
+
+@register("retrieval_mrr_ndcg", oracle=_RETRIEVAL_METRICS)
+def retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality metrics over the embedding corpus: MRR and
+    nDCG@5 of exact cosine top-5 per query (vec_id < 10, self
+    excluded), with same-label as the relevance oracle — the eval
+    harness an ANN index swap is judged by (run it over the LSH/IVF
+    lanes and the delta vs this exact baseline IS the quality cost of
+    the approximation, the ranked complement of sim_ann_recall's
+    set-overlap view).
+
+    Shape: the scoring is the sim_topk_bruteforce broadcast shape (10
+    queries against one corpus scan); position weights 1/log2(i+1) and
+    1/i live in shared DECIMAL literal tables (_DCG_W/_MRR_W), so DCG
+    and MRR are exact DECIMAL sums — no engine computes a log, and the
+    per-label ideal-DCG denominator comes from a broadcast label-count
+    join."""
+    from pyspark.sql import Window
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(
+                VEC.cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "qlabel",
+            "rk",
+            F.when(F.col("label") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    per_q = top.groupBy("query_id", "qlabel").agg(
+        F.sum("rel").alias("n_rel_at_5"),
+        F.sum(
+            F.element_at(_dec_arr_spark(_DCG_W), F.col("rk"))
+            * F.col("rel")
+        ).alias("dcg"),
+        F.max(
+            F.element_at(_dec_arr_spark(_MRR_W), F.col("rk"))
+            * F.col("rel")
+        ).alias("mrr"),
+    )
+    lc = emb.groupBy("label").agg(F.count("*").alias("cnt"))
+    k_eff = F.least(F.lit(5), F.col("cnt") - 1).cast("int")
+    return per_q.join(
+        F.broadcast(lc), per_q["qlabel"] == lc["label"]
+    ).select(
+        "query_id",
+        F.col("n_rel_at_5").cast("bigint").alias("n_rel_at_5"),
+        F.round(F.col("mrr").cast("double"), 6).alias("mrr"),
+        F.round(
+            F.when(
+                k_eff >= 1,
+                F.col("dcg").cast("double")
+                / F.element_at(_dec_arr_spark(_IDCG_PREFIX), k_eff).cast(
+                    "double"
+                ),
+            ).otherwise(0.0),
+            6,
+        ).alias("ndcg_at_5"),
+    )

@@ -108,6 +108,10 @@ ALLOW_BNLJ = {
     # fact table is pre-collapsed to ~day-count rows before the
     # broadcast non-equi join, so the BNLJ sides are calendar-sized
     "orders_revenue_ewma",
+    # 10-row query sample broadcast-crossed against the corpus — the
+    # sim_topk_bruteforce shape scoring the exact baseline the ranked
+    # metrics are computed over
+    "retrieval_mrr_ndcg",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
