@@ -8483,3 +8483,312 @@ def retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: pipeline economics + iterative linear algebra in pure
+# DataFrame ops.
+# ---------------------------------------------------------------------------
+
+_TOKENS_SAVED = f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, text, source,
+         CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+e AS (
+  SELECT doc_id, (doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)))
+           AS is_exact_dup
+  FROM documents
+),
+pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
+{_CC_FROM_PAIRS},
+drops AS (SELECT node FROM cc GROUP BY node HAVING node != MIN(label)),
+quality AS ({_ORACLES["text_quality"]}),
+langs AS ({_ORACLES["text_langid"]}),
+flags AS (
+  SELECT t.doc_id, t.n_tokens,
+         e.is_exact_dup,
+         t.doc_id IN (SELECT node FROM drops) AS is_near_dup,
+         (q.quality >= 0.73 AND l.lang_pred = 'en') AS passes_gates
+  FROM toks t
+  JOIN e ON e.doc_id = t.doc_id
+  JOIN quality q ON q.doc_id = t.doc_id
+  JOIN langs l ON l.doc_id = t.doc_id
+),
+one AS (
+  SELECT COUNT(*) AS d0, SUM(n_tokens) AS t0,
+         COUNT(*) FILTER (NOT is_exact_dup) AS d1,
+         SUM(n_tokens) FILTER (NOT is_exact_dup) AS t1,
+         COUNT(*) FILTER (NOT is_exact_dup AND NOT is_near_dup) AS d2,
+         SUM(n_tokens) FILTER (NOT is_exact_dup AND NOT is_near_dup) AS t2,
+         COUNT(*) FILTER (NOT is_exact_dup AND NOT is_near_dup
+                          AND passes_gates) AS d3,
+         SUM(n_tokens) FILTER (NOT is_exact_dup AND NOT is_near_dup
+                               AND passes_gates) AS t3
+  FROM flags
+)
+SELECT s.stage, s.stage_name,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       round(s.n_tokens::DOUBLE / one.t0, 6) AS tokens_kept_frac
+FROM one, LATERAL (
+  VALUES (0, 'raw', one.d0, one.t0),
+         (1, 'exact_dedup', one.d1, one.t1),
+         (2, 'near_dedup', one.d2, one.t2),
+         (3, 'quality_lang_gate', one.d3, one.t3)
+) AS s(stage, stage_name, n_docs, n_tokens)
+"""
+
+
+@register("pipeline_tokens_saved", oracle=_TOKENS_SAVED)
+def pipeline_tokens_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation economics: document and token counts surviving each
+    cumulative pipeline stage (raw -> exact dedup -> near-dup dedup ->
+    quality+lang gate) with the token-kept fraction vs raw — the
+    capacity-planning summary a 100 TB curation run is budgeted from
+    (each stage's marginal shrink = its compute justification).
+
+    Shape: every stage verdict is a per-doc boolean computed in one
+    pass (exact-dup via a min-window over md5(text), near-dup via the
+    shared CC drop list, gates as scan expressions); all four stages
+    aggregate in a SINGLE conditional-sum row (8 FILTER aggregates),
+    then unpivot to 4 rows — the corpus is scanned once per verdict
+    source, never once per stage."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    drops = (
+        DD.duplicate_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id", F.lit(True).alias("_near"))
+    )
+    ew = Window.partitionBy(F.md5("text"))
+    flags = (
+        docs.select(
+            "doc_id",
+            F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
+            (F.col("doc_id") != F.min("doc_id").over(ew)).alias(
+                "is_exact_dup"
+            ),
+            (
+                (TXT.quality_score("text") >= 0.73)
+                & (TXT.lang_id("text") == "en")
+            ).alias("passes_gates"),
+        )
+        .join(F.broadcast(drops), "doc_id", "left")
+        .withColumn("is_near_dup", F.col("_near").isNotNull())
+    )
+    s1 = ~F.col("is_exact_dup")
+    s2 = s1 & ~F.col("is_near_dup")
+    s3 = s2 & F.col("passes_gates")
+    one = flags.agg(
+        F.count("*").alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        F.count(F.when(s1, 1)).alias("d1"),
+        F.sum(F.when(s1, F.col("n_tokens"))).alias("t1"),
+        F.count(F.when(s2, 1)).alias("d2"),
+        F.sum(F.when(s2, F.col("n_tokens"))).alias("t2"),
+        F.count(F.when(s3, 1)).alias("d3"),
+        F.sum(F.when(s3, F.col("n_tokens"))).alias("t3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(nm).alias("stage_name"),
+                F.col(f"d{i}").cast("bigint").alias("n_docs"),
+                F.col(f"t{i}").cast("bigint").alias("n_tokens"),
+            )
+            for i, nm in enumerate(
+                ["raw", "exact_dedup", "near_dedup", "quality_lang_gate"]
+            )
+        ]
+    )
+    return (
+        one.select(F.col("t0"), F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_name").alias("stage_name"),
+            F.col("s.n_docs").alias("n_docs"),
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.round(F.col("s.n_tokens") / F.col("t0"), 6).alias(
+                "tokens_kept_frac"
+            ),
+        )
+    )
+
+
+_BRAND_SHARE_SHIFT = f"""
+WITH r AS (
+  SELECT p.p_brand, EXTRACT(year FROM l.l_shipdate) AS yr,
+         SUM({_REV}) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+y AS (SELECT yr, SUM(rev) AS tot FROM r GROUP BY yr),
+s AS (
+  SELECT r.p_brand, r.yr,
+         round(CAST(r.rev AS DOUBLE) / CAST(y.tot AS DOUBLE), 6) AS share
+  FROM r JOIN y ON y.yr = r.yr
+)
+SELECT p_brand, CAST(yr AS BIGINT) AS yr, share,
+       round(share - lag(share) OVER (PARTITION BY p_brand ORDER BY yr),
+             6) AS share_delta
+FROM s
+"""
+
+
+@register("part_brand_share_shift", oracle=_BRAND_SHARE_SHIFT)
+def part_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand market-share trajectory: each brand's share of yearly
+    revenue and its year-over-year share delta — the competitive-shift
+    readout behind q8's nation market share, at brand grain with a
+    navigation window doing the YoY step.
+
+    Shape: fact table to (brand, year) grain in one partial agg
+    (DECIMAL-exact), year totals re-aggregated from that tiny result
+    and joined back broadcast; the share division happens once per
+    (brand, year) row and lag() runs over the same small grain."""
+    from pyspark.sql import Window
+
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    r = (
+        lineitem.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
+        .agg(F.sum(rev).alias("rev"))
+    )
+    y = r.groupBy("yr").agg(F.sum("rev").alias("tot"))
+    s = r.join(F.broadcast(y), "yr").select(
+        "p_brand",
+        "yr",
+        F.round(
+            F.col("rev").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("share"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("yr")
+    return s.select(
+        "p_brand",
+        F.col("yr").cast("bigint").alias("yr"),
+        "share",
+        F.round(F.col("share") - F.lag("share").over(w), 6).alias(
+            "share_delta"
+        ),
+    )
+
+
+def _pca_iter_sql(i: int, prev_arr: str) -> str:
+    """One unrolled power-iteration step: project (dot), accumulate per
+    position, quantize to 1e-6, compute the norm from the exact integer
+    sum-of-squares."""
+    return f"""
+d{i} AS (
+  SELECT e.embedding,
+         {_DK_DOT.format(a="e.embedding", b=prev_arr)} AS dt
+  FROM embeddings e, {prev_arr.split(".")[0]}
+),
+u{i} AS (
+  SELECT pos, SUM(dt * xv) AS u
+  FROM (SELECT dt, unnest(embedding)::DOUBLE AS xv,
+               unnest(range(len(embedding))) AS pos FROM d{i})
+  GROUP BY pos
+),
+q{i} AS (
+  SELECT pos, CAST(floor(u * 1000000 + 0.5) AS BIGINT) AS uq FROM u{i}
+),
+n{i} AS (SELECT sqrt(CAST(SUM(uq * uq) AS DOUBLE)) AS nrm FROM q{i})"""
+
+
+_PCA_POWER = f"""
+WITH v0 AS (SELECT list_transform(range(64), i -> 0.125::DOUBLE) AS arr),
+{_pca_iter_sql(1, "v0.arr")},
+v1 AS (
+  SELECT array_agg(floor(uq::DOUBLE / n1.nrm * 1000000 + 0.5) / 1000000
+                   ORDER BY pos) AS arr
+  FROM q1, n1
+),
+{_pca_iter_sql(2, "v1.arr")},
+v2 AS (
+  SELECT array_agg(floor(uq::DOUBLE / n2.nrm * 1000000 + 0.5) / 1000000
+                   ORDER BY pos) AS arr
+  FROM q2, n2
+),
+{_pca_iter_sql(3, "v2.arr")}
+SELECT CAST(pos AS BIGINT) AS pos,
+       CAST(floor(uq::DOUBLE / n3.nrm * 1000000 + 0.5) AS BIGINT)
+         AS component_micro,
+       CAST(floor(n3.nrm + 0.5) AS BIGINT) AS lambda_micro
+FROM q3, n3
+"""
+
+
+@register("emb_pca_power_iteration", oracle=_PCA_POWER)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix by three power iterations, in pure DataFrame ops — the
+    dominant-variance axis read before whitening or Matryoshka
+    truncation (emb_dim_stats gives the per-axis view; this gives the
+    rotated one), with lambda = ||A v|| as the top-eigenvalue
+    estimate.
+
+    Shape: each iteration is one corpus scan — dot products against
+    the broadcast direction vector (index-ordered fold), then the
+    posexplode -> groupBy(pos) partial-agg accumulation (never a
+    whole-vector collect; the only driver-side state is the 64-float
+    direction, the PQ-codebook pattern). The direction is re-quantized
+    to 1e-6 after every normalization, so both engines walk identical
+    trajectories; norms come from exact integer sums of squares.
+    The dimension (64) is fixed by the query contract because the
+    start vector is a literal."""
+    import math
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    v: list[float] = [0.125] * 64
+    final = None
+    for it in range(3):
+        varr = F.array(*[F.lit(float(x)) for x in v])
+        dot = F.aggregate(
+            F.zip_with(
+                "embedding", varr, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        u = (
+            emb.select(F.col("embedding"), dot.alias("dt"))
+            .select(F.posexplode("embedding").alias("pos", "xv"), "dt")
+            .groupBy("pos")
+            .agg(F.sum(F.col("dt") * F.col("xv").cast("double")).alias("u"))
+        )
+        uq_df = u.select(
+            "pos",
+            F.floor(F.col("u") * 1000000 + 0.5).cast("bigint").alias("uq"),
+        )
+        rows = {r["pos"]: r["uq"] for r in uq_df.collect()}
+        norm = math.sqrt(sum(q * q for q in rows.values()))
+        if it < 2:
+            v = [
+                math.floor(rows[p] / norm * 1000000 + 0.5) / 1000000
+                for p in range(64)
+            ]
+        else:
+            final = uq_df.select(
+                F.col("pos").cast("bigint").alias("pos"),
+                F.floor(
+                    F.col("uq") / F.lit(norm) * 1000000 + 0.5
+                )
+                .cast("bigint")
+                .alias("component_micro"),
+                F.lit(math.floor(norm + 0.5))
+                .cast("bigint")
+                .alias("lambda_micro"),
+            )
+    return final
