@@ -8792,3 +8792,234 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("lambda_micro"),
             )
     return final
+
+
+# ---------------------------------------------------------------------------
+# Round 5 batch: data-quality forensics + graph structure beyond
+# connected components.
+# ---------------------------------------------------------------------------
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9, as shared
+# literal strings — neither engine computes a log (the _EWMA_WEIGHTS move).
+_BENFORD_P = [
+    f"{__import__('math').log10(1 + 1 / d):.10f}" for d in range(1, 10)
+]
+
+_BENFORD = f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS n
+  FROM c GROUP BY 1
+),
+t AS (SELECT SUM(n) AS tot FROM d),
+j AS (
+  SELECT d.digit, d.n, t.tot,
+         CAST(({_dec_arr_sql(_BENFORD_P)})[d.digit] AS DOUBLE) AS p
+  FROM d, t
+)
+SELECT digit, n AS n_orders,
+       round(n::DOUBLE / tot, 6) AS observed_frac,
+       round(p, 6) AS benford_frac,
+       round((n - tot * p) * (n - tot * p) / (tot * p), 6)
+         AS chi2_contribution
+FROM j
+"""
+
+
+@register("stats_benford_check", oracle=_BENFORD)
+def stats_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed
+    first-significant-digit frequencies against log10(1+1/d), with
+    per-digit chi-square contributions — the classic synthetic-data /
+    fraud forensic (organic amounts follow Benford; generated or
+    capped ones don't; TPC-H's uniform generator should fail it
+    loudly, which is exactly the point of the probe).
+
+    Shape: the first digit is taken from the INTEGER cents string
+    (floor(x*100+0.5) — x100 never changes the leading significant
+    digit), so no engine touches log10 or double formatting; one
+    9-row aggregate, expected frequencies from a shared literal
+    table."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    c = orders.filter(F.col("o_totalprice") > 0).select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents")
+    )
+    d = c.groupBy(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    ).agg(F.count("*").alias("n"))
+    t = d.agg(F.sum("n").alias("tot"))
+    j = d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        "tot",
+        F.element_at(
+            _dec_arr_spark(_BENFORD_P), F.col("digit").cast("int")
+        )
+        .cast("double")
+        .alias("p"),
+    )
+    return j.select(
+        "digit",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("n") / F.col("tot"), 6).alias("observed_frac"),
+        F.round(F.col("p"), 6).alias("benford_frac"),
+        F.round(
+            (F.col("n") - F.col("tot") * F.col("p"))
+            * (F.col("n") - F.col("tot") * F.col("p"))
+            / (F.col("tot") * F.col("p")),
+            6,
+        ).alias("chi2_contribution"),
+    )
+
+
+_HOURLY_PROFILE = """
+WITH h AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, SUM(n) AS tot FROM h GROUP BY 1),
+r AS (
+  SELECT h.event_type, h.hour, h.n, t.tot,
+         row_number() OVER (
+           PARTITION BY h.event_type ORDER BY h.n DESC, h.hour
+         ) AS rk
+  FROM h JOIN t ON t.event_type = h.event_type
+)
+SELECT event_type, CAST(hour AS BIGINT) AS hour, n AS n_events,
+       round(n::DOUBLE / tot, 6) AS share,
+       (rk = 1) AS is_peak_hour
+FROM r
+"""
+
+
+@register("events_hourly_profile", oracle=_HOURLY_PROFILE)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type: event counts,
+    within-type share, and the peak hour flagged (ties break to the
+    earlier hour) — the load-shape readout behind capacity planning
+    and anomaly baselines (events_anomaly_zscore normalizes against
+    exactly this kind of profile).
+
+    Shape: one partial aggregation to (type, hour) grain — at most
+    24 x |types| rows — then a broadcast type-total join and one rank
+    window over <= 24 rows per type."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    t = h.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("hour").asc()
+    )
+    return (
+        h.join(F.broadcast(t), "event_type")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").alias("n_events"),
+            F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+            (F.col("rk") == 1).alias("is_peak_hour"),
+        )
+    )
+
+
+_DUP_TRIANGLES = f"""
+WITH pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s AS (
+  SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+         (SELECT COUNT(*) FROM deg) AS n_nodes,
+         (SELECT SUM(d * (d - 1) / 2) FROM deg) AS n_wedges,
+         (SELECT n_triangles FROM tri) AS n_triangles
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+         AS global_clustering
+FROM s
+"""
+
+
+@register("dedup_graph_triangles", oracle=_DUP_TRIANGLES)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph: edge/node/wedge/
+    triangle counts and the global clustering coefficient
+    (3*triangles/wedges) — the structural diagnostic connected
+    components can't give: high clustering means tight template
+    families (safe to collapse to one canonical); near-zero clustering
+    with long chains means threshold-straddling drift where one
+    canonical per component over-merges.
+
+    Shape: the standard distributed triangle count on the ALREADY
+    id-ordered edge list (a < b, so each triangle counted once): two
+    equi-joins on node keys — never an all-pairs step — and wedges
+    from a degree aggregation in pure integer math."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    # the pair stage is the expensive part and this query reads the
+    # edge list FIVE times (degrees, three triangle sides, edge count)
+    # — materialize it once (the duplicate_clusters localCheckpoint
+    # precedent) instead of recomputing the inverted-index join per use
+    e = (
+        DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    edges_n = e.agg(F.count("*").alias("n_edges"))
+    s = edges_n.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(tri))
+    return s.select(
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(0.0),
+            6,
+        ).alias("global_clustering"),
+    )

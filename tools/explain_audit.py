@@ -112,6 +112,12 @@ ALLOW_BNLJ = {
     # sim_topk_bruteforce shape scoring the exact baseline the ranked
     # metrics are computed over
     "retrieval_mrr_ndcg",
+    # one-row order total crossed onto the 9-digit aggregate — the
+    # scalar-subquery shape
+    "stats_benford_check",
+    # two one-row aggregates (edge count, triangle count) crossed onto
+    # the one-row degree stats — three scalars, not data
+    "dedup_graph_triangles",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
