@@ -7450,34 +7450,21 @@ def contamination_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     single-shingle false positives; a flat curve means true embedded
     leakage).
 
-    Shape: the per-doc overlap counts are computed ONCE (the
-    contamination_ngram inverted-index join); the sweep is a 4-row
-    broadcast cross against that tiny aggregate, and the test-split
-    denominator is a one-row scalar cross."""
-    from slipstream_async_spark.functions.text import shingles_of_tokens
+    Shape: the per-doc overlap counts come from the REGISTERED
+    contamination_ngram query (one shared implementation — a fork here
+    would silently diverge from the production check while both still
+    passed their own oracles); the sweep is a 4-row broadcast cross
+    against that tiny aggregate, and the test-split denominator is a
+    one-row scalar count that never touches shingles."""
     from slipstream_async_spark.operators.sampling import hash_bucket
 
     (docs,) = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        shingles_of_tokens(TXT.tokens("text"), 8).alias("sh"),
-        hash_bucket("doc_id", salt="split").alias("_b"),
+    ov = contamination_ngram(spark, sf_dir).select(
+        F.col("doc_id").alias("ov_doc"), "n_overlap"
     )
-    ti = sh.filter(F.col("_b") < 1000).select(
-        "doc_id", F.explode("sh").alias("s")
-    )
-    tr = (
-        sh.filter(F.col("_b") >= 1000)
-        .select(F.explode("sh").alias("s"))
-        .distinct()
-    )
-    ov = (
-        ti.join(tr, "s")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("s").alias("n_overlap"))
-        .select(F.col("doc_id").alias("ov_doc"), "n_overlap")
-    )
-    tot = sh.filter(F.col("_b") < 1000).agg(F.count("*").alias("n"))
+    tot = docs.filter(
+        hash_bucket("doc_id", salt="split") < 1000
+    ).agg(F.count("*").alias("n"))
     thr = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in (1, 2, 4, 8)])).alias(
             "threshold"
@@ -7557,10 +7544,11 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_DIM_STATS = """
 WITH q AS (
-  SELECT t.i AS pos,
-         CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000000 + 0.5)
-              AS BIGINT) AS qv
-  FROM embeddings e, (SELECT unnest(range(64)) AS i) t
+  SELECT pos,
+         CAST(floor(val * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM (SELECT unnest(embedding)::DOUBLE AS val,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings)
 )
 SELECT pos,
        COUNT(*) AS n,
@@ -7698,8 +7686,9 @@ WITH p AS (
   WHERE event_type = 'purchase'
 ),
 t AS (
-  SELECT user_id, ts, event_type FROM events
+  SELECT user_id, ts, MAX(event_type) AS event_type FROM events
   WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, ts
 ),
 j AS (
   SELECT p.event_id, p.value, t.event_type,
@@ -7736,9 +7725,16 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
-    touches = events.filter(
-        F.col("event_type").isin("click", "view")
-    ).select("user_id", "ts", F.col("event_type").alias("channel"))
+    # collapse touches to unique (user, ts) first — two touch types at
+    # a bit-equal timestamp would otherwise make both the as-of fill
+    # and the oracle's rank pick arbitrary (the determinism rule every
+    # ranking query follows, applied at the join key); MAX breaks the
+    # tie toward 'view' deterministically
+    touches = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
     j = J.asof_join(
         purchases,
         touches,
@@ -8034,9 +8030,14 @@ def text_ttr_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks") > 0
     )
     n = F.size("toks")
+    # clamp the stop below the start: the n >= 50 CASE branch does NOT
+    # guarantee this expression never evaluates on short docs (the
+    # generator-rewrite trap functions/text.py:116 documents) — an
+    # unclamped descending sequence would feed slice() a non-positive
+    # start and throw
     win_types = F.aggregate(
         F.transform(
-            F.sequence(F.lit(0), n - 50),
+            F.sequence(F.lit(0), F.greatest(n - 50, F.lit(0))),
             lambda i: F.size(F.array_distinct(F.slice("toks", i + 1, 50))),
         ),
         F.lit(0),
@@ -8686,9 +8687,12 @@ def part_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pca_iter_sql(i: int, prev_arr: str) -> str:
-    """One unrolled power-iteration step: project (dot), accumulate per
-    position, quantize to 1e-6, compute the norm from the exact integer
-    sum-of-squares."""
+    """One unrolled power-iteration step: project (dot), quantize each
+    per-row contribution to 1e-9 BEFORE summing (integer-exact
+    accumulation — a raw double SUM would be partition-order-dependent
+    and could flip a post-agg quantization at a 0.5 boundary), derive
+    the 1e-6 working precision from the exact 1e-9 sum, and compute the
+    norm from the exact integer sum-of-squares."""
     return f"""
 d{i} AS (
   SELECT e.embedding,
@@ -8696,13 +8700,16 @@ d{i} AS (
   FROM embeddings e, {prev_arr.split(".")[0]}
 ),
 u{i} AS (
-  SELECT pos, SUM(dt * xv) AS u
+  SELECT pos,
+         SUM(CAST(floor(dt * xv * 1000000000 + 0.5) AS BIGINT)) AS uq9
   FROM (SELECT dt, unnest(embedding)::DOUBLE AS xv,
                unnest(range(len(embedding))) AS pos FROM d{i})
   GROUP BY pos
 ),
 q{i} AS (
-  SELECT pos, CAST(floor(u * 1000000 + 0.5) AS BIGINT) AS uq FROM u{i}
+  SELECT pos,
+         CAST(floor(CAST(uq9 AS DOUBLE) / 1000 + 0.5) AS BIGINT) AS uq
+  FROM u{i}
 ),
 n{i} AS (SELECT sqrt(CAST(SUM(uq * uq) AS DOUBLE)) AS nrm FROM q{i})"""
 
@@ -8743,9 +8750,12 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast direction vector (index-ordered fold), then the
     posexplode -> groupBy(pos) partial-agg accumulation (never a
     whole-vector collect; the only driver-side state is the 64-float
-    direction, the PQ-codebook pattern). The direction is re-quantized
-    to 1e-6 after every normalization, so both engines walk identical
-    trajectories; norms come from exact integer sums of squares.
+    direction, the PQ-codebook pattern). Every accumulation is
+    integer-exact: per-row contributions are quantized to 1e-9 BEFORE
+    the positional sum, the direction is re-quantized to 1e-6 after
+    every normalization, and norms come from exact integer sums of
+    squares — so both engines (and any partition order) walk identical
+    trajectories.
     The dimension (64) is fixed by the query contract because the
     start vector is a literal."""
     import math
@@ -8762,15 +8772,31 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda a, b: a + b,
         )
+        # quantize each per-row contribution BEFORE summing: the sum is
+        # then integer-exact, so no partition-order double accumulation
+        # can flip the post-agg quantization at a 0.5 boundary (the
+        # emb_dim_stats recipe; a raw double SUM here would make the
+        # whole trajectory run-order-sensitive)
         u = (
             emb.select(F.col("embedding"), dot.alias("dt"))
             .select(F.posexplode("embedding").alias("pos", "xv"), "dt")
             .groupBy("pos")
-            .agg(F.sum(F.col("dt") * F.col("xv").cast("double")).alias("u"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("dt")
+                        * F.col("xv").cast("double")
+                        * 1000000000
+                        + 0.5
+                    ).cast("bigint")
+                ).alias("uq9")
+            )
         )
         uq_df = u.select(
             "pos",
-            F.floor(F.col("u") * 1000000 + 0.5).cast("bigint").alias("uq"),
+            F.floor(F.col("uq9").cast("double") / 1000 + 0.5)
+            .cast("bigint")
+            .alias("uq"),
         )
         rows = {r["pos"]: r["uq"] for r in uq_df.collect()}
         norm = math.sqrt(sum(q * q for q in rows.values()))
