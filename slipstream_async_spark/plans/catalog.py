@@ -9049,3 +9049,140 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("global_clustering"),
     )
+
+
+_COHORT_LTV = """
+WITH c AS (
+  SELECT o_custkey,
+         MIN(date_trunc('month', o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT cohort_month, COUNT(*) AS n_customers FROM c GROUP BY 1),
+r AS (
+  SELECT c.cohort_month,
+         (EXTRACT(year FROM o.o_orderdate) -
+            EXTRACT(year FROM c.cohort_month)) * 12 +
+         (EXTRACT(month FROM o.o_orderdate) -
+            EXTRACT(month FROM c.cohort_month)) AS age_months,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN c ON c.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_month, age_months, rev,
+         SUM(rev) OVER (PARTITION BY cohort_month ORDER BY age_months
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM r
+)
+SELECT cum.cohort_month,
+       CAST(cum.age_months AS BIGINT) AS age_months,
+       CAST(cum.rev AS DOUBLE) AS period_revenue,
+       CAST(cum.cum_rev AS DOUBLE) AS cum_revenue,
+       n.n_customers,
+       round(CAST(cum.cum_rev AS DOUBLE) / n.n_customers, 6)
+         AS ltv_per_customer
+FROM cum JOIN n ON n.cohort_month = cum.cohort_month
+"""
+
+
+@register("orders_cohort_ltv", oracle=_COHORT_LTV)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value triangle: cohorts by first-order month,
+    ages in months since cohort, per-cohort period revenue, cumulative
+    revenue, and cumulative LTV per cohort customer — the standard
+    cohort economics table (read down a column for acquisition-quality
+    drift, across a row for payback age).
+
+    Shape: cohort assignment is one min-aggregate per customer joined
+    back broadcast-ish on the customer key; the triangle itself is a
+    (cohort, age) partial aggregation — months-scale cardinality — with
+    a running-sum window over the tiny grain. DECIMAL-exact sums,
+    integer month arithmetic (no months_between float semantics)."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
+    )
+    n = c.groupBy("cohort_month").agg(F.count("*").alias("n_customers"))
+    age = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_month"))
+    ).cast("bigint")
+    r = (
+        orders.join(c, "o_custkey")
+        .groupBy("cohort_month", age.alias("age_months"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = r.withColumn("cum_rev", F.sum("rev").over(w))
+    return cum.join(F.broadcast(n), "cohort_month").select(
+        "cohort_month",
+        "age_months",
+        F.col("rev").cast("double").alias("period_revenue"),
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
+        "n_customers",
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("n_customers"), 6
+        ).alias("ltv_per_customer"),
+    )
+
+
+_RETURNS_BY_LAG = """
+SELECT CAST(floor(date_diff('day', o.o_orderdate, l.l_shipdate)::DOUBLE
+                  / 30) AS BIGINT)
+         AS lag_bucket_months,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+         AS n_returned,
+       round(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS return_rate
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+@register("returns_by_ship_lag", oracle=_RETURNS_BY_LAG)
+def returns_by_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate as a function of order-to-ship lag (30-day buckets):
+    the fulfillment-quality curve — a rate that climbs with lag is the
+    operational smoking gun behind q10's who-returned view (slow
+    shipments get refused).
+
+    Shape: one fact-to-orders equi-join (shuffle on the order key — at
+    scale this is the bucketed-table co-location case,
+    sources/bucketing.py), the bucket key is a scan-fused integer
+    expression, and the rate is a ratio of exact integer counts."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    j = lineitem.join(
+        orders, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    returned = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (
+        j.groupBy(
+            F.floor(
+                F.datediff("l_shipdate", "o_orderdate") / 30
+            )
+            .cast("bigint")
+            .alias("lag_bucket_months")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(returned).alias("n_returned"),
+        )
+        .select(
+            "lag_bucket_months",
+            "n_lines",
+            "n_returned",
+            F.round(F.col("n_returned") / F.col("n_lines"), 6).alias(
+                "return_rate"
+            ),
+        )
+    )

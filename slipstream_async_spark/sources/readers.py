@@ -176,3 +176,23 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, **options: str
+) -> DataFrame:
+    """ORC scan (SURVEY §2.1 S14 — the fourth columnar/file codec next
+    to parquet/csv/json; reference file-source parity is the scan
+    surface itself, `slipstream/sources.py`). ORC carries its schema in
+    the footer like parquet, so no inference pass exists; predicate
+    pushdown and column pruning apply exactly as for parquet
+    (spark.sql.orc.filterPushdown is on by default)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC write — the round-trip partner of read_orc."""
+    df.write.mode(mode).orc(path)

@@ -100,3 +100,30 @@ def test_avro_codec_round_trip_or_clear_error(spark):
         assert "AVRO" in str(e).upper()
         pytest.skip("spark-avro jar not on classpath")
     assert sorted((r["id"], r["s"]) for r in back) == [(1, "a"), (2, "b")]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is a footer-schema columnar format like parquet: a round
+    trip preserves schema and values exactly, with no inference pass,
+    and filters push into the scan."""
+    from slipstream_async_spark.sources.readers import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, None)],
+        "id long, s string, v double",
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    plan = (
+        back.filter(F.col("id") > 1)
+        .select("id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan
