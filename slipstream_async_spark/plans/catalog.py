@@ -9186,3 +9186,185 @@ def returns_by_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_KM_SURVIVAL = """
+WITH u AS (
+  SELECT user_id, MAX(date_trunc('day', ts)) AS last_day
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT MAX(last_day) AS mx FROM u),
+f AS (
+  SELECT u.last_day,
+         CASE WHEN u.last_day < mx.mx - INTERVAL 2 DAY THEN 1 ELSE 0 END
+           AS ev
+  FROM u, mx
+),
+daily AS (
+  SELECT last_day AS day, SUM(ev) AS d, SUM(1 - ev) AS c
+  FROM f GROUP BY last_day
+),
+risk AS (
+  SELECT day, d, c,
+         SUM(d + c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS gone
+  FROM daily
+),
+fac AS (
+  SELECT day, d, c,
+         (SELECT SUM(d + c) FROM daily) - COALESCE(gone, 0) AS n_at_risk,
+         1.0 - d::DOUBLE
+               / ((SELECT SUM(d + c) FROM daily) - COALESCE(gone, 0))
+           AS factor
+  FROM risk
+),
+s AS (
+  SELECT day, d, c, n_at_risk,
+         list(factor) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS fs
+  FROM fac
+)
+SELECT day,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_churned,
+       CAST(c AS BIGINT) AS n_censored,
+       round(list_reduce(fs, (a, b) -> a * b), 6) AS survival
+FROM s
+"""
+
+
+@register("events_km_survival", oracle=_KM_SURVIVAL)
+def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user churn: a user's last active
+    day is a churn event unless it falls in the final 3 days of the
+    window (right-censored — still alive at observation end); S(day) is
+    the product-limit estimate over at-risk counts. The
+    censoring-aware churn curve a raw last-seen histogram gets wrong.
+
+    Shape: per-user last-day aggregate, then EVERYTHING runs at day
+    grain (~30 rows): at-risk via a preceding-frame running sum, and
+    the survival product as an index-ordered fold over the ordered
+    factor prefix (collect_list respects window frame order; 1.0*f1
+    == f1 exactly, so both engines' fold sequences are bit-identical).
+    The censor horizon is a one-row scalar cross."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.max(F.date_trunc("day", "ts")).alias("last_day")
+    )
+    mx = u.agg(F.max("last_day").alias("mx"))
+    f = u.crossJoin(F.broadcast(mx)).select(
+        "last_day",
+        F.when(
+            F.col("last_day") < F.col("mx") - F.expr("INTERVAL 2 DAY"), 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    daily = f.groupBy(F.col("last_day").alias("day")).agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    tot = daily.agg(F.sum(F.col("d") + F.col("c")).alias("tot"))
+    wp = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fac = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("tot")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wp), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0) - F.col("d") / F.col("n_at_risk"),
+        )
+    )
+    s = fac.withColumn("fs", F.collect_list("factor").over(wc))
+    return s.select(
+        "day",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.round(
+            F.aggregate(
+                "fs", F.lit(1.0), lambda acc, x: acc * x
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+_READABILITY = r"""
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
+           AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835
+             - 1.015 * (n_words::DOUBLE / n_sentences)
+             - 84.6 * (n_syllables::DOUBLE / n_words), 6)
+         AS flesch_score
+FROM m WHERE n_words > 0
+"""
+
+
+@register("text_readability", oracle=_READABILITY)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, with vowel-group runs as the
+    syllable proxy (the standard no-dictionary approximation) — the
+    readability axis of corpus quality, orthogonal to the
+    length/stopword gates in text_quality (legalese scores low on
+    THIS while passing those).
+
+    Shape: three regexp counts fused into the scan projection, two
+    integer ratios, one literal-coefficient formula — no shuffle, no
+    UDF; the formula's constants are identical literals in both
+    engines."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_words = F.size(TXT.tokens("text"))
+    n_sent = F.greatest(
+        F.expr("CAST(regexp_count(text, '[.!?]+') AS INT)"), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS INT)"),
+        F.lit(1),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("bigint").alias("n_words"),
+            n_sent.cast("bigint").alias("n_sentences"),
+            n_syll.cast("bigint").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words") / F.col("n_sentences"))
+                - F.lit(84.6)
+                * (F.col("n_syllables") / F.col("n_words")),
+                6,
+            ).alias("flesch_score"),
+        )
+    )

@@ -118,6 +118,10 @@ ALLOW_BNLJ = {
     # two one-row aggregates (edge count, triangle count) crossed onto
     # the one-row degree stats — three scalars, not data
     "dedup_graph_triangles",
+    # two one-row scalars (censor horizon, total subject count) crossed
+    # onto user-grain then day-grain aggregates — the scalar-subquery
+    # shape twice
+    "events_km_survival",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
