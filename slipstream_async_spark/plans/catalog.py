@@ -9204,19 +9204,15 @@ daily AS (
   SELECT last_day AS day, SUM(ev) AS d, SUM(1 - ev) AS c
   FROM f GROUP BY last_day
 ),
-risk AS (
-  SELECT day, d, c,
-         SUM(d + c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING) AS gone
-  FROM daily
-),
 fac AS (
   SELECT day, d, c,
-         (SELECT SUM(d + c) FROM daily) - COALESCE(gone, 0) AS n_at_risk,
+         SUM(d + c) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS n_at_risk,
          1.0 - d::DOUBLE
-               / ((SELECT SUM(d + c) FROM daily) - COALESCE(gone, 0))
+               / SUM(d + c) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING)
            AS factor
-  FROM risk
+  FROM daily
 ),
 s AS (
   SELECT day, d, c, n_at_risk,
@@ -9242,11 +9238,14 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     censoring-aware churn curve a raw last-seen histogram gets wrong.
 
     Shape: per-user last-day aggregate, then EVERYTHING runs at day
-    grain (~30 rows): at-risk via a preceding-frame running sum, and
-    the survival product as an index-ordered fold over the ordered
-    factor prefix (collect_list respects window frame order; 1.0*f1
-    == f1 exactly, so both engines' fold sequences are bit-identical).
-    The censor horizon is a one-row scalar cross."""
+    grain (~30 rows): at-risk as a REVERSE running sum (current row to
+    unbounded following — subjects still at risk are exactly those
+    leaving today or later, no total-minus-preceding scalar cross
+    needed), and the survival product as an index-ordered fold over
+    the ordered factor prefix (collect_list respects window frame
+    order; 1.0*f1 == f1 exactly, so both engines' fold sequences are
+    bit-identical). The censor horizon is the one remaining one-row
+    scalar cross."""
     from pyspark.sql import Window
 
     (events,) = _t(spark, sf_dir, "events")
@@ -9265,26 +9264,19 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = f.groupBy(F.col("last_day").alias("day")).agg(
         F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
     )
-    tot = daily.agg(F.sum(F.col("d") + F.col("c")).alias("tot"))
-    wp = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, -1
+    # at-risk = reverse running sum: subjects still at risk on a day
+    # are exactly those leaving that day or later — no scalar-total
+    # cross (which would also recompute the whole upstream lineage)
+    wr = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
     )
     wc = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    fac = (
-        daily.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "n_at_risk",
-            F.col("tot")
-            - F.coalesce(
-                F.sum(F.col("d") + F.col("c")).over(wp), F.lit(0)
-            ),
-        )
-        .withColumn(
-            "factor",
-            F.lit(1.0) - F.col("d") / F.col("n_at_risk"),
-        )
+    fac = daily.withColumn(
+        "n_at_risk", F.sum(F.col("d") + F.col("c")).over(wr)
+    ).withColumn(
+        "factor", F.lit(1.0) - F.col("d") / F.col("n_at_risk")
     )
     s = fac.withColumn("fs", F.collect_list("factor").over(wc))
     return s.select(

@@ -126,4 +126,10 @@ def test_orc_round_trip(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan
+    # parse the PushedFilters payload instead of asserting an exact
+    # rendering (filter order / scan-exec formatting is Spark-version
+    # dependent; the contract is only that the predicate reached the
+    # ORC scan) — the test_plan_contracts.py form
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan(id,1)" in pushed

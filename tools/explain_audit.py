@@ -118,9 +118,9 @@ ALLOW_BNLJ = {
     # two one-row aggregates (edge count, triangle count) crossed onto
     # the one-row degree stats — three scalars, not data
     "dedup_graph_triangles",
-    # two one-row scalars (censor horizon, total subject count) crossed
-    # onto user-grain then day-grain aggregates — the scalar-subquery
-    # shape twice
+    # one-row censor-horizon scalar crossed onto the user-grain
+    # aggregate — the scalar-subquery shape (at-risk counts come from a
+    # reverse running sum, not a second scalar cross)
     "events_km_survival",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
