@@ -9360,3 +9360,201 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: winnowing fingerprints, inequality metrics, radius search.
+# ---------------------------------------------------------------------------
+
+_WINNOWING = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_transform(range(1, len(tk) - 1),
+             i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' ||
+                                      tk[i+2]), 1, 8))::BIGINT)
+         ELSE [('0x' || substr(md5(array_to_string(tk, ' ')), 1, 8))::BIGINT]
+         END AS gh
+  FROM t WHERE len(tk) > 0
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(gh) >= 4 THEN
+           list_distinct(list_transform(range(0, len(gh) - 3),
+             i -> list_min(gh[i+1:i+4])))
+         ELSE list_distinct(gh) END AS fps
+  FROM g
+),
+inv AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_shared
+FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@register("dedup_winnowing", oracle=_WINNOWING)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every ORDERED 3-token gram,
+    slide a window of 4 over the hash sequence, keep each window's
+    minimum — guaranteed to fingerprint any match of length >= w+k-1
+    while thinning the gram stream to ~2/(w+1) density. Pairs sharing
+    >= 2 selected fingerprints are overlap candidates: the
+    local-match detector (shared passages, quotations, plagiarism)
+    where the bag-of-shingles Jaccard family only sees global
+    similarity.
+
+    Shape: all selection is array-domain expression work fused into
+    the scan; the join is an inverted-index equi-join on the THINNED
+    fingerprint set — the density guarantee is what makes this the
+    scalable local-overlap primitive (the unthinned version is the
+    contamination_ngram join at ~3x the index size)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    d = docs.select("doc_id", toks.alias("tk")).filter(F.size("tk") > 0)
+    n = F.size("tk")
+    gram = lambda i: F.concat(
+        F.element_at("tk", i.cast("int")),
+        F.lit(" "),
+        F.element_at("tk", (i + 1).cast("int")),
+        F.lit(" "),
+        F.element_at("tk", (i + 2).cast("int")),
+    )
+    gh = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: TXT.hash32(gram(i)),
+        ),
+    ).otherwise(F.array(TXT.hash32(F.concat_ws(" ", F.col("tk")))))
+    g = d.select("doc_id", gh.alias("gh"))
+    m = F.size("gh")
+    fps = F.when(
+        m >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(m - 4, F.lit(0))),
+                lambda i: F.array_min(F.slice("gh", i + 1, 4)),
+            )
+        ),
+    ).otherwise(F.array_distinct("gh"))
+    inv = g.select("doc_id", F.explode(fps).alias("fp"))
+    a = inv.select(F.col("doc_id").alias("id_a"), "fp")
+    b = inv.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+_GINI = """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS i
+  FROM s
+)
+SELECT COUNT(*) AS n_customers,
+       round(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS total_spend,
+       round((2.0 * CAST(SUM(i * cents) AS DOUBLE)
+              - (COUNT(*) + 1) * CAST(SUM(cents) AS DOUBLE))
+             / (COUNT(*) * CAST(SUM(cents) AS DOUBLE)), 6) AS gini
+FROM r
+"""
+
+
+@register("orders_gini_coefficient", oracle=_GINI)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the single-number
+    inequality summary behind revenue_concentration's full Pareto
+    curve (0 = everyone spends alike, ->1 = one whale), via the exact
+    rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) on
+    ascending-sorted spend.
+
+    Shape: spend collapses to customer grain in one DECIMAL-exact
+    partial agg and is quantized to EXACT integer cents (the *100 of a
+    DECIMAL(18,2) is lossless); the rank is a global window over
+    customer-grain rows with a unique tie-break — at extreme scale
+    swap for the two-phase distributed prefix-rank pack_sequences
+    uses; every sum in the formula is integer-exact."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    s = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    r = s.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")),
+    )
+    return r.agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("cents").cast("double") / 100, 2).alias(
+            "total_spend"
+        ),
+        F.round(
+            (
+                F.lit(2.0) * F.sum(F.col("i") * F.col("cents")).cast("double")
+                - (F.count("*") + 1) * F.sum("cents").cast("double")
+            )
+            / (F.count("*") * F.sum("cents").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+_RANGE_SEARCH = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 5
+)
+SELECT q.query_id, e.vec_id,
+       round({_dk_cos("e.embedding", "q.qv")}, 6) AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id != q.query_id
+  AND round({_dk_cos("e.embedding", "q.qv")}, 6) >= 0.3
+"""
+
+
+@register("sim_range_search", oracle=_RANGE_SEARCH)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL corpus vectors within
+    cosine >= 0.3 of each query, not a fixed top-k — the other half of
+    the vector-search API surface (dedup and recall-sensitive
+    retrieval want 'everything this close', where top-k silently
+    truncates dense neighborhoods and pads sparse ones).
+
+    Shape: broadcast query set against one corpus scan with the
+    threshold filter fused into the projection (the
+    sim_topk_bruteforce shape minus the rank window — cheaper, since
+    no per-query ordering state is needed); the LSH/IVF bucket routes
+    compose in front of it exactly as for top-k."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos = F.round(
+        VEC.cosine_similarity(F.col("embedding"), F.col("qv")), 6
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )

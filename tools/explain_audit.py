@@ -122,6 +122,9 @@ ALLOW_BNLJ = {
     # aggregate — the scalar-subquery shape (at-risk counts come from a
     # reverse running sum, not a second scalar cross)
     "events_km_survival",
+    # 5-row query set broadcast-crossed against the corpus — the
+    # sim_topk_bruteforce shape with a radius filter instead of a rank
+    "sim_range_search",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
