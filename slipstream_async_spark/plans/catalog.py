@@ -9444,7 +9444,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array_distinct("gh"))
-    inv = g.select("doc_id", F.explode(fps).alias("fp"))
+    # the tokenize + per-gram md5 + winnow pipeline is the dominant
+    # cost and BOTH self-join sides read it — materialize once (the
+    # duplicate_clusters localCheckpoint precedent) instead of running
+    # the whole expression tree twice
+    inv = g.select("doc_id", F.explode(fps).alias("fp")).localCheckpoint()
     a = inv.select(F.col("doc_id").alias("id_a"), "fp")
     b = inv.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -9470,7 +9474,8 @@ r AS (
 )
 SELECT COUNT(*) AS n_customers,
        round(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS total_spend,
-       round((2.0 * CAST(SUM(i * cents) AS DOUBLE)
+       round((2.0 * CAST(SUM(CAST(i AS DECIMAL(38,0))
+                             * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
               - (COUNT(*) + 1) * CAST(SUM(cents) AS DOUBLE))
              / (COUNT(*) * CAST(SUM(cents) AS DOUBLE)), 6) AS gini
 FROM r
@@ -9490,7 +9495,9 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,2) is lossless); the rank is a global window over
     customer-grain rows with a unique tie-break — at extreme scale
     swap for the two-phase distributed prefix-rank pack_sequences
-    uses; every sum in the formula is integer-exact."""
+    uses; every sum in the formula is exact — the rank-weighted sum
+    grows as n^2 * mean, so it runs in DECIMAL(38,0) (a BIGINT wraps
+    silently around sf100 while the oracle's 128-bit sum doesn't)."""
     from pyspark.sql import Window
 
     (orders,) = _t(spark, sf_dir, "orders")
@@ -9503,6 +9510,10 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.row_number().over(Window.orderBy("cents", "o_custkey")),
     )
+    iw = (
+        F.col("i").cast("decimal(38,0)")
+        * F.col("cents").cast("decimal(38,0)")
+    )
     return r.agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum("cents").cast("double") / 100, 2).alias(
@@ -9510,7 +9521,7 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             (
-                F.lit(2.0) * F.sum(F.col("i") * F.col("cents")).cast("double")
+                F.lit(2.0) * F.sum(iw).cast("double")
                 - (F.count("*") + 1) * F.sum("cents").cast("double")
             )
             / (F.count("*") * F.sum("cents").cast("double")),
@@ -9523,12 +9534,15 @@ _RANGE_SEARCH = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round({_dk_cos("e.embedding", "q.qv")}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
 )
-SELECT q.query_id, e.vec_id,
-       round({_dk_cos("e.embedding", "q.qv")}, 6) AS cosine
-FROM embeddings e CROSS JOIN q
-WHERE e.vec_id != q.query_id
-  AND round({_dk_cos("e.embedding", "q.qv")}, 6) >= 0.3
+SELECT query_id, vec_id, cosine FROM s
+WHERE isfinite(cosine) AND cosine >= 0.3
 """
 
 
@@ -9544,7 +9558,11 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold filter fused into the projection (the
     sim_topk_bruteforce shape minus the rank window — cheaper, since
     no per-query ordering state is needed); the LSH/IVF bucket routes
-    compose in front of it exactly as for top-k."""
+    compose in front of it exactly as for top-k. The oracle filters
+    non-finite cosines explicitly because its unguarded 0/0 on a
+    zero-norm vector yields NaN, which DuckDB orders ABOVE the
+    threshold while cosine_similarity's zero-norm guard maps the same
+    pair to 0.0."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
