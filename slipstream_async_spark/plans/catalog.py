@@ -9576,3 +9576,163 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
     )
+
+
+_ENTROPY_RATE = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+row_tot AS (
+  SELECT prev_type, SUM(n) AS tot_row FROM t GROUP BY prev_type
+),
+h AS (
+  SELECT t.prev_type,
+         r.tot_row AS n_out,
+         -SUM((t.n::DOUBLE / r.tot_row)
+              * log2(t.n::DOUBLE / r.tot_row)) AS hbits
+  FROM t JOIN row_tot r ON r.prev_type = t.prev_type
+  GROUP BY t.prev_type, r.tot_row
+),
+tot AS (
+  SELECT SUM(n_out) AS n_total, SUM(n_out * hbits) AS wsum FROM h
+)
+SELECT h.prev_type AS state,
+       CAST(h.n_out AS BIGINT) AS n_transitions,
+       round(h.hbits, 6) AS entropy_bits,
+       round(h.n_out::DOUBLE / tot.n_total, 6) AS pi,
+       round(tot.wsum / tot.n_total, 6) AS entropy_rate_bits
+FROM h, tot
+"""
+
+
+@register("events_entropy_rate", oracle=_ENTROPY_RATE)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate of user behavior: per-state conditional
+    entropy H(next | state) in bits plus the stationary-weighted rate
+    sum(pi_i * H_i) — the one-number predictability of the event
+    stream the transition matrix (events_markov_transitions) spells
+    out in full: near-zero = scripted/bot traffic, near log2(|types|)
+    = uniform noise.
+
+    Shape: the same single lag window per user; everything after the
+    transition-count aggregation runs at |types|- and |types|^2-grain
+    (~5 and ~25 rows), so the log2/double work touches only a handful
+    of values (round-6 output absorbs sub-ulp libm drift)."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    rw = Window.partitionBy("prev_type")
+    p = F.col("n") / F.sum("n").over(rw)
+    h = (
+        t.withColumn("p", p)
+        .groupBy("prev_type")
+        .agg(
+            F.sum("n").alias("n_out"),
+            (-F.sum(F.col("p") * F.log2("p"))).alias("hbits"),
+        )
+    )
+    gw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return h.select(
+        F.col("prev_type").alias("state"),
+        F.col("n_out").cast("bigint").alias("n_transitions"),
+        F.round("hbits", 6).alias("entropy_bits"),
+        F.round(F.col("n_out") / F.sum("n_out").over(gw), 6).alias("pi"),
+        F.round(
+            F.sum(F.col("n_out") * F.col("hbits")).over(gw)
+            / F.sum("n_out").over(gw),
+            6,
+        ).alias("entropy_rate_bits"),
+    )
+
+
+_PRICE_QTY_OLS = """
+WITH p AS (
+  SELECT l.l_partkey,
+         pt.p_brand,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+)
+SELECT p_brand,
+       COUNT(*) AS n_lines,
+       round((COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+             / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+             / 100, 6) AS slope_per_unit,
+       round((CAST(SUM(y) AS DOUBLE)
+              - (COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+                 - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                   - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                * CAST(SUM(x) AS DOUBLE))
+             / COUNT(*) / 100, 6) AS intercept
+FROM p GROUP BY p_brand
+"""
+
+
+@register("lineitem_price_qty_ols", oracle=_PRICE_QTY_OLS)
+def lineitem_price_qty_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of line price on quantity — the in-engine
+    regression that recovers each brand's effective unit price (slope)
+    and fixed component (intercept) from raw line items; a brand whose
+    slope drifts from its catalog retail price is a pricing-data
+    anomaly.
+
+    Shape: x (units) and y (cents) are quantized to EXACT integers at
+    the scan (quantity and 2-dp prices are lossless under
+    floor(x+0.5)), so every regression moment is an integer-exact sum
+    at (brand) grain — the closed form divides them once; part joins
+    broadcast."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    j = lineitem.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        "p_brand",
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    g = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return g.select(
+        "p_brand",
+        F.col("n").alias("n_lines"),
+        F.round(slope / 100, 6).alias("slope_per_unit"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+            / 100,
+            6,
+        ).alias("intercept"),
+    )
