@@ -257,3 +257,42 @@ def test_lm_bigram_count_tables_broadcast(q):
     plan = _plan(q["lm_bigram_score"], "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pca_power_iteration_never_buffers_vectors(q):
+    """emb_pca_power_iteration: the positional accumulation must be a
+    partial-aggregated integer SUM after posexplode — never a
+    collect_list of whole embedding vectors into one buffer (the
+    emb_outlier_gate regression class), and the per-term quantization
+    means no double-typed partial sums exist in the hot aggregate."""
+    plan = _plan(q["emb_pca_power_iteration"])
+    assert "collect_list" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_gate_attribution_drop_list_broadcasts(q):
+    """quality_gate_attribution: the cluster drop-list join onto the
+    documents scan must broadcast — a sort-merge join would shuffle
+    the full corpus on doc_id to attach a cluster-sized verdict."""
+    plan = _plan(q["quality_gate_attribution"], "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_winnowing_pair_join_reads_materialized_index(q):
+    """dedup_winnowing: both sides of the fingerprint self-join must
+    read the ONE materialized (localCheckpoint) index — the plan
+    contains no parquet scan at all, so the tokenize + per-gram md5 +
+    winnow pipeline provably cannot run twice."""
+    plan = _plan(q["dedup_winnowing"], "simple")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+
+
+def test_backlog_is_interval_decomposed(q):
+    """orders_backlog_daily: the backlog must come from two delta
+    events per order + a running sum — never a days-cross-orders range
+    join (no nested-loop/cartesian anywhere in the plan)."""
+    plan = _plan(q["orders_backlog_daily"], "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
