@@ -6399,8 +6399,10 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-_MARKOV = """
-WITH seq AS (
+# Per-user lag -> (prev, next) transition-count pipeline, shared by the
+# transition-matrix and entropy-rate oracles (one source of truth for
+# the tie-break ordering and null handling — the _CC_FROM_PAIRS move).
+_MARKOV_T_SQL = """seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
@@ -6408,7 +6410,27 @@ WITH seq AS (
 t AS (
   SELECT prev_type, event_type, COUNT(*) AS n
   FROM seq WHERE prev_type IS NOT NULL
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+
+def _transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_type, event_type, n) — the Spark twin of _MARKOV_T_SQL,
+    shared by events_markov_transitions and events_entropy_rate so the
+    two can't diverge on the same transition matrix."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+_MARKOV = f"""
+WITH {_MARKOV_T_SQL}
 SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
        round(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
 FROM t
@@ -6426,15 +6448,10 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort — the p10_pairwise shape), then the transition counts collapse
     to |types|^2 rows at a partial-aggregated groupBy; the row-
     normalizing window runs over those ~25 rows. Raw events are
-    touched exactly once."""
+    touched exactly once (the shared _transition_counts pipeline)."""
     from pyspark.sql import Window
 
-    (ev,) = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    ).filter(F.col("prev_type").isNotNull())
-    t = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    t = _transition_counts(spark, sf_dir)
     norm = Window.partitionBy("prev_type")
     return t.select(
         "prev_type",
@@ -9578,18 +9595,8 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ENTROPY_RATE = """
-WITH seq AS (
-  SELECT event_type,
-         lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev_type
-  FROM events
-),
-t AS (
-  SELECT prev_type, event_type, COUNT(*) AS n
-  FROM seq WHERE prev_type IS NOT NULL
-  GROUP BY 1, 2
-),
+_ENTROPY_RATE = f"""
+WITH {_MARKOV_T_SQL},
 row_tot AS (
   SELECT prev_type, SUM(n) AS tot_row FROM t GROUP BY prev_type
 ),
@@ -9622,20 +9629,15 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out in full: near-zero = scripted/bot traffic, near log2(|types|)
     = uniform noise.
 
-    Shape: the same single lag window per user; everything after the
+    Shape: the SAME shared transition pipeline as
+    events_markov_transitions (_transition_counts / _MARKOV_T_SQL in
+    both engines — the two can't diverge); everything after the
     transition-count aggregation runs at |types|- and |types|^2-grain
     (~5 and ~25 rows), so the log2/double work touches only a handful
     of values (round-6 output absorbs sub-ulp libm drift)."""
     from pyspark.sql import Window
 
-    (ev,) = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    ).filter(F.col("prev_type").isNotNull())
-    t = seq.groupBy("prev_type", "event_type").agg(
-        F.count("*").alias("n")
-    )
+    t = _transition_counts(spark, sf_dir)
     rw = Window.partitionBy("prev_type")
     p = F.col("n") / F.sum("n").over(rw)
     h = (
@@ -9664,27 +9666,28 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRICE_QTY_OLS = """
 WITH p AS (
-  SELECT l.l_partkey,
-         pt.p_brand,
+  SELECT pt.p_brand,
          CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
   FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+),
+m AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM p GROUP BY p_brand
+),
+s AS (
+  SELECT p_brand, n, sx, sy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM m
 )
 SELECT p_brand,
-       COUNT(*) AS n_lines,
-       round((COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
-              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
-             / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
-                - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
-             / 100, 6) AS slope_per_unit,
-       round((CAST(SUM(y) AS DOUBLE)
-              - (COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
-                 - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
-                / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
-                   - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
-                * CAST(SUM(x) AS DOUBLE))
-             / COUNT(*) / 100, 6) AS intercept
-FROM p GROUP BY p_brand
+       n AS n_lines,
+       round(slope / 100, 6) AS slope_per_unit,
+       round((sy - slope * sx) / n / 100, 6) AS intercept
+FROM s
 """
 
 
