@@ -9739,3 +9739,354 @@ def lineitem_price_qty_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 final batch: distributional source similarity, sequence
+# randomness forensics, collocation mining.
+# ---------------------------------------------------------------------------
+
+_SOURCE_JS = """
+WITH toksrc AS (
+  SELECT source,
+         ('0x' || substr(md5(u.tok), 1, 8))::BIGINT % 128 AS bucket
+  FROM (SELECT source,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS t
+        FROM documents) d, UNNEST(t) AS u(tok)
+),
+counts AS (
+  SELECT source, bucket, COUNT(*) AS c FROM toksrc GROUP BY 1, 2
+),
+tot AS (SELECT source, SUM(c) AS n FROM counts GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n AS na, b.n AS nb
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+grid AS (
+  SELECT p.*, g.b AS bucket FROM pairs p,
+       (SELECT unnest(range(128)) AS b) g
+),
+pq AS (
+  SELECT g.source_a, g.source_b, g.bucket,
+         (COALESCE(ca.c, 0) + 1)::DOUBLE / (g.na + 128) AS p,
+         (COALESCE(cb.c, 0) + 1)::DOUBLE / (g.nb + 128) AS q
+  FROM grid g
+  LEFT JOIN counts ca ON ca.source = g.source_a AND ca.bucket = g.bucket
+  LEFT JOIN counts cb ON cb.source = g.source_b AND cb.bucket = g.bucket
+)
+SELECT source_a, source_b,
+       round(SUM(0.5 * (p * ln(p / ((p + q) / 2))
+                        + q * ln(q / ((p + q) / 2)))), 6)
+         AS js_divergence
+FROM pq GROUP BY source_a, source_b
+"""
+
+
+@register("source_js_matrix", oracle=_SOURCE_JS)
+def source_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source vocabulary
+    distributions (add-one-smoothed over 128 md5 hash buckets — the
+    DSIR featurization): the symmetric, bounded source-similarity
+    matrix behind mixture design (near-zero = interchangeable sources
+    to deduplicate across; near ln 2 = disjoint domains worth separate
+    mixture weights). Complements source_token_drift's
+    each-vs-pooled KL with the full pairwise picture.
+
+    Shape: one token explosion into 128 buckets (the corpus is touched
+    once), then EVERYTHING runs at |sources|^2 x 128 grain — a few
+    thousand rows of join/log work regardless of corpus size."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toksrc = docs.select(
+        "source", F.explode(TXT.tokens("text")).alias("tok")
+    ).select("source", (TXT.hash32("tok") % 128).alias("bucket"))
+    counts = toksrc.groupBy("source", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tot.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    b = tot.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    )
+    grid = pairs.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(F.sequence(F.lit(0), F.lit(127))).alias(
+                    "bucket"
+                )
+            )
+        )
+    )
+    ca = counts.select(
+        F.col("source").alias("source_a"),
+        F.col("bucket"),
+        F.col("c").alias("ca"),
+    )
+    cb = counts.select(
+        F.col("source").alias("source_b"),
+        F.col("bucket"),
+        F.col("c").alias("cb"),
+    )
+    pq = (
+        grid.join(F.broadcast(ca), ["source_a", "bucket"], "left")
+        .join(F.broadcast(cb), ["source_b", "bucket"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            (
+                (F.coalesce(F.col("ca"), F.lit(0)) + 1)
+                / (F.col("na") + 128)
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("cb"), F.lit(0)) + 1)
+                / (F.col("nb") + 128)
+            ).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return pq.groupBy("source_a", "source_b").agg(
+        F.round(
+            F.sum(
+                0.5
+                * (
+                    F.col("p") * F.log(F.col("p") / m)
+                    + F.col("q") * F.log(F.col("q") / m)
+                )
+            ),
+            6,
+        ).alias("js_divergence")
+    )
+
+
+_RUNS_TEST = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+med AS (
+  SELECT rev AS median FROM (
+    SELECT rev, row_number() OVER (ORDER BY rev, day) AS i,
+           COUNT(*) OVER () AS n
+    FROM daily
+  ) WHERE i = (n + 1) // 2
+),
+sgn AS (
+  SELECT day, (rev > med.median) AS above
+  FROM daily, med WHERE rev != med.median
+),
+runs AS (
+  SELECT above,
+         CASE WHEN lag(above) OVER (ORDER BY day) IS DISTINCT FROM above
+              THEN 1 ELSE 0 END AS new_run
+  FROM sgn
+),
+s AS (
+  SELECT SUM(CASE WHEN above THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN above THEN 0 ELSE 1 END) AS n2,
+         SUM(new_run) AS r
+  FROM runs
+)
+SELECT CAST(n1 + n2 AS BIGINT) AS n_days,
+       CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       CAST(r AS BIGINT) AS n_runs,
+       round((r - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+         AS z_stat
+FROM s
+"""
+
+
+@register("orders_runs_test", oracle=_RUNS_TEST)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue: are
+    above/below-median days randomly ordered, or does the series
+    cluster (momentum) / alternate (overcorrection)? |z| > 2 rejects
+    randomness — the sequence-level forensic the Benford digit check
+    is to magnitudes (TPC-H's uniform generator should pass THIS one).
+
+    Shape: the fact table collapses to day grain first; the lower
+    median comes from a deterministic rank pick (explicit (rev, day)
+    tie-break), runs from one lag over the ~day-count series, and the
+    z statistic is one closed form over three exact integers."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    ranked = daily.select(
+        "rev",
+        F.row_number().over(Window.orderBy("rev", "day")).alias("i"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("i") == F.floor((F.col("n") + 1) / 2)
+    ).select(F.col("rev").alias("median"))
+    sgn = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("median"))
+        .select("day", (F.col("rev") > F.col("median")).alias("above"))
+    )
+    w = Window.orderBy("day")
+    runs = sgn.select(
+        "above",
+        F.when(
+            ~F.lag("above").over(w).eqNullSafe(F.col("above")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    s = runs.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).alias("n2"),
+        F.sum("new_run").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    return s.select(
+        (n1 + n2).cast("bigint").alias("n_days"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        r.cast("bigint").alias("n_runs"),
+        F.round(
+            (r - (1 + F.lit(2.0) * n1 * n2 / (n1 + n2)))
+            / F.sqrt(
+                F.lit(2.0)
+                * n1
+                * n2
+                * (F.lit(2.0) * n1 * n2 - n1 - n2)
+                / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+_PART_PMI = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(p_name), '\\s+'),
+                     x -> x != '') AS tk
+  FROM part
+),
+bi AS (
+  SELECT tk[i] AS wa, tk[i+1] AS wb
+  FROM t, UNNEST(range(1, len(tk))) AS g(i)
+  WHERE len(tk) >= 2
+),
+uni AS (
+  SELECT u.w, COUNT(*) AS cu FROM (
+    SELECT unnest(tk) AS w FROM t
+  ) u GROUP BY u.w
+),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT unnest(tk) FROM t)) AS n_uni,
+         (SELECT COUNT(*) FROM bi) AS n_bi
+),
+pc AS (
+  SELECT wa, wb, COUNT(*) AS c FROM bi GROUP BY 1, 2
+),
+scored AS (
+  SELECT pc.wa, pc.wb, pc.c,
+         round(ln(pc.c::DOUBLE * tots.n_uni * tots.n_uni
+                  / (tots.n_bi::DOUBLE * ua.cu * ub.cu)), 6) AS pmi
+  FROM pc, tots
+  JOIN uni ua ON ua.w = pc.wa
+  JOIN uni ub ON ub.w = pc.wb
+  WHERE pc.c >= 5
+)
+SELECT wa AS word_a, wb AS word_b, CAST(c AS BIGINT) AS n_pair, pmi
+FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, wa, wb) AS rk
+  FROM scored
+) WHERE rk <= 20
+"""
+
+
+@register("part_bigram_pmi", oracle=_PART_PMI)
+def part_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over part names: top-20 adjacent word pairs
+    by pointwise mutual information (min support 5) — the phrase
+    detector (PMI >> 0 = words that belong together, the classic
+    word2vec-phrases / boilerplate-template signal), computed as ONE
+    log of an exact integer rational per pair, so the score is
+    engine-deterministic by construction.
+
+    Shape: bigrams are built in array domain before the explode;
+    unigram/bigram totals are one-row scalars crossed onto the
+    pair-grain aggregate; the final ranking window runs over the few
+    pairs passing min-support."""
+    from pyspark.sql import Window
+
+    (part,) = _t(spark, sf_dir, "part")
+    t = part.select(TXT.tokens(F.lower(F.col("p_name"))).alias("tk"))
+    n = F.size("tk")
+    bi = t.filter(n >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.element_at("tk", i.cast("int")).alias("wa"),
+                    F.element_at("tk", (i + 1).cast("int")).alias("wb"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.wa", "p.wb")
+    uni = t.select(F.explode("tk").alias("w")).groupBy("w").agg(
+        F.count("*").alias("cu")
+    )
+    n_uni = t.select(F.explode("tk").alias("w")).agg(
+        F.count("*").alias("n_uni")
+    )
+    n_bi = bi.agg(F.count("*").alias("n_bi"))
+    pc = bi.groupBy("wa", "wb").agg(F.count("*").alias("c")).filter(
+        F.col("c") >= 5
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("cu").alias("cua"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("cu").alias("cub"))
+    scored = (
+        pc.join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "wa",
+            "wb",
+            "c",
+            F.round(
+                F.log(
+                    F.col("c").cast("double")
+                    * F.col("n_uni")
+                    * F.col("n_uni")
+                    / (
+                        F.col("n_bi").cast("double")
+                        * F.col("cua")
+                        * F.col("cub")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "wa", "wb")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("wa").alias("word_a"),
+            F.col("wb").alias("word_b"),
+            F.col("c").cast("bigint").alias("n_pair"),
+            "pmi",
+        )
+    )

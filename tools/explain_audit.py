@@ -125,6 +125,15 @@ ALLOW_BNLJ = {
     # 5-row query set broadcast-crossed against the corpus — the
     # sim_topk_bruteforce shape with a radius filter instead of a rank
     "sim_range_search",
+    # |sources|-row non-equi pair join plus a 128-row bucket dim cross
+    # — both BNLJ sides are source/bucket-sized, never the corpus
+    "source_js_matrix",
+    # one-row median scalar crossed onto the day-grain series — the
+    # scalar-subquery shape
+    "orders_runs_test",
+    # two one-row token/bigram totals crossed onto the min-support
+    # pair aggregate — scalars, not data
+    "part_bigram_pmi",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
