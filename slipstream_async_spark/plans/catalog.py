@@ -131,6 +131,27 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+# The near-duplicate drop list grows LINEARLY with the corpus (20-30% of
+# docs are non-canonical near-dups on real web data), so at 100 TB it is
+# billions of ids — a forced broadcast OOMs every executor. Broadcast only
+# below a measured count; above it, a plain equi-join that AQE plans.
+_BC_MAX_DROPS = 100_000
+
+
+def _join_drops(df: DataFrame, drops: DataFrame, how: str) -> DataFrame:
+    """Join the dedup drop list onto a per-document frame, adaptively.
+
+    The drop list is the output of the expensive pair->connected-
+    components lineage; ``localCheckpoint`` materializes it ONCE so the
+    sizing count and the join both read the pinned copy — neither branch
+    re-derives the corpus pair stage (same measured-count discipline as
+    operators.dedup._BC_MAX_DOCS, dedup.py:136-171)."""
+    drops = drops.localCheckpoint(eager=True)
+    if drops.count() <= _BC_MAX_DROPS:
+        drops = F.broadcast(drops)
+    return df.join(drops, "doc_id", how)
+
+
 # ---------------------------------------------------------------------------
 # Relational / TPC-H-style batch inventory (J4, A8, §2.5 sorts & set ops).
 # The reference gets these "free" from arbitrary Python (SURVEY §2.4 A8);
@@ -1702,8 +1723,9 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('en') -> near-duplicate removal (keep only cluster canonicals) ->
     per-document token stats. One declarative plan: the text gates are
     pure expressions over a single documents scan, the dedup drop-list
-    joins in as a broadcast anti-join — the shape a 100 TB curation run
-    takes (gates before dedup so the expensive pairing sees only
+    joins in as an adaptively-broadcast anti-join (_join_drops: plain
+    equi-join once the measured drop count outgrows a broadcast) — the
+    shape a 100 TB curation run takes (gates before dedup so the expensive pairing sees only
     survivors of the cheap filters... here gates are applied to the pair
     output instead so the oracle stays a pure composition; flip the
     order freely in production).
@@ -1721,8 +1743,13 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         TXT.lang_id("text").alias("lang_pred"),
     )
     return (
-        scored.filter((F.col("quality") >= 0.73) & (F.col("lang_pred") == "en"))
-        .join(F.broadcast(drops), "doc_id", "left_anti")
+        _join_drops(
+            scored.filter(
+                (F.col("quality") >= 0.73) & (F.col("lang_pred") == "en")
+            ),
+            drops,
+            "left_anti",
+        )
         .select("doc_id", "n_tokens", "quality")
     )
 
@@ -2953,10 +2980,14 @@ def pipeline_curation_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = DD.duplicate_clusters(pairs)
     drops = clusters.filter(~F.col("is_canonical")).select("doc_id")
     return (
-        gated.select(
-            "doc_id", F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens")
+        _join_drops(
+            gated.select(
+                "doc_id",
+                F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
+            ),
+            drops,
+            "left_anti",
         )
-        .join(F.broadcast(drops), "doc_id", "left_anti")
     )
 
 
@@ -7338,9 +7369,9 @@ def quality_gate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the two text gates are scan-fused expressions; the dedup
     drop-list (min-label connected components over the PPJoin pair set)
-    joins in as a broadcast left join on doc_id; the result is an
-    8-row aggregate. One documents scan + the pair stage the dedup
-    family already pays."""
+    joins in as an adaptively-broadcast left join on doc_id
+    (_join_drops); the result is an 8-row aggregate. One documents scan
+    + the pair stage the dedup family already pays."""
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
     drops = (
@@ -7349,12 +7380,15 @@ def quality_gate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(True).alias("_dropped"))
     )
     return (
-        docs.select(
-            "doc_id",
-            (TXT.quality_score("text") >= 0.73).alias("pass_quality"),
-            (TXT.lang_id("text") == "en").alias("pass_lang"),
+        _join_drops(
+            docs.select(
+                "doc_id",
+                (TXT.quality_score("text") >= 0.73).alias("pass_quality"),
+                (TXT.lang_id("text") == "en").alias("pass_lang"),
+            ),
+            drops,
+            "left",
         )
-        .join(F.broadcast(drops), "doc_id", "left")
         .groupBy(
             "pass_quality",
             "pass_lang",
@@ -7623,31 +7657,35 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coverage, interval-decomposed backlog.
 # ---------------------------------------------------------------------------
 
-# 0.7^k decay weights, k = 0..14, materialized ONCE as literal strings and
-# interpolated into BOTH engines' plans — pow() ulp drift can never split
-# the hash gate when neither engine computes a pow at all.
-_EWMA_WEIGHTS = [f"{0.7 ** k:.10f}" for k in range(15)]
-_EWMA_W_SQL = (
-    "[" + ", ".join(f"CAST('{w}' AS DECIMAL(12,10))" for w in _EWMA_WEIGHTS) + "]"
-)
+# 0.7^k decay weights, k = 0..14, materialized ONCE as INTEGER literals
+# (fixed-point, scale 1e4) and interpolated into BOTH engines' plans —
+# pow() ulp drift can never split the hash gate when neither engine
+# computes a pow at all, and integer weights keep every product and sum
+# integer-exact (the decimal-multiply scale cap bit round 5: Spark's
+# DECIMAL(38) adjustment silently rounded wrev to 9 dp while DuckDB kept
+# 12, splitting one half-boundary cell).
+_EWMA_W_INT = [int(round(0.7**k * 1e4)) for k in range(15)]
+_EWMA_W_SQL = "[" + ", ".join(str(w) for w in _EWMA_W_INT) + "]"
 
 _REVENUE_EWMA = f"""
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS day,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev_c
   FROM orders GROUP BY 1
 ),
 pairs AS (
-  SELECT t.day, t.rev,
-         s.rev * ({_EWMA_W_SQL})[date_diff('day', s.day, t.day) + 1] AS wrev,
+  SELECT t.day, t.rev_c,
+         CAST(s.rev_c AS DECIMAL(38,0))
+           * ({_EWMA_W_SQL})[date_diff('day', s.day, t.day) + 1] AS wrev,
          ({_EWMA_W_SQL})[date_diff('day', s.day, t.day) + 1] AS w
   FROM daily t JOIN daily s
     ON s.day <= t.day AND s.day >= t.day - INTERVAL 14 DAY
 )
 SELECT day,
-       CAST(MIN(rev) AS DOUBLE) AS revenue,
-       round(CAST(SUM(wrev) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
-         AS ewma_14d
+       CAST(MIN(rev_c) AS DOUBLE) / 100 AS revenue,
+       floor(CAST(SUM(wrev) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) * 1e4
+             + 0.5) / 1e6 AS ewma_14d
 FROM pairs GROUP BY day
 """
 
@@ -7661,38 +7699,53 @@ def orders_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the fact table collapses to day grain FIRST (one partial
     agg), so the closed-form weighted sum is a range self-join over
-    ~day-count rows — broadcastable at any corpus size; weights are
-    shared exact-DECIMAL literals (see _EWMA_WEIGHTS), all sums
-    DECIMAL-exact, one final double division."""
-    w_arr = F.array(
-        *[
-            F.expr(f"CAST('{w}' AS DECIMAL(12,10))")
-            for w in _EWMA_WEIGHTS
-        ]
-    )
+    ~day-count rows — broadcastable at any corpus size. Determinism:
+    day revenue is exact integer cents, weights are shared fixed-point
+    INTEGER literals (_EWMA_W_INT, scale 1e4), every product/sum is a
+    DECIMAL(38,0)-exact integer, and the single double division feeds
+    the tie-stable floor(x*1e4+0.5)/1e6 quantizer — identical integers
+    in, identical 6-dp doubles out of both engines (the round-5
+    round(double,6) half-ulp split can't recur)."""
+    w_arr = F.array(*[F.lit(w).cast("bigint") for w in _EWMA_W_INT])
     (orders,) = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").alias("day")
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
-    t = daily.select(F.col("day").alias("t_day"), F.col("rev").alias("t_rev"))
-    s = daily.select(F.col("day").alias("s_day"), F.col("rev").alias("s_rev"))
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("rev_c")
+    )
+    t = daily.select(
+        F.col("day").alias("t_day"), F.col("rev_c").alias("t_rev_c")
+    )
+    s = daily.select(
+        F.col("day").alias("s_day"), F.col("rev_c").alias("s_rev_c")
+    )
     joined = t.join(
         F.broadcast(s),
         (F.col("s_day") <= F.col("t_day"))
         & (F.col("s_day") >= F.col("t_day") - F.expr("INTERVAL 14 DAY")),
     ).select(
         "t_day",
-        "t_rev",
+        "t_rev_c",
         (
-            F.col("s_rev")
+            F.col("s_rev_c").cast("decimal(38,0)")
             * F.element_at(w_arr, F.datediff("t_day", "s_day") + 1)
         ).alias("wrev"),
         F.element_at(w_arr, F.datediff("t_day", "s_day") + 1).alias("w"),
     )
     return joined.groupBy(F.col("t_day").alias("day")).agg(
-        F.min("t_rev").cast("double").alias("revenue"),
-        F.round(
-            F.sum("wrev").cast("double") / F.sum("w").cast("double"), 6
+        (F.min("t_rev_c").cast("double") / 100).alias("revenue"),
+        (
+            F.floor(
+                F.sum("wrev").cast("double")
+                / F.sum("w").cast("double")
+                * 1e4
+                + 0.5
+            )
+            / 1e6
         ).alias("ewma_14d"),
     )
 
@@ -8585,18 +8638,21 @@ def pipeline_tokens_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ew = Window.partitionBy(F.md5("text"))
     flags = (
-        docs.select(
-            "doc_id",
-            F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
-            (F.col("doc_id") != F.min("doc_id").over(ew)).alias(
-                "is_exact_dup"
+        _join_drops(
+            docs.select(
+                "doc_id",
+                F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
+                (F.col("doc_id") != F.min("doc_id").over(ew)).alias(
+                    "is_exact_dup"
+                ),
+                (
+                    (TXT.quality_score("text") >= 0.73)
+                    & (TXT.lang_id("text") == "en")
+                ).alias("passes_gates"),
             ),
-            (
-                (TXT.quality_score("text") >= 0.73)
-                & (TXT.lang_id("text") == "en")
-            ).alias("passes_gates"),
+            drops,
+            "left",
         )
-        .join(F.broadcast(drops), "doc_id", "left")
         .withColumn("is_near_dup", F.col("_near").isNotNull())
     )
     s1 = ~F.col("is_exact_dup")
@@ -9157,8 +9213,8 @@ SELECT CAST(floor(date_diff('day', o.o_orderdate, l.l_shipdate)::DOUBLE
                   / 30) AS BIGINT)
          AS lag_bucket_months,
        COUNT(*) AS n_lines,
-       SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
-         AS n_returned,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
        round(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE
              / COUNT(*), 6) AS return_rate
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey

@@ -270,11 +270,17 @@ def test_pca_power_iteration_never_buffers_vectors(q):
     assert "partial_sum" in plan, plan
 
 
-def test_gate_attribution_drop_list_broadcasts(q):
-    """quality_gate_attribution: the cluster drop-list join onto the
-    documents scan must broadcast — a sort-merge join would shuffle
-    the full corpus on doc_id to attach a cluster-sized verdict."""
+def test_gate_attribution_drop_list_join_is_adaptive(q):
+    """quality_gate_attribution: the drop list is corpus-proportional,
+    so the contract is NOT "always broadcast" (that OOMs at 100 TB) —
+    it is (a) the drop-list side reads the ONE materialized
+    (localCheckpoint) copy, never re-deriving the pair->CC lineage from
+    parquet, so exactly one documents parquet scan exists in the plan;
+    and (b) at this SF the measured count picks the broadcast branch."""
     plan = _plan(q["quality_gate_attribution"], "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    # small-SF: measured count <= _BC_MAX_DROPS => broadcast branch
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
 

@@ -16,16 +16,32 @@ import pandas as pd
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # Stringify for an order-insensitive, type-tolerant comparison; floats
-    # via repr-rounding to kill -0.0/0.0 and long-tail formatting noise.
+    # Stringify for an order-insensitive comparison at FULL precision —
+    # the round-5 lesson: a %.9g normalization here passed two queries the
+    # driver's bit-exact hash failed (a 1e-6-level last-digit split on a
+    # 1e6-magnitude value, and an int64-vs-float64 dtype split). repr() of
+    # a float round-trips exactly, so any value divergence the driver can
+    # see, this gate sees.
     out = pd.DataFrame()
     for c in df.columns:
         col = df[c]
         if col.dtype.kind == "f":
-            out[c] = col.round(9).map(lambda v: f"{v:.9g}" if pd.notna(v) else "NULL")
+            out[c] = col.map(
+                lambda v: "NULL" if pd.isna(v) else repr(float(v))
+            )
         else:
             out[c] = col.map(lambda v: "NULL" if v is None or v != v else str(v))
     return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def _kinds(df: pd.DataFrame) -> dict:
+    # Dtype *kind* per column (u folded into i): an integer column on one
+    # side and a float on the other stringifies "123" vs "123.0" in the
+    # driver's hash — fail it here, before the driver does.
+    return {
+        c: ("i" if df[c].dtype.kind == "u" else df[c].dtype.kind)
+        for c in df.columns
+    }
 
 
 def main() -> int:
@@ -68,9 +84,14 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             continue
         s, d = _normalize(spark_df), _normalize(duck_df)
+        sk, dk = _kinds(spark_df), _kinds(duck_df)
         if list(s.columns) != list(d.columns):
             failures.append(name)
             print(f"FAIL  {name}: columns {list(s.columns)} != {list(d.columns)}")
+        elif sk != dk:
+            failures.append(name)
+            diff = {c: (sk.get(c), dk.get(c)) for c in sk if sk.get(c) != dk.get(c)}
+            print(f"FAIL  {name}: dtype kinds differ (spark, duck): {diff}")
         elif len(s) != len(d):
             failures.append(name)
             print(f"FAIL  {name}: rows {len(s)} != {len(d)}")
