@@ -142,3 +142,74 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed total-order row_number: 1..n over ``order_cols``
+    without funnelling the table through one task.
+
+    ``Window.orderBy`` with no ``partitionBy`` sorts the WHOLE input in
+    a single partition — the classic 100x scale-killer on unbounded-
+    grain (customer/document) rows. This is the two-phase prefix-rank
+    instead (operators.packing.contiguous_pack's shape, generalized to
+    arbitrary sort keys): range-repartition on the sort key, rank
+    locally per partition, then add broadcast per-partition row-count
+    offsets. The only by-less window left runs over the per-partition
+    COUNTS — bounded by the partition count, never by the data.
+
+    Callers must end ``order_cols`` with a unique tie-break key: the
+    rank is then a pure function of the total order, independent of
+    partitioning. The range-partitioned frame is localCheckpoint'd so
+    the offsets branch and the local-rank branch provably read the SAME
+    ``spark_partition_id`` assignment (re-derived lineage could
+    re-sample range boundaries).
+    """
+    sess = df.sparkSession
+    n = partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_c"))
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(ow), F.lit(0))
+        .cast("bigint")
+        .alias("_off"),
+    )
+    lw = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        part.withColumn("_lrn", F.row_number().over(lw))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            rank_col, (F.col("_off") + F.col("_lrn")).cast("bigint")
+        )
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def exact_ntile(rank_col: str, n_col: str, k: int):
+    """SQL ``NTILE(k)`` reconstructed from a precomputed global rank and
+    total row count: the first ``n % k`` tiles get ``ceil(n/k)`` rows,
+    the rest ``floor(n/k)`` — bit-identical to the window function, so a
+    :func:`global_rank` + this expression replaces a single-partition
+    NTILE window. Divisions run in double but stay exact: every operand
+    is an integer far below 2^53, and non-multiples sit >= 1/(q+1) away
+    from the next integer while the quotient is correctly rounded."""
+    r, n = F.col(rank_col), F.col(n_col)
+    q = F.floor(n / k)
+    rem = n % k
+    head = (q + 1) * rem
+    return (
+        F.when(r <= head, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - head - 1) / q) + 1)
+        .cast("int")
+    )

@@ -6266,26 +6266,35 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the marketing-analytics workhorse.
 
     Shape: orders collapse to one row per customer first (partial
-    agg); the three NTILEs are single-pass windows over the customer
-    table. A global NTILE needs a total order — at 100 TB the
-    per-customer table is ~customers rows (millions, not billions),
-    and Spark's window exchange range-partitions it; if even that is
-    too big the quartiles become percentile thresholds broadcast back
-    (the quality_percentile_gate shape)."""
-    from pyspark.sql import Window
-
+    agg); each quartile is the two-phase distributed rank + exact
+    NTILE reconstruction (AGG.global_rank/exact_ntile), chained three
+    times — three parallel range-shuffles of the customer table, never
+    a single-partition NTILE window funnelling every customer through
+    one task."""
     (orders,) = _t(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("freq"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    scored = cust.select(
+    ranked = AGG.global_rank(
+        AGG.global_rank(
+            AGG.global_rank(
+                cust, ["last_order", "o_custkey"], rank_col="_rr"
+            ),
+            ["freq", "o_custkey"],
+            rank_col="_rf",
+        ),
+        ["monetary", "o_custkey"],
+        rank_col="_rm",
+    )
+    n_tot = ranked.agg(F.count("*").cast("bigint").alias("_n"))
+    scored = ranked.crossJoin(F.broadcast(n_tot)).select(
         "o_custkey",
         "monetary",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_q"),
-        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f_q"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_q"),
+        AGG.exact_ntile("_rr", "_n", 4).alias("r_q"),
+        AGG.exact_ntile("_rf", "_n", 4).alias("f_q"),
+        AGG.exact_ntile("_rm", "_n", 4).alias("m_q"),
     )
     return (
         scored.select(
@@ -6400,11 +6409,11 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     as sampling weights or only as a ranking.
 
     Shape: training is the same 5 partial-aggregated passes over the
-    checkpointed feature frame; the calibration readout is one NTILE
-    window (customer-scale input, the orders_rfm_segments argument) and
-    a 10-group agg."""
-    from pyspark.sql import Window
-
+    checkpointed feature frame; the calibration readout is the
+    two-phase distributed rank + exact-NTILE reconstruction
+    (AGG.global_rank/exact_ntile — document-grain input, so a
+    single-partition NTILE window is the 100x scale-killer here) and a
+    10-group agg."""
     from slipstream_async_spark.operators.learn import logistic_fit
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -6416,8 +6425,14 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         + F.lit(w[2]) * F.col("x2")
         + F.lit(w[3]) * F.col("x3")
     )
-    deciled = feats.select("doc_id", "y", z.alias("z")).withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("z", "doc_id"))
+    ranked = AGG.global_rank(
+        feats.select("doc_id", "y", z.alias("z")),
+        ["z", "doc_id"],
+        rank_col="_r",
+    )
+    n_tot = ranked.agg(F.count("*").cast("bigint").alias("_n"))
+    deciled = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
+        "decile", AGG.exact_ntile("_r", "_n", 10)
     )
     return deciled.groupBy(
         F.col("decile").cast("bigint").alias("decile")
@@ -6965,20 +6980,23 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whale-dependence readout.
 
     Shape: orders collapse to one DECIMAL-exact row per customer; the
-    NTILE runs over the customer table (the orders_rfm_segments scale
-    argument); the share windows run over exactly 10 rows. Ties break
-    on the customer key so decile boundaries are engine-identical."""
+    decile comes from the two-phase distributed rank + exact-NTILE
+    reconstruction (AGG.global_rank/exact_ntile — never a
+    single-partition NTILE window over the customer table); the share
+    windows run over exactly 10 rows. Ties break on the customer key
+    so decile boundaries are engine-identical."""
     from pyspark.sql import Window
 
     (orders,) = _t(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
-    d = cust.select(
-        "rev",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("rev"), F.asc("o_custkey")))
-        .alias("decile"),
+    ranked = AGG.global_rank(
+        cust, [F.desc("rev"), F.asc("o_custkey")], rank_col="_r"
+    )
+    n_tot = ranked.agg(F.count("*").cast("bigint").alias("_n"))
+    d = ranked.crossJoin(F.broadcast(n_tot)).select(
+        "rev", AGG.exact_ntile("_r", "_n", 10).alias("decile")
     )
     agg = d.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_customers"),
@@ -9565,24 +9583,19 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: spend collapses to customer grain in one DECIMAL-exact
     partial agg and is quantized to EXACT integer cents (the *100 of a
-    DECIMAL(18,2) is lossless); the rank is a global window over
-    customer-grain rows with a unique tie-break — at extreme scale
-    swap for the two-phase distributed prefix-rank pack_sequences
-    uses; every sum in the formula is exact — the rank-weighted sum
-    grows as n^2 * mean, so it runs in DECIMAL(38,0) (a BIGINT wraps
-    silently around sf100 while the oracle's 128-bit sum doesn't)."""
-    from pyspark.sql import Window
-
+    DECIMAL(18,2) is lossless); the rank is the two-phase distributed
+    prefix-rank (AGG.global_rank) with a unique tie-break — never a
+    single-partition window over customer-grain rows; every sum in the
+    formula is exact — the rank-weighted sum grows as n^2 * mean, so
+    it runs in DECIMAL(38,0) (a BIGINT wraps silently around sf100
+    while the oracle's 128-bit sum doesn't)."""
     (orders,) = _t(spark, sf_dir, "orders")
     s = orders.groupBy("o_custkey").agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("bigint")
         .alias("cents")
     )
-    r = s.withColumn(
-        "i",
-        F.row_number().over(Window.orderBy("cents", "o_custkey")),
-    )
+    r = AGG.global_rank(s, ["cents", "o_custkey"], rank_col="i")
     iw = (
         F.col("i").cast("decimal(38,0)")
         * F.col("cents").cast("decimal(38,0)")

@@ -296,6 +296,49 @@ def test_contiguous_pack_bucket_size_invariant(spark):
     assert sum(stats.values()) == 100
 
 
+def test_global_rank_matches_single_partition_window(spark):
+    """The two-phase distributed prefix-rank equals row_number over a
+    by-less window for every partition count (including 1 == the serial
+    form), and exact_ntile reconstructs NTILE(k) bit-for-bit — the
+    uneven-tile case (n % k != 0) included."""
+    from pyspark.sql import Window
+
+    from slipstream_async_spark.operators.aggregations import (
+        exact_ntile,
+        global_rank,
+    )
+
+    rows = [(i, (i * 37) % 11, (i * 13) % 7) for i in range(103)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    w = Window.orderBy("a", F.desc("b"), "id")
+    want = {
+        r["id"]: (r["rn"], r["t3"], r["t4"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(3).over(w).alias("t3"),
+            F.ntile(4).over(w).alias("t4"),
+        ).collect()
+    }
+    for parts in (1, 5, 64):
+        ranked = global_rank(
+            df, ["a", F.desc("b"), "id"], rank_col="r", partitions=parts
+        )
+        n_tot = ranked.agg(F.count("*").cast("bigint").alias("_n"))
+        got = {
+            r["id"]: (r["r"], r["t3"], r["t4"])
+            for r in ranked.crossJoin(F.broadcast(n_tot))
+            .select(
+                "id",
+                "r",
+                exact_ntile("r", "_n", 3).alias("t3"),
+                exact_ntile("r", "_n", 4).alias("t4"),
+            )
+            .collect()
+        }
+        assert got == want, parts
+
+
 def test_brute_force_topk_pandas_matches_expression_lane(spark):
     """The Arrow/numpy matmul scoring lane agrees with the JVM expression
     lane: same top-k sets on the fixture, cosines within float summation

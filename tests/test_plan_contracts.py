@@ -285,6 +285,34 @@ def test_gate_attribution_drop_list_join_is_adaptive(q):
     assert "SortMergeJoin" not in plan, plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "orders_gini_coefficient",
+        "orders_rfm_segments",
+        "revenue_concentration",
+        "quality_classifier_calibration",
+    ],
+)
+def test_no_global_window_over_unbounded_grain(q, name):
+    """The customer/document-grain rank queries must use the two-phase
+    distributed prefix-rank (AGG.global_rank), never a by-less window
+    that funnels the whole keyspace through one task: every window over
+    data-grain rows is partitioned by the range-partition id (_pid),
+    and the materialized (localCheckpoint) rank frame is what the plan
+    reads. The only by-less windows allowed are post-aggregation
+    decile-grain ones (<= 10 rows, revenue_concentration's shares)."""
+    import re
+
+    plan = _plan(q[name], "simple")
+    assert "Scan ExistingRDD" in plan, plan
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    for s in specs:
+        assert "_pid" in s or "decile" in s or s.endswith(
+            "windowspecdefinition(specifiedwindowframe(RowFrame, unboundedpreceding$("
+        ), f"{name}: unpartitioned data-grain window: {s}"
+
+
 def test_winnowing_pair_join_reads_materialized_index(q):
     """dedup_winnowing: both sides of the fingerprint self-join must
     read the ONE materialized (localCheckpoint) index — the plan
