@@ -1,7 +1,9 @@
 """Benchmark: run the catalog's headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "queries_runs": {name: [sec, ...]}, "sf": ...}.
+JSON line: {"queries": {name: sec}, "metric": ..., "value": total_sec,
+"unit": "sec", "sf": ..., "n_queries": N}. The raw repeat-run vectors
+land in BENCH_LOCAL.json next to this file (stdout is tail-truncated by
+the driver, so the line carries only the min-per-query map).
 
 Each query is forced end-to-end with a noop sink (full materialization,
 no driver collect / sink-format cost).
@@ -41,16 +43,35 @@ def main() -> None:
         sys.stdout.flush()
         os.dup2(real_stdout, 1)
         os.close(real_stdout)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    # stdout carries ONE line and the driver retains only its TAIL
+    # (round 5: 148 of 196 timings were truncated away). Two levers:
+    # (a) the bulky raw-runs map goes to a side file, not stdout, which
+    # roughly halves the line; (b) ``queries`` comes FIRST and the
+    # scalar summary fields LAST, so whatever prefix the truncation
+    # eats, the retained tail always ends with the complete
+    # metric/value/sf summary plus the maximal suffix of per-query
+    # timings.
     payload = {
-        "metric": "catalog_total_runtime",
-        "value": round(sum(t for t in timings.values() if t is not None), 3),
-        "unit": "sec",
         "queries": timings,
-        "queries_runs": runs_all,
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
         "sf": sf_val,
+        "n_queries": len(timings),
     }
     if errors:
         payload["errors"] = errors
+    full = dict(payload)
+    full["queries_runs"] = runs_all
+    try:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        with open(side, "w") as fh:
+            json.dump(full, fh, separators=(",", ":"))
+    except OSError:
+        pass  # side artifact is best-effort; stdout is the contract
     print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 

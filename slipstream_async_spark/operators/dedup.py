@@ -756,3 +756,84 @@ def remove_boilerplate_chunks(
             F.md5(F.concat_ws(" ", cleaned_toks)).alias("cleaned_md5"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing-selected fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS scheme) as an ``(id, fp)`` inverted index:
+    hash every ORDERED ``k``-token gram, slide a window of ``w`` over
+    the hash sequence, keep each window's minimum. Guaranteed to
+    fingerprint any match of length >= ``w + k - 1`` tokens while
+    thinning the gram stream to ~2/(w+1) density — the local-overlap
+    primitive (shared passages, quotations) where the bag-of-shingles
+    Jaccard family only sees global similarity.
+
+    Everything is array-domain expression work fused into the scan;
+    documents shorter than ``k`` tokens fingerprint their whole text.
+    """
+    tk = tokens(text_col)
+    d = df.select(F.col(id_col), tk.alias("_tk")).filter(F.size("_tk") > 0)
+    n = F.size("_tk")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("_tk", (i + j).cast("int")) for j in range(k)]
+    )
+    gh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: hash32(gram(i)),
+        ),
+    ).otherwise(F.array(hash32(F.concat_ws(" ", F.col("_tk")))))
+    g = d.select(id_col, gh.alias("_gh"))
+    m = F.size("_gh")
+    fps = F.when(
+        m >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
+                lambda i: F.array_min(F.slice("_gh", i + 1, w)),
+            )
+        ),
+    ).otherwise(F.array_distinct("_gh"))
+    return g.select(id_col, F.explode(fps).alias("fp"))
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Winnowing overlap candidates: ``(id_a, id_b, n_shared)`` pairs of
+    documents sharing >= ``min_shared`` selected fingerprints.
+
+    Built on ``_bucket_pairs`` with the fingerprint as the bucket key —
+    ONE shuffle on ``fp`` (collect ids per fingerprint, expand pairs
+    in-expression) instead of an inverted-index self-join, and the
+    ``max_fp_df`` document-frequency cap rides the same guardrail as
+    every LSH bucket here: a fingerprint shared by ``f`` documents
+    costs f^2/2 pairs, so one boilerplate passage in 10k docs is 5e7
+    pairs from a SINGLE hash — those hot fingerprints are navigation/
+    licence text, not local overlap worth quadratic work, and they are
+    DROPPED before expansion (pass ``stats`` for the dropped-bucket
+    accounting DataFrame, keyed by fp with its bucket_size).
+    """
+    inv = winnowing_fingerprints(df, text_col, id_col, k=k, w=w)
+    cand = _bucket_pairs(
+        inv, ["fp"], id_col, max_bucket_size=max_fp_df, stats=stats
+    )
+    return (
+        cand.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

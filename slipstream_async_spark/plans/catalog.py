@@ -8151,11 +8151,13 @@ WITH e AS (
   FROM embeddings
 ),
 a AS (
-  SELECT label, pos, CAST(round(avg(val) * 1000000) AS BIGINT) AS v
+  SELECT label, pos,
+         SUM(CAST(floor(val::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS s,
+         COUNT(*) AS c
   FROM e GROUP BY label, pos
 ),
 c AS (
-  SELECT label, array_agg(v::DOUBLE / 1000000 ORDER BY pos) AS cent
+  SELECT label, array_agg(s::DOUBLE / c / 1000000 ORDER BY pos) AS cent
   FROM a GROUP BY label
 ),
 s AS (
@@ -8183,17 +8185,42 @@ def emb_balanced_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     prototype NEIGHBORHOOD is what's kept, per class, bounded).
 
     Shape: centroids via the _label_centroids posexplode partial-agg
-    shape, QUANTIZED to micro-units before scoring so both engines
-    rank on identical prototypes; scoring is one corpus scan against
-    broadcast centroids; the cap is a rank window per label."""
+    SHAPE but with values quantized to 1e-6 fixed-point BIGINTs BEFORE
+    the sum (the emb_dim_stats floor(x*1e6+0.5) recipe) — both engines
+    then derive each prototype component as the same
+    integer-sum / count / 1e6 double division, which is IEEE-exact and
+    order-independent, unlike round(avg(double)*1e6) whose half-ulp
+    boundary split orders_revenue_ewma in round 5; scoring is one
+    corpus scan against broadcast centroids; the cap is a rank window
+    per label."""
     from pyspark.sql import Window
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    cents = _label_centroids(emb).select(
-        "label",
-        F.transform(
-            "centroid", lambda c: F.round(c * 1000000) / F.lit(1000000.0)
-        ).alias("cent"),
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    # the ::DOUBLE cast is load-bearing: embeddings are float32, and
+    # without it one engine scales in single precision — the quantized
+    # sums drift by ±1 micro-unit (measured at sf0.01)
+    a = ex.groupBy("label", "pos").agg(
+        F.sum(
+            F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+        ).alias("s"),
+        F.count("*").alias("c"),
+    )
+    cents = (
+        a.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("s").cast("double") / F.col("c") / 1000000)
+                        .alias("v"),
+                    )
+                )
+            ).alias("sv")
+        )
+        .select("label", F.transform("sv", lambda x: x["v"]).alias("cent"))
     )
     scored = emb.join(
         F.broadcast(cents), "label"
@@ -9481,10 +9508,15 @@ w AS (
          ELSE list_distinct(gh) END AS fps
   FROM g
 ),
-inv AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+inv AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM inv
+  ) WHERE df <= 64
+)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        COUNT(*) AS n_shared
-FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
@@ -9502,52 +9534,20 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.
 
     Shape: all selection is array-domain expression work fused into
-    the scan; the join is an inverted-index equi-join on the THINNED
-    fingerprint set — the density guarantee is what makes this the
-    scalable local-overlap primitive (the unthinned version is the
-    contamination_ngram join at ~3x the index size)."""
+    the scan; candidates come from ``DD.winnowing_pairs`` — ONE
+    shuffle on the THINNED fingerprint (collect ids per fp, expand
+    pairs in-expression, the _bucket_pairs shape) instead of an
+    inverted-index self-join, so the tokenize + per-gram md5 + winnow
+    pipeline runs exactly once with no checkpoint needed. The
+    ``max_fp_df=64`` document-frequency cap is the LSH hot-bucket
+    guardrail: one boilerplate passage shared by k docs would cost
+    k^2/2 pairs from a single fingerprint — such fingerprints are
+    dropped pre-expansion, mirrored by the oracle's df <= 64 filter
+    (the unthinned version is the contamination_ngram join at ~3x the
+    index size)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = TXT.tokens("text")
-    d = docs.select("doc_id", toks.alias("tk")).filter(F.size("tk") > 0)
-    n = F.size("tk")
-    gram = lambda i: F.concat(
-        F.element_at("tk", i.cast("int")),
-        F.lit(" "),
-        F.element_at("tk", (i + 1).cast("int")),
-        F.lit(" "),
-        F.element_at("tk", (i + 2).cast("int")),
-    )
-    gh = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-            lambda i: TXT.hash32(gram(i)),
-        ),
-    ).otherwise(F.array(TXT.hash32(F.concat_ws(" ", F.col("tk")))))
-    g = d.select("doc_id", gh.alias("gh"))
-    m = F.size("gh")
-    fps = F.when(
-        m >= 4,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(m - 4, F.lit(0))),
-                lambda i: F.array_min(F.slice("gh", i + 1, 4)),
-            )
-        ),
-    ).otherwise(F.array_distinct("gh"))
-    # the tokenize + per-gram md5 + winnow pipeline is the dominant
-    # cost and BOTH self-join sides read it — materialize once (the
-    # duplicate_clusters localCheckpoint precedent) instead of running
-    # the whole expression tree twice
-    inv = g.select("doc_id", F.explode(fps).alias("fp")).localCheckpoint()
-    a = inv.select(F.col("doc_id").alias("id_a"), "fp")
-    b = inv.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
+    return DD.winnowing_pairs(
+        docs, "text", "doc_id", k=3, w=4, min_shared=2, max_fp_df=64
     )
 
 

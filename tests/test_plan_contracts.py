@@ -313,14 +313,18 @@ def test_no_global_window_over_unbounded_grain(q, name):
         ), f"{name}: unpartitioned data-grain window: {s}"
 
 
-def test_winnowing_pair_join_reads_materialized_index(q):
-    """dedup_winnowing: both sides of the fingerprint self-join must
-    read the ONE materialized (localCheckpoint) index — the plan
-    contains no parquet scan at all, so the tokenize + per-gram md5 +
-    winnow pipeline provably cannot run twice."""
+def test_winnowing_single_scan_no_join(q):
+    """dedup_winnowing: candidates come from the _bucket_pairs shape —
+    ONE parquet scan feeding one shuffle on the fingerprint, pairs
+    expanded in-expression — so the tokenize + per-gram md5 + winnow
+    pipeline provably runs once and the plan contains NO join operator
+    at all (the former self-join needed a checkpoint to avoid running
+    the pipeline twice; this shape needs neither)."""
     plan = _plan(q["dedup_winnowing"], "simple")
-    assert "Scan ExistingRDD" in plan, plan
-    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, plan
 
 
 def test_backlog_is_interval_decomposed(q):

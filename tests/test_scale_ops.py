@@ -558,3 +558,36 @@ def test_pii_counts_sequential_on_overlap(spark):
     ).collect()[0]
     assert row["n_email"] == 1 and row["n_phone"] == 0, row
     assert "[EMAIL]" in row["s"] and "[PHONE]" not in row["s"]
+
+
+def test_winnowing_pairs_hot_fingerprint_cap(spark):
+    """winnowing_pairs with max_fp_df: a boilerplate passage shared by
+    many documents (one hot fingerprint bucket) is dropped before pair
+    expansion — the k^2 blowup never materializes — while an overlap
+    shared by only two documents survives; accounting reports the
+    dropped fingerprints."""
+    from slipstream_async_spark.operators.dedup import winnowing_pairs
+
+    # 8 docs all containing the SAME long passage (every selected
+    # fingerprint has df=8); 2 docs sharing a different passage (df=2).
+    boiler = "copyright footer all rights reserved contact us terms " \
+             "privacy policy site map navigation header menu"
+    quote = "to be or not to be that is the question of the play"
+    rows = [(i, f"doc {i} body " + boiler) for i in range(8)]
+    rows += [(100, "alpha " + quote), (101, "omega " + quote)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = winnowing_pairs(docs, "text", "doc_id", min_shared=2)
+    assert uncapped.filter("id_a < 8 and id_b < 8").count() == 28  # C(8,2)
+
+    stats: dict = {}
+    capped = winnowing_pairs(
+        docs, "text", "doc_id", min_shared=2, max_fp_df=4, stats=stats
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    dropped = stats["dropped_buckets"].collect()
+    assert len(dropped) > 0
+    # window-min selection near the doc-specific prefix means not every
+    # doc picks every boilerplate fingerprint — sizes range (cap, 8]
+    assert all(4 < r["bucket_size"] <= 8 for r in dropped)
