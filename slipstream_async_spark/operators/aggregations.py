@@ -213,3 +213,50 @@ def exact_ntile(rank_col: str, n_col: str, k: int):
         .otherwise(rem + F.floor((r - head - 1) / q) + 1)
         .cast("int")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[int],
+    tie_cols: list[str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXACT nearest-rank percentiles of ``value_col`` — the value at
+    rank ``ceil(p/100 * n)`` of the ascending sort — without funnelling
+    the table through a single-partition sort: :func:`global_rank`
+    assigns the total order distributedly, the (scalar) row count joins
+    in as a broadcast, and only the ``len(probs)`` target ranks survive
+    the final join. ``approx_percentile`` answers the same question
+    with error bars; this is the exact path (the reconciliation job,
+    the SLA percentile that ends up in a contract).
+
+    ``probs`` are integer percents in (0, 100]. Ties in ``value_col``
+    make the rank->row mapping ambiguous but the VALUE at each rank is
+    unique, so ``tie_cols`` are optional and only stabilize plans.
+    Returns ``(pct int, value)`` rows.
+    """
+    if not probs or any(not 0 < p <= 100 for p in probs):
+        raise ValueError(f"probs must be integer percents in (0, 100]: {probs}")
+    tie_cols = list(tie_cols or [])
+    sess = df.sparkSession
+    slim = df.select(value_col, *tie_cols)
+    r = global_rank(
+        slim, [value_col, *tie_cols], rank_col="_rk", partitions=partitions
+    )
+    total = slim.agg(F.count("*").alias("_n"))
+    pcts = sess.createDataFrame([(int(p),) for p in probs], "pct int")
+    # ceil(p*n/100) in integer-safe form: (p*n + 99) stays exact in a
+    # double far below 2^53, and the /100.0 quotient is >= 1/100 away
+    # from the next integer whenever it is not itself exact
+    targets = pcts.crossJoin(F.broadcast(total)).select(
+        "pct",
+        F.floor((F.col("pct") * F.col("_n") + 99) / F.lit(100.0))
+        .cast("bigint")
+        .alias("_rk"),
+    )
+    return (
+        r.join(F.broadcast(targets), "_rk")
+        .groupBy("pct")
+        .agg(F.min(value_col).alias("value"))
+    )

@@ -837,3 +837,44 @@ def winnowing_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate pairs by blocked edit distance:
+    ``(id_a, id_b, edit_distance)`` for records in the SAME block whose
+    ``text_col`` values are within ``max_dist`` Levenshtein edits — the
+    standard blocking + pairwise-compare shape (Fellegi-Sunter record
+    linkage; Christen, "Data Matching", Springer 2012 ch. 4).
+
+    Scale design: the quadratic compare runs only WITHIN blocks, so
+    block keys must bound block size (brand x first-token here, not
+    brand alone); recall lost to a blocking key that an edit crosses is
+    recovered by a second pass with a different key (multi-pass
+    blocking), never by widening one block. Two pre-filters cut the
+    in-block work: the length band (| |a|-|b| | <= max_dist is a
+    Levenshtein lower bound) drops pairs before any DP runs, and the
+    edit distance itself is computed with Spark's bounded variant
+    (``levenshtein(l, r, threshold)``), which abandons a pair's DP as
+    soon as the running minimum exceeds ``max_dist``.
+    """
+    blocks = [F.col(c) for c in block_cols]
+    a = df.select(
+        *blocks, F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
+    )
+    b = df.select(
+        *blocks, F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
+    )
+    d = F.levenshtein("_ta", "_tb", max_dist)
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.length("_ta") - F.length("_tb")) <= max_dist)
+        .select("id_a", "id_b", *block_cols, d.alias("edit_distance"))
+        .filter(F.col("edit_distance") >= 0)
+    )

@@ -109,3 +109,86 @@ def bloom_probe(
             F.call_function("shiftright", elem, bit).bitwiseAND(F.lit(1)) == 1
         )
     return df.withColumn("bloom_hit", hit)
+
+
+def count_min_table(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) of
+    a key column's frequency distribution as a ``depth x width``
+    relational table ``(d, bucket, cnt)`` — the mergeable heavy-hitter /
+    frequency-estimate structure: estimates never undercount, and the
+    overestimate is bounded by ``e * N / width`` with probability
+    ``1 - e^{-depth}``.
+
+    Row ``d``'s bucket for a key is ``hash32(d || ':' || key) % width``
+    (md5-derived, so any engine reproduces it bit-for-bit). The build is
+    ONE partial-aggregated groupBy to ``depth * width`` rows no matter
+    how many keys feed it; two sketches built with the same geometry
+    merge by summing ``cnt`` per ``(d, bucket)`` — the standing-corpus
+    update path at 100 TB. ``weight_col`` aggregates a weight instead
+    of the row count (e.g. token occurrences pre-counted per doc).
+    """
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (hash32(F.concat(F.lit(f"{d}:"), key)) % width)
+                        .alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_c"),
+        w.alias("_w"),
+    )
+    return (
+        rows.groupBy(F.col("_c.d").alias("d"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.sum("_w").cast("bigint").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query a :func:`count_min_table`: for each key, the MINIMUM
+    over the ``depth`` rows of the counter its hash lands in — the CMS
+    frequency estimate, appended as ``cms_estimate``.
+
+    The sketch side is ``depth * width`` rows and BROADCASTS; the key
+    side never shuffles. Geometry (depth/width) must match the build.
+    """
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (hash32(F.concat(F.lit(f"{d}:"), key)) % width)
+                        .alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select("*", F.col("_c.d").alias("d"), F.col("_c.bucket").alias("bucket"))
+    out_cols = [c for c in keys.columns]
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy(*out_cols)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

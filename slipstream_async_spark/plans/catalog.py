@@ -10159,3 +10159,592 @@ def part_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pmi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: exact distributed quantiles, resampling statistics, sketch
+# calibration (Count-Min), entity resolution, rank fusion, bounded-graph
+# centrality, per-dimension ANOVA, time-series changepoints/outliers.
+# ---------------------------------------------------------------------------
+
+_EXACT_QUANTILES = """
+WITH s AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM s),
+n AS (SELECT COUNT(*) AS n FROM s),
+p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+SELECT p.pct AS pct, MIN(r.cents)::DOUBLE / 100 AS value
+FROM p, n, r
+WHERE r.rk = CAST(floor((p.pct * n.n + 99) / 100.0) AS BIGINT)
+GROUP BY p.pct
+"""
+
+
+@register("lineitem_exact_quantiles", oracle=_EXACT_QUANTILES)
+def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT nearest-rank percentiles (p25/50/75/90/99) of extended
+    price — the reconciliation-grade quantile (approx_percentile's
+    error bars are fine for dashboards, not for an SLA number that
+    lands in a contract), computed WITHOUT a single-partition sort:
+    AGG.exact_quantiles = the two-phase distributed prefix-rank
+    (global_rank) + a broadcast scalar row count + a 5-row broadcast of
+    target ranks. The oracle's row_number() OVER (ORDER BY ...) is the
+    semantic spec; the Spark plan never funnels the table through one
+    task.
+
+    Shape: prices quantized to exact integer cents at the scan (the
+    DECIMAL(18,2)*100 lossless move), so the value at each rank is
+    engine-deterministic; only len(probs) rows survive the final
+    broadcast join."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    q = AGG.exact_quantiles(s, "cents", [25, 50, 75, 90, 99])
+    return q.select(
+        "pct", (F.col("value") / F.lit(100.0)).alias("value")
+    )
+
+
+_BRAND_QUARTILES = """
+WITH j AS (
+  SELECT p_brand,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+r AS (
+  SELECT p_brand, cents,
+         row_number() OVER (PARTITION BY p_brand ORDER BY cents) AS rk,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n
+  FROM j
+)
+SELECT p_brand,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       MIN(CASE WHEN rk = CAST(floor((25 * n + 99) / 100.0) AS BIGINT)
+                THEN cents END)::DOUBLE / 100 AS q1,
+       MIN(CASE WHEN rk = CAST(floor((50 * n + 99) / 100.0) AS BIGINT)
+                THEN cents END)::DOUBLE / 100 AS median,
+       MIN(CASE WHEN rk = CAST(floor((75 * n + 99) / 100.0) AS BIGINT)
+                THEN cents END)::DOUBLE / 100 AS q3
+FROM r GROUP BY p_brand
+"""
+
+
+@register("brand_price_quartiles", oracle=_BRAND_QUARTILES)
+def brand_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-brand price quartiles — the grouped companion to
+    lineitem_exact_quantiles: here the rank window is PARTITIONED by
+    brand, so the sort distributes across the group keyspace and no
+    global_rank machinery is needed (the single-partition hazard only
+    exists for by-less windows; a 25-brand partitioning spreads 25
+    ways, and a high-cardinality group key spreads further).
+
+    Shape: one broadcast dim join, integer-cent quantization at the
+    scan, one partitioned rank window, conditional-min aggregation to
+    |brands| rows — nearest-rank semantics identical to the oracle's."""
+    (li, part) = _t(spark, sf_dir, "lineitem", "part")
+    from pyspark.sql import Window
+
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        "p_brand",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wr = Window.partitionBy("p_brand").orderBy("cents")
+    wn = Window.partitionBy("p_brand")
+    r = j.select(
+        "p_brand",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    at = lambda pct: F.min(  # noqa: E731
+        F.when(
+            F.col("rk")
+            == F.floor((F.lit(pct) * F.col("n") + 99) / F.lit(100.0))
+            .cast("bigint"),
+            F.col("cents"),
+        )
+    ) / F.lit(100.0)
+    return r.groupBy("p_brand").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        at(25).alias("q1"),
+        at(50).alias("median"),
+        at(75).alias("q3"),
+    )
+
+
+# Poisson(1) CDF thresholds, shared verbatim by both engines: weight =
+# #{k : u >= cdf_k} reproduces a Poisson(1) draw from one uniform u.
+# Both engines parse the same shortest-repr literals to the same doubles
+# and compare against the same exact u = hash/2^32, so the weights are
+# integers with zero cross-engine drift.
+_POIS1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712,
+]
+
+_BOOTSTRAP_CI = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+r AS (SELECT o.*, b FROM o, (SELECT unnest(range(16)) AS b) reps),
+w AS (
+  SELECT cents, b,
+         {" + ".join(
+             f"CASE WHEN ('0x' || substr(md5(o_orderkey || '_' || b), 1, 8))"
+             f"::BIGINT / 4294967296.0 >= {c!r} THEN 1 ELSE 0 END"
+             for c in _POIS1_CDF)} AS w
+  FROM r
+),
+m AS (
+  SELECT b,
+         CAST(floor(SUM(w * cents)::DOUBLE / SUM(w) * 100 + 0.5) AS BIGINT)
+           AS mq
+  FROM w GROUP BY b
+),
+arr AS (
+  SELECT array_agg(mq ORDER BY mq) AS a,
+         CAST(SUM(mq) AS BIGINT) AS s,
+         COUNT(*) AS nb,
+         MIN(mq) AS lo, MAX(mq) AS hi
+  FROM m
+)
+SELECT CAST(nb AS BIGINT) AS n_boot,
+       (s::DOUBLE / 16) / 10000 AS boot_mean,
+       sqrt(list_reduce(
+              list_transform(a, x -> (x::DOUBLE - s::DOUBLE / 16)
+                                      * (x::DOUBLE - s::DOUBLE / 16)),
+              (x, y) -> x + y) / 15) / 10000 AS boot_se,
+       lo::DOUBLE / 10000 AS boot_lo,
+       hi::DOUBLE / 10000 AS boot_hi
+FROM arr
+"""
+
+
+@register("orders_bootstrap_ci", oracle=_BOOTSTRAP_CI)
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value: 16 deterministic
+    resampling replicates where each order's multiplicity in replicate
+    b is a Poisson(1) draw derived from md5(o_orderkey || '_' || b) —
+    the web-scale bootstrap (Poisson resampling needs no global n and
+    streams in one pass; Chamandy et al., "Estimating uncertainty for
+    massive data streams", Google 2012) as a pure relational query.
+
+    Determinism: u = hash/2^32 is exact; weights are integer CASE
+    thresholds on shared literals; per-replicate means divide exact
+    BIGINT sums and quantize to fixed-point BEFORE the cross-replicate
+    stats, which then run over the SORTED 16-int array with a 0.0-init
+    left fold (the _DK_DOT-proven shape) — every double on both engines
+    is the same bits. Scale: one fan-out x16 scan, one groupBy(b) to 16
+    rows; nothing global-sorts and the fan-out is a constant factor,
+    not a shuffle multiplier."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    reps = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("b"),
+    )
+    u = TXT.hash32(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("b").cast("string"),
+        )
+    ) / F.lit(4294967296.0)
+    w = sum(
+        F.when(u >= F.lit(c), 1).otherwise(0) for c in _POIS1_CDF
+    )
+    m = (
+        reps.select("cents", "b", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.floor(
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w")
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mq")
+        )
+    )
+    arr = m.agg(
+        F.array_sort(F.collect_list("mq")).alias("a"),
+        F.sum("mq").cast("bigint").alias("s"),
+        F.count("*").alias("nb"),
+        F.min("mq").alias("lo"),
+        F.max("mq").alias("hi"),
+    )
+    mean = F.col("s").cast("double") / 16
+    dev2 = F.aggregate(
+        F.col("a"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x.cast("double") - mean) * (x.cast("double") - mean),
+    )
+    return arr.select(
+        F.col("nb").cast("bigint").alias("n_boot"),
+        (mean / 10000).alias("boot_mean"),
+        (F.sqrt(dev2 / 15) / 10000).alias("boot_se"),
+        (F.col("lo").cast("double") / 10000).alias("boot_lo"),
+        (F.col("hi").cast("double") / 10000).alias("boot_hi"),
+    )
+
+
+_SIMPSON = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x != '')) AS t
+  FROM documents
+),
+c AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+s AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS types,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS m
+  FROM c GROUP BY source
+)
+SELECT source, n AS n_tokens, types AS n_types,
+       CASE WHEN m = 0 THEN NULL
+            ELSE m::DOUBLE / (n * (n - 1)) END AS simpson_d,
+       CASE WHEN m = 0 THEN NULL
+            ELSE (n * (n - 1))::DOUBLE / m END AS eff_types
+FROM s
+"""
+
+
+@register("source_simpson_diversity", oracle=_SIMPSON)
+def source_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration per source: D = sum c_i(c_i-1) / (N(N-1))
+    over token-type counts — the probability two tokens drawn without
+    replacement are the same type — and its inverse (the "effective
+    vocabulary size"), the diversity lens that complements entropy
+    (Zipf fit) and MATTR: D is dominated by the HEAD of the
+    distribution, so a source whose diversity collapses here but not
+    in TTR is one where a few tokens took over (templated text).
+
+    Shape: (source, token) counts in one partially-aggregated pass,
+    collapsed to |sources| rows; every numerator/denominator is an
+    exact BIGINT (c(c-1) and N(N-1) products stay far inside 64 bits
+    at any realistic source size), so the two final double divisions
+    are the only float ops and are bit-identical across engines."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(TXT.tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    s = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("m"),
+    )
+    nn = F.col("n") * (F.col("n") - 1)
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("types").alias("n_types"),
+        F.when(F.col("m") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("m").cast("double") / nn)
+        .alias("simpson_d"),
+        F.when(F.col("m") == 0, F.lit(None).cast("double"))
+        .otherwise(nn.cast("double") / F.col("m"))
+        .alias("eff_types"),
+    )
+
+
+_ACF_LAGS = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS day_no,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+l AS (SELECT unnest([1, 2, 7, 14, 28]) AS lag),
+p AS (
+  SELECT l.lag, t.x AS x, s.x AS y
+  FROM daily t JOIN l ON TRUE
+  JOIN daily s ON s.day_no + l.lag = t.day_no
+),
+a AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+  FROM p GROUP BY lag
+)
+SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) <= 0
+            THEN NULL
+            ELSE floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                       / sqrt((n::DOUBLE * sxx::DOUBLE
+                               - sx::DOUBLE * sx::DOUBLE)
+                              * (n::DOUBLE * syy::DOUBLE
+                                 - sy::DOUBLE * sy::DOUBLE))
+                       * 1000000 + 0.5) / 1000000
+       END AS acf
+FROM a
+"""
+
+
+@register("revenue_acf_lags", oracle=_ACF_LAGS)
+def revenue_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1/2/7/14/28 —
+    the seasonality detector (a weekly cycle shows as acf(7) >> acf(1);
+    a monthly billing pulse as acf(28)) extending stats_daily_autocorr's
+    single lag-1 point to the profile a forecaster actually reads. The
+    pairing is GAP-CORRECT: day t matches day t-L by calendar
+    arithmetic on integer day numbers (an equi-join), never by row
+    offset, so missing days pair with nothing instead of silently
+    shifting the series.
+
+    Determinism: all five moment sums run in DECIMAL(19,0)->(38,0)
+    exact integer domain on day-cents (x*x at ~1e18/day overflows
+    BIGINT over 2400 days; 128-bit sums don't), cast once to double,
+    and the Pearson arithmetic is identical IEEE ops both sides with a
+    fixed-point final quantization. Scale: the fact table collapses to
+    day grain FIRST; the x5 lag fan-out and self-equi-join run on
+    bounded day-count rows."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("day_no")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    lags = spark.createDataFrame([(1,), (2,), (7,), (14,), (28,)], "lag int")
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("day_no") + F.col("lag")).alias("day_no"),
+        F.col("x").alias("y"),
+    )
+    p = daily.join(shifted, "day_no").select("lag", "x", "y")
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y").cast("decimal(19,0)")
+    a = p.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    return a.select(
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when(d1 * d2 <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.floor(
+                (n * sxy - sx * sy) / F.sqrt(d1 * d2) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        )
+        .alias("acf"),
+    )
+
+
+_CUSUM = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS c
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT day, c,
+         row_number() OVER (ORDER BY day) AS t,
+         SUM(c) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER () AS total,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+s AS (
+  SELECT day,
+         abs(CAST(n AS BIGINT) * CAST(cum AS BIGINT)
+             - CAST(t AS BIGINT) * CAST(total AS BIGINT)) AS dev_scaled,
+         CAST(n AS BIGINT) AS n
+  FROM r
+)
+SELECT day AS change_day,
+       dev_scaled::DOUBLE / n AS cusum_stat,
+       n AS n_days
+FROM s ORDER BY dev_scaled DESC, day LIMIT 1
+"""
+
+
+@register("orders_cusum_changepoint", oracle=_CUSUM)
+def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint location for the daily order-count series: the
+    day t maximizing |sum_{i<=t}(c_i - mean)| — the classic
+    level-shift detector (Page 1954; the ED statistic behind
+    changepoint scans), reporting the split point where the series'
+    mean most plausibly moved.
+
+    Determinism: the deviation is kept in scaled-integer form
+    n*cum_t - t*total (multiplying the mean out), so the argmax
+    compares exact BIGINTs with an earliest-day tie-break; the single
+    division happens once, on the winner. Shape: collapse to day grain
+    first; the cumulative/rank windows are by-less but run over
+    BOUNDED day-count rows (the EWMA/backlog precedent), and the
+    argmax is a LIMIT 1 TakeOrdered, not a global sort."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    r = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("total"),
+        F.count("*").over(wall).alias("n"),
+    )
+    dev = F.abs(
+        F.col("n").cast("bigint") * F.col("cum").cast("bigint")
+        - F.col("t").cast("bigint") * F.col("total").cast("bigint")
+    )
+    return (
+        r.select(
+            F.col("day").alias("change_day"),
+            dev.alias("dev_scaled"),
+            F.col("n").cast("bigint").alias("n_days"),
+        )
+        .orderBy(F.col("dev_scaled").desc(), "change_day")
+        .limit(1)
+        .select(
+            "change_day",
+            (F.col("dev_scaled").cast("double") / F.col("n_days"))
+            .alias("cusum_stat"),
+            "n_days",
+        )
+    )
+
+
+_MAD_OUTLIERS = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY x, day) AS rk,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+med AS (SELECT x AS med FROM r
+        WHERE rk = CAST(floor((n + 1) / 2.0) AS BIGINT)),
+a AS (SELECT day, x, abs(x - med) AS adev FROM daily, med),
+r2 AS (
+  SELECT *, row_number() OVER (ORDER BY adev, day) AS rk2,
+         COUNT(*) OVER () AS n
+  FROM a
+),
+mad AS (SELECT adev AS mad FROM r2
+        WHERE rk2 = CAST(floor((n + 1) / 2.0) AS BIGINT))
+SELECT day, x::DOUBLE / 100 AS revenue,
+       floor(adev::DOUBLE / mad * 1000000 + 0.5) / 1000000 AS dev_ratio
+FROM a, mad WHERE mad > 0 AND adev > 3 * mad
+"""
+
+
+@register("revenue_mad_outliers", oracle=_MAD_OUTLIERS)
+def revenue_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days by median absolute deviation: days whose
+    revenue sits more than 3 MADs from the median — the detector that
+    survives the very outliers it hunts (a z-score's mean AND sd are
+    dragged by the anomaly; the median/MAD pair is 50%-breakdown
+    robust). Lower-median convention (rank floor((n+1)/2)) keeps every
+    comparison on exact integers.
+
+    Shape: day-grain collapse first; the two median ranks are by-less
+    windows over bounded day-count rows (EWMA precedent); each median
+    is a one-row broadcast back onto the day series; deviations and the
+    3*MAD gate compare exact BIGINT cents, and the reported ratio is
+    the only division."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    wall = Window.partitionBy()
+    half = lambda n: F.floor((n + 1) / F.lit(2.0)).cast("bigint")  # noqa: E731
+    r = daily.select(
+        "day", "x",
+        F.row_number().over(Window.orderBy("x", "day")).alias("rk"),
+        F.count("*").over(wall).alias("n"),
+    )
+    med = r.filter(F.col("rk") == half(F.col("n"))).select(
+        F.col("x").alias("med")
+    )
+    a = daily.crossJoin(F.broadcast(med)).select(
+        "day", "x", F.abs(F.col("x") - F.col("med")).alias("adev")
+    )
+    r2 = a.select(
+        "*",
+        F.row_number().over(Window.orderBy("adev", "day")).alias("rk2"),
+        F.count("*").over(wall).alias("n"),
+    )
+    mad = r2.filter(F.col("rk2") == half(F.col("n"))).select(
+        F.col("adev").alias("mad")
+    )
+    return (
+        a.crossJoin(F.broadcast(mad))
+        .filter((F.col("mad") > 0) & (F.col("adev") > 3 * F.col("mad")))
+        .select(
+            "day",
+            (F.col("x").cast("double") / 100).alias("revenue"),
+            (
+                F.floor(
+                    F.col("adev").cast("double") / F.col("mad") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("dev_ratio"),
+        )
+    )
