@@ -10748,3 +10748,436 @@ def revenue_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_ratio"),
         )
     )
+
+
+_CMS_HH = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x != '')) AS t
+  FROM documents
+),
+cms AS (
+  SELECT d, ('0x' || substr(md5(d || ':' || t), 1, 8))::BIGINT % 1024
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok, (SELECT unnest(range(4)) AS d) dd
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY t
+  ORDER BY exact_count DESC, t LIMIT 20
+),
+probes AS (
+  SELECT top.t, top.exact_count, dd.d,
+         ('0x' || substr(md5(dd.d || ':' || top.t), 1, 8))::BIGINT % 1024
+           AS bucket
+  FROM top, (SELECT unnest(range(4)) AS d) dd
+)
+SELECT p.t AS token, p.exact_count,
+       MIN(cms.cnt) AS cms_estimate,
+       MIN(cms.cnt) - p.exact_count AS overestimate
+FROM probes p JOIN cms ON cms.d = p.d AND cms.bucket = p.bucket
+GROUP BY p.t, p.exact_count
+"""
+
+
+@register("token_cms_heavy_hitters", oracle=_CMS_HH)
+def token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch calibration on the corpus's own heavy hitters:
+    build a 4x1024 CMS over every token occurrence
+    (membership.count_min_table), point-query it for the exact top-20
+    tokens, and report estimate vs truth — the measured overestimate
+    (never under; bounded by e*N/width w.h.p.) that tells you whether
+    THIS corpus's skew fits the sketch geometry before you rely on it
+    for single-pass frequency gating at 100 TB (where the exact
+    groupBy's vocabulary-grain shuffle is the cost being avoided).
+
+    Shape: the sketch is ONE partial-aggregated groupBy to 4096 rows
+    regardless of corpus size and broadcasts to the probe join; the
+    exact side is the vocabulary-grain count the sketch would replace,
+    kept here as the calibration truth with a TakeOrdered top-20."""
+    from slipstream_async_spark.operators import membership as MB
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TXT.tokens("text")).alias("t"))
+    cms = MB.count_min_table(tok, "t", depth=4, width=1024)
+    top = (
+        tok.groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "t")
+        .limit(20)
+    )
+    est = MB.count_min_estimate(cms, top, "t", depth=4, width=1024)
+    return est.select(
+        F.col("t").alias("token"),
+        "exact_count",
+        F.col("cms_estimate"),
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+def _rrf_oracle() -> str:
+    dq = _DK_DOT.format(a="e.embedding", b="q.qv")
+    dee = _DK_DOT.format(a="e.embedding", b="e.embedding")
+    dqq = _DK_DOT.format(a="q.qv", b="q.qv")
+    cos = (
+        f"CASE WHEN sqrt({dee}) * sqrt({dqq}) = 0 THEN 0.0 "
+        f"ELSE ({dq}) / (sqrt({dee}) * sqrt({dqq})) END"
+    )
+    l2sq = f"({dee}) - 2 * ({dq}) + ({dqq})"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+p AS (
+  SELECT q.query_id, e.vec_id,
+         {cos} AS cos,
+         {l2sq} AS l2sq
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+fa AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS ra
+    FROM p) WHERE ra <= 20
+),
+fb AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY l2sq ASC, vec_id) AS rb
+    FROM p) WHERE rb <= 20
+),
+fused AS (
+  SELECT COALESCE(fa.query_id, fb.query_id) AS query_id,
+         COALESCE(fa.vec_id, fb.vec_id) AS vec_id,
+         COALESCE(1.0 / (60 + fa.ra), 0) + COALESCE(1.0 / (60 + fb.rb), 0)
+           AS rrf
+  FROM fa FULL OUTER JOIN fb
+    ON fa.query_id = fb.query_id AND fa.vec_id = fb.vec_id
+)
+SELECT query_id, vec_id,
+       CAST(rank AS BIGINT) AS fused_rank,
+       floor(rrf * 1000000000 + 0.5) / 1000000000 AS rrf_score
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, vec_id) AS rank
+      FROM fused)
+WHERE rank <= 10
+"""
+
+
+@register("retrieval_rrf_fusion", oracle=_rrf_oracle())
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    two retrieval runs — cosine and Euclidean rankings of the same
+    corpus — into one list per query: score = sum 1/(60 + rank) over
+    the runs each document appears in (top-20 each), re-ranked, top-10
+    kept. RRF is the standard zero-training ensemble for hybrid search
+    (dense + lexical); here both runs derive from the embedding so the
+    oracle can reproduce them exactly.
+
+    Determinism: both base rankings order by identical IEEE score
+    expressions with a vec_id tie-break; RRF terms are divisions of
+    exact small integers, added in fixed expression order. Shape:
+    queries broadcast (the brute-force-baseline family's documented
+    contract); ranking windows partition BY QUERY; the fusion is a
+    20-row-per-query full outer join."""
+    from pyspark.sql import Window
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    e, v = F.col("embedding"), F.col("qv")
+    p = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            VEC.cosine_similarity(e, v).alias("cos"),
+            (VEC.dot(e, e) - 2 * VEC.dot(e, v) + VEC.dot(v, v)).alias(
+                "l2sq"
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    wb = Window.partitionBy("query_id").orderBy(F.col("l2sq").asc(), "vec_id")
+    fa = (
+        p.select("query_id", "vec_id", F.row_number().over(wa).alias("ra"))
+        .filter(F.col("ra") <= 20)
+    )
+    fb = (
+        p.select("query_id", "vec_id", F.row_number().over(wb).alias("rb"))
+        .filter(F.col("rb") <= 20)
+    )
+    fused = fa.join(fb, ["query_id", "vec_id"], "full_outer").select(
+        "query_id",
+        "vec_id",
+        (
+            F.coalesce(F.lit(1.0) / (60 + F.col("ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (60 + F.col("rb")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "vec_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("bigint").alias("fused_rank"),
+            (
+                F.floor(F.col("rrf") * 1000000000 + F.lit(0.5))
+                / 1000000000
+            ).alias("rrf_score"),
+        )
+    )
+
+
+_FUZZY_NAMES = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_nationkey, levenshtein(a.c_name, b.c_name) AS edit_distance
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+  AND levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@register("customer_name_fuzzy_pairs", oracle=_FUZZY_NAMES)
+def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: customers in the same nation
+    whose names are within 2 Levenshtein edits — the blocking +
+    bounded-edit-distance compare at the heart of record linkage
+    (Fellegi-Sunter; Christen 2012), the classic dedup move for
+    near-identical identifiers (typos, transposed digits, OCR noise).
+
+    Shape: dedup.fuzzy_blocked_pairs — the quadratic compare runs only
+    WITHIN nation blocks; the length band (a Levenshtein lower bound)
+    prunes before any DP; Spark computes the bounded
+    levenshtein(l, r, threshold) variant that abandons a pair as soon
+    as the running minimum exceeds 2 (the oracle's unbounded call
+    agrees wherever the bound admits the pair). At scale, blocks must
+    bound: a hotter key (nation x name-prefix) plus a second blocking
+    pass recovers recall, never one giant block."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    return DD.fuzzy_blocked_pairs(
+        cust, "c_name", "c_custkey", ["c_nationkey"], max_dist=2
+    )
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    prev = "p0"
+    for k in (1, 2, 3):
+        its.append(
+            f"i{k} AS (SELECT e.dst AS node, "
+            f"CAST(SUM((p.pr * e.share_ppm) // 1000000) AS BIGINT) AS inc "
+            f"FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst)"
+        )
+        its.append(
+            f"p{k} AS (SELECT n.node, "
+            f"CAST(6000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS pr "
+            f"FROM nodes n LEFT JOIN i{k} i ON i.node = n.node)"
+        )
+        prev = f"p{k}"
+    return f"""
+WITH flows AS (
+  SELECT n1.n_name AS src, n2.n_name AS dst,
+         CAST(SUM(CAST({_REV} * 10000 AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst,
+         CAST(floor(w::DOUBLE * 1000000
+                    / (SUM(w) OVER (PARTITION BY src))::DOUBLE)
+              AS BIGINT) AS share_ppm
+  FROM flows
+),
+nodes AS (SELECT n_name AS node FROM nation),
+p0 AS (SELECT node, CAST(40000 AS BIGINT) AS pr FROM nodes),
+{", ".join(its)}
+SELECT node AS nation, pr::DOUBLE / 1000000 AS pagerank FROM p3
+"""
+
+
+@register("nation_trade_pagerank", oracle=_pagerank_oracle())
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 unrolled power iterations) over the
+    nation-level trade graph — which nation's suppliers sit most
+    central when revenue flows weight the edges; the bounded-graph
+    demonstration of the iterative-centrality pattern (the full-scale
+    path is the same loop over an (src, dst, share) edge table keyed
+    by any id, with localCheckpoint truncating lineage per iteration —
+    duplicate_clusters' label-propagation discipline).
+
+    Determinism across engines, the hard part of iterating in floats:
+    ranks live in MICRO-UNITS (integers); edge shares quantize once to
+    ppm via a floor on identical doubles; every iteration is then pure
+    integer multiply/divide (pr * share_ppm never exceeds 1e12), so
+    after 3 iterations both engines hold bit-identical integers.
+    Dangling mass (a nation with no out-edges) is dropped, the standard
+    simplification. Shape: the 5-table star collapses to a <=625-row
+    edge list FIRST; iterations join 25-row rank tables broadcast."""
+    from pyspark.sql import Window
+
+    _views(
+        spark, sf_dir, "lineitem", "supplier", "nation", "orders", "customer"
+    )
+    flows = spark.sql(
+        f"""
+        SELECT n1.n_name AS src, n2.n_name AS dst,
+               CAST(SUM(CAST({_REV} * 10000 AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        GROUP BY 1, 2
+        """
+    )
+    out = Window.partitionBy("src")
+    edges = flows.select(
+        "src",
+        "dst",
+        F.floor(
+            F.col("w").cast("double")
+            * 1000000
+            / F.sum("w").over(out).cast("double")
+        )
+        .cast("bigint")
+        .alias("share_ppm"),
+    ).localCheckpoint()
+    nodes = spark.table("nation").select(F.col("n_name").alias("node"))
+    pr = nodes.select("node", F.lit(40000).cast("bigint").alias("pr"))
+    for _ in range(3):
+        inc = (
+            edges.join(
+                F.broadcast(pr), pr["node"] == edges["src"]
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr * share_ppm div 1000000").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("inc"))
+        )
+        pr = nodes.join(inc, "node", "left").select(
+            "node",
+            (
+                F.lit(6000)
+                + F.expr("85 * coalesce(inc, 0) div 100")
+            )
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return pr.select(
+        F.col("node").alias("nation"),
+        (F.col("pr").cast("double") / 1000000).alias("pagerank"),
+    )
+
+
+_ANOVA_F = """
+WITH q AS (
+  SELECT label, pos,
+         CAST(floor(val::DOUBLE * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM (SELECT label, unnest(embedding) AS val,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings)
+),
+g1 AS (
+  SELECT label, pos, COUNT(*) AS n_l,
+         CAST(SUM(qv) AS BIGINT) AS s_l,
+         CAST(SUM(qv * qv) AS BIGINT) AS ss_l
+  FROM q GROUP BY label, pos
+),
+g2 AS (
+  SELECT pos, COUNT(*) AS k,
+         CAST(SUM(n_l) AS BIGINT) AS n,
+         CAST(SUM(s_l) AS BIGINT) AS s,
+         CAST(SUM(ss_l) AS BIGINT) AS ss,
+         CAST(SUM(CAST(floor(s_l::DOUBLE * s_l::DOUBLE / n_l + 0.5)
+                       AS BIGINT)) AS BIGINT) AS t
+  FROM g1 GROUP BY pos
+)
+SELECT pos, CAST(k AS BIGINT) AS n_labels, n AS n_vectors,
+       CASE WHEN k <= 1 OR ss - t <= 0 THEN NULL
+            ELSE floor(((t - floor(s::DOUBLE * s::DOUBLE / n + 0.5))
+                        / (k - 1))
+                       / ((ss - t)::DOUBLE / (n - k))
+                       * 1000000 + 0.5) / 1000000
+       END AS f_stat
+FROM g2
+"""
+
+
+@register("emb_anova_f_per_dim", oracle=_ANOVA_F)
+def emb_anova_f_per_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic per embedding dimension: between-class
+    variance over within-class variance of each coordinate across the
+    label classes — the per-axis separability map (Fisher's criterion,
+    axis-aligned). Dimensions with high F carry the label signal and
+    survive Matryoshka truncation; near-1 dimensions are
+    class-agnostic and quantize/prune for free. Complements
+    emb_dim_stats (unconditional moments) with the CONDITIONAL view.
+
+    Determinism: values quantize to 1e-6 fixed point at the scan (the
+    emb_dim_stats recipe); all class sums are exact BIGINTs; the only
+    cross-engine-sensitive reduction — sum over classes of S_l^2/n_l —
+    is quantized per class to integer units BEFORE the sum, so the
+    label-order of a floating addition never matters. Shape: posexplode
+    -> (label,pos) partial agg -> pos rollup; the shuffle never carries
+    vectors, and work spreads over dim x label reducers."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.select("label", F.posexplode("embedding").alias("pos", "val")).select(
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    g1 = q.groupBy("label", "pos").agg(
+        F.count("*").alias("n_l"),
+        F.sum("qv").cast("bigint").alias("s_l"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("ss_l"),
+    )
+    t_l = F.floor(
+        F.col("s_l").cast("double") * F.col("s_l").cast("double")
+        / F.col("n_l")
+        + F.lit(0.5)
+    ).cast("bigint")
+    g2 = g1.groupBy("pos").agg(
+        F.count("*").alias("k"),
+        F.sum("n_l").cast("bigint").alias("n"),
+        F.sum("s_l").cast("bigint").alias("s"),
+        F.sum("ss_l").cast("bigint").alias("ss"),
+        F.sum(t_l).cast("bigint").alias("t"),
+    )
+    sd = F.col("s").cast("double")
+    between = F.col("t") - F.floor(sd * sd / F.col("n") + F.lit(0.5)).cast(
+        "bigint"
+    )
+    within = F.col("ss") - F.col("t")
+    f_stat = F.floor(
+        (between.cast("double") / (F.col("k") - 1))
+        / (within.cast("double") / (F.col("n") - F.col("k")))
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    return g2.select(
+        "pos",
+        F.col("k").cast("bigint").alias("n_labels"),
+        F.col("n").alias("n_vectors"),
+        F.when(
+            (F.col("k") <= 1) | (within <= 0), F.lit(None).cast("double")
+        )
+        .otherwise(f_stat)
+        .alias("f_stat"),
+    )
