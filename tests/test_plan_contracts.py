@@ -334,3 +334,49 @@ def test_backlog_is_interval_decomposed(q):
     plan = _plan(q["orders_backlog_daily"], "simple")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_exact_quantiles_no_single_partition_data_sort(q):
+    """lineitem_exact_quantiles: the total order must come from the
+    two-phase global_rank (range repartition + local rank + broadcast
+    offsets over the checkpointed frame) — the plan reads the
+    materialized index and contains no single-partition Exchange over
+    data-grain rows (the only SinglePartition branch is the bounded
+    per-partition-counts offsets window)."""
+    plan = _plan(q["lineitem_exact_quantiles"], "formatted")
+    assert "Scan ExistingRDD" in plan, plan
+    # two bounded serial branches are legitimate: the per-partition-count
+    # offsets window and the scalar COUNT(*) final aggregate — both take
+    # aggregate-grain inputs, never data rows
+    assert plan.count("SinglePartition") <= 2, plan
+
+
+def test_cms_probe_broadcasts_sketch(q):
+    """token_cms_heavy_hitters: the 4096-row sketch must reach the
+    probe join as a broadcast — shipping the corpus to the sketch
+    instead would shuffle vocabulary-grain rows twice."""
+    plan = _plan(q["token_cms_heavy_hitters"], "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fuzzy_pairs_bounded_levenshtein(q):
+    """customer_name_fuzzy_pairs: the edit distance must be the bounded
+    variant (threshold pushed into the DP) and the length-band filter
+    must sit below the join, so in-block pairs are pruned before any
+    quadratic string work."""
+    plan = _plan(q["customer_name_fuzzy_pairs"], "simple")
+    assert "levenshtein" in plan, plan
+    assert "Some(2)" in plan, plan  # bounded-DP threshold argument present
+
+
+def test_pagerank_iterations_reuse_checkpointed_edges(q):
+    """nation_trade_pagerank: all three iterations must read the ONE
+    materialized edge list — the 5-table star appears zero times in the
+    final plan (localCheckpoint), so iterating never re-derives it."""
+    plan = _plan(q["nation_trade_pagerank"], "simple")
+    assert "Scan ExistingRDD" in plan, plan
+    # the only parquet reads left are the 25-row nation node lists (one
+    # per LEFT JOIN re-anchor + the output); lineitem/orders/customer/
+    # supplier must NOT appear — they live behind the checkpoint
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all("n_name" in ln for ln in scans), plan

@@ -591,3 +591,80 @@ def test_winnowing_pairs_hot_fingerprint_cap(spark):
     # window-min selection near the doc-specific prefix means not every
     # doc picks every boilerplate fingerprint — sizes range (cap, 8]
     assert all(4 < r["bucket_size"] <= 8 for r in dropped)
+
+
+def test_exact_quantiles_matches_sorted_python(spark):
+    """exact_quantiles: nearest-rank values agree with the sorted-list
+    definition for several partition counts (the rank must be a pure
+    function of the total order, not of partitioning), including a
+    probs edge at 100."""
+    import random
+
+    from slipstream_async_spark.operators.aggregations import exact_quantiles
+
+    rng = random.Random(7)
+    vals = [rng.randint(-1000, 1000) for _ in range(997)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    want = {
+        p: sorted(vals)[-(-p * len(vals) // 100) - 1]
+        for p in (1, 25, 50, 75, 100)
+    }
+    for parts in (1, 4, 32):
+        got = {
+            r["pct"]: r["value"]
+            for r in exact_quantiles(
+                df, "v", [1, 25, 50, 75, 100], partitions=parts
+            ).collect()
+        }
+        assert got == want, (parts, got, want)
+
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", [0, 50])
+
+
+def test_count_min_never_undercounts(spark):
+    """Count-Min invariant: the estimate is >= the exact count for every
+    key, and equals it when the sketch is wide enough that the key's
+    counters see no collisions."""
+    from slipstream_async_spark.operators.membership import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    rows = [(f"k{i % 50}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "t string")
+    exact = df.groupBy("t").count().withColumnRenamed("count", "exact")
+
+    cms = count_min_table(df, "t", depth=4, width=8)  # heavy collisions
+    est = count_min_estimate(cms, exact, "t", depth=4, width=8).collect()
+    assert all(r["cms_estimate"] >= r["exact"] for r in est)
+    assert sum(1 for r in est if r["cms_estimate"] > r["exact"]) > 0
+
+    wide = count_min_table(df, "t", depth=4, width=65536)
+    est_w = count_min_estimate(wide, exact, "t", depth=4, width=65536)
+    assert all(
+        r["cms_estimate"] == r["exact"] for r in est_w.collect()
+    )
+
+
+def test_fuzzy_blocked_pairs_semantics(spark):
+    """fuzzy_blocked_pairs: cross-block pairs never compare, the length
+    band never prunes a within-threshold pair, and the reported distance
+    is the true Levenshtein distance."""
+    from slipstream_async_spark.operators.dedup import fuzzy_blocked_pairs
+
+    rows = [
+        (1, "B", "acme corp"),
+        (2, "B", "acme corp."),   # dist 1
+        (3, "B", "acme inc"),     # dist 4 from #1 -> out at max_dist=2
+        (4, "C", "acme corp"),    # other block: never compared
+        (5, "B", "acme  corp"),   # dist 1 (extra space)
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in fuzzy_blocked_pairs(
+            df, "name", "id", ["blk"], max_dist=2
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 5): 1, (2, 5): 2}
