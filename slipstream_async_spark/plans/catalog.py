@@ -11181,3 +11181,519 @@ def emb_anova_f_per_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(f_stat)
         .alias("f_stat"),
     )
+
+
+_ATTR_POSITION = """
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.pid, p.val_c, e.event_type,
+         row_number() OVER (PARTITION BY p.pid
+                            ORDER BY e.ts, e.event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY p.pid) AS k
+  FROM purchases p
+  JOIN events e
+    ON e.user_id = p.user_id
+   AND e.event_type IN ('view', 'click', 'signup')
+   AND e.ts < p.ts
+   AND e.ts >= p.ts - INTERVAL 7 DAY
+),
+credited AS (
+  SELECT event_type,
+         CASE WHEN k = 1 THEN 10000
+              WHEN k = 2 THEN 5000
+              WHEN pos = 1 OR pos = k THEN 4000
+              ELSE 2000 // (k - 2) END AS bp,
+         val_c
+  FROM touches
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(val_c * bp) AS BIGINT)::DOUBLE / 1000000
+         AS credited_revenue
+FROM credited GROUP BY event_type
+"""
+
+
+@register("events_attribution_position", oracle=_ATTR_POSITION)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) marketing attribution: each purchase's
+    revenue splits over its preceding 7-day touch path as 40% first
+    touch / 40% last / 20% spread over the middle (k=1 -> 100%, k=2 ->
+    50/50) — the multi-touch model between last-touch (already in the
+    catalog) and data-driven attribution, the one marketers actually
+    reconcile budgets against.
+
+    Determinism: credit runs in integer BASIS POINTS with an integer
+    middle-split (the division remainder is dropped, documented — both
+    engines drop the same remainder), and revenue is quantized to exact
+    cents, so every credited amount is an exact integer product.
+    Shape: the touch join shuffles on user_id only; per-purchase
+    position windows partition BY PURCHASE (bounded by a 7-day path
+    length); the final rollup is |event_types| rows."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("val_c"),
+    )
+    touches = (
+        events.filter(
+            F.col("event_type").isin("view", "click", "signup")
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+        .join(purchases, "user_id")
+        .filter(
+            (F.col("ts") < F.col("pts"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+        )
+    )
+    wp = Window.partitionBy("pid").orderBy("ts", "event_id")
+    wk = Window.partitionBy("pid")
+    pos = touches.select(
+        "pid",
+        "val_c",
+        "event_type",
+        F.row_number().over(wp).alias("pos"),
+        F.count("*").over(wk).alias("k"),
+    )
+    bp = (
+        F.when(F.col("k") == 1, F.lit(10000))
+        .when(F.col("k") == 2, F.lit(5000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), 4000)
+        .otherwise(F.expr("2000 div (k - 2)"))
+    )
+    return (
+        pos.select("event_type", "val_c", bp.alias("bp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            (
+                F.sum(F.col("val_c") * F.col("bp"))
+                .cast("bigint")
+                .cast("double")
+                / 1000000
+            ).alias("credited_revenue"),
+        )
+    )
+
+
+_NAIVE_MAPE = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS day_no,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT t.day_no, t.x,
+         CAST(floor(abs(t.x - f.x)::DOUBLE / t.x * 1000000 + 0.5)
+              AS BIGINT) AS ape_u
+  FROM daily t JOIN daily f ON f.day_no + 7 = t.day_no
+  WHERE t.x > 0
+),
+r AS (
+  SELECT ape_u, row_number() OVER (ORDER BY ape_u) AS rk,
+         COUNT(*) OVER () AS n
+  FROM p
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(SUM(ape_u) AS BIGINT)::DOUBLE / MAX(n) / 1000000 AS mape,
+       MIN(CASE WHEN rk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                THEN ape_u END)::DOUBLE / 1000000 AS mdape
+FROM r
+"""
+
+
+@register("forecast_naive_mape", oracle=_NAIVE_MAPE)
+def forecast_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the SEASONAL NAIVE forecast (predict this day =
+    same weekday last week) on daily revenue: MAPE and the
+    outlier-robust median APE — the floor every real forecasting model
+    must beat (M-competition practice: report skill relative to naive,
+    not absolute error). A model that can't beat lag-7 on this series
+    has learned nothing the calendar didn't already know.
+
+    Determinism: forecasts pair by integer day-number equi-join
+    (gap-correct, the ACF discipline); each day's APE quantizes to an
+    exact 1e-6 integer BEFORE averaging, so the mean is a ratio of
+    exact integers and the median is a rank pick. Shape: day-grain
+    collapse first; the by-less rank window runs over bounded
+    day-count rows."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("day_no")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    fc = daily.select(
+        (F.col("day_no") + 7).alias("day_no"), F.col("x").alias("f")
+    )
+    p = (
+        daily.join(fc, "day_no")
+        .filter(F.col("x") > 0)
+        .select(
+            F.floor(
+                F.abs(F.col("x") - F.col("f")).cast("double")
+                / F.col("x")
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ape_u")
+        )
+    )
+    r = p.select(
+        "ape_u",
+        F.row_number().over(Window.orderBy("ape_u")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        (
+            F.sum("ape_u").cast("bigint").cast("double")
+            / F.max("n")
+            / 1000000
+        ).alias("mape"),
+        (
+            F.min(
+                F.when(
+                    F.col("rk")
+                    == F.floor((F.col("n") + 1) / F.lit(2.0)).cast("bigint"),
+                    F.col("ape_u"),
+                )
+            ).cast("double")
+            / 1000000
+        ).alias("mdape"),
+    )
+
+
+_FANO = """
+WITH span AS (
+  SELECT date_diff('hour', min(ts), max(ts)) + 1 AS n_hours FROM events
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS observed_hours
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, s AS n_events, observed_hours,
+       CAST(span.n_hours AS BIGINT) AS span_hours,
+       floor((span.n_hours::DOUBLE * ss - s::DOUBLE * s)
+             / (span.n_hours::DOUBLE * s) * 1000000 + 0.5) / 1000000
+         AS fano_factor
+FROM agg, span
+"""
+
+
+@register("events_fano_factor", oracle=_FANO)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type as the Fano factor (index of
+    dispersion) of its hourly arrival counts over the table's full
+    hour span: variance/mean = 1 for a Poisson process, >> 1 for bursty
+    traffic (bot storms, incident error spikes), < 1 for throttled/
+    regular arrivals — the dispersion diagnostic behind anomaly
+    thresholds (a z-score tuned on Poisson assumptions misfires by the
+    Fano ratio on bursty types). Zero-event hours count: the span comes
+    from the global min/max timestamp, so F = (N*SS - S^2)/(N*S) over
+    the FULL N hours with absent hours contributing 0 to S and SS.
+
+    Shape: hour-grain collapse per type (partial agg), rollup to
+    |types| rows, one scalar span broadcast; every moment is an exact
+    BIGINT and the single division quantizes fixed-point."""
+    (events,) = _t(spark, sf_dir, "events")
+    span = events.agg(
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            )
+            / 3600
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_hours")
+    )
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("c"))
+    agg = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        F.count("*").cast("bigint").alias("observed_hours"),
+    )
+    nh = F.col("n_hours").cast("double")
+    sd = F.col("s").cast("double")
+    return agg.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.col("s").alias("n_events"),
+        "observed_hours",
+        F.col("n_hours").cast("bigint").alias("span_hours"),
+        (
+            F.floor(
+                (nh * F.col("ss") - sd * sd) / (nh * sd) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("fano_factor"),
+    )
+
+
+def _hard_neg_oracle() -> str:
+    dq = _DK_DOT.format(a="e.embedding", b="q.qv")
+    dee = _DK_DOT.format(a="e.embedding", b="e.embedding")
+    dqq = _DK_DOT.format(a="q.qv", b="q.qv")
+    cos = (
+        f"CASE WHEN sqrt({dee}) * sqrt({dqq}) = 0 THEN 0.0 "
+        f"ELSE ({dq}) / (sqrt({dee}) * sqrt({dqq})) END"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS anchor_id, label AS a_label, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+p AS (
+  SELECT q.anchor_id, q.a_label, e.vec_id, e.label,
+         {cos} AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.anchor_id
+),
+pos AS (
+  SELECT * FROM (
+    SELECT anchor_id, a_label, vec_id AS pos_id, cos AS cos_pos,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY cos DESC, vec_id) AS r
+    FROM p WHERE label = a_label) WHERE r = 1
+),
+neg AS (
+  SELECT * FROM (
+    SELECT anchor_id, vec_id AS neg_id, cos AS cos_neg,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY cos DESC, vec_id) AS r
+    FROM p WHERE label != a_label) WHERE r = 1
+)
+SELECT pos.anchor_id, CAST(pos.a_label AS BIGINT) AS anchor_label,
+       pos.pos_id, neg.neg_id,
+       floor(cos_pos * 1000000 + 0.5) / 1000000 AS cos_pos,
+       floor(cos_neg * 1000000 + 0.5) / 1000000 AS cos_neg,
+       floor((cos_pos - cos_neg) * 1000000 + 0.5) / 1000000 AS margin
+FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+"""
+
+
+@register("emb_hard_negatives", oracle=_hard_neg_oracle())
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    most-similar SAME-label vector (hardest positive, by cosine) and
+    the most-similar DIFFERENT-label vector (hardest negative), with
+    the triplet margin between them — negative margins are exactly the
+    anchors where a contrastive batch needs these mined negatives
+    instead of random ones (the in-batch-negatives starvation problem
+    at scale; SimCLR/DPR practice).
+
+    Shape: anchors broadcast against one corpus scan (the brute-force
+    family's contract — the IVF probe path swaps in for production);
+    both argmaxes are rank-1 windows partitioned BY ANCHOR with vec_id
+    tie-breaks; margins quantize fixed-point at output only."""
+    from pyspark.sql import Window
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("qv"),
+    )
+    p = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "vec_id",
+            "label",
+            VEC.cosine_similarity(F.col("embedding"), F.col("qv")).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), "vec_id")
+    pos = (
+        p.filter(F.col("label") == F.col("a_label"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "anchor_id",
+            "a_label",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cos").alias("cos_pos"),
+        )
+    )
+    neg = (
+        p.filter(F.col("label") != F.col("a_label"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos").alias("cos_neg"),
+        )
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        F.col("a_label").cast("bigint").alias("anchor_label"),
+        "pos_id",
+        "neg_id",
+        q6(F.col("cos_pos")).alias("cos_pos"),
+        q6(F.col("cos_neg")).alias("cos_neg"),
+        q6(F.col("cos_pos") - F.col("cos_neg")).alias("margin"),
+    )
+
+
+_NOVELTY_ORDER = f"""
+WITH toks AS (SELECT source, {_DK_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT AS g
+  FROM (SELECT source, unnest({_dk_kgram(8)}) AS g FROM toks)
+),
+own AS (SELECT g, MIN(source) AS owner FROM sh GROUP BY g)
+SELECT sh.source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN own.owner = sh.source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       floor(SUM(CASE WHEN own.owner = sh.source THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS novelty_rate
+FROM sh JOIN own ON own.g = sh.g
+GROUP BY sh.source
+"""
+
+
+@register("source_novelty_order", oracle=_NOVELTY_ORDER)
+def source_novelty_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal novelty of each source under a fixed acquisition order
+    (lexicographic source name): the fraction of a source's distinct
+    8-grams NOT already contributed by any earlier source — the
+    data-buying metric (RefinedWeb/Dolma-style corpus assembly: a
+    source whose novelty collapses after the sources before it adds
+    volume, not information; sequence your acquisitions by this
+    curve). The owner of a gram is the MINIMUM source containing it —
+    an aggregate, so "first in order" needs no iterative pass.
+
+    Shape: distinct (source, gram-hash) pairs shuffle as 64-bit ints
+    (never gram text); ownership is one groupBy(gram) min; the rollup
+    is |sources| rows. At 100 TB this is the same two-shuffle plan —
+    gram-hash keyspace spreads uniformly by construction."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(
+                TXT.shingles_of_tokens(TXT.tokens("text"), 8)
+            ).alias("g"),
+        )
+        .select("source", TXT.hash32("g").alias("g"))
+        .distinct()
+    )
+    own = sh.groupBy("g").agg(F.min("source").alias("owner"))
+    novel = F.sum(
+        F.when(F.col("owner") == F.col("source"), 1).otherwise(0)
+    )
+    return (
+        sh.join(own, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            (
+                F.floor(
+                    novel.cast("double") / F.count("*") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+_LISTAGG = """
+WITH r AS (
+  SELECT n_name, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+)
+SELECT n_name,
+       string_agg(c_name, ',' ORDER BY rk) AS top_customers,
+       CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT)::DOUBLE / 100 AS top3_balance
+FROM r WHERE rk <= 3 GROUP BY n_name
+"""
+
+
+@register("nation_customer_listagg", oracle=_LISTAGG)
+def nation_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per nation, LISTAGG'd into an
+    ordered comma-joined string — the SQL string-aggregation surface
+    (LISTAGG / string_agg / GROUP_CONCAT) that reporting layers lean
+    on, expressed as sort_array(collect_list(struct)) -> transform ->
+    array_join in Spark (deterministic: the struct's leading rank field
+    fixes the order; bare collect_list order is partition-dependent
+    and would split any cross-engine hash).
+
+    Shape: broadcast nation dim, rank window partitioned by nation,
+    3-row-per-group aggregate; balances sum as exact integer cents."""
+    from pyspark.sql import Window
+
+    (cust, nation) = _t(spark, sf_dir, "customer", "nation")
+    j = cust.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    r = j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return r.groupBy("n_name").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", F.col("c_name")))
+                ),
+                lambda x: x["c_name"],
+            ),
+            ",",
+        ).alias("top_customers"),
+        (
+            F.sum(
+                (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .cast("double")
+            / 100
+        ).alias("top3_balance"),
+    )
