@@ -134,6 +134,26 @@ ALLOW_BNLJ = {
     # two one-row token/bigram totals crossed onto the min-support
     # pair aggregate — scalars, not data
     "part_bigram_pmi",
+    # 5-row percentile dim crossed with the one-row total count to
+    # derive target ranks — scalar-subquery shape; the rank itself is
+    # the distributed global_rank, never a single-partition sort
+    "lineitem_exact_quantiles",
+    # 5-row lag dim broadcast-crossed onto the day-grain aggregate —
+    # calendar-sized sides, the orders_revenue_ewma shape
+    "revenue_acf_lags",
+    # two one-row scalars (median, MAD) crossed onto the day-grain
+    # series — the scalar-subquery shape, twice
+    "revenue_mad_outliers",
+    # 10-row query set broadcast-crossed against the corpus for BOTH
+    # base rankers — the sim_topk_bruteforce shape (the production
+    # path swaps the IVF probe in for each ranker)
+    "retrieval_rrf_fusion",
+    # one-row hour-span scalar crossed onto the |event-types| aggregate
+    # — the scalar-subquery shape
+    "events_fano_factor",
+    # 10-row anchor set broadcast-crossed against the corpus — the
+    # sim_topk_bruteforce shape feeding both argmax windows
+    "emb_hard_negatives",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
