@@ -6533,9 +6533,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     token so the fit set is engine-identical.
 
     Shape: the token stream collapses to vocabulary counts at one
-    partial agg; the rank window and regression run over <= 1000 rows.
-    regr_slope/intercept/r2 are single-pass moment aggregates — the
-    same partial-aggregatable form both engines implement."""
+    partial agg; the top-1000 selection is a TakeOrdered (per-partition
+    top-k, never a single-partition sort of the WHOLE vocabulary — at
+    100 TB the type space is 1e8+, and a by-less rank window would
+    funnel it through one task); only the bounded 1000-row result sees
+    a rank window. regr_slope/intercept/r2 are single-pass moment
+    aggregates — the same partial-aggregatable form both engines
+    implement."""
     from pyspark.sql import Window
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -6544,12 +6548,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
-    ranked = counts.select(
+    top = counts.orderBy(F.desc("c"), F.asc("tok")).limit(1000)
+    ranked = top.select(
         "c",
         F.row_number()
         .over(Window.orderBy(F.desc("c"), F.asc("tok")))
         .alias("rank"),
-    ).filter(F.col("rank") <= 1000)
+    )
     y, x = F.log("c"), F.log("rank")
     return ranked.agg(
         F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
@@ -10148,10 +10153,12 @@ def part_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), "wa", "wb")
+    # TakeOrdered top-20, never a by-less rank window over the pair
+    # table — collocation pairs grow with vocab^2-ish at corpus scale
+    # and a single-partition window sort there is the classic killer
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        scored.orderBy(F.col("pmi").desc(), "wa", "wb")
+        .limit(20)
         .select(
             F.col("wa").alias("word_a"),
             F.col("wb").alias("word_b"),
