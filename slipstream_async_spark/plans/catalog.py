@@ -11704,3 +11704,302 @@ def nation_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("top3_balance"),
     )
+
+
+_ZONE_MAP = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+),
+u AS (
+  SELECT l_orderkey % 64 AS f, l_shipdate FROM li
+),
+uz AS (SELECT f, min(l_shipdate) AS lo, max(l_shipdate) AS hi
+       FROM u GROUP BY f),
+r AS (
+  SELECT l_shipdate,
+         row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+           AS rk,
+         COUNT(*) OVER () AS n
+  FROM li
+),
+s AS (
+  SELECT l_shipdate,
+         CASE WHEN rk <= (n // 64 + 1) * (n % 64)
+              THEN (rk - 1) // (n // 64 + 1) + 1
+              ELSE (n % 64) + ((rk - (n // 64 + 1) * (n % 64)) - 1)
+                   // (n // 64) + 1 END AS f
+  FROM r
+),
+sz AS (SELECT f, min(l_shipdate) AS lo, max(l_shipdate) AS hi
+       FROM s GROUP BY f),
+hit AS (
+  SELECT 'roundrobin' AS layout, COUNT(*) AS n_files,
+         CAST(SUM(CASE WHEN lo < TIMESTAMP '1994-04-01'
+                        AND hi >= TIMESTAMP '1994-03-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
+  FROM uz
+  UNION ALL
+  SELECT 'sorted', COUNT(*),
+         CAST(SUM(CASE WHEN lo < TIMESTAMP '1994-04-01'
+                        AND hi >= TIMESTAMP '1994-03-01'
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM sz
+)
+SELECT layout, CAST(n_files AS BIGINT) AS n_files, files_hit,
+       floor((n_files - files_hit)::DOUBLE / n_files * 1000000 + 0.5)
+         / 1000000 AS skip_rate
+FROM hit
+"""
+
+
+@register("layout_zone_map_skipping", oracle=_ZONE_MAP)
+def layout_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY sort-clustered layout matters, measured in-engine: simulate
+    64 files' zone maps (per-file min/max of l_shipdate) under (a) a
+    round-robin layout (file = orderkey mod 64 — every file spans the
+    whole date range) and (b) a ship-date-sorted layout (file = exact
+    NTILE over the two-phase global rank), then count how many files a
+    one-month predicate can SKIP. Round-robin skips ~nothing; sorted
+    skips all but ~1/64 + boundary files — the number that justifies
+    Z-order/sort-on-write before a 100 TB scan-heavy workload.
+
+    Shape: the sorted assignment is AGG.global_rank + AGG.exact_ntile
+    (never a single-partition NTILE window over the fact table); both
+    zone-map passes are partial-aggregated groupBys to 64 rows."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    slim = li.select("l_orderkey", "l_linenumber", "l_shipdate")
+    uz = (
+        slim.select(
+            (F.col("l_orderkey") % 64).alias("f"), "l_shipdate"
+        )
+        .groupBy("f")
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    )
+    r = AGG.global_rank(
+        slim, ["l_shipdate", "l_orderkey", "l_linenumber"], rank_col="rk"
+    )
+    n = slim.agg(F.count("*").alias("n"))
+    s = r.crossJoin(F.broadcast(n)).select(
+        "l_shipdate", AGG.exact_ntile("rk", "n", 64).alias("f")
+    )
+    sz = s.groupBy("f").agg(
+        F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+    )
+    lo_p, hi_p = F.lit("1994-03-01").cast("timestamp"), F.lit(
+        "1994-04-01"
+    ).cast("timestamp")
+    hits = lambda z, name: z.agg(  # noqa: E731
+        F.lit(name).alias("layout"),
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(
+            F.when((F.col("lo") < hi_p) & (F.col("hi") >= lo_p), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("files_hit"),
+    )
+    both = hits(uz, "roundrobin").unionByName(hits(sz, "sorted"))
+    return both.select(
+        "layout",
+        "n_files",
+        "files_hit",
+        (
+            F.floor(
+                (F.col("n_files") - F.col("files_hit")).cast("double")
+                / F.col("n_files")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("skip_rate"),
+    )
+
+
+_K_ANON = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS sz
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk
+FROM g
+"""
+
+
+@register("privacy_k_anonymity", oracle=_K_ANON)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier
+    (nation, market segment, $1000 balance band): the dataset's k is
+    the SMALLEST equivalence-class size — any class below the k=5
+    policy line is a re-identification risk, and its row count is the
+    exposure. The release decision for a 100 TB user-adjacent corpus
+    reads exactly this row before anything ships.
+
+    Shape: one partial-aggregated groupBy to quasi-identifier grain,
+    one 4-scalar rollup; pure integer arithmetic end to end."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("sz"))
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+    )
+
+
+_P_CHART = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(e) AS BIGINT) AS se, CAST(SUM(n) AS BIGINT) AS sn
+        FROM daily)
+SELECT day,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(e AS BIGINT) AS n_errors,
+       floor(e::DOUBLE / n * 1000000 + 0.5) / 1000000 AS p_hat,
+       floor((se::DOUBLE / sn
+              + 3 * sqrt((se::DOUBLE / sn) * (1 - se::DOUBLE / sn) / n))
+             * 1000000 + 0.5) / 1000000 AS ucl,
+       e::DOUBLE / n > se::DOUBLE / sn
+         + 3 * sqrt((se::DOUBLE / sn) * (1 - se::DOUBLE / sn) / n)
+         AS out_of_control
+FROM daily, tot
+"""
+
+
+@register("events_p_chart", oracle=_P_CHART)
+def events_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart over the daily error share: days whose error
+    proportion exceeds the 3-sigma upper control limit
+    pbar + 3*sqrt(pbar(1-pbar)/n_t) — statistical process control's
+    incident detector, with per-day limits that WIDEN on thin traffic
+    (a z-score with a fixed denominator pages you on quiet weekends;
+    the p-chart doesn't).
+
+    Every day is emitted with its measured share, its own limit, and
+    the out_of_control verdict (emitting only violators would hash an
+    empty frame on calm data — a weaker gate).
+
+    Shape: day-grain collapse, one 2-scalar global total broadcast
+    back; the limit arithmetic is identical IEEE ops on exact integer
+    ratios, so the out-of-control set is engine-deterministic (the
+    comparison happens on raw doubles, quantization only at output)."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "e"
+        ),
+    )
+    tot = daily.agg(
+        F.sum("e").cast("bigint").alias("se"),
+        F.sum("n").cast("bigint").alias("sn"),
+    )
+    j = daily.crossJoin(F.broadcast(tot))
+    pbar = F.col("se").cast("double") / F.col("sn")
+    ucl = pbar + 3 * F.sqrt(pbar * (1 - pbar) / F.col("n"))
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("e").cast("bigint").alias("n_errors"),
+        q6(F.col("e").cast("double") / F.col("n")).alias("p_hat"),
+        q6(ucl).alias("ucl"),
+        (F.col("e").cast("double") / F.col("n") > ucl).alias(
+            "out_of_control"
+        ),
+    )
+
+
+_DOW_INDEX = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) % 7 AS dow,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x,
+         date_trunc('day', o_orderdate) AS day
+  FROM orders GROUP BY 3, 1
+),
+d AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM daily GROUP BY dow),
+tot AS (SELECT CAST(SUM(n_days) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT)
+               AS st FROM d)
+SELECT dow, n_days,
+       floor((s::DOUBLE / n_days) / (st::DOUBLE / n) * 1000000 + 0.5)
+         / 1000000 AS revenue_index
+FROM d, tot
+"""
+
+
+@register("orders_dow_index", oracle=_DOW_INDEX)
+def orders_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue seasonality index: mean daily revenue per
+    weekday over the global mean daily revenue (1.0 = no weekday
+    effect) — the multiplicative seasonal component a forecaster
+    divides out before trend fitting, and the companion the ACF's
+    acf(7) spike asks for. Weekday is computed as day-number mod 7
+    from a fixed epoch (1990-01-01, a Monday; 0 = Monday) — pure
+    integer arithmetic, immune to the engines' differing DOW/locale
+    conventions.
+
+    Shape: day-grain collapse, 7-row rollup, one 2-scalar broadcast;
+    the index is a ratio of exact integer sums quantized at output."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    d = daily.select(
+        (
+            F.datediff(
+                F.to_date("day"), F.lit("1990-01-01").cast("date")
+            )
+            % 7
+        ).alias("dow"),
+        "x",
+    ).groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    tot = d.agg(
+        F.sum("n_days").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("st"),
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        (
+            F.floor(
+                (F.col("s").cast("double") / F.col("n_days"))
+                / (F.col("st").cast("double") / F.col("n"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("revenue_index"),
+    )
