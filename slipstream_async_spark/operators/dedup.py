@@ -878,3 +878,92 @@ def fuzzy_blocked_pairs(
         .select("id_a", "id_b", *block_cols, d.alias("edit_distance"))
         .filter(F.col("edit_distance") >= 0)
     )
+
+
+def fuzzy_segment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+    max_bucket_size: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Edit-distance pairs via INTERLEAVED-SIGNATURE blocking — the
+    scalable form of :func:`fuzzy_blocked_pairs` when blocks alone stay
+    quadratic (15k names per nation = 100M bounded-DP calls; 1M = 5e11).
+
+    Signature: character class ``i`` of a string is the concatenation
+    of its characters at positions ``== i (mod max_dist+1)``. Each
+    substitution touches exactly one class, so two equal-length strings
+    within ``max_dist`` substitutions share AT LEAST ONE intact class
+    (pigeonhole) — candidates are pairs agreeing on (block, class id,
+    class projection), found by one shuffle on the signature key, then
+    verified with the bounded Levenshtein DP. Unlike prefix/segment
+    signatures (PassJoin, Li et al. VLDB 2011 — fixed substrings, which
+    degenerate to one hot bucket when the data shares a constant prefix
+    like 'Customer#000...'), interleaved classes sample the VARIABLE
+    region of every string, so buckets stay discriminative.
+
+    Recall contract: complete for substitution-only edits between
+    equal-length strings; insert/delete edits shift positions and may
+    escape the signature (the documented signature-ER tradeoff — run a
+    second pass with a shifted signature to recover them). The
+    ``max_bucket_size`` cap (with ``stats`` accounting) guards
+    pathological blocks exactly as in every LSH scheme here.
+    """
+    d1 = max_dist + 1
+    text = F.col(text_col)
+    projections = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg_id"),
+                F.when(
+                    F.length(text) >= i + 1,
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.sequence(
+                                F.lit(i + 1), F.length(text), F.lit(d1)
+                            ),
+                            lambda j: F.substring(text, j, F.lit(1)),
+                        ),
+                    ),
+                )
+                .otherwise(F.lit(""))
+                .alias("proj"),
+            )
+            for i in range(d1)
+        ]
+    )
+    inv = df.select(
+        *block_cols, F.col(id_col), F.explode(projections).alias("_s")
+    ).select(
+        *block_cols,
+        id_col,
+        F.col("_s.seg_id").alias("_seg"),
+        F.col("_s.proj").alias("_proj"),
+    )
+    cand = _bucket_pairs(
+        inv,
+        [*block_cols, "_seg", "_proj"],
+        id_col,
+        max_bucket_size=max_bucket_size,
+        stats=stats,
+    ).distinct()
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        *block_cols,
+        F.col(text_col).alias("_ta"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
+    )
+    d = F.levenshtein("_ta", "_tb", max_dist)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.abs(F.length("_ta") - F.length("_tb")) <= max_dist)
+        .select("id_a", "id_b", *block_cols, d.alias("edit_distance"))
+        .filter(F.col("edit_distance") >= 0)
+    )
