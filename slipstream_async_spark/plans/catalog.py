@@ -12021,3 +12021,76 @@ def orders_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("revenue_index"),
     )
+
+
+_SOURCE_PAIR_MATRIX = f"""
+WITH sets AS (
+  SELECT doc_id, {_DK_SHINGLES} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+  FROM sets
+), sigs AS (
+  SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashed
+), bands AS (
+  {_minhash_bands_sql()}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+), jt AS (
+  {_dk_jaccard_tail(0.5)}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(floor(jt.jaccard * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT)::DOUBLE / COUNT(*) / 1000000 AS avg_jaccard
+FROM jt
+JOIN documents da ON da.doc_id = jt.id_a
+JOIN documents db ON db.doc_id = jt.id_b
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_source_pair_matrix", oracle=_SOURCE_PAIR_MATRIX)
+def dedup_source_pair_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the near-duplication comes from: the verified MinHash+LSH
+    pair set cross-tabbed by unordered source pair — intra-source mass
+    (diagonal) is templating/boilerplate inside one crawl, cross-source
+    mass is syndication/mirroring between feeds; the matrix decides
+    whether dedup budget goes into per-source boilerplate removal or a
+    global cross-source pass, and which acquisitions overlap enough to
+    drop (the source_novelty_order decision, seen through pairs).
+
+    Shape: reuses the production LSH candidate generation + exact
+    verify (one pipeline, threshold 0.5), then two broadcast-able id ->
+    source joins and a rollup to at most |sources|^2 rows; per-pair
+    Jaccards quantize to exact integers before the group mean."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_minhash_lsh(docs, "text", "doc_id", k=3, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+    )
+    jq = F.floor(F.col("jaccard") * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            (
+                F.sum(jq).cast("bigint").cast("double")
+                / F.count("*")
+                / 1000000
+            ).alias("avg_jaccard"),
+        )
+    )
