@@ -3613,22 +3613,25 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile-threshold shape quality_percentile_gate uses)."""
     _views(spark, sf_dir, "documents")
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = TXT.tokens("text")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i.cast("int")),
-                F.lit(" "),
-                F.element_at(toks, (i + 1).cast("int")),
-            ),
+    # Tokenize ONCE into a materialized column, then build bigrams from
+    # two shifted slices of that column (the shingles_of_tokens zip
+    # recipe). The previous form called element_at(<tokenizer expr>, i)
+    # inside the transform lambda — HOF lambdas re-evaluate referenced
+    # expression trees per element, so every bigram position
+    # re-tokenized the document: O(len^2) work that measured ~6 s of
+    # this query's 9.5 s at sf0.1.
+    d = docs.select("doc_id", "source", TXT.tokens("text").alias("t"))
+    win = F.greatest(F.size("t") - 1, F.lit(0))
+    big = F.transform(
+        F.arrays_zip(
+            F.slice("t", 1, win).alias("t0"), F.slice("t", 2, win).alias("t1")
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
+        lambda s: F.concat(s["t0"], F.lit(" "), s["t1"]),
+    )
+    grams = d.select(
         "doc_id",
         "source",
-        F.explode(F.concat(toks, bigrams)).alias("gram"),
+        F.explode(F.concat(F.col("t"), big)).alias("gram"),
     ).withColumn("bucket", TXT.hash32("gram") % 128)
     dbc = (
         grams.groupBy("doc_id", "source", "bucket")
