@@ -716,13 +716,19 @@ def remove_boilerplate_chunks(
     document text itself is never exploded and never shuffled: the
     rewrite is a narrow projection over the original row.
     """
-    toks = tokens(text_col)
+    # Tokenize ONCE into a materialized column before the chunking
+    # lambda: slice(<tokenizer expr>, ...) inside transform re-runs the
+    # tokenizer per chunk (interpreted HOF lambdas re-evaluate referenced
+    # expression trees per element — the dsir_importance lesson,
+    # ~4x on that query at sf0.1).
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_size)).cast("int")
     chunks = F.when(F.size(toks) > 0, F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(toks, i * chunk_size + 1, chunk_size),
     )).otherwise(F.array().cast("array<array<string>>"))
-    chunked = docs.select(F.col(id_col), chunks.alias("_chunks"))
+    chunked = base.select(F.col(id_col), chunks.alias("_chunks"))
 
     ex = chunked.select(
         id_col, F.posexplode("_chunks").alias("pos", "chunk")
