@@ -920,7 +920,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TXT.quality_score("text").alias("quality"))
 
 
-def _langid_sql() -> str:
+def _langid_exprs() -> tuple[str, str]:
+    """(best-score expr, CASE expr over an alias ``best``) — shared by
+    the per-doc langid oracle and the confusion-matrix oracle so the
+    two can never drift."""
     score = {
         lang: f"len(list_intersect(list_distinct({_DK_TOKS}), "
         f"['" + "', '".join(words) + "']))"
@@ -930,10 +933,14 @@ def _langid_sql() -> str:
     whens = " ".join(
         f"WHEN {score[lang]} = best THEN '{lang}'" for lang in TXT.LANG_MARKERS
     )
+    return best, f"CASE WHEN best = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+def _langid_sql() -> str:
+    best, case = _langid_exprs()
     return f"""
 WITH s AS (SELECT doc_id, {best} AS best, text FROM documents)
-SELECT doc_id,
-       CASE WHEN best = 0 THEN 'und' {whens} ELSE 'und' END AS lang_pred
+SELECT doc_id, {case} AS lang_pred
 FROM s
 """
 
@@ -12096,4 +12103,221 @@ def dedup_source_pair_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1000000
             ).alias("avg_jaccard"),
         )
+    )
+
+
+def _langid_confusion_sql() -> str:
+    best, case = _langid_exprs()
+    return f"""
+WITH s AS (SELECT lang AS declared, {best} AS best, text FROM documents),
+p AS (SELECT declared, {case} AS predicted FROM s)
+SELECT declared, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2
+"""
+
+
+@register("text_langid_confusion", oracle=_langid_confusion_sql())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language identifier against
+    the corpus's declared ``lang`` column — the measured accuracy of
+    the in-engine langid heuristic on THIS corpus (off-diagonal mass =
+    the docs a lang-filtered training mix would mis-route; 'und' rows =
+    the coverage gap where markers matched nothing). The eval loop
+    every classifier-shaped curation gate needs, run relationally.
+
+    Shape: one scan, the langid expression fused into it, one
+    partial-aggregated groupBy to |langs|^2 rows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("declared"),
+            TXT.lang_id("text").alias("predicted"),
+        )
+        .groupBy("declared", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+_KS_TWO_SAMPLE = """
+WITH v AS (
+  SELECT n_chars AS v,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(SUM(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM documents GROUP BY 1
+),
+c AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v) AS f1,
+         SUM(c2) OVER (ORDER BY v) AS f2,
+         (SELECT SUM(c1) FROM v) AS n1,
+         (SELECT SUM(c2) FROM v) AS n2
+  FROM v
+),
+d AS (
+  SELECT v, n1, n2,
+         abs(CAST(f1 AS BIGINT) * n2 - CAST(f2 AS BIGINT) * n1) AS dev
+  FROM c
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(v AS BIGINT) AS ks_at_value,
+       floor(dev::DOUBLE / (n1 * n2) * 1000000 + 0.5) / 1000000 AS ks_d,
+       floor(1.358 * sqrt((n1 + n2)::DOUBLE / (n1::DOUBLE * n2))
+             * 1000000 + 0.5) / 1000000 AS crit_095,
+       dev::DOUBLE / (n1 * n2)
+         > 1.358 * sqrt((n1 + n2)::DOUBLE / (n1::DOUBLE * n2)) AS reject_095
+FROM d ORDER BY dev DESC, v LIMIT 1
+"""
+
+
+@register("stats_ks_two_sample", oracle=_KS_TWO_SAMPLE)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: does source 'src0' draw its
+    document lengths from the same distribution as the rest of the
+    corpus? D = max |F1(x) - F2(x)| over the empirical CDFs, with the
+    location of the maximum gap and the alpha=0.05 critical value
+    1.358*sqrt((n1+n2)/(n1*n2)) — the distribution-shift test that
+    needs no binning choice (the chi-square's weakness) and sees shape
+    differences JS-on-quantized-buckets smooths away.
+
+    Determinism: counts collapse to VALUE grain first (distinct
+    n_chars — a bounded integer domain, so the by-less cumulative
+    window is calendar-class, not data-class); the argmax compares
+    exact scaled integers |F1*n2 - F2*n1| with an earliest-value
+    tie-break; the two divisions and the sqrt run on identical
+    inputs."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    v = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = v.select(
+        "v",
+        F.sum("c1").over(wc).alias("f1"),
+        F.sum("c2").over(wc).alias("f2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    dev = F.abs(
+        F.col("f1").cast("bigint") * F.col("n2")
+        - F.col("f2").cast("bigint") * F.col("n1")
+    )
+    top = (
+        c.select("v", "n1", "n2", dev.alias("dev"))
+        .orderBy(F.col("dev").desc(), "v")
+        .limit(1)
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    ksd = F.col("dev").cast("double") / (F.col("n1") * F.col("n2"))
+    crit = 1.358 * F.sqrt((F.col("n1") + F.col("n2")).cast("double") / (n1d * n2d))
+    q6 = lambda x: F.floor(x * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return top.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("v").cast("bigint").alias("ks_at_value"),
+        q6(ksd).alias("ks_d"),
+        q6(crit).alias("crit_095"),
+        (ksd > crit).alias("reject_095"),
+    )
+
+
+_MANN_WHITNEY = """
+WITH v AS (
+  SELECT n_chars AS v,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(SUM(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM documents GROUP BY 1
+),
+c AS (
+  SELECT v, c1, c2,
+         COALESCE(SUM(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS b_less
+  FROM v
+),
+agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c1 * (2 * b_less + c2)) AS BIGINT) AS u2x,
+         CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+              AS BIGINT) AS tie3
+  FROM c
+)
+SELECT n1, n2,
+       u2x::DOUBLE / 2 AS u_stat,
+       floor((u2x::DOUBLE / 2 - n1::DOUBLE * n2 / 2)
+             / sqrt(n1::DOUBLE * n2 / 12
+                    * ((n1 + n2 + 1)
+                       - tie3::DOUBLE / ((n1 + n2)::DOUBLE * (n1 + n2 - 1))))
+             * 1000000 + 0.5) / 1000000 AS z
+FROM agg
+"""
+
+
+@register("stats_mann_whitney", oracle=_MANN_WHITNEY)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test on the same src0-vs-rest
+    length comparison: U counts cross-sample wins with half-credit for
+    ties, the rank-based location test that sees a median SHIFT the KS
+    supremum statistic treats the same as any shape difference. The z
+    uses the tie-corrected variance n1*n2/12 * ((n+1) - sum(t^3-t)/(n(n-1))).
+
+    Determinism: everything up to the final z is exact integer
+    arithmetic on value-grain counts — U is kept DOUBLED
+    (sum c1*(2*B_less + c2)) so tie half-credits never leave the
+    integer domain; the by-less cumulative runs over the bounded
+    distinct-length domain."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    v = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = v.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c2").over(wb), F.lit(0)).alias("b_less"),
+    )
+    t = F.col("c1") + F.col("c2")
+    agg = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("b_less") + F.col("c2")))
+        .cast("bigint")
+        .alias("u2x"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie3"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u = F.col("u2x").cast("double") / 2
+    var = n1d * n2d / 12 * (
+        (F.col("n1") + F.col("n2") + 1)
+        - F.col("tie3").cast("double") / (nd * (nd - 1))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u.alias("u_stat"),
+        (
+            F.floor((u - n1d * n2d / 2) / F.sqrt(var) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("z"),
     )
