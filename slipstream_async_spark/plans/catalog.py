@@ -11006,14 +11006,20 @@ def _pagerank_oracle() -> str:
     prev = "p0"
     for k in (1, 2, 3):
         its.append(
+            f"d{k} AS (SELECT CAST(COALESCE(SUM(pr), 0) AS BIGINT) AS dm "
+            f"FROM {prev} WHERE node NOT IN (SELECT DISTINCT src FROM edges))"
+        )
+        its.append(
             f"i{k} AS (SELECT e.dst AS node, "
             f"CAST(SUM((p.pr * e.share_ppm) // 1000000) AS BIGINT) AS inc "
             f"FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst)"
         )
         its.append(
             f"p{k} AS (SELECT n.node, "
-            f"CAST(6000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS pr "
-            f"FROM nodes n LEFT JOIN i{k} i ON i.node = n.node)"
+            f"CAST(6000 + (85 * (COALESCE(i.inc, 0) "
+            f"+ d{k}.dm // (SELECT COUNT(*) FROM nodes))) // 100 AS BIGINT) "
+            f"AS pr "
+            f"FROM nodes n LEFT JOIN i{k} i ON i.node = n.node, d{k})"
         )
         prev = f"p{k}"
     return f"""
@@ -11057,9 +11063,16 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm via a floor on identical doubles; every iteration is then pure
     integer multiply/divide (pr * share_ppm never exceeds 1e12), so
     after 3 iterations both engines hold bit-identical integers.
-    Dangling mass (a nation with no out-edges) is dropped, the standard
-    simplification. Shape: the 5-table star collapses to a <=625-row
-    edge list FIRST; iterations join 25-row rank tables broadcast."""
+    Dangling mass (nations with no out-edges — at small SF that is MOST
+    nations, since few have suppliers) redistributes uniformly each
+    iteration, the standard correction: without it 60% of the mass
+    evaporated per step at sf0.001 and ranks collapsed toward the
+    teleport floor (caught by the independent pandas reference loop in
+    tests/test_stats_semantics.py, not by the cross-engine oracle —
+    both engines shared the drop). Total mass stays within integer
+    floor-crumbs of 1. Shape: the 5-table star collapses to a
+    <=625-row edge list FIRST; iterations join 25-row rank tables
+    broadcast; the dangling scalar is a 1-row cross."""
     from pyspark.sql import Window
 
     _views(
@@ -11091,8 +11104,19 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share_ppm"),
     ).localCheckpoint()
     nodes = spark.table("nation").select(F.col("n_name").alias("node"))
+    srcs = edges.select("src").distinct()
+    nn = nodes.agg(F.count("*").cast("bigint").alias("nn"))
     pr = nodes.select("node", F.lit(40000).cast("bigint").alias("pr"))
     for _ in range(3):
+        dangling = (
+            pr.join(srcs, pr["node"] == srcs["src"], "left_anti")
+            .agg(
+                F.coalesce(F.sum("pr"), F.lit(0))
+                .cast("bigint")
+                .alias("dm")
+            )
+            .crossJoin(F.broadcast(nn))
+        )
         inc = (
             edges.join(
                 F.broadcast(pr), pr["node"] == edges["src"]
@@ -11104,14 +11128,20 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").cast("bigint").alias("inc"))
         )
-        pr = nodes.join(inc, "node", "left").select(
-            "node",
-            (
-                F.lit(6000)
-                + F.expr("85 * coalesce(inc, 0) div 100")
+        pr = (
+            nodes.join(inc, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(6000)
+                    + F.expr(
+                        "85 * (coalesce(inc, 0) + dm div nn) div 100"
+                    )
+                )
+                .cast("bigint")
+                .alias("pr"),
             )
-            .cast("bigint")
-            .alias("pr"),
         )
     return pr.select(
         F.col("node").alias("nation"),

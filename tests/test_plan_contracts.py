@@ -376,7 +376,11 @@ def test_pagerank_iterations_reuse_checkpointed_edges(q):
     plan = _plan(q["nation_trade_pagerank"], "simple")
     assert "Scan ExistingRDD" in plan, plan
     # the only parquet reads left are the 25-row nation node lists (one
-    # per LEFT JOIN re-anchor + the output); lineitem/orders/customer/
-    # supplier must NOT appear — they live behind the checkpoint
+    # per LEFT JOIN re-anchor + the output, plus the zero-column scan
+    # behind the node-count scalar); lineitem/orders/customer/supplier
+    # must NOT appear — they live behind the checkpoint
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
-    assert scans and all("n_name" in ln for ln in scans), plan
+    assert scans, plan
+    for ln in scans:
+        cols = ln.split("FileScan parquet ", 1)[1].split("]", 1)[0] + "]"
+        assert "n_name" in cols or cols.startswith("[]"), ln
