@@ -1,0 +1,185 @@
+"""Second independent-semantics sweep: the round-4/5 statistics family
+recomputed from parquet with plain pandas/numpy (textbook definitions,
+not the SQL) — the cross-engine oracle proves agreement, these prove
+the agreed-on formula is right (the check that caught the PageRank
+dangling-mass bug in test_stats_semantics.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    from slipstream_async_spark.plans.catalog import _QUERIES
+
+    def run(name):
+        return _QUERIES[name](spark, SF).toPandas()
+
+    return run
+
+
+@pytest.fixture(scope="module")
+def orders():
+    return pd.read_parquet(f"{SF}/orders.parquet")
+
+
+def test_gini_matches_textbook(q, orders):
+    cents = (
+        (orders["o_totalprice"].round(2) * 100)
+        .round()
+        .astype("int64")
+        .groupby(orders["o_custkey"])
+        .sum()
+    )
+    x = np.sort(cents.to_numpy())
+    n = len(x)
+    i = np.arange(1, n + 1)
+    g_ref = (2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+    row = q("orders_gini_coefficient").iloc[0]
+    assert row["n_customers"] == n
+    assert abs(row["gini"] - g_ref) < 2e-6
+
+
+def test_hhi_matches_textbook(q):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pa = pd.read_parquet(f"{SF}/part.parquet")
+    j = li.merge(pa, left_on="l_partkey", right_on="p_partkey")
+    j["rev"] = j["l_extendedprice"].round(2) * (1 - j["l_discount"].round(2))
+    got = {r["p_type"]: r for _, r in q("supplier_hhi_by_part_type").iterrows()}
+    for ptype, grp in j.groupby("p_type"):
+        rc = np.floor(
+            grp.groupby("l_suppkey")["rev"].sum().to_numpy() * 100 + 0.5
+        )
+        hhi_ref = (rc**2).sum() / rc.sum() ** 2
+        assert got[ptype]["n_suppliers"] == len(rc)
+        assert abs(got[ptype]["hhi"] - hhi_ref) < 2e-6, ptype
+
+
+def test_benford_matches_textbook(q, orders):
+    d = orders["o_totalprice"].astype(str).str.lstrip("0.").str[0].astype(int)
+    n = len(d)
+    got = {int(r["digit"]): r for _, r in q("stats_benford_check").iterrows()}
+    for digit in range(1, 10):
+        obs = (d == digit).sum() / n
+        exp = np.log10(1 + 1 / digit)
+        assert abs(got[digit]["observed_frac"] - obs) < 2e-6, digit
+        assert abs(got[digit]["benford_frac"] - exp) < 2e-6, digit
+        chi = n * (obs - exp) ** 2 / exp
+        assert got[digit]["chi2_contribution"] == pytest.approx(
+            chi, rel=1e-3, abs=2e-4
+        ), digit
+
+
+def test_ols_matches_numpy(q):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pa = pd.read_parquet(f"{SF}/part.parquet")
+    j = li.merge(pa, left_on="l_partkey", right_on="p_partkey")
+    got = {r["p_brand"]: r for _, r in q("lineitem_price_qty_ols").iterrows()}
+    for brand in list(got)[:5]:
+        grp = j[j["p_brand"] == brand]
+        x = grp["l_quantity"].round().to_numpy(dtype=float)
+        y = grp["l_extendedprice"].round(2).to_numpy(dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got[brand]["slope_per_unit"] == pytest.approx(
+            slope, rel=1e-4
+        ), brand
+        assert got[brand]["intercept"] == pytest.approx(
+            intercept, rel=1e-3
+        ), brand
+
+
+def test_entropy_rate_matches_textbook(q):
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    t = pd.DataFrame(
+        {"prev": prev, "cur": ev["event_type"]}
+    ).dropna()
+    counts = t.groupby(["prev", "cur"]).size()
+    n_from = counts.groupby(level=0).sum()
+    rate_ref = 0.0
+    for state in n_from.index:
+        p = counts[state] / n_from[state]
+        h = -(p * np.log2(p)).sum()
+        rate_ref += (n_from[state] / n_from.sum()) * h
+    out = q("events_entropy_rate")
+    assert out["entropy_rate_bits"].iloc[0] == pytest.approx(
+        rate_ref, abs=2e-6
+    )
+
+
+def test_runs_test_matches_textbook(q, orders):
+    o = orders.copy()
+    o["day"] = o["o_orderdate"].dt.floor("D")
+    s = (
+        (o["o_totalprice"].round(2) * 100)
+        .round()
+        .astype("int64")
+        .groupby(o["day"])
+        .sum()
+        .sort_index()
+    )
+    x = s.to_numpy()
+    med = np.sort(x)[(len(x) + 1) // 2 - 1]
+    x = x[x != med]  # ties at the median drop (standard W-W treatment)
+    above = x > med
+    n1, n2 = int(above.sum()), int((~above).sum())
+    runs = 1 + int((above[1:] != above[:-1]).sum())
+    n = n1 + n2
+    mu = 2 * n1 * n2 / n + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n**2 * (n - 1))
+    z_ref = (runs - mu) / np.sqrt(var)
+    row = q("orders_runs_test").iloc[0]
+    assert (row["n_above"], row["n_below"], row["n_runs"]) == (n1, n2, runs)
+    assert abs(row["z_stat"] - z_ref) < 2e-6
+
+
+def test_zipf_fit_matches_numpy(q):
+    import re
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    c = Counter()
+    for t in docs["text"]:
+        c.update(w for w in re.split(r"\s+", t) if w)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    y = np.log([v for _, v in top])
+    x = np.log(np.arange(1, len(top) + 1))
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    row = q("text_zipf_fit").iloc[0]
+    assert row["n_types"] == len(top)
+    assert row["zipf_slope"] == pytest.approx(slope, abs=1e-4)
+    assert row["zipf_intercept"] == pytest.approx(intercept, abs=1e-4)
+    assert row["r2"] == pytest.approx(r2, abs=1e-4)
+
+
+def test_ewma_matches_direct_weighting(q, orders):
+    o = orders.copy()
+    o["day"] = o["o_orderdate"].dt.floor("D")
+    s = (
+        (o["o_totalprice"].round(2) * 100)
+        .round()
+        .astype("int64")
+        .groupby(o["day"])
+        .sum()
+        .sort_index()
+    )
+    w = [round(0.7**k * 1e4) for k in range(15)]
+    out = q("orders_revenue_ewma").set_index("day")["ewma_14d"]
+    for day in list(s.index)[40:43]:
+        num = den = 0
+        for k in range(15):
+            d = day - pd.Timedelta(days=k)
+            if d in s.index:
+                num += s[d] * w[k]
+                den += w[k]
+        ref = num / den / 100  # cents -> dollars
+        assert out[day] == pytest.approx(ref, abs=2e-4), day
