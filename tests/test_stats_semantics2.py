@@ -183,3 +183,48 @@ def test_ewma_matches_direct_weighting(q, orders):
                 den += w[k]
         ref = num / den / 100  # cents -> dollars
         assert out[day] == pytest.approx(ref, abs=2e-4), day
+
+
+def test_km_survival_matches_textbook(q):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    last = pd.to_datetime(ev["ts"]).dt.floor("D").groupby(ev["user_id"]).max()
+    mx = last.max()
+    churned = last < mx - pd.Timedelta(days=2)
+    days = sorted(last.unique())
+    s = 1.0
+    ref = {}
+    for d in days:
+        at_risk = int((last >= d).sum())
+        d_churn = int(((last == d) & churned).sum())
+        d_cens = int(((last == d) & ~churned).sum())
+        if at_risk > 0:
+            s *= 1 - d_churn / at_risk
+        ref[pd.Timestamp(d)] = (at_risk, d_churn, d_cens, s)
+    out = q("events_km_survival")
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        at_risk, d_churn, d_cens, s = ref[pd.Timestamp(r["day"])]
+        assert (r["n_at_risk"], r["n_churned"], r["n_censored"]) == (
+            at_risk, d_churn, d_cens,
+        ), r["day"]
+        assert abs(r["survival"] - s) < 2e-6, r["day"]
+
+
+def test_wilson_ci_matches_textbook(q):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pa = pd.read_parquet(f"{SF}/part.parquet")
+    j = li.merge(pa, left_on="l_partkey", right_on="p_partkey")
+    got = {r["p_brand"]: r for _, r in q("returns_wilson_ci").iterrows()}
+    z = 1.959963985
+    for brand in list(got)[:5]:
+        grp = j[j["p_brand"] == brand]
+        n = len(grp)
+        r = int((grp["l_returnflag"] == "R").sum())
+        ph = r / n
+        denom = 1 + z * z / n
+        center = ph + z * z / (2 * n)
+        half = z * np.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n))
+        lo, hi = (center - half) / denom, (center + half) / denom
+        assert got[brand]["n_lines"] == n and got[brand]["n_returned"] == r
+        assert abs(got[brand]["wilson_low"] - lo) < 2e-6, brand
+        assert abs(got[brand]["wilson_high"] - hi) < 2e-6, brand
