@@ -228,3 +228,62 @@ def test_wilson_ci_matches_textbook(q):
         assert got[brand]["n_lines"] == n and got[brand]["n_returned"] == r
         assert abs(got[brand]["wilson_low"] - lo) < 2e-6, brand
         assert abs(got[brand]["wilson_high"] - hi) < 2e-6, brand
+
+
+def test_js_matrix_matches_textbook(q):
+    import hashlib
+    import re
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    buckets = {}
+    for src, grp in docs.groupby("source"):
+        c = np.zeros(128)
+        for t in grp["text"]:
+            for w in re.split(r"\s+", t):
+                if w:
+                    h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                    c[h % 128] += 1
+        buckets[src] = c
+    out = q("source_js_matrix")
+    for _, r in out.head(12).iterrows():
+        ca, cb = buckets[r["source_a"]], buckets[r["source_b"]]
+        p = (ca + 1) / (ca.sum() + 128)
+        qd = (cb + 1) / (cb.sum() + 128)
+        m = (p + qd) / 2
+        js = 0.5 * (p * np.log(p / m)).sum() + 0.5 * (qd * np.log(qd / m)).sum()
+        assert abs(r["js_divergence"] - js) < 2e-6, (r["source_a"], r["source_b"])
+
+
+def test_mrr_ndcg_matches_textbook(spark):
+    # sf0.01: the tiny sf0.001 corpus has zero relevant-in-top-5 rows,
+    # which would vacuously pass
+    from slipstream_async_spark.plans.catalog import _QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    out = _QUERIES["retrieval_mrr_ndcg"](spark, sf).toPandas()
+    got = {int(r["query_id"]): r for _, r in out.iterrows()}
+    nonzero = 0
+    for qi in range(10):
+        i = int(np.where(ids == qi)[0][0])
+        cos = mat @ mat[i] / (norms * norms[i])
+        order = sorted(
+            (j for j in range(len(ids)) if ids[j] != qi),
+            key=lambda j: (-cos[j], ids[j]),
+        )[:5]
+        rel = [1 if labels[j] == labels[i] else 0 for j in order]
+        mrr = next((1 / (k + 1) for k, v in enumerate(rel) if v), 0.0)
+        dcg = sum(v / np.log2(k + 2) for k, v in enumerate(rel))
+        n_lab = int((labels == labels[i]).sum()) - 1
+        idcg = sum(1 / np.log2(k + 2) for k in range(min(5, n_lab)))
+        ndcg = dcg / idcg if idcg else 0.0
+        r = got[qi]
+        assert r["n_rel_at_5"] == sum(rel), qi
+        assert abs(r["mrr"] - mrr) < 2e-6, qi
+        assert abs(r["ndcg_at_5"] - ndcg) < 2e-6, qi
+        nonzero += sum(rel)
+    assert nonzero > 0  # the comparison exercised real relevance
