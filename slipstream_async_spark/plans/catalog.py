@@ -12351,3 +12351,404 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("z"),
     )
+
+
+_SEASONAL_DECOMP = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+),
+tr AS (
+  SELECT *,
+         CAST(SUM(x) OVER (ORDER BY dn RANGE BETWEEN 3 PRECEDING
+                           AND 3 FOLLOWING) AS BIGINT) AS ts,
+         CAST(COUNT(*) OVER (ORDER BY dn RANGE BETWEEN 3 PRECEDING
+                             AND 3 FOLLOWING) AS BIGINT) AS tc
+  FROM daily
+),
+dw AS (
+  SELECT dn % 7 AS dow,
+         CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM daily GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(c) AS BIGINT) AS ct
+        FROM dw)
+SELECT tr.day,
+       tr.x::DOUBLE / 100 AS revenue,
+       floor(tr.ts::DOUBLE / tr.tc / 100 * 1000000 + 0.5) / 1000000
+         AS trend,
+       floor((dw.s::DOUBLE / dw.c - tot.st::DOUBLE / tot.ct) / 100
+             * 1000000 + 0.5) / 1000000 AS seasonal,
+       floor((tr.x - tr.ts::DOUBLE / tr.tc
+              - (dw.s::DOUBLE / dw.c - tot.st::DOUBLE / tot.ct)) / 100
+             * 1000000 + 0.5) / 1000000 AS residual
+FROM tr JOIN dw ON dw.dow = tr.dn % 7, tot
+"""
+
+
+@register("orders_seasonal_decompose", oracle=_SEASONAL_DECOMP)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition of daily revenue: trend (centered 7-day
+    moving average over available days), weekly seasonal component
+    (day-of-week mean minus grand mean — the additive twin of
+    orders_dow_index), and the residual the anomaly detectors should
+    actually be watching (a z-score on RAW revenue pages on every
+    Sunday; on the residual it pages on surprises).
+
+    Determinism: day revenue is exact integer cents; the trend is a
+    RANGE-frame integer sum/count (gap-correct: missing days shrink the
+    window rather than shifting it); the seasonal component is a ratio
+    of exact integer sums; every output quantizes fixed-point from
+    identical doubles. Shape: day-grain collapse first; the range
+    window, DOW rollup, and scalar totals all run at calendar grain."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.datediff(
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("dn"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    wt = Window.orderBy("dn").rangeBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "dn",
+        "x",
+        F.sum("x").over(wt).cast("bigint").alias("ts"),
+        F.count("*").over(wt).cast("bigint").alias("tc"),
+    )
+    dw = daily.groupBy((F.col("dn") % 7).alias("dow")).agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    tot = dw.agg(
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("c").cast("bigint").alias("ct"),
+    )
+    j = (
+        tr.withColumn("dow", F.col("dn") % 7)
+        .join(F.broadcast(dw), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    trend = F.col("ts").cast("double") / F.col("tc")
+    seas = (
+        F.col("s").cast("double") / F.col("c")
+        - F.col("st").cast("double") / F.col("ct")
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        "day",
+        (F.col("x").cast("double") / 100).alias("revenue"),
+        q6(trend / 100).alias("trend"),
+        q6(seas / 100).alias("seasonal"),
+        q6((F.col("x") - trend - seas) / 100).alias("residual"),
+    )
+
+
+_SHIPLAG_Q = """
+WITH lag AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS lag_days
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+r AS (
+  SELECT o_orderpriority, lag_days,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY lag_days) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM lag
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(MIN(CASE WHEN rk = CAST(floor((50 * n + 99) / 100.0) AS BIGINT)
+                     THEN lag_days END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN rk = CAST(floor((90 * n + 99) / 100.0) AS BIGINT)
+                     THEN lag_days END) AS BIGINT) AS p90_days,
+       CAST(MIN(CASE WHEN rk = CAST(floor((99 * n + 99) / 100.0) AS BIGINT)
+                     THEN lag_days END) AS BIGINT) AS p99_days
+FROM r GROUP BY o_orderpriority
+"""
+
+
+@register("shiplag_quantiles_by_priority", oracle=_SHIPLAG_Q)
+def shiplag_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag SLA percentiles per order priority — the
+    fulfillment number a contract quotes (p50/p90/p99 days): does
+    1-URGENT actually ship faster at the tail, or only at the median?
+    Exact nearest-rank (the brand_price_quartiles recipe), not an
+    approx sketch.
+
+    Shape: one fact-fact equi-join on the order key (q12's shape),
+    integer day lags, rank windows PARTITIONED by priority — 5 groups
+    spread the sort; no by-less window anywhere."""
+    from pyspark.sql import Window
+
+    (li, orders) = _t(spark, sf_dir, "lineitem", "orders")
+    lag = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lag_days"),
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("lag_days")
+    wn = Window.partitionBy("o_orderpriority")
+    r = lag.select(
+        "o_orderpriority",
+        "lag_days",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    at = lambda pct: F.min(  # noqa: E731
+        F.when(
+            F.col("rk")
+            == F.floor((F.lit(pct) * F.col("n") + 99) / F.lit(100.0))
+            .cast("bigint"),
+            F.col("lag_days"),
+        )
+    ).cast("bigint")
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        at(50).alias("p50_days"),
+        at(90).alias("p90_days"),
+        at(99).alias("p99_days"),
+    )
+
+
+_BEHAVIOR_TOP = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us,
+         date_trunc('hour', ts) AS hr
+  FROM events
+),
+hourly AS (
+  SELECT user_id, hr, COUNT(*) AS c FROM e GROUP BY 1, 2
+),
+types AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM e GROUP BY 1, 2
+),
+gaps AS (
+  SELECT user_id,
+         us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS gap_us
+  FROM e
+),
+u AS (
+  SELECT h.user_id,
+         CAST(SUM(h.c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS active_hours,
+         CAST(MAX(h.c) AS BIGINT) AS max_per_hour
+  FROM hourly h GROUP BY 1
+),
+t AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS ss,
+         CAST(SUM(c) AS BIGINT) AS s
+  FROM types GROUP BY 1
+),
+g AS (
+  SELECT user_id, CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+  FROM gaps WHERE gap_us IS NOT NULL GROUP BY 1
+)
+SELECT u.user_id, u.n_events, u.active_hours, u.max_per_hour,
+       t.n_types,
+       floor(t.ss::DOUBLE / (t.s * t.s) * 1000000 + 0.5) / 1000000
+         AS type_concentration,
+       g.min_gap_us
+FROM u JOIN t ON t.user_id = u.user_id
+LEFT JOIN g ON g.user_id = u.user_id
+ORDER BY u.max_per_hour DESC,
+         floor(t.ss::DOUBLE / (t.s * t.s) * 1000000 + 0.5) DESC,
+         u.user_id
+LIMIT 20
+"""
+
+
+@register("events_behavior_profile_top", oracle=_BEHAVIOR_TOP)
+def events_behavior_profile_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse triage profile: the 20 most burst-prone users by peak
+    hourly event rate, with the behavioral fingerprint an abuse
+    reviewer reads next — activity breadth (active hours), event-mix
+    concentration (Simpson Σc²/N² of type counts: 1.0 = a single-action
+    script), and the minimum inter-event gap in microseconds (humans
+    don't click twice in 10 ms). Deliberately entropy-free: the
+    concentration form keeps every per-user statistic in exact integer
+    arithmetic where per-user log calls would scatter libm ulps across
+    the whole user grain.
+
+    Shape: three partial-aggregated user-grain passes (hourly, type,
+    lag-gap — the gap window partitions BY USER) joined at user grain;
+    the top-20 is a TakeOrdered with a deterministic tie-break, never a
+    by-less rank window over users."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The cast
+        # interprets in session tz, but only gap DIFFERENCES are used,
+        # so any fixed offset cancels and both engines agree.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    hourly = e.groupBy("user_id", "hr").agg(F.count("*").alias("c"))
+    u = hourly.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("active_hours"),
+        F.max("c").cast("bigint").alias("max_per_hour"),
+    )
+    types = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    t = types.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    wg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        e.select(
+            "user_id",
+            (F.col("us") - F.lag("us").over(wg)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("gap_us").cast("bigint").alias("min_gap_us"))
+    )
+    conc_q = F.floor(
+        F.col("ss").cast("double") / (F.col("s") * F.col("s")) * 1000000
+        + F.lit(0.5)
+    )
+    return (
+        u.join(t, "user_id")
+        .join(g, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "active_hours",
+            "max_per_hour",
+            "n_types",
+            (conc_q / 1000000).alias("type_concentration"),
+            "min_gap_us",
+        )
+        .orderBy(
+            F.col("max_per_hour").desc(),
+            (
+                F.floor(
+                    F.col("type_concentration") * 1000000 + F.lit(0.5)
+                )
+            ).desc(),
+            "user_id",
+        )
+        .limit(20)
+    )
+
+
+_QL_INDEP = f"""
+WITH quality AS ({{qsql}}),
+j AS (
+  SELECT q.doc_id, q.quality, d.n_chars
+  FROM quality q JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, quality, n_chars,
+         NTILE(4) OVER (ORDER BY quality, doc_id) AS q_quartile,
+         NTILE(4) OVER (ORDER BY n_chars, doc_id) AS len_quartile,
+         COUNT(*) OVER () AS n
+  FROM j
+),
+cell AS (
+  SELECT q_quartile, len_quartile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MAX(n) AS BIGINT) AS n
+  FROM r GROUP BY 1, 2
+),
+m AS (
+  SELECT *,
+         CAST(SUM(n_docs) OVER (PARTITION BY q_quartile) AS BIGINT) AS rt,
+         CAST(SUM(n_docs) OVER (PARTITION BY len_quartile) AS BIGINT) AS ct
+  FROM cell
+)
+SELECT CAST(q_quartile AS BIGINT) AS q_quartile,
+       CAST(len_quartile AS BIGINT) AS len_quartile,
+       n_docs,
+       floor(n_docs::DOUBLE * n / (rt * ct) * 1000000 + 0.5) / 1000000
+         AS lift
+FROM m
+"""
+
+
+@register(
+    "quality_length_independence",
+    oracle=_QL_INDEP.format(qsql=_ORACLES["text_quality"]),
+)
+def quality_length_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the quality score just a length proxy? The 4x4 contingency of
+    quality quartile x length quartile with the independence lift
+    n_cell * N / (row_total * col_total) — lift far from 1.0 on the
+    diagonal means the gate double-counts length (docs pruned twice for
+    one property), the calibration check run before stacking filters
+    in a curation pipeline.
+
+    Shape: BOTH quartile assignments are the distributed two-phase
+    global_rank + exact-NTILE reconstruction (bit-identical to the
+    oracle's NTILE windows, no single-partition sort over doc-grain
+    rows); the contingency and marginals run at 16-cell grain."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "n_chars", TXT.quality_score("text").alias("quality")
+    )
+    rq = AGG.global_rank(q, ["quality", "doc_id"], rank_col="_rq")
+    rl = AGG.global_rank(
+        q.select("doc_id", "n_chars"), ["n_chars", "doc_id"], rank_col="_rl"
+    )
+    n = q.agg(F.count("*").alias("_n"))
+    j = (
+        rq.select("doc_id", "_rq")
+        .join(rl.select("doc_id", "_rl"), "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            AGG.exact_ntile("_rq", "_n", 4).alias("q_quartile"),
+            AGG.exact_ntile("_rl", "_n", 4).alias("len_quartile"),
+            "_n",
+        )
+    )
+    cell = j.groupBy("q_quartile", "len_quartile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("_n").cast("bigint").alias("n"),
+    )
+    from pyspark.sql import Window
+
+    rt = F.sum("n_docs").over(Window.partitionBy("q_quartile")).cast("bigint")
+    ct = (
+        F.sum("n_docs").over(Window.partitionBy("len_quartile")).cast("bigint")
+    )
+    return cell.select(
+        F.col("q_quartile").cast("bigint").alias("q_quartile"),
+        F.col("len_quartile").cast("bigint").alias("len_quartile"),
+        "n_docs",
+        (
+            F.floor(
+                F.col("n_docs").cast("double")
+                * F.col("n")
+                / (rt * ct)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("lift"),
+    )
