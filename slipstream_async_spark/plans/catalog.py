@@ -8035,7 +8035,8 @@ d AS (
   SELECT date_trunc('day', o.o_orderdate) AS day, 1 AS delta
   FROM orders o JOIN comp c ON c.l_orderkey = o.o_orderkey
   UNION ALL
-  SELECT c.comp_day + INTERVAL 1 DAY, -1
+  SELECT greatest(c.comp_day, date_trunc('day', o.o_orderdate))
+           + INTERVAL 1 DAY, -1
   FROM orders o JOIN comp c ON c.l_orderkey = o.o_orderkey
 ),
 g AS (SELECT day, SUM(delta) AS delta FROM d GROUP BY day)
@@ -8071,8 +8072,19 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "o_orderdate").alias("day"),
         F.lit(1).alias("delta"),
     )
+    # Clamp: the synthetic generator emits ~20% of orders whose last
+    # line SHIPS BEFORE the order date; an unclamped -1 at comp_day+1
+    # lands before the +1 and carves a spurious negative dip into the
+    # backlog (caught by the interval-count reference in
+    # tests/test_stats_semantics2.py — the cross-engine oracle agreed
+    # on the dip). Such an order is open exactly its order day.
     closes = oc.select(
-        (F.col("comp_day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        (
+            F.greatest(
+                F.col("comp_day"), F.date_trunc("day", "o_orderdate")
+            )
+            + F.expr("INTERVAL 1 DAY")
+        ).alias("day"),
         F.lit(-1).alias("delta"),
     )
     g = opens.unionByName(closes).groupBy("day").agg(

@@ -287,3 +287,95 @@ def test_mrr_ndcg_matches_textbook(spark):
         assert abs(r["ndcg_at_5"] - ndcg) < 2e-6, qi
         nonzero += sum(rel)
     assert nonzero > 0  # the comparison exercised real relevance
+
+
+def test_heaps_beta_matches_numpy(q):
+    import re
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    out = {r["source"]: r for _, r in q("heaps_law_fit").iterrows()}
+    for src in list(out)[:4]:
+        grp = docs[docs.source == src]
+        seen: set = set()
+        xs, ys = [], []
+        big_n = 0
+        for _, row in grp.iterrows():
+            toks = [w for w in re.split(r"\s+", row["text"]) if w]
+            big_n += len(toks)
+            seen |= set(toks)
+            if big_n > 0 and len(seen) > 0:
+                xs.append(np.log(big_n))
+                ys.append(np.log(len(seen)))
+        beta = np.polyfit(xs, ys, 1)[0]
+        r = out[src]
+        assert r["total_tokens"] == big_n and r["vocab_size"] == len(seen)
+        assert r["heaps_beta"] == pytest.approx(beta, abs=1e-4), src
+
+
+def test_price_index_is_laspeyres(q):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["yr"] = li["l_shipdate"].dt.year
+    py = (
+        li.assign(unit=li["l_extendedprice"] / li["l_quantity"])
+        .groupby(["l_partkey", "yr"])
+        .agg(p=("unit", "mean"), q=("l_quantity", "sum"))
+        .reset_index()
+    )
+    base = py[py.yr == 1995].set_index("l_partkey")[["p", "q"]]
+    got = {int(r["yr"]): r for _, r in q("price_index_yoy").iterrows()}
+    for yr in sorted(got):
+        cur = py[(py.yr == yr)].set_index("l_partkey")
+        common = cur.index.intersection(base.index)
+        idx = (cur.loc[common, "p"] * base.loc[common, "q"]).sum() / (
+            base.loc[common, "p"] * base.loc[common, "q"]
+        ).sum()
+        assert got[yr]["n_parts"] == len(common)
+        assert got[yr]["laspeyres_index"] == pytest.approx(idx, abs=2e-6), yr
+
+
+def test_backlog_matches_bruteforce(q):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    close = (
+        li.groupby("l_orderkey")["l_shipdate"].max().dt.floor("D")
+    )
+    o = od.set_index("o_orderkey")
+    o["open_day"] = o["o_orderdate"].dt.floor("D")
+    o = o.join(close.rename("close_day"), how="inner")
+    # ships-before-ordered anomalies clamp to open-for-one-day
+    o["close_day"] = o[["close_day", "open_day"]].max(axis=1)
+    out = q("orders_backlog_daily")
+    # spot-check 5 reported days against a direct interval count
+    for _, r in out.iloc[[0, len(out) // 4, len(out) // 2,
+                          3 * len(out) // 4, -1]].iterrows():
+        d = pd.Timestamp(r["day"])
+        ref = int(((o["open_day"] <= d) & (o["close_day"] >= d)).sum())
+        assert r["open_orders"] == ref, d
+
+
+def test_ttr_mattr_matches_definition(q):
+    import re
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    out = q("text_ttr_mattr").set_index("doc_id")
+    for doc_id in list(out.index)[:5]:
+        toks = [
+            w
+            for w in re.split(
+                r"\s+", docs.set_index("doc_id").loc[doc_id, "text"]
+            )
+            if w
+        ]
+        n = len(toks)
+        ttr = len(set(toks)) / n
+        if n >= 50:
+            wins = [
+                len(set(toks[i : i + 50])) / 50 for i in range(n - 49)
+            ]
+            mattr = float(np.mean(wins))
+        else:
+            mattr = ttr
+        r = out.loc[doc_id]
+        assert r["n_tokens"] == n
+        assert abs(r["ttr"] - ttr) < 2e-6
+        assert abs(r["mattr_50"] - mattr) < 2e-6, doc_id
