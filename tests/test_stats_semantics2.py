@@ -379,3 +379,59 @@ def test_ttr_mattr_matches_definition(q):
         assert r["n_tokens"] == n
         assert abs(r["ttr"] - ttr) < 2e-6
         assert abs(r["mattr_50"] - mattr) < 2e-6, doc_id
+
+
+def test_temperature_mix_matches_formula(q):
+    import re
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = docs["text"].map(
+        lambda t: len([w for w in re.split(r"\s+", t) if w])
+    )
+    per = toks.groupby(docs["source"]).sum()
+    wa = per**0.5
+    out = {r["source"]: r for _, r in q("mix_temperature_weights").iterrows()}
+    for src in per.index:
+        w_ref = wa[src] / wa.sum()
+        r = out[src]
+        assert r["tokens"] == per[src], src
+        assert r["weight"] == pytest.approx(w_ref, abs=2e-6), src
+        assert r["epochs"] == pytest.approx(
+            1_000_000_000 * w_ref / per[src], rel=1e-5
+        ), src
+
+
+def test_readability_matches_flesch(q):
+    import re
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id")
+    out = q("text_readability").set_index("doc_id")
+    for doc_id in list(out.index)[:5]:
+        t = docs.loc[doc_id, "text"]
+        words = len([w for w in re.split(r"\s+", t) if w])
+        sents = max(len(re.findall(r"[.!?]+", t)), 1)
+        syls = max(len(re.findall(r"[aeiouy]+", t.lower())), 1)
+        flesch = 206.835 - 1.015 * words / sents - 84.6 * syls / words
+        r = out.loc[doc_id]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            words, sents, syls,
+        ), doc_id
+        assert r["flesch_score"] == pytest.approx(flesch, abs=2e-6), doc_id
+
+
+def test_dau_wau_matches_bruteforce(q):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    out = q("events_dau_wau").sort_values("day")
+    act = ev.groupby("day")["user_id"].apply(set).sort_index()
+    for _, r in out.iloc[[7, len(out) // 2, -1]].iterrows():
+        d = pd.Timestamp(r["day"])
+        dau_ref = len(act.get(d, set()))
+        wau_users: set = set()
+        for k in range(7):
+            wau_users |= act.get(d - pd.Timedelta(days=k), set())
+        assert r["dau"] == dau_ref, d
+        assert r["wau"] == len(wau_users), d
+        assert r["stickiness"] == pytest.approx(
+            dau_ref / len(wau_users), abs=2e-6
+        ), d
