@@ -260,3 +260,57 @@ def exact_quantiles(
         .groupBy("pct")
         .agg(F.min(value_col).alias("value"))
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    weight_col: str,
+    out_col: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed running sum of ``weight_col`` over the total order
+    given by ``order_cols`` — :func:`global_rank`'s shape generalized
+    from counting rows to accumulating a weight, the primitive behind
+    weighted quantiles, Lorenz curves, and cumulative-capacity cuts.
+
+    ``SUM(w) OVER (ORDER BY ...)`` with no PARTITION BY funnels the
+    whole input through one task; this is the two-phase form instead:
+    range-repartition on the sort key, running-sum locally per
+    partition, then add broadcast per-partition total offsets. The only
+    by-less window left runs over the per-partition TOTALS — bounded by
+    the partition count, never by the data.
+
+    Callers must end ``order_cols`` with a unique tie-break key so the
+    running sum is a pure function of the total order. The
+    range-partitioned frame is localCheckpoint'd so the offsets branch
+    and the local-cumsum branch provably read the SAME
+    ``spark_partition_id`` assignment. The weight should be an integer
+    (or DECIMAL) column: the two-phase regrouping reorders additions,
+    which only exact types survive bit-identically.
+    """
+    sess = df.sparkSession
+    n = partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = part.groupBy("_pid").agg(F.sum(weight_col).alias("_t"))
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_t").over(ow), F.lit(0)).alias("_off"),
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        part.withColumn("_lcs", F.sum(weight_col).over(lw))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lcs"))
+        .drop("_pid", "_lcs", "_off")
+    )

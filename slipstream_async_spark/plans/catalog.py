@@ -12764,3 +12764,341 @@ def quality_length_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): rank statistics, weighted quantiles, robust means,
+# windowed regression, retrieval scoring, sweep-line concurrency.
+# ---------------------------------------------------------------------------
+
+_SPEARMAN = """
+WITH c AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS spend_c
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY n_orders, o_custkey) AS rx,
+         row_number() OVER (ORDER BY spend_c, o_custkey) AS ry
+  FROM c
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((rx - ry) * (rx - ry)) AS DECIMAL(38,0)) AS d2
+  FROM r
+)
+SELECT n,
+       floor((1.0 - 6.0 * CAST(d2 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)))
+             * 1000000 + 0.5) / 1000000 AS spearman_rho
+FROM a
+"""
+
+
+@register("stats_spearman_rank", oracle=_SPEARMAN)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's order count and
+    their total spend — the monotone-association test that survives the
+    heavy right tail a Pearson r on raw spend is dominated by. Ranks
+    are made unique by a stable custkey tie-break (documented
+    tie-broken variant: both engines rank identically, so the statistic
+    is well-defined and deterministic), then rho = 1 - 6*sum(d^2) /
+    (n(n^2-1)) on exact integers.
+
+    Shape: the oracle's two by-less row_number windows are the
+    semantic spec; the Spark plan assigns BOTH total orders with
+    AGG.global_rank (two-phase distributed prefix-rank — range
+    partition, local rank, broadcast offsets), so no customer-grain
+    row ever funnels through one task. sum(d^2) <= n^3 overflows
+    BIGINT near 2^21 rows per... at 1.5e9 customers, so it accumulates
+    in DECIMAL(38,0) on both sides."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("spend_c"),
+    )
+    rx = AGG.global_rank(
+        c.select("o_custkey", "n_orders"),
+        ["n_orders", "o_custkey"],
+        rank_col="rx",
+    ).select("o_custkey", "rx")
+    ry = AGG.global_rank(
+        c.select("o_custkey", "spend_c"),
+        ["spend_c", "o_custkey"],
+        rank_col="ry",
+    ).select("o_custkey", "ry")
+    d = rx.join(ry, "o_custkey").select(
+        ((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("decimal(38,0)")
+        .alias("d2")
+    )
+    a = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("d2").alias("sd2"),
+    )
+    nd = F.col("n").cast("double")
+    return a.select(
+        "n",
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.lit(6.0)
+                    * F.col("sd2").cast("double")
+                    / (nd * (nd * F.col("n") - 1))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("spearman_rho"),
+    )
+
+
+_WEIGHTED_MEDIAN = """
+WITH s AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+c AS (
+  SELECT cents,
+         SUM(w) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS cum
+  FROM s
+),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM s)
+SELECT t.w_total,
+       MIN(c.cents)::DOUBLE / 100 AS weighted_median_price
+FROM c, t
+WHERE c.cum >= CAST(floor((t.w_total + 1) / 2.0) AS BIGINT)
+GROUP BY t.w_total
+"""
+
+
+@register("lineitem_weighted_median_price", oracle=_WEIGHTED_MEDIAN)
+def lineitem_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted median of extended price (lower weighted
+    median: the smallest price whose cumulative quantity reaches half
+    the total) — the per-UNIT median, which answers "what does the
+    median shipped unit cost" where the unweighted median answers the
+    per-LINE question; they diverge whenever cheap lines carry big
+    quantities.
+
+    Shape: the oracle's by-less ``SUM(w) OVER (ORDER BY price)`` is the
+    semantic spec; the Spark plan is AGG.global_prefix_sum — the
+    two-phase distributed running sum (range partition on the sort key,
+    local cumsum, broadcast per-partition total offsets), so no
+    lineitem-grain row funnels through one task. Weights and prices are
+    exact integers (cents / unit counts), so the regrouped additions
+    are bit-identical; the half-total target joins in as a broadcast
+    scalar and only rows at/after the crossing survive."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = AGG.global_prefix_sum(
+        s, ["cents", "l_orderkey", "l_linenumber"], "w", out_col="cum"
+    )
+    t = s.agg(F.sum("w").cast("bigint").alias("w_total"))
+    target = F.floor((F.col("w_total") + 1) / F.lit(2.0)).cast("bigint")
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .filter(F.col("cum") >= target)
+        .groupBy("w_total")
+        .agg(
+            (F.min("cents").cast("double") / 100).alias(
+                "weighted_median_price"
+            )
+        )
+        .select("w_total", "weighted_median_price")
+    )
+
+
+_WINSORIZED = """
+WITH s AS (
+  SELECT l_partkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM s),
+n AS (SELECT COUNT(*) AS n FROM s),
+lo AS (SELECT MIN(cents) AS lo FROM r, n
+       WHERE rk = CAST(floor((5 * n.n + 99) / 100.0) AS BIGINT)),
+hi AS (SELECT MIN(cents) AS hi FROM r, n
+       WHERE rk = CAST(floor((95 * n.n + 99) / 100.0) AS BIGINT)),
+w AS (
+  SELECT p.p_brand,
+         CASE WHEN s.cents < lo.lo THEN lo.lo
+              WHEN s.cents > hi.hi THEN hi.hi
+              ELSE s.cents END AS wc
+  FROM s JOIN part p ON p.p_partkey = s.l_partkey, lo, hi
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       floor(CAST(SUM(wc) AS DECIMAL(38,0))::DOUBLE / COUNT(*) / 100
+             * 1000000 + 0.5) / 1000000 AS winsorized_mean_price
+FROM w GROUP BY p_brand
+"""
+
+
+@register("brand_winsorized_mean", oracle=_WINSORIZED)
+def brand_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand mean extended price with global 5/95 winsorization
+    (values clamped to the exact corpus-level p5/p95 before averaging)
+    — the robust mean that keeps every row (unlike trimming) while a
+    single fat-finger price can no longer move a small brand's average.
+
+    Shape: the two thresholds come from AGG.exact_quantiles (the
+    distributed nearest-rank path — never a single-partition sort),
+    join in as a broadcast 1-row scalar frame, and the clamp + per-brand
+    average is one partial-aggregated scan; the part dimension joins
+    broadcast. Sums of clamped cents are DECIMAL-exact, the final
+    divide-then-quantize is the shared q6 recipe."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    s = li.select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    q = AGG.exact_quantiles(
+        s.select("cents"), "cents", [5, 95]
+    )
+    th = (
+        q.groupBy()
+        .pivot("pct", [5, 95])
+        .agg(F.min("value"))
+        .select(F.col("5").alias("lo"), F.col("95").alias("hi"))
+    )
+    w = (
+        s.crossJoin(F.broadcast(th))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              s["l_partkey"] == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+            .when(F.col("cents") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("cents"))
+            .alias("wc"),
+        )
+    )
+    return w.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        (
+            F.floor(
+                F.sum(F.col("wc").cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+                / 100
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("winsorized_mean_price"),
+    )
+
+
+_ROLLING_OLS = """
+WITH d AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+                        CAST(date_trunc('day', o_orderdate) AS DATE))
+              AS BIGINT) AS dn,
+         date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1, 2
+),
+w AS (
+  SELECT day, dn,
+         COUNT(*) OVER win AS n,
+         SUM(dn) OVER win AS sx,
+         SUM(rev_c) OVER win AS sy,
+         SUM(dn * dn) OVER win AS sxx,
+         SUM(dn * rev_c) OVER win AS sxy
+  FROM d
+  WINDOW win AS (ORDER BY dn RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx != 0
+            THEN floor((n * sxy - sx * sy)::DOUBLE
+                       / (n * sxx - sx * sx)::DOUBLE / 100
+                       * 1000000 + 0.5) / 1000000
+            ELSE NULL END AS slope_per_day
+FROM w
+"""
+
+
+@register("orders_rolling_ols_slope", oracle=_ROLLING_OLS)
+def orders_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day OLS trend: for each day, the least-squares slope
+    of daily revenue against the day index over the trailing 28-day
+    window (dollars/day) — the local trend detector that distinguishes
+    a genuine ramp from the step change a rolling MEAN smears; the
+    windowed sibling of lineitem_price_qty_ols's global regression.
+
+    Shape: the fact table collapses to day grain FIRST, so the by-less
+    RANGE window is calendar-class (bounded by day count, the KS/EWMA
+    precedent), and the slope is the closed form (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) on exact integer sums — day numbers and revenue
+    cents — with one final double division into the shared q6
+    quantizer."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", "o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("dn"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    win = Window.orderBy("dn").rangeBetween(-27, 0)
+    w = d.select(
+        "day",
+        F.count("*").over(win).alias("n"),
+        F.sum("dn").over(win).alias("sx"),
+        F.sum("rev_c").over(win).alias("sy"),
+        F.sum(F.col("dn") * F.col("dn")).over(win).alias("sxx"),
+        F.sum(F.col("dn") * F.col("rev_c")).over(win).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return w.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when(
+            (F.col("n") >= 2) & (den != 0),
+            F.floor(num / den / 100 * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("slope_per_day"),
+    )

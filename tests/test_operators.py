@@ -339,6 +339,36 @@ def test_global_rank_matches_single_partition_window(spark):
         assert got == want, parts
 
 
+def test_global_prefix_sum_matches_single_partition_window(spark):
+    """The two-phase distributed running sum equals SUM(w) OVER a
+    by-less window for every partition count, including weights that
+    force uneven per-partition totals and a partition count above the
+    row count (empty ranges)."""
+    from pyspark.sql import Window
+
+    from slipstream_async_spark.operators.aggregations import (
+        global_prefix_sum,
+    )
+
+    rows = [(i, (i * 37) % 11, 1 + (i * i) % 9) for i in range(103)]
+    df = spark.createDataFrame(rows, "id long, a long, w long")
+    w = Window.orderBy("a", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in df.select("id", F.sum("w").over(w).alias("cum")).collect()
+    }
+    for parts in (1, 5, 200):
+        got = {
+            r["id"]: r["cum"]
+            for r in global_prefix_sum(
+                df, ["a", "id"], "w", partitions=parts
+            ).collect()
+        }
+        assert got == want, parts
+
+
 def test_brute_force_topk_pandas_matches_expression_lane(spark):
     """The Arrow/numpy matmul scoring lane agrees with the JVM expression
     lane: same top-k sets on the fixture, cosines within float summation

@@ -7,11 +7,17 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
+
+# Runnable as `python tools/check_oracle.py` from anywhere: Python puts
+# tools/ (the script dir) on sys.path, not the repo root the package
+# imports need.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
