@@ -13102,3 +13102,696 @@ def orders_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(num / den / 100 * 1000000 + F.lit(0.5)) / 1000000,
         ).alias("slope_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont. 2): operational diagnostics and agreement / drift statistics.
+# ---------------------------------------------------------------------------
+
+_KEY_SKEW = """
+WITH k AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+t AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_c
+  FROM k),
+r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS rk FROM k),
+q AS (
+  SELECT
+    CAST(MIN(CASE WHEN rk = CAST(floor((50 * t.n_keys + 99) / 100.0)
+                                 AS BIGINT) THEN c END) AS BIGINT) AS p50_c,
+    CAST(MIN(CASE WHEN rk = CAST(floor((99 * t.n_keys + 99) / 100.0)
+                                 AS BIGINT) THEN c END) AS BIGINT) AS p99_c
+  FROM r, t)
+SELECT t.n_events, t.n_keys, t.max_c, q.p50_c, q.p99_c,
+       floor(t.max_c * 1000000.0 / t.n_events + 0.5) / 1000000
+         AS top_key_share,
+       floor(CAST(t.max_c * t.n_keys AS DOUBLE) / t.n_events
+             * 1000000 + 0.5) / 1000000 AS skew_max_over_avg
+FROM t, q
+"""
+
+
+@register("events_key_skew_report", oracle=_KEY_SKEW)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for the events stream keyed by
+    user_id: total rows, distinct keys, the hottest key's count, exact
+    p50/p99 per-key counts, the hot key's share of all rows, and
+    max/avg — the numbers read BEFORE keying a 100 TB shuffle by
+    user_id, because one bot account at 30% share means salting or an
+    AQE skew-join hint, and no local test will say so.
+
+    Shape: one partial-aggregated count per key; the scalar maxima come
+    off that key-grain frame in one pass, and the exact p50/p99 go
+    through AGG.exact_quantiles (two-phase distributed rank — the
+    key-grain frame never funnels through one task, which matters
+    precisely when this report is worth running). All counts are exact
+    integers; the two ratios are single correctly-rounded divisions of
+    exact integers, quantized with the shared floor(x*1e6+0.5) recipe."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    t = k.agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    q = AGG.exact_quantiles(k.select("c"), "c", [50, 99])
+    qq = (
+        q.groupBy()
+        .pivot("pct", [50, 99])
+        .agg(F.min("value"))
+        .select(
+            F.col("50").cast("bigint").alias("p50_c"),
+            F.col("99").cast("bigint").alias("p99_c"),
+        )
+    )
+    return t.crossJoin(F.broadcast(qq)).select(
+        "n_events",
+        "n_keys",
+        "max_c",
+        "p50_c",
+        "p99_c",
+        (
+            F.floor(F.col("max_c") * F.lit(1000000.0) / F.col("n_events") + 0.5)
+            / 1000000
+        ).alias("top_key_share"),
+        (
+            F.floor(
+                (F.col("max_c") * F.col("n_keys")).cast("double")
+                / F.col("n_events")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("skew_max_over_avg"),
+    )
+
+
+_KAPPA = """
+WITH g AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+  FROM documents),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM g)
+SELECT n, n11, n10, n01, n00,
+       floor((n11 + n00) * 1000000.0 / n + 0.5) / 1000000 AS po,
+       floor((CAST((n11 + n10) AS DOUBLE) * (n11 + n01)
+              + CAST((n01 + n00) AS DOUBLE) * (n10 + n00))
+             / n / n * 1000000 + 0.5) / 1000000 AS pe,
+       floor(((n11 + n00) * 1.0 / n
+              - (CAST((n11 + n10) AS DOUBLE) * (n11 + n01)
+                 + CAST((n01 + n00) AS DOUBLE) * (n10 + n00)) / n / n)
+             / (1.0 - (CAST((n11 + n10) AS DOUBLE) * (n11 + n01)
+                       + CAST((n01 + n00) AS DOUBLE) * (n10 + n00)) / n / n)
+             * 1000000 + 0.5) / 1000000 AS kappa
+FROM c
+"""
+
+
+@register("stats_cohens_kappa", oracle=_KAPPA)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two document gates — the length gate
+    (n_chars >= 300) and the English gate (lang = 'en') — chance-
+    corrected agreement, the statistic quoted when deciding whether two
+    cheap filters are redundant (high kappa: drop one) or complementary
+    (low kappa: keep both). Raw agreement po flatters any pair whose
+    base rates are lopsided; kappa = (po - pe) / (1 - pe) removes the
+    agreement both would get by flipping biased coins.
+
+    Shape: one scan collapses to the four 2x2 cell counts (a single
+    partial-aggregated row), and every statistic is arithmetic over
+    those exact integers — products stay below 2^53 in double, each
+    division correctly rounded, identical expression order in both
+    engines, shared floor(x*1e6+0.5) quantizer."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("b"),
+    )
+    c = g.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    nn = F.col("n")
+    po = (F.col("n11") + F.col("n00")) * F.lit(1.0) / nn
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00"))
+    ) / nn / nn
+    q6 = lambda x: F.floor(x * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (
+            F.floor(
+                (F.col("n11") + F.col("n00")) * F.lit(1000000.0) / nn + 0.5
+            )
+            / 1000000
+        ).alias("po"),
+        q6(pe).alias("pe"),
+        q6((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+_PSI = """
+WITH b AS (
+  SELECT CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) / 2000000.0) AS BIGINT) AS bkt,
+         CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 0 ELSE 1 END
+           AS era
+  FROM orders),
+c AS (
+  SELECT bkt,
+         CAST(SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM b GROUP BY 1),
+t AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM c)
+SELECT t.nb AS n_buckets, t.t0 AS n_early, t.t1 AS n_late,
+       floor(SUM((CAST(c0 + 1 AS DOUBLE) / (t0 + nb)
+                  - CAST(c1 + 1 AS DOUBLE) / (t1 + nb))
+                 * ln(CAST((c0 + 1) * (t1 + nb) AS DOUBLE)
+                      / CAST((c1 + 1) * (t0 + nb) AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS psi
+FROM c, t
+GROUP BY t.nb, t.t0, t.t1
+"""
+
+
+@register("orders_psi_price_drift", oracle=_PSI)
+def orders_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the order-price distribution,
+    pre-1995 vs 1995-onward, over fixed $20k price buckets with add-one
+    smoothing on the union bucket domain — the drift monitor run on
+    every feature feeding a deployed model (PSI < 0.1 stable, > 0.25
+    retrain), here answering "did the price mix shift between eras".
+
+    Shape: the fact table collapses to (bucket, era) counts in one
+    partial-aggregated scan — buckets are bounded by the price range,
+    never by row count — and PSI sums over those ~dozens of bucket
+    rows. Determinism: bucket ids floor exact cent integers (quotient
+    >= 1/2e6 from the next integer when not exact); each log argument
+    is a single correctly-rounded quotient of exact integer products
+    (ln(p/q) computed as ln((c0+1)(t1+nb) / ((c1+1)(t0+nb))), never two
+    logs), matching the chisq family's bucket-grain double-sum
+    precedent under the shared q6 quantizer."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    b = orders.select(
+        F.floor(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            / F.lit(2000000.0)
+        )
+        .cast("bigint")
+        .alias("bkt"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    )
+    c = b.groupBy("bkt").agg(
+        F.sum(F.when(F.col("era") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("era") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    t = c.agg(
+        F.sum("c0").cast("bigint").alias("t0"),
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    term = (
+        (F.col("c0") + 1).cast("double") / (F.col("t0") + F.col("nb"))
+        - (F.col("c1") + 1).cast("double") / (F.col("t1") + F.col("nb"))
+    ) * F.log(
+        ((F.col("c0") + 1) * (F.col("t1") + F.col("nb"))).cast("double")
+        / ((F.col("c1") + 1) * (F.col("t0") + F.col("nb"))).cast("double")
+    )
+    return (
+        j.groupBy("nb", "t0", "t1")
+        .agg(
+            (F.floor(F.sum(term) * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "psi"
+            )
+        )
+        .select(
+            F.col("nb").alias("n_buckets"),
+            F.col("t0").alias("n_early"),
+            F.col("t1").alias("n_late"),
+            "psi",
+        )
+    )
+
+
+_BURSTINESS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x != '')) AS term
+  FROM documents),
+s AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY 1),
+top AS (SELECT * FROM s ORDER BY cf DESC, term LIMIT 30)
+SELECT term, cf, df,
+       floor(CAST(cf AS DOUBLE) / df * 1000000 + 0.5) / 1000000
+         AS burstiness
+FROM top
+"""
+
+
+@register("text_term_burstiness", oracle=_BURSTINESS)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (collection frequency / document frequency) for
+    the 30 highest-cf terms: cf/df = 1 means a term appears once
+    wherever it appears (function-word behavior); cf/df >> 1 means it
+    clumps (topical or boilerplate behavior) — the Church/Gale
+    diagnostic separating stopword-like from bursty terms BEFORE
+    trusting df-idf weights or boilerplate df-caps built on them.
+
+    Shape: tokens explode once, (term, doc_id) partial-aggregates
+    collapse duplicates before the term-grain shuffle (exact distinct
+    without count_distinct's per-term expansion), and the top-30 is
+    orderBy+limit — TakeOrderedAndProject, a per-partition heap + the
+    30-row merge, never a global sort of the vocabulary. cf and df are
+    exact integers; the one quotient is a correctly-rounded division
+    under the shared q6 quantizer."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("term")
+    )
+    s = (
+        tok.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("term")
+        .agg(
+            F.sum("c").cast("bigint").alias("cf"),
+            F.count("*").cast("bigint").alias("df"),
+        )
+    )
+    top = s.orderBy(F.col("cf").desc(), "term").limit(30)
+    return top.select(
+        "term",
+        "cf",
+        "df",
+        (
+            F.floor(F.col("cf").cast("double") / F.col("df") * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("burstiness"),
+    )
+
+
+_CRAMERS_V = """
+WITH o AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2),
+t AS (
+  SELECT pri, st, obs,
+         SUM(obs) OVER (PARTITION BY pri) AS row_tot,
+         SUM(obs) OVER (PARTITION BY st) AS col_tot,
+         SUM(obs) OVER () AS n
+  FROM o),
+a AS (
+  SELECT SUM((obs - row_tot * col_tot * 1.0 / n)
+             * (obs - row_tot * col_tot * 1.0 / n)
+             / (row_tot * col_tot * 1.0 / n)) AS chi2,
+         CAST(COUNT(DISTINCT pri) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT st) AS BIGINT) AS c,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM t)
+SELECT floor(chi2 * 1000000 + 0.5) / 1000000 AS chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof, n AS n_orders,
+       floor(sqrt(chi2 / (n * (CASE WHEN r < c THEN r ELSE c END - 1)))
+             * 1000000 + 0.5) / 1000000 AS cramers_v
+FROM a
+"""
+
+
+@register("stats_cramers_v", oracle=_CRAMERS_V)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V for order priority x order status — the chi-square
+    statistic normalized to [0, 1] by n*(min(r,c)-1), so association
+    strength is comparable ACROSS tables of different size and shape
+    (the raw chi2 of lang_source_chisq grows with n even when the
+    effect is fixed; V is what you quote when comparing two candidate
+    stratification keys).
+
+    Shape: same contingency-collapse as the chisq family — one partial
+    agg to the |priorities| x |statuses| table (~15 rows), margin
+    windows over those rows, one sqrt at the end. Counts exact; the
+    statistic follows the chisq family's bucket-grain double precedent
+    under the shared q6 quantizer."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    o = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    t = o.select(
+        "pri",
+        "st",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("pri")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("st")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") * F.lit(1.0) / F.col("n")
+    a = t.agg(
+        F.sum((F.col("obs") - e) * (F.col("obs") - e) / e).alias("chi2"),
+        F.count_distinct("pri").cast("bigint").alias("r"),
+        F.count_distinct("st").cast("bigint").alias("c"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    mind = F.when(F.col("r") < F.col("c"), F.col("r")).otherwise(F.col("c"))
+    return a.select(
+        (F.floor(F.col("chi2") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "chi2"
+        ),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.col("n").alias("n_orders"),
+        (
+            F.floor(
+                F.sqrt(F.col("chi2") / (F.col("n") * (mind - 1)))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("cramers_v"),
+    )
+
+
+_HELDOUT_PPL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x != '')) AS term
+  FROM documents),
+tr AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE doc_id % 2 = 0 GROUP BY 1),
+trt AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_train,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM tr),
+te AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE doc_id % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT te.c AS ct, COALESCE(tr.c, 0) AS ctr
+  FROM te LEFT JOIN tr USING (term)),
+a AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS n_test,
+         SUM(ct * ln(CAST(n_train + vocab + 1 AS DOUBLE) / (ctr + 1)))
+           AS nll
+  FROM j, trt GROUP BY n_train, vocab)
+SELECT trt.n_train, trt.vocab, a.n_test,
+       floor(a.nll / a.n_test * 1000000 + 0.5) / 1000000
+         AS cross_entropy_nats
+FROM a, trt
+"""
+
+
+@register("lm_heldout_perplexity", oracle=_HELDOUT_PPL)
+def lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out cross-entropy of an add-one-smoothed unigram LM: train
+    on even doc_ids, score odd doc_ids, p(t) = (c_train(t)+1) /
+    (N_train+V+1) with one shared unseen-token slot — the cheapest
+    end-to-end "is this corpus split learnable/contaminated" probe (a
+    held-out entropy far below fresh-corpus entropy means the split
+    leaks near-duplicates; lm_bigram_score scores individual docs, this
+    scores the SPLIT).
+
+    Shape: tokens explode once and collapse to term grain per split
+    (two partial aggs over the same shuffle key), the test vocabulary
+    left-joins train counts on term — vocabulary grain, never token
+    grain — and the NLL sums ct * ln of a single correctly-rounded
+    quotient of exact integers (ln((N+V+1)/(c+1)), one log per type,
+    never per token). Scalar normalizers ride a broadcast 1-row frame;
+    the final divide lands in the shared q6 quantizer."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("term")
+    )
+    tr = (
+        tok.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    trt = tr.agg(
+        F.sum("c").cast("bigint").alias("n_train"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    te = (
+        tok.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    j = te.join(tr.withColumnRenamed("c", "ctr"), "term", "left").select(
+        "ct", F.coalesce(F.col("ctr"), F.lit(0)).alias("ctr")
+    )
+    a = (
+        j.crossJoin(F.broadcast(trt))
+        .groupBy("n_train", "vocab")
+        .agg(
+            F.sum("ct").cast("bigint").alias("n_test"),
+            F.sum(
+                F.col("ct")
+                * F.log(
+                    (F.col("n_train") + F.col("vocab") + 1).cast("double")
+                    / (F.col("ctr") + 1)
+                )
+            ).alias("nll"),
+        )
+    )
+    return a.select(
+        "n_train",
+        "vocab",
+        "n_test",
+        (
+            F.floor(F.col("nll") / F.col("n_test") * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("cross_entropy_nats"),
+    )
+
+
+_THEIL = """
+WITH k AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total
+  FROM k)
+SELECT t.n AS n_customers,
+       floor(CAST(t.total AS DOUBLE) / t.n / 100 * 1000000 + 0.5) / 1000000
+         AS mean_spend,
+       floor(SUM(CAST(cents AS DOUBLE) / t.total
+                 * ln(CAST(cents AS DOUBLE) * t.n / t.total))
+             * 1000000 + 0.5) / 1000000 AS theil_t
+FROM k, t
+GROUP BY t.n, t.total
+"""
+
+
+@register("orders_theil_index", oracle=_THEIL)
+def orders_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer-spend inequality: (1/n) sum
+    (x_i/mu) ln(x_i/mu) — the entropy-based sibling of
+    orders_gini_coefficient, and the one worth having NEXT TO Gini
+    because Theil decomposes additively across subgroups (a
+    between-nations + within-nation split is a sum, which Gini cannot
+    do), so it is the inequality number used when drill-down must
+    reconcile to the total.
+
+    Shape: the fact table collapses to customer-grain exact cent sums,
+    the two scalar totals ride a broadcast 1-row frame, and the
+    customer-grain sum needs no rank or sort (unlike Gini) — each term
+    is exact-integer arithmetic into one log of a correctly-rounded
+    quotient (cents*n/total computed as exact integer product over
+    exact integer, both < 2^53... cents*n can exceed 2^53 at billions
+    of customers, so the product casts to double FIRST — the same
+    one-rounding the oracle's CAST(cents AS DOUBLE)*n/total performs),
+    summed at customer grain under the entropy-family precedent and
+    the shared q6 quantizer."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    t = k.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    j = k.crossJoin(F.broadcast(t))
+    term = (
+        F.col("cents").cast("double")
+        / F.col("total")
+        * F.log(
+            F.col("cents").cast("double") * F.col("n") / F.col("total")
+        )
+    )
+    return (
+        j.groupBy("n", "total")
+        .agg(
+            (F.floor(F.sum(term) * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "theil_t"
+            )
+        )
+        .select(
+            F.col("n").alias("n_customers"),
+            (
+                F.floor(
+                    F.col("total").cast("double")
+                    / F.col("n")
+                    / 100
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("mean_spend"),
+            "theil_t",
+        )
+    )
+
+
+_BOUNCE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0
+           END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ids AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+s AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS dur_us
+  FROM ids GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       floor(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000.0
+             / COUNT(*) + 0.5) / 1000000 AS bounce_rate,
+       floor(CAST(SUM(n_ev) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+         / 1000000 AS avg_events_per_session,
+       floor(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000
+             * 1000000 + 0.5) / 1000000 AS avg_session_secs
+FROM s
+"""
+
+
+@register("events_bounce_rate", oracle=_BOUNCE)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level engagement summary over 30-minute-gap sessions:
+    bounce share (single-event sessions), mean events per session, and
+    mean session duration — the three numbers a funnel readout is
+    conditioned on (a rising bounce rate reframes every downstream
+    conversion metric). a6_sessions_30m materializes the sessions;
+    this is the corpus-level readout over them.
+
+    Shape: gaps-and-islands per user (both windows PARTITION BY
+    user_id — user-grain parallelism, no global sort), then one
+    partial-aggregated pass to session grain and one to the 1-row
+    summary. Durations accumulate as exact epoch MICROSECONDS
+    (epoch_us == Spark unix_micros, both exact BIGINT — no float
+    timestamp arithmetic), counts are exact, and the three ratios are
+    correctly-rounded divisions of exact integers under the shared q6
+    quantizer."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (tz-diff
+        # cancels in the subtraction, session tz is pinned UTC anyway).
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            > 1800 * 1000000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+        "event_id",
+    )
+    cw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ids = flagged.select(
+        "user_id", "ts", F.sum("new_s").over(cw).alias("sid")
+    )
+    s = ids.groupBy("user_id", "sid").agg(
+        F.count("*").cast("bigint").alias("n_ev"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("dur_us"),
+    )
+    bounces = F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+    return s.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        bounces.cast("bigint").alias("n_bounces"),
+        (
+            F.floor(bounces * F.lit(1000000.0) / F.count("*") + 0.5)
+            / 1000000
+        ).alias("bounce_rate"),
+        (
+            F.floor(
+                F.sum("n_ev").cast("double") / F.count("*") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("avg_events_per_session"),
+        (
+            F.floor(
+                F.sum("dur_us").cast("double")
+                / F.count("*")
+                / 1000000
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("avg_session_secs"),
+    )

@@ -154,6 +154,24 @@ ALLOW_BNLJ = {
     # 10-row anchor set broadcast-crossed against the corpus — the
     # sim_topk_bruteforce shape feeding both argmax windows
     "emb_hard_negatives",
+    # one-row half-total target crossed onto the prefix-sum frame —
+    # the scalar-subquery shape over global_prefix_sum's output
+    "lineitem_weighted_median_price",
+    # one-row (p5, p95) threshold frame crossed onto the fact scan
+    # before the clamp — the emb_outlier_gate shape
+    "brand_winsorized_mean",
+    # one-row scalar maxima crossed with the one-row pivoted exact
+    # percentiles — two 1-row frames into the single summary row
+    "events_key_skew_report",
+    # one-row era totals crossed onto the bounded bucket-grain counts
+    # — the scalar-subquery shape
+    "orders_psi_price_drift",
+    # one-row train-corpus normalizer (N_train, V) crossed onto the
+    # test-vocabulary grain — the lm_bigram_score shape
+    "lm_heldout_perplexity",
+    # one-row (n, total) scalars crossed onto the customer-grain spend
+    # frame — the scalar-subquery shape
+    "orders_theil_index",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
