@@ -384,3 +384,52 @@ def test_pagerank_iterations_reuse_checkpointed_edges(q):
     for ln in scans:
         cols = ln.split("FileScan parquet ", 1)[1].split("]", 1)[0] + "]"
         assert "n_name" in cols or cols.startswith("[]"), ln
+
+
+def test_weighted_median_prefix_sum_distributed(q):
+    """lineitem_weighted_median_price: the running sum must come from
+    the two-phase global_prefix_sum (range repartition + local cumsum +
+    broadcast offsets over the checkpointed frame) — the plan reads the
+    materialized frame and the only SinglePartition branches are the
+    per-partition-totals offsets window and the scalar half-total
+    aggregate, never the lineitem-grain rows."""
+    plan = _plan(q["lineitem_weighted_median_price"], "formatted")
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("SinglePartition") <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_key_skew_percentiles_distributed(q):
+    """events_key_skew_report: the exact p50/p99 of per-key counts run
+    through AGG.exact_quantiles' two-phase rank — the plan reads the
+    checkpointed rank frame, and every SinglePartition branch takes
+    aggregate-grain input (offsets window, scalar maxima, the pivoted
+    2-value percentile frame, the final 1-row assembly), bounded at 4."""
+    plan = _plan(q["events_key_skew_report"], "formatted")
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("SinglePartition") <= 4, plan
+
+
+def test_burstiness_topk_is_take_ordered(q):
+    """text_term_burstiness: the top-30-by-cf selection must plan as
+    TakeOrderedAndProject (per-partition heap + 30-row merge), never a
+    global sort of the vocabulary, and the exact df must come from the
+    two-level (term, doc_id) pre-aggregation, not a count_distinct
+    expand."""
+    plan = _plan(q["text_term_burstiness"], "simple")
+    assert "TakeOrdered" in plan, plan
+    assert "Expand" not in plan, plan
+    assert plan.count("Sort ") <= 0 or "Sort [" not in plan.replace(
+        "TakeOrdered", ""
+    ), plan
+
+
+def test_spearman_ranks_distributed(q):
+    """stats_spearman_rank: BOTH total orders (by order count, by
+    spend) must come from AGG.global_rank's checkpointed two-phase
+    frames — the plan reads materialized rank frames and keeps
+    SinglePartition branches to the two offsets windows plus the final
+    scalar aggregate (3), never a customer-grain global sort."""
+    plan = _plan(q["stats_spearman_rank"], "formatted")
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("SinglePartition") <= 3, plan
