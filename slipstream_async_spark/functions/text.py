@@ -41,6 +41,23 @@ def hash32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
+def hash64(col: Column | str) -> Column:
+    """Deterministic 60-bit hash as BIGINT for unbounded-cardinality
+    identities (corpus-scale n-gram keyspaces): first 15 hex chars of
+    md5, base-16 -> base-10. 15 hex chars = 60 bits, so the value is
+    always positive and fits signed BIGINT in every engine — no
+    sign-bit masking needed (a full 16-char/64-bit value overflows
+    Spark's ``conv(...).cast('bigint')`` to NULL and DuckDB's
+    ``::BIGINT`` to an error for the top half of the space).
+    DuckDB equivalent: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    Use this — never :func:`hash32` — whenever the hashed domain can
+    exceed ~1e6 distinct values: 2^32 saturates at web-corpus
+    cardinalities (1e11+ grams at 100 TB), 2^60 does not.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

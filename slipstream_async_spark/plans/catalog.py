@@ -108,10 +108,27 @@ def _driver_verified() -> frozenset[str]:
 _DRIVER_VERIFIED: frozenset[str] = _driver_verified()
 
 
+# Queries whose SEMANTICS changed after their last green driver check
+# (so the green row no longer certifies the current code) — pinned to
+# the very front of the rotation until re-verified, ahead even of
+# never-checked entries. r7: source_novelty_order's gram identity
+# widened from hash32 to hash64 in both engines.
+_FORCE_FIRST: tuple[str, ...] = ("source_novelty_order",)
+
+
 def _rotated(mapping: dict) -> dict:
-    unverified = {k: v for k, v in mapping.items() if k not in _DRIVER_VERIFIED}
-    verified = {k: v for k, v in mapping.items() if k in _DRIVER_VERIFIED}
-    return {**unverified, **verified}
+    forced = {k: mapping[k] for k in _FORCE_FIRST if k in mapping}
+    unverified = {
+        k: v
+        for k, v in mapping.items()
+        if k not in _DRIVER_VERIFIED and k not in forced
+    }
+    verified = {
+        k: v
+        for k, v in mapping.items()
+        if k in _DRIVER_VERIFIED and k not in forced
+    }
+    return {**forced, **unverified, **verified}
 
 
 def queries() -> dict[str, QueryFn]:
@@ -11653,7 +11670,7 @@ _NOVELTY_ORDER = f"""
 WITH toks AS (SELECT source, {_DK_TOKS} AS t FROM documents),
 sh AS (
   SELECT DISTINCT source,
-         ('0x' || substr(md5(g), 1, 8))::BIGINT AS g
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
   FROM (SELECT source, unnest({_dk_kgram(8)}) AS g FROM toks)
 ),
 own AS (SELECT g, MIN(source) AS owner FROM sh GROUP BY g)
@@ -11679,10 +11696,12 @@ def source_novelty_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve). The owner of a gram is the MINIMUM source containing it —
     an aggregate, so "first in order" needs no iterative pass.
 
-    Shape: distinct (source, gram-hash) pairs shuffle as 64-bit ints
-    (never gram text); ownership is one groupBy(gram) min; the rollup
-    is |sources| rows. At 100 TB this is the same two-shuffle plan —
-    gram-hash keyspace spreads uniformly by construction."""
+    Shape: distinct (source, gram-hash) pairs shuffle as 60-bit
+    BIGINTs (``TXT.hash64``, never gram text); ownership is one
+    groupBy(gram) min; the rollup is |sources| rows. At 100 TB this is
+    the same two-shuffle plan — the 2^60 keyspace stays collision-free
+    at 1e11+ distinct grams (a 32-bit identity would alias many-fold
+    there and mis-attribute ownership)."""
     (docs,) = _t(spark, sf_dir, "documents")
     sh = (
         docs.select(
@@ -11691,7 +11710,7 @@ def source_novelty_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 TXT.shingles_of_tokens(TXT.tokens("text"), 8)
             ).alias("g"),
         )
-        .select("source", TXT.hash32("g").alias("g"))
+        .select("source", TXT.hash64("g").alias("g"))
         .distinct()
     )
     own = sh.groupBy("g").agg(F.min("source").alias("owner"))
