@@ -38,7 +38,7 @@ def main() -> None:
     real_stdout = os.dup(1)
     os.dup2(2, 1)
     try:
-        timings, runs_all, errors, sf_val = _run()
+        timings, runs_all, errors, sf_val, requeued = _run()
     finally:
         sys.stdout.flush()
         os.dup2(real_stdout, 1)
@@ -62,6 +62,8 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    if requeued:
+        payload["requeued"] = requeued
     full = dict(payload)
     full["queries_runs"] = runs_all
     try:
@@ -80,6 +82,7 @@ def _run() -> tuple[
     dict[str, list[float]],
     dict[str, str],
     float | str,
+    list[str],
 ]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from slipstream_async_spark.plans.catalog import queries
@@ -147,12 +150,85 @@ def _run() -> tuple[
         if (i + 1) % 10 == 0:
             spark.sparkContext._jvm.System.gc()
 
+    # Interference re-queue (round-6 lesson: the driver's bench window
+    # sat inside one multi-minute co-tenant load burst, recording a
+    # 2.0 s query at 33.5 s min-of-2 — min-of-N does not survive a
+    # burst that covers all N runs). A query is suspect when its own
+    # run vector spreads >3x, or its min exceeds 3x (+1 s absolute,
+    # so sub-second jitter never triggers) the committed quiet-run
+    # value in BENCH_QUIET.json — a READ-ONLY baseline this script
+    # never writes, unlike BENCH_LOCAL.json which every run (including
+    # the driver's loaded one) overwrites. Suspects re-run ONCE at the
+    # very end of the pass — maximally far from the burst that
+    # inflated them — and the reported min is over all runs.
+    quiet: dict[str, float] = {}
+    try:
+        qpath = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_QUIET.json"
+        )
+        with open(qpath) as fh:
+            qdoc = json.load(fh)
+        if qdoc.get("sf") == _sf_of(sf_dir):
+            quiet = {
+                k: v
+                for k, v in (qdoc.get("queries") or {}).items()
+                if isinstance(v, (int, float))
+            }
+    except (OSError, ValueError):
+        pass
+
+    def _suspect(name: str) -> bool:
+        runs = runs_all.get(name) or []
+        if not runs or timings.get(name) is None:
+            return False
+        if max(runs) > 3.0 * min(runs) and max(runs) - min(runs) > 1.0:
+            return True
+        ref = quiet.get(name)
+        return (
+            ref is not None
+            and ref > 0
+            and min(runs) > 3.0 * ref
+            and min(runs) - ref > 1.0
+        )
+
+    suspects = [n for n in timings if _suspect(n)]
+    if suspects:
+        print(
+            f"bench: re-queueing {len(suspects)} interference suspects: "
+            f"{suspects}",
+            file=sys.stderr,
+        )
+    fns = queries()
+    for name in suspects:
+        try:
+            t0 = time.time()
+            fns[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.time() - t0, 3)
+            runs_all[name].append(dt)
+            timings[name] = min(timings[name], dt)
+            spark.catalog.clearCache()
+            gc.collect()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = errors.get(name) or (
+                f"requeue {type(exc).__name__}: {exc}"[:300]
+            )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    return timings, runs_all, errors, sf_val
+    return timings, runs_all, errors, sf_val, suspects
+
+
+def _sf_of(sf_dir: str) -> float | str:
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
 
 
 if __name__ == "__main__":

@@ -13814,3 +13814,1136 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("avg_session_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: classical inference battery (Welch, effect sizes, chi-square,
+# Jarque-Bera, Durbin-Watson, Mann-Kendall, Kruskal-Wallis, Brown-
+# Forsythe) — every statistic computed from exact integer sufficient
+# statistics or index-ordered array folds (the _DK_DOT-proven shape), so
+# both engines produce identical doubles; every heavy input collapses to
+# a bounded grain (value/day/source) before any global step.
+# ---------------------------------------------------------------------------
+
+_WELCH_T = """
+WITH g AS (
+  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS q
+  FROM documents GROUP BY 1
+),
+p AS (
+  SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+         MAX(CASE WHEN grp = 1 THEN s END) AS s1,
+         MAX(CASE WHEN grp = 1 THEN q END) AS q1,
+         MAX(CASE WHEN grp = 0 THEN n END) AS n2,
+         MAX(CASE WHEN grp = 0 THEN s END) AS s2,
+         MAX(CASE WHEN grp = 0 THEN q END) AS q2
+  FROM g
+),
+v AS (
+  SELECT n1, n2,
+         s1::DOUBLE / n1 AS m1, s2::DOUBLE / n2 AS m2,
+         (n1 * q1 - s1 * s1)::DOUBLE / (n1::DOUBLE * (n1 - 1)) / n1 AS a,
+         (n2 * q2 - s2 * s2)::DOUBLE / (n2::DOUBLE * (n2 - 1)) / n2 AS b
+  FROM p
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       floor(m1 * 1000000 + 0.5) / 1000000 AS mean_src0,
+       floor(m2 * 1000000 + 0.5) / 1000000 AS mean_rest,
+       floor((m1 - m2) / sqrt(a + b) * 1000000 + 0.5) / 1000000 AS t_stat,
+       floor((a + b) * (a + b)
+             / (a * a / (n1 - 1) + b * b / (n2 - 1))
+             * 1000000 + 0.5) / 1000000 AS df_welch
+FROM v
+"""
+
+
+@register("stats_welch_ttest", oracle=_WELCH_T)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: does source 'src0' differ from
+    the rest of the corpus in mean document length? t and the
+    Welch-Satterthwaite effective degrees of freedom — the default
+    two-sample location test (Student's equal-variance form is the
+    special case nobody's data satisfies), complementing the
+    distribution-level KS/Mann-Whitney pair already in the battery.
+
+    Determinism: each group collapses to exact BIGINT sufficient
+    statistics (n, sum, sum-of-squares) in one partially-aggregated
+    pass; means/variances/t/df are fixed expression chains over those
+    six integers, identical IEEE ops in both engines. Shape: one scan,
+    2-group aggregate, 1-row conditional pivot — nothing about it
+    changes at 100 TB."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("grp")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    pick = lambda grp, c: F.max(F.when(F.col("grp") == grp, F.col(c)))  # noqa: E731
+    p = g.agg(
+        pick(1, "n").alias("n1"), pick(1, "s").alias("s1"),
+        pick(1, "q").alias("q1"), pick(0, "n").alias("n2"),
+        pick(0, "s").alias("s2"), pick(0, "q").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    a = (n1 * F.col("q1") - F.col("s1") * F.col("s1")).cast("double") / (
+        n1.cast("double") * (n1 - 1)
+    ) / n1
+    b = (n2 * F.col("q2") - F.col("s2") * F.col("s2")).cast("double") / (
+        n2.cast("double") * (n2 - 1)
+    ) / n2
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return p.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        q6(m1).alias("mean_src0"),
+        q6(m2).alias("mean_rest"),
+        q6((m1 - m2) / F.sqrt(a + b)).alias("t_stat"),
+        q6(
+            (a + b) * (a + b)
+            / (a * a / (n1 - 1) + b * b / (n2 - 1))
+        ).alias("df_welch"),
+    )
+
+
+def _cohens_d_oracle() -> str:
+    return """
+WITH g AS (
+  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS q
+  FROM documents GROUP BY 1
+),
+p AS (
+  SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+         MAX(CASE WHEN grp = 1 THEN s END) AS s1,
+         MAX(CASE WHEN grp = 1 THEN q END) AS q1,
+         MAX(CASE WHEN grp = 0 THEN n END) AS n2,
+         MAX(CASE WHEN grp = 0 THEN s END) AS s2,
+         MAX(CASE WHEN grp = 0 THEN q END) AS q2
+  FROM g
+),
+v AS (
+  SELECT n1, n2, s1::DOUBLE / n1 AS m1, s2::DOUBLE / n2 AS m2,
+         ((q1 - s1 * (s1::DOUBLE / n1))
+          + (q2 - s2 * (s2::DOUBLE / n2)))
+           / (n1 + n2 - 2) AS sp2
+  FROM p
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       floor((m1 - m2) / sqrt(sp2) * 1000000 + 0.5) / 1000000 AS cohens_d,
+       floor((m1 - m2) / sqrt(sp2)
+             * (1 - 3.0 / (4 * (n1 + n2) - 9))
+             * 1000000 + 0.5) / 1000000 AS hedges_g
+FROM v
+"""
+
+
+@register("stats_cohens_d", oracle=_cohens_d_oracle())
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size of the src0-vs-rest length difference:
+    Cohen's d on the pooled SD, plus Hedges' g small-sample correction
+    — the companion a significance test needs (Welch's t says WHETHER
+    the means differ; d says whether anyone should care, and survives
+    sample-size inflation that drives every p to zero at corpus
+    scale).
+
+    Determinism: the same six exact BIGINT sufficient statistics as
+    stats_welch_ttest; pooled variance sums the two exact within-group
+    SS in a fixed order. Shape: one scan, 2-row aggregate, 1 row out."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("grp")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    pick = lambda grp, c: F.max(F.when(F.col("grp") == grp, F.col(c)))  # noqa: E731
+    p = g.agg(
+        pick(1, "n").alias("n1"), pick(1, "s").alias("s1"),
+        pick(1, "q").alias("q1"), pick(0, "n").alias("n2"),
+        pick(0, "s").alias("s2"), pick(0, "q").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    sp2 = (
+        (F.col("q1") - F.col("s1") * m1)
+        + (F.col("q2") - F.col("s2") * m2)
+    ) / (n1 + n2 - 2)
+    d = (m1 - m2) / F.sqrt(sp2)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return p.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        q6(d).alias("cohens_d"),
+        q6(d * (1 - 3.0 / (4 * (n1 + n2) - 9))).alias("hedges_g"),
+    )
+
+
+_CHI2_DOW = """
+WITH d AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) % 7 AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(SUM(o * o) AS BIGINT) AS oo,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM d
+)
+SELECT n AS n_orders, k AS n_cells,
+       floor((7 * oo::DOUBLE / n - n) * 1000000 + 0.5) / 1000000
+         AS chi2_stat,
+       CAST(6 AS BIGINT) AS df,
+       12.591587243743977 AS crit_095,
+       7 * oo::DOUBLE / n - n > 12.591587243743977 AS reject_095
+FROM t
+"""
+
+
+@register("stats_chi2_dow_uniform", oracle=_CHI2_DOW)
+def stats_chi2_dow_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of order volume against a uniform
+    day-of-week distribution: chi2 = sum (O-E)^2/E with E = N/7, which
+    algebraically reduces to 7*sum(O^2)/N - N — a SINGLE division over
+    exact BIGINT counts (no per-cell float subtraction to drift
+    cross-engine). Weekday = day-number mod 7 from the 1990-01-01
+    Monday epoch, the same locale-free convention as orders_dow_index.
+
+    Shape: one scan, 7-row aggregate, 1 row out; the constant is the
+    chi-square(6) 95th percentile shared as a literal by both engines."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        (
+            F.datediff(
+                F.to_date(F.date_trunc("day", "o_orderdate")),
+                F.lit("1990-01-01").cast("date"),
+            )
+            % 7
+        ).alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    t = d.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.sum(F.col("o") * F.col("o")).cast("bigint").alias("oo"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    chi2 = 7 * F.col("oo").cast("double") / F.col("n") - F.col("n")
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return t.select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_cells"),
+        q6(chi2).alias("chi2_stat"),
+        F.lit(6).cast("bigint").alias("df"),
+        F.lit(12.591587243743977).alias("crit_095"),
+        (chi2 > 12.591587243743977).alias("reject_095"),
+    )
+
+
+_JARQUE_BERA = """
+WITH v AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(v * c) AS BIGINT) AS s,
+         array_agg({'v': v, 'c': c} ORDER BY v) AS a
+  FROM v
+),
+m AS (
+  SELECT n,
+         list_reduce(list_transform(a, p ->
+           p.c * (p.v - s::DOUBLE / n) * (p.v - s::DOUBLE / n)),
+           (x, y) -> x + y) / n AS m2,
+         list_reduce(list_transform(a, p ->
+           p.c * (p.v - s::DOUBLE / n) * (p.v - s::DOUBLE / n)
+               * (p.v - s::DOUBLE / n)),
+           (x, y) -> x + y) / n AS m3,
+         list_reduce(list_transform(a, p ->
+           p.c * (p.v - s::DOUBLE / n) * (p.v - s::DOUBLE / n)
+               * (p.v - s::DOUBLE / n) * (p.v - s::DOUBLE / n)),
+           (x, y) -> x + y) / n AS m4
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       floor(m3 / pow(m2, 1.5) * 1000000 + 0.5) / 1000000 AS skewness,
+       floor(m4 / (m2 * m2) * 1000000 + 0.5) / 1000000 AS kurtosis,
+       floor(n / 6.0 * (m3 / pow(m2, 1.5) * (m3 / pow(m2, 1.5))
+             + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4)
+             * 1000000 + 0.5) / 1000000 AS jb_stat,
+       n / 6.0 * (m3 / pow(m2, 1.5) * (m3 / pow(m2, 1.5))
+         + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4)
+         > 5.991464547107979 AS reject_095
+FROM m
+"""
+
+
+@register("stats_jarque_bera", oracle=_JARQUE_BERA)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on the document-length distribution:
+    skewness and excess-kurtosis moments combined into
+    JB = n/6 (S^2 + K^2/4), against the chi-square(2) 95th percentile
+    — the moment-based normality screen (lengths are famously
+    log-normal-ish; a pipeline assuming Gaussian length bands should
+    have this row to point at).
+
+    Determinism: the corpus collapses to VALUE grain (distinct
+    n_chars, a bounded integer domain) with exact BIGINT counts; the
+    three central moments fold over the value-SORTED array with the
+    exact integer mean ratio — index-ordered identical doubles in both
+    engines (the _DK_DOT-proven shape). Shape: value-grain aggregate,
+    one bounded array fold, 1 row out; document count only enters as
+    an exact integer."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    v = docs.groupBy(F.col("n_chars").cast("bigint").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    t = v.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("s"),
+        F.array_sort(F.collect_list(F.struct("v", "c"))).alias("a"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+
+    def moment(k: int):
+        def term(p):
+            d = p["v"] - mu
+            e = p["c"] * d * d
+            for _ in range(k - 2):
+                e = e * d
+            return e
+
+        return (
+            F.aggregate(
+                F.col("a"), F.lit(0.0), lambda acc, p: acc + term(p)
+            )
+            / F.col("n")
+        )
+
+    m2, m3, m4 = moment(2), moment(3), moment(4)
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2)
+    jb = F.col("n") / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return t.select(
+        F.col("n").alias("n_docs"),
+        q6(skew).alias("skewness"),
+        q6(kurt).alias("kurtosis"),
+        q6(jb).alias("jb_stat"),
+        (jb > 5.991464547107979).alias("reject_095"),
+    )
+
+
+_DURBIN_WATSON = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         array_agg(x ORDER BY dn) AS a
+  FROM daily
+),
+m AS (
+  SELECT n,
+         list_reduce(list_transform(
+           list_zip(a[2:], a[1:length(a) - 1]),
+           p -> ((p[1]::DOUBLE) - (p[2]::DOUBLE))
+              * ((p[1]::DOUBLE) - (p[2]::DOUBLE))),
+           (x, y) -> x + y) AS num,
+         list_reduce(list_transform(a,
+           v -> (v - s::DOUBLE / n) * (v - s::DOUBLE / n)),
+           (x, y) -> x + y) AS den
+  FROM t
+)
+SELECT n AS n_days,
+       floor(num / den * 1000000 + 0.5) / 1000000 AS dw_stat,
+       floor((1 - num / den / 2) * 1000000 + 0.5) / 1000000 AS rho_lag1,
+       num / den < 1.5 AS positive_autocorr
+FROM m
+"""
+
+
+@register("stats_durbin_watson", oracle=_DURBIN_WATSON)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic on the daily
+    revenue series: DW = sum (x_t - x_{t-1})^2 / sum (x_t - xbar)^2 —
+    the standard residual-independence screen (DW ~ 2 means none,
+    << 2 positive autocorrelation), with the implied lag-1 rho =
+    1 - DW/2. A forecaster choosing between the catalog's naive and
+    Holt models reads this row first.
+
+    Determinism: the numerator's mean CANCELS (successive differences),
+    so both folds run over the day-SORTED exact-integer-cents array in
+    index order — identical doubles in both engines; sums stay in
+    doubles because squared cents at large SF exceed BIGINT. Shape:
+    day-grain collapse (calendar-bounded) then one bounded array fold;
+    nothing grows with corpus size."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("dn")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    t = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dn", "x"))),
+            lambda p: p["x"],
+        ).alias("a"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    num = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("a"), 2, F.size("a") - 1),
+            F.slice(F.col("a"), 1, F.size("a") - 1),
+            lambda cur, prev: (
+                (cur.cast("double") - prev.cast("double"))
+                * (cur.cast("double") - prev.cast("double"))
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.aggregate(
+        F.col("a"),
+        F.lit(0.0),
+        lambda acc, v: acc + (v - mu) * (v - mu),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    dw = num / den
+    return t.select(
+        F.col("n").alias("n_days"),
+        q6(dw).alias("dw_stat"),
+        q6(1 - dw / 2).alias("rho_lag1"),
+        (dw < 1.5).alias("positive_autocorr"),
+    )
+
+
+_MANN_KENDALL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON b.dn > a.dn
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tv,
+         CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS t2
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY x) WHERE t > 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+SELECT n.n AS n_days, s.s AS s_stat,
+       floor(s.s / sqrt(((n.n * (n.n - 1))::DOUBLE / 2)
+                        * ((n.n * (n.n - 1))::DOUBLE / 2 - t2::DOUBLE / 2))
+             * 1000000 + 0.5) / 1000000 AS tau_b,
+       floor((CASE WHEN s.s > 0 THEN s.s - 1
+                   WHEN s.s < 0 THEN s.s + 1 ELSE 0 END)
+             / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - tv)::DOUBLE / 18)
+             * 1000000 + 0.5) / 1000000 AS z,
+       abs((CASE WHEN s.s > 0 THEN s.s - 1
+                 WHEN s.s < 0 THEN s.s + 1 ELSE 0 END)
+           / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - tv)::DOUBLE / 18))
+         > 1.959963984540054 AS reject_095
+FROM s, ties, n
+"""
+
+
+@register("stats_mann_kendall", oracle=_MANN_KENDALL)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily revenue: S = sum of
+    sign(x_j - x_i) over all day pairs i<j, Kendall's tau-b (tie-
+    corrected), and the continuity-corrected normal z against the 5%
+    two-sided critical value — the nonparametric is-this-series-
+    drifting test (no linearity assumption, ties handled exactly),
+    the significance companion to the OLS slope already in the
+    catalog.
+
+    Determinism: S, the tie terms, and n are exact BIGINTs (sign
+    comparisons on integer cents); tau/z are fixed expression chains
+    over five integers. Shape: the pair join is day-grain x day-grain
+    — calendar-bounded on BOTH sides at any corpus size (the
+    orders_revenue_ewma contract), so the quadratic never touches
+    row-grain data."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("dn")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    a = daily.select(F.col("dn").alias("adn"), F.col("x").alias("ax"))
+    b = daily.select(F.col("dn").alias("bdn"), F.col("x").alias("bx"))
+    s = (
+        a.join(F.broadcast(b), F.col("bdn") > F.col("adn"))
+        .agg(
+            F.sum(
+                F.when(F.col("bx") > F.col("ax"), 1)
+                .when(F.col("bx") < F.col("ax"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tv"),
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("t2"),
+        )
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n"))
+    j = s.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n))
+    nn = F.col("n")
+    n0 = (nn * (nn - 1)).cast("double") / 2
+    sc = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    var = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("tv")).cast("double") / 18
+    )
+    z = sc / F.sqrt(var)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        nn.alias("n_days"),
+        F.col("s").alias("s_stat"),
+        q6(
+            F.col("s")
+            / F.sqrt(n0 * (n0 - F.col("t2").cast("double") / 2))
+        ).alias("tau_b"),
+        q6(z).alias("z"),
+        (F.abs(z) > 1.959963984540054).alias("reject_095"),
+    )
+
+
+_KRUSKAL_WALLIS = """
+WITH v AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+cv AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM v GROUP BY v
+),
+r AS (
+  SELECT v, cv,
+         COALESCE(SUM(cv) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS b_less
+  FROM cv
+),
+g AS (
+  SELECT v.source,
+         CAST(SUM(v.c) AS BIGINT) AS ng,
+         CAST(SUM(v.c * (2 * r.b_less + r.cv + 1)) AS BIGINT) AS r2
+  FROM v JOIN r ON r.v = v.v GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         array_agg({'r2': r2, 'ng': ng} ORDER BY source) AS a
+  FROM g
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(cv * cv * cv - cv), 0) AS BIGINT) AS t3
+  FROM cv WHERE cv > 1
+),
+h AS (
+  SELECT n, k, t3,
+         12.0 / (n::DOUBLE * (n + 1))
+           * list_reduce(list_transform(a,
+               p -> (p.r2::DOUBLE) * (p.r2::DOUBLE) / (4.0 * p.ng)),
+               (x, y) -> x + y)
+           - 3.0 * (n + 1) AS h_raw
+  FROM t, ties
+)
+SELECT n AS n_docs, k AS n_groups,
+       floor(h_raw * 1000000 + 0.5) / 1000000 AS h_stat,
+       floor(h_raw / (1 - t3::DOUBLE / (n::DOUBLE * n * n - n))
+             * 1000000 + 0.5) / 1000000 AS h_tie_corrected,
+       CAST(k - 1 AS BIGINT) AS df
+FROM h
+"""
+
+
+@register("stats_kruskal_wallis", oracle=_KRUSKAL_WALLIS)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL sources on document length — the
+    k-group generalization of the catalog's two-group Mann-Whitney:
+    rank every document in the pooled corpus (midranks on ties), H =
+    12/(N(N+1)) sum R_g^2/n_g - 3(N+1), plus the tie-corrected form
+    H / (1 - sum(t^3-t)/(N^3-N)). One row tells you whether ANY source
+    has a shifted length distribution before you pay for pairwise
+    tests.
+
+    Determinism: midranks come from the VALUE-grain cumulative window
+    (bounded integer domain — the stats_mann_whitney contract); per-
+    group rank sums stay exact by carrying 2R (an integer: c*(2*below
+    + ties + 1)); the cross-group sum of R_g^2/n_g folds over the
+    source-SORTED array in index order. Shape: value-grain collapse,
+    one bounded window, |sources|-row rollup, 1 row out."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    v = docs.groupBy(
+        "source", F.col("n_chars").cast("bigint").alias("v")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    cv = v.groupBy("v").agg(F.sum("c").cast("bigint").alias("cv"))
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = cv.select(
+        "v",
+        "cv",
+        F.coalesce(F.sum("cv").over(wc), F.lit(0)).alias("b_less"),
+    )
+    g = (
+        v.join(r, "v")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("ng"),
+            F.sum(
+                F.col("c") * (2 * F.col("b_less") + F.col("cv") + 1)
+            )
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    t = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.array_sort(
+            F.collect_list(F.struct("source", "r2", "ng"))
+        ).alias("a"),
+    )
+    ties = cv.filter(F.col("cv") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("t3")
+    )
+    j = t.crossJoin(F.broadcast(ties))
+    nn = F.col("n")
+    fold = F.aggregate(
+        F.col("a"),
+        F.lit(0.0),
+        lambda acc, p: acc
+        + p["r2"].cast("double") * p["r2"].cast("double")
+        / (4.0 * p["ng"]),
+    )
+    h_raw = 12.0 / (nn.cast("double") * (nn + 1)) * fold - 3.0 * (nn + 1)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        nn.alias("n_docs"),
+        F.col("k").alias("n_groups"),
+        q6(h_raw).alias("h_stat"),
+        q6(
+            h_raw
+            / (
+                1
+                - F.col("t3").cast("double")
+                / (nn.cast("double") * nn * nn - nn)
+            )
+        ).alias("h_tie_corrected"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+    )
+
+
+_LEVENE_BF = """
+WITH med AS (
+  SELECT source, v AS med FROM (
+    SELECT source, CAST(n_chars AS BIGINT) AS v,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM documents
+  ) WHERE rk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+),
+z AS (
+  SELECT d.source, abs(CAST(d.n_chars AS BIGINT) - m.med) AS z
+  FROM documents d JOIN med m ON m.source = d.source
+),
+g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(z * z) AS BIGINT) AS qz
+  FROM z GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sz) AS BIGINT) AS s, CAST(SUM(qz) AS BIGINT) AS q,
+         array_agg({'sz': sz, 'ng': ng} ORDER BY source) AS a
+  FROM g
+),
+f AS (
+  SELECT n, k,
+         list_reduce(list_transform(a,
+           p -> (p.sz::DOUBLE) * (p.sz::DOUBLE) / p.ng),
+           (x, y) -> x + y) AS sg,
+         s::DOUBLE * s / n AS corr, q
+  FROM t
+)
+SELECT n AS n_docs, k AS n_groups,
+       floor((sg - corr) / (k - 1) / ((q - sg) / (n - k))
+             * 1000000 + 0.5) / 1000000 AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2
+FROM f
+"""
+
+
+@register("stats_levene_bf", oracle=_LEVENE_BF)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for equal length
+    VARIANCE across sources: one-way ANOVA F on z = |x - median_g| —
+    the robust scale-homogeneity screen that should gate any pooled-
+    variance assumption (Welch's t and Cohen's d above disagree about
+    whether pooling is safe; this row is the arbiter).
+
+    Determinism: per-source LOWER median (rank floor((n+1)/2)) is an
+    actual data value, so z is an exact integer; all group sufficient
+    statistics are exact BIGINTs; the one cross-group rational sum
+    (sum S_g^2/n_g) folds over the source-SORTED array. Shape: the
+    median is a SOURCE-partitioned rank window (distributes across the
+    group keyspace); everything after is bounded-grain."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("n_chars")
+    wn = Window.partitionBy("source")
+    med = (
+        docs.select(
+            "source",
+            F.col("n_chars").cast("bigint").alias("v"),
+            F.row_number().over(wr).alias("rk"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(
+            F.col("rk")
+            == F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+        )
+        .select("source", F.col("v").alias("med"))
+    )
+    z = docs.join(F.broadcast(med), "source").select(
+        "source",
+        F.abs(F.col("n_chars").cast("bigint") - F.col("med")).alias("z"),
+    )
+    g = z.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("qz"),
+    )
+    t = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("sz").cast("bigint").alias("s"),
+        F.sum("qz").cast("bigint").alias("q"),
+        F.array_sort(
+            F.collect_list(F.struct("source", "sz", "ng"))
+        ).alias("a"),
+    )
+    sg = F.aggregate(
+        F.col("a"),
+        F.lit(0.0),
+        lambda acc, p: acc
+        + p["sz"].cast("double") * p["sz"].cast("double") / p["ng"],
+    )
+    corr = F.col("s").cast("double") * F.col("s") / F.col("n")
+    f_stat = (
+        (sg - corr)
+        / (F.col("k") - 1)
+        / ((F.col("q") - sg) / (F.col("n") - F.col("k")))
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return t.select(
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("n_groups"),
+        q6(f_stat).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 batch 2: corpus vocabulary economics — species-richness
+# estimation (Chao1), Good-Turing unseen mass, cross-source vocabulary
+# overlap, OOV exposure, and head-coverage curves. The data-buying
+# questions: how much vocabulary does a source still hide, how much do
+# two sources duplicate each other, how far does a fixed token budget
+# reach.
+# ---------------------------------------------------------------------------
+
+_VOCAB_RICHNESS = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x != '')) AS t
+  FROM documents
+),
+c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+s AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM c GROUP BY source
+)
+SELECT source, n AS n_tokens, types AS n_types, f1, f2,
+       floor((types + f1::DOUBLE * (f1 - 1) / (2 * (f2 + 1)))
+             * 1000000 + 0.5) / 1000000 AS chao1,
+       floor(f1::DOUBLE / n * 1000000 + 0.5) / 1000000 AS gt_unseen_mass,
+       floor((1 - f1::DOUBLE / n) * 1000000 + 0.5) / 1000000 AS gt_coverage
+FROM s
+"""
+
+
+@register("source_vocab_richness", oracle=_VOCAB_RICHNESS)
+def source_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: Chao1 species-richness estimate
+    (types + f1(f1-1)/(2(f2+1)) from singleton/doubleton type counts —
+    the lower bound on how many token types the source would reveal
+    with unlimited sampling) and the Good-Turing unseen-probability
+    mass f1/N (the chance the NEXT token is a never-seen type). A
+    source with high Chao1 headroom and high unseen mass still pays
+    vocabulary dividends on further acquisition; one with f1 near 0 is
+    exhausted — the same budget question as source_novelty_order asked
+    at type level instead of 8-gram level.
+
+    Shape: one partially-aggregated (source, token) count pass,
+    collapsed to |sources| rows; every statistic is a fixed expression
+    over four exact BIGINTs per source."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(TXT.tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    s = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    gt = F.col("f1").cast("double") / F.col("n")
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("types").alias("n_types"),
+        "f1",
+        "f2",
+        q6(
+            F.col("types")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1)
+            / (2 * (F.col("f2") + 1))
+        ).alias("chao1"),
+        q6(gt).alias("gt_unseen_mass"),
+        q6(1 - gt).alias("gt_coverage"),
+    )
+
+
+_VOCAB_JACCARD = r"""
+WITH v AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x != '')) AS t
+  FROM documents
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS types FROM v GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.inter,
+       sa.types AS types_a, sb.types AS types_b,
+       floor(i.inter::DOUBLE / (sa.types + sb.types - i.inter)
+             * 1000000 + 0.5) / 1000000 AS vocab_jaccard,
+       floor(i.inter::DOUBLE / least(sa.types, sb.types)
+             * 1000000 + 0.5) / 1000000 AS overlap_coeff
+FROM inter i
+JOIN sz sa ON sa.source = i.source_a
+JOIN sz sb ON sb.source = i.source_b
+"""
+
+
+@register("vocab_jaccard_sources", oracle=_VOCAB_JACCARD)
+def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: Jaccard and
+    Szymkiewicz-Simpson overlap coefficients on distinct-token SETS —
+    the type-level redundancy matrix (the catalog's JS matrix compares
+    token DISTRIBUTIONS; this asks whether the vocabularies themselves
+    coincide, which is what decides if a smaller source is a subset of
+    a bigger one).
+
+    Shape: distinct (source, token) pairs shuffle once on TOKEN (the
+    equi-join key), intersections aggregate to |sources|^2/2 rows, and
+    the two |sources|-row size dims broadcast back — candidate pairs
+    come from the token-grain index, never a source x source cross of
+    row data."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    v = (
+        docs.select("source", F.explode(TXT.tokens("text")).alias("t"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("types")
+    )
+    a = v.select(F.col("source").alias("source_a"), "t")
+    b = v.select(F.col("source").alias("source_b"), "t")
+    inter = (
+        a.join(b, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = sz.select(
+        F.col("source").alias("source_a"), F.col("types").alias("types_a")
+    )
+    sb = sz.select(
+        F.col("source").alias("source_b"), F.col("types").alias("types_b")
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            "types_a",
+            "types_b",
+            q6(
+                F.col("inter").cast("double")
+                / (F.col("types_a") + F.col("types_b") - F.col("inter"))
+            ).alias("vocab_jaccard"),
+            q6(
+                F.col("inter").cast("double")
+                / F.least("types_a", "types_b")
+            ).alias("overlap_coeff"),
+        )
+    )
+
+
+_OOV_RATE = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x != '')) AS t
+  FROM documents
+),
+g AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+vocab AS (SELECT t FROM g ORDER BY c DESC, t LIMIT 20),
+s AS (
+  SELECT tok.source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS oov
+  FROM tok LEFT JOIN vocab v ON v.t = tok.t
+  GROUP BY 1
+)
+SELECT source, n AS n_tokens, oov AS n_oov,
+       floor(oov::DOUBLE / n * 1000000 + 0.5) / 1000000 AS oov_rate
+FROM s
+"""
+
+
+@register("text_oov_rate", oracle=_OOV_RATE)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary exposure per source against the corpus-global
+    top-20 token vocabulary (count-desc, token-asc tie-break; 20 spans
+    this synthetic corpus's head — production would use 32k-128k) — the
+    closed-vocab proxy for tokenizer stress: a source whose occurrence-
+    weighted OOV rate is high will fragment into long byte-fallback
+    sequences under any fixed vocabulary trained on the corpus head.
+
+    Shape: token-grain counts once; the vocabulary is a TakeOrdered
+    top-k (never a global rank window); membership is a BROADCAST
+    left join of that k-row set against the token stream; rollup to
+    |sources| rows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(TXT.tokens("text")).alias("t"))
+    g = tok.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    vocab = (
+        g.orderBy(F.col("c").desc(), "t")
+        .limit(20)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    s = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov"),
+        )
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("oov").alias("n_oov"),
+        (
+            F.floor(
+                F.col("oov").cast("double") / F.col("n") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("oov_rate"),
+    )
+
+
+def _ngram_coverage_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT {_DK_TOKS} AS t FROM documents),
+g AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_dk_kgram(3)}) AS g FROM toks)
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_grams FROM g),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, g) AS rk
+  FROM (SELECT * FROM g ORDER BY c DESC, g LIMIT 1000)
+),
+k AS (SELECT unnest([10, 100, 1000]) AS k)
+SELECT k.k AS top_k,
+       CAST(COALESCE(SUM(CASE WHEN top.rk <= k.k THEN top.c END), 0)
+            AS BIGINT) AS covered,
+       MAX(tot.total) AS total_occurrences,
+       MAX(tot.n_grams) AS n_distinct_grams,
+       floor(COALESCE(SUM(CASE WHEN top.rk <= k.k THEN top.c END), 0)::DOUBLE
+             / MAX(tot.total) * 1000000 + 0.5) / 1000000 AS coverage
+FROM k, top, tot
+GROUP BY k.k
+"""
+
+
+@register("text_ngram_coverage", oracle=_ngram_coverage_oracle())
+def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-coverage curve of word trigrams: what share of ALL trigram
+    occurrences the top-{10,100,1000} distinct trigrams cover — the
+    Zipf-head concentration dial that prices repetition-based dedup
+    (a corpus where 1000 grams cover half the text is template-heavy;
+    near-flat coverage says the text is genuinely diverse).
+
+    Shape: gram-grain counts in one partially-aggregated pass; the
+    head is a TakeOrdered top-1000 (never a global rank window over
+    the unbounded gram table); ranking within those 1000 rows and the
+    3-row curve are constant-size; the two scalars broadcast."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            F.explode(
+                TXT.shingles_of_tokens(TXT.tokens("text"), 3)
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = g.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_grams"),
+    )
+    top = (
+        g.orderBy(F.col("c").desc(), "g")
+        .limit(1000)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "g"))
+            .alias("rk"),
+        )
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    j = ks.crossJoin(top).crossJoin(F.broadcast(tot))
+    return (
+        j.groupBy(F.col("k").alias("top_k"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("covered"),
+            F.max("total").alias("total_occurrences"),
+            F.max("n_grams").alias("n_distinct_grams"),
+            (
+                F.floor(
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("rk") <= F.col("k"), F.col("c"))
+                        ),
+                        F.lit(0),
+                    ).cast("double")
+                    / F.max("total")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("coverage"),
+        )
+    )

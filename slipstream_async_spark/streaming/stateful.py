@@ -236,6 +236,57 @@ def ttl_fold(
     )
 
 
+def ttl_fold_apws(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ttl_ms: int,
+    out_col: str = "agg_value",
+) -> DataFrame:
+    """Protobuf-free TTL fold: the same bounded-retention semantics as
+    :func:`ttl_fold` (running per-key sum that forgets keys idle longer
+    than ``ttl_ms`` — the reference's FIFO cache eviction,
+    slipstream/caching.py:112-122) expressed on
+    ``applyInPandasWithState``, which has no ``google.protobuf``
+    driver-worker dependency and therefore runs in this sandbox.
+
+    Eviction is two-layered, matching how a 100 TB stream must bound
+    state: (a) ``ProcessingTimeTimeout`` — every update re-arms a
+    ``ttl_ms`` timer, and an idle key's timeout callback physically
+    ``state.remove()``s it, so state size tracks the ACTIVE key set,
+    not the all-time key set; (b) a lazy in-handler staleness check
+    (``now - last_ms > ttl_ms`` → restart the fold at zero) for the
+    window between logical expiry and the next micro-batch's timeout
+    sweep. Output cadence and schema are identical to ``ttl_fold``.
+    """
+    out_schema = f"{key_col} string, {out_col} double"
+    state_schema = "acc double, last_ms long"
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import time as _time
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now_ms = int(_time.time() * 1000)
+        acc, last_ms = state.get if state.exists else (0.0, now_ms)
+        if state.exists and now_ms - last_ms > ttl_ms:
+            acc = 0.0
+        for pdf in pdfs:
+            acc += float(pdf[value_col].astype(float).sum())
+        state.update((acc, now_ms))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({key_col: [str(key[0])], out_col: [acc]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def streaming_dedup(df: DataFrame, keys: list[str], watermark_col: str,
                     delay: str) -> DataFrame:
     """A7 streaming dedup: drop duplicate keys with bounded state

@@ -334,6 +334,79 @@ def test_ttl_fold_accumulates_and_expires(spark, stream_dir):
         q.stop()
 
 
+def test_ttl_fold_apws_accumulates_and_expires(spark, stream_dir):
+    """U3 TTL form, protobuf-free lane: applyInPandasWithState with
+    ProcessingTimeTimeout — accumulates across micro-batches within the
+    TTL, restarts from zero for a key idle longer than the TTL. Runs
+    in-sandbox (no transformWithState/google.protobuf dependency)."""
+    import time
+
+    from slipstream_async_spark.streaming.stateful import ttl_fold_apws
+
+    schema = "ts timestamp, k string, v double"
+
+    # ProcessingTimeTimeout keeps scheduling timer-sweep batches even
+    # with no new data, so processAllAvailable() never quiesces — poll
+    # the sink with a deadline instead. Micro-batch latency in this
+    # environment can exceed several seconds, so the two TTL behaviors
+    # are verified on two streams: a long TTL (accumulation survives
+    # batch gaps) and a short TTL (state forgets across a forced gap).
+    def wait_for(q, table, pred, deadline=90.0):
+        vals = []
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            vals = sorted(
+                r["agg_value"] for r in spark.sql(
+                    f"SELECT * FROM {table} WHERE k = 'x'"
+                ).collect()
+            )
+            if pred(vals):
+                return vals
+            if q.exception():
+                raise q.exception()
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting; last saw {vals}")
+
+    # Phase A — TTL far above batch latency: the fold ACCUMULATES.
+    src_a = os.path.join(stream_dir, "src_a")
+    _write_batch(
+        spark, src_a, [(ts(0.0), "x", 1.0), (ts(1.0), "x", 2.0)], schema, 0
+    )
+    qa = (
+        ttl_fold_apws(
+            _file_stream(spark, src_a, schema), "k", "v", ttl_ms=600_000
+        )
+        .writeStream.format("memory").queryName("out_ttl_a")
+        .outputMode("update").start()
+    )
+    try:
+        wait_for(qa, "out_ttl_a", lambda v: 3.0 in v)
+        _write_batch(spark, src_a, [(ts(2.0), "x", 4.0)], schema, 1)
+        wait_for(qa, "out_ttl_a", lambda v: 7.0 in v)
+    finally:
+        qa.stop()
+
+    # Phase B — TTL below the forced inter-batch gap: state EXPIRES
+    # (timeout sweep or lazy staleness check) and the fold restarts.
+    src_b = os.path.join(stream_dir, "src_b")
+    _write_batch(spark, src_b, [(ts(0.0), "x", 9.0)], schema, 0)
+    qb = (
+        ttl_fold_apws(
+            _file_stream(spark, src_b, schema), "k", "v", ttl_ms=2000
+        )
+        .writeStream.format("memory").queryName("out_ttl_b")
+        .outputMode("update").start()
+    )
+    try:
+        wait_for(qb, "out_ttl_b", lambda v: 9.0 in v)
+        time.sleep(3.0)  # > ttl_ms: key 'x' is now stale
+        _write_batch(spark, src_b, [(ts(1.0), "x", 5.0)], schema, 1)
+        vals = wait_for(qb, "out_ttl_b", lambda v: 5.0 in v)
+        assert 14.0 not in vals  # restarted at 5, not 9+5
+    finally:
+        qb.stop()
+
+
 def test_proxy_two_query_chain(spark, stream_dir):
     """S9 Proxy end-to-end: handler A's sink table is handler B's source,
     both queries live — the reference's in-process pub/sub bridge

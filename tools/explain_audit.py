@@ -172,8 +172,86 @@ ALLOW_BNLJ = {
     # one-row (n, total) scalars crossed onto the customer-grain spend
     # frame — the scalar-subquery shape
     "orders_theil_index",
+    # day-grain x day-grain sign-pair join — calendar-bounded on BOTH
+    # sides at any corpus size (the orders_revenue_ewma contract)
+    "stats_mann_kendall",
+    # one-row tie-correction scalar crossed onto the one-row rank-sum
+    # aggregate — scalars, not data
+    "stats_kruskal_wallis",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
+
+# Queries whose plan legitimately contains a Window over an
+# Exchange SinglePartition: the window's INPUT is a bounded,
+# post-aggregation grain (calendar days, distinct values of a bounded
+# domain, percentile/lag dims), so the single task sorts thousands of
+# rows at ANY corpus scale — the same contract ALLOW_BNLJ encodes for
+# broadcast shapes. Anything NOT listed here that plans a
+# SinglePartition window is the classic 100 TB killer (a global sort
+# funneling an unbounded grain through one task) and fails the audit;
+# the distributed alternative is AGG.global_rank / exact_ntile /
+# global_prefix_sum (aggregations.py:147-316).
+ALLOW_GLOBAL_WINDOW: dict[str, str] = {
+    # day-grain series (bounded by the calendar):
+    "orders_cusum_changepoint": "day-grain prefix stats",
+    "orders_runs_test": "day-grain sign sequence",
+    "revenue_acf_lags": "day-grain lag joins",
+    "orders_rolling_ols_slope": "day-grain rolling frame",
+    "orders_seasonal_decompose": "day-grain centered trend window",
+    "forecast_naive_mape": "day-grain APE ranks",
+    "revenue_mad_outliers": "day-grain median/MAD ranks",
+    "orders_seasonality": "month-grain cumulative share",
+    "events_km_survival": "day-grain at-risk reverse sum",
+    # distinct-value grain (bounded domains, collapsed before ranking):
+    "stats_ks_two_sample": "value-grain ECDF merge",
+    "stats_mann_whitney": "value-grain midranks",
+    "stats_spearman_rank": "value-grain average ranks",
+    "stats_kruskal_wallis": "value-grain midranks",
+    "doc_length_histogram": "bucket-grain cumulative share",
+    "stats_price_distribution": "value-histogram percentile walk",
+    "orders_interpurchase_percentiles": "value-histogram percentile walk",
+    # control-plane / dim-sized frames (rows ~ constants):
+    "mix_epoch_schedule": "per-round source-count frame",
+    "events_funnel": "3-step scalar frame",
+    "heaps_law_fit": "log-log regression over sample points",
+}
+
+
+def singlepartition_window(plan: str) -> bool:
+    """True when a Window/WindowGroupLimit consumes an
+    Exchange SinglePartition in the simple-mode plan tree — i.e. a
+    global (by-less) window sort funneled through one task. Global
+    AGGREGATES over SinglePartition (final HashAggregate of partial
+    aggs) are fine and NOT flagged: they reduce, windows don't."""
+    def _indent(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " +-:*":
+            i += 1
+        return i
+
+    ents = [
+        (_indent(ln), ln.strip(" +-:*"))
+        for ln in plan.splitlines()
+        if ln.strip()
+    ]
+    for idx, (depth, txt) in enumerate(ents):
+        if not txt.startswith("Exchange SinglePartition"):
+            continue
+        # Walk the parent chain (nearest prior lines with smaller
+        # indent): SinglePartition -> Sort -> Window is the flagged
+        # shape; stop at the first parent that is neither Sort nor a
+        # window operator (e.g. HashAggregate = legitimate global agg).
+        d = depth
+        for j in range(idx - 1, -1, -1):
+            pd_, pt = ents[j]
+            if pd_ >= d:
+                continue
+            d = pd_
+            if pt.startswith(("Window", "WindowGroupLimit", "RunningWindowFunction")):
+                return True
+            if not pt.startswith("Sort"):
+                break
+    return False
 
 
 def main() -> None:
@@ -196,10 +274,20 @@ def main() -> None:
                 "formatted"
             )
         )
+        plan_simple = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
         with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
             f.write(plan)
 
         flags: list[str] = []
+        if (
+            singlepartition_window(plan_simple)
+            and name not in ALLOW_GLOBAL_WINDOW
+        ):
+            flags.append("SP-WINDOW")
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN")
         if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_BNLJ:
