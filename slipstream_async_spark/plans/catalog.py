@@ -14947,3 +14947,1456 @@ def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 batch 3: behavioral-event and embedding-space diagnostics —
+# hourly mix entropy, activity Lorenz/Pareto concentration, inter-
+# arrival dispersion, Markov stationary distribution; silhouette, norm
+# profiles, pairwise-cosine calibration histogram, nearest-centroid
+# confusion.
+# ---------------------------------------------------------------------------
+
+_HOURLY_ENTROPY = """
+WITH h AS (
+  SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT hour, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k FROM h GROUP BY hour),
+e AS (
+  SELECT h.hour, MAX(t.n) AS n, MAX(t.k) AS k,
+         -SUM((h.c::DOUBLE / t.n) * ln(h.c::DOUBLE / t.n) / ln(2.0))
+           AS ent
+  FROM h JOIN t ON t.hour = h.hour
+  GROUP BY h.hour
+)
+SELECT hour, n AS n_events, k AS n_types,
+       floor(ent * 1000000 + 0.5) / 1000000 AS entropy_bits,
+       floor(ent / (ln(k::DOUBLE) / ln(2.0)) * 1000000 + 0.5) / 1000000
+         AS normalized_entropy
+FROM e
+"""
+
+
+@register("events_hourly_entropy", oracle=_HOURLY_ENTROPY)
+def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per hour of day (24 rows):
+    hours whose mix collapses toward one type (low normalized entropy)
+    are the batch-job / bot windows every traffic model should exclude
+    — the behavioral companion to the p-chart's volume anomalies.
+
+    Determinism: counts collapse to (hour, type) grain — both bounded —
+    so each hour's entropy sums <=|event types| identical p*log2(p)
+    terms; the per-hour aggregation re-sums a handful of doubles whose
+    ADDITION ORDER Spark does not fix, so the entropy sum runs over the
+    type-SORTED per-hour array fold instead. Shape: one bounded-grain
+    aggregate, 24 rows out."""
+    (events,) = _t(spark, sf_dir, "events")
+    h = events.groupBy(
+        F.hour("ts").cast("bigint").alias("hour"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    per = h.groupBy("hour").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("a"),
+    )
+    nd = F.col("n").cast("double")
+    ent = -F.aggregate(
+        F.col("a"),
+        F.lit(0.0),
+        lambda acc, p: acc
+        + (p["c"].cast("double") / nd)
+        * F.log(p["c"].cast("double") / nd)
+        / F.log(F.lit(2.0)),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return per.select(
+        "hour",
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_types"),
+        q6(ent).alias("entropy_bits"),
+        q6(
+            ent / (F.log(F.col("k").cast("double")) / F.log(F.lit(2.0)))
+        ).alias("normalized_entropy"),
+    )
+
+
+_USER_LORENZ = """
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c, user_id) AS rk,
+         COUNT(*) OVER () AS n, SUM(c) OVER () AS tot
+  FROM u
+),
+d AS (
+  SELECT CAST(ceil(rk * 10.0 / n) AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(c) AS BIGINT) AS events,
+         MAX(tot) AS tot
+  FROM r GROUP BY 1
+)
+SELECT decile, n_users, events,
+       floor(events::DOUBLE / tot * 1000000 + 0.5) / 1000000 AS share,
+       floor(SUM(events) OVER (ORDER BY decile)::DOUBLE / tot
+             * 1000000 + 0.5) / 1000000 AS cum_share
+FROM d
+"""
+
+
+@register("events_user_lorenz", oracle=_USER_LORENZ)
+def events_user_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of user activity in deciles: users ranked by event
+    count (ascending, user_id tie-break), bucketed into 10 equal-count
+    deciles, each with its share and cumulative share of all events —
+    the concentration read (top decile owning half the events = a
+    power-user/bot skew that invalidates per-user uniform sampling,
+    and the curve the orders Gini summarizes for revenue).
+
+    Shape: user-grain collapse first; the global rank is
+    AGG.global_rank's two-phase distributed prefix-rank (range
+    partition, local rank, broadcast offsets — never a single-
+    partition sort over the user table); the decile rollup is 10 rows
+    and its cumulative window is constant-size."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    r = AGG.global_rank(u, ["c", "user_id"], rank_col="rk")
+    tot = u.agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    d = (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.ceil(F.col("rk") * 10.0 / F.col("n"))
+            .cast("bigint")
+            .alias("decile")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("c").cast("bigint").alias("events"),
+            F.max("tot").alias("tot"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return d.select(
+        "decile",
+        "n_users",
+        "events",
+        q6(F.col("events").cast("double") / F.col("tot")).alias("share"),
+        q6(
+            F.sum("events").over(wc).cast("double") / F.col("tot")
+        ).alias("cum_share"),
+    )
+
+
+_INTERARRIVAL = """
+WITH g AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+d AS (
+  SELECT event_type,
+         CAST(date_diff('microseconds', prev, ts) AS BIGINT) AS gap
+  FROM g WHERE prev IS NOT NULL
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap) AS BIGINT) AS s,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS DECIMAL(38,0)) AS q
+  FROM d GROUP BY 1
+)
+SELECT event_type, n AS n_gaps,
+       floor(s::DOUBLE / n / 1000000 * 1000000 + 0.5) / 1000000
+         AS mean_gap_secs,
+       floor(sqrt((n * q::DOUBLE - s::DOUBLE * s) / (n::DOUBLE * (n - 1)))
+             / (s::DOUBLE / n) * 1000000 + 0.5) / 1000000 AS cv,
+       sqrt((n * q::DOUBLE - s::DOUBLE * s) / (n::DOUBLE * (n - 1)))
+         / (s::DOUBLE / n) > 1.5 AS overdispersed
+FROM s
+"""
+
+
+@register("events_interarrival_cv", oracle=_INTERARRIVAL)
+def events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival dispersion per event type: mean gap and the
+    coefficient of variation of successive gaps — CV ~ 1 is Poisson
+    (memoryless traffic), CV >> 1 is bursty (sessions, incident
+    storms; the Fano factor's continuous-time twin), CV << 1 is a
+    scheduler. Decides whether rate-based capacity models apply at
+    all.
+
+    Determinism: gaps are exact integer MICROSECONDS from a lag window
+    partitioned by type with (ts, event_id) tie-break; sums exact
+    (the squared sum in DECIMAL(38) — squared micro gaps overflow
+    BIGINT); mean/CV are fixed expression chains. Shape: one
+    type-partitioned window (distributes across types), |types| rows
+    out."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = events.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lag(F.unix_micros(F.col("ts").cast("timestamp")))
+        .over(w)
+        .alias("prev"),
+    )
+    d = g.filter(F.col("prev").isNotNull()).select(
+        "event_type", (F.col("us") - F.col("prev")).alias("gap")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("n") * F.col("q").cast("double") - F.col("s").cast("double") * F.col("s"))
+        / (nd * (F.col("n") - 1))
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        q6(mean / 1000000).alias("mean_gap_secs"),
+        q6(sd / mean).alias("cv"),
+        (sd / mean > 1.5).alias("overdispersed"),
+    )
+
+
+_NORM_PROFILE = f"""
+WITH n AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(floor(sqrt({_DK_DOT.format(a="embedding", b="embedding")})
+                    * 1000000 + 0.5) AS BIGINT) AS nq
+  FROM embeddings
+),
+s AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(nq) AS BIGINT) AS s,
+         CAST(SUM(CAST(nq AS DECIMAL(38,0)) * nq) AS DECIMAL(38,0)) AS q,
+         CAST(MIN(nq) AS BIGINT) AS lo, CAST(MAX(nq) AS BIGINT) AS hi
+  FROM n GROUP BY label
+)
+SELECT label, n AS n_vectors,
+       floor(s::DOUBLE / n + 0.5) / 1000000 AS mean_norm,
+       floor(sqrt((n * q::DOUBLE - s::DOUBLE * s)
+                  / (n::DOUBLE * (n - 1))) + 0.5) / 1000000 AS std_norm,
+       lo::DOUBLE / 1000000 AS min_norm,
+       hi::DOUBLE / 1000000 AS max_norm
+FROM s
+"""
+
+
+@register("emb_norm_profile", oracle=_NORM_PROFILE)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm profile per label: mean/std/min/max of embedding norms —
+    the first-order health check of an embedding table (un-normalized
+    vectors make cosine and dot disagree; a label whose norm spread is
+    wide usually mixes in truncated or zero-padded rows). Gates
+    whether the ANN family may use dot product as a cosine proxy.
+
+    Determinism: each norm quantizes to exact integer MICRO units
+    right after the (JVM HOF) sqrt, so per-label sums are exact
+    BIGINT/DECIMAL and the mean/std are single divisions — no
+    cross-engine float accumulation. Shape: one scan, |labels| rows."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    nq = F.floor(
+        F.sqrt(VEC.dot(F.col("embedding"), F.col("embedding"))) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    n = emb.select(
+        F.col("label").cast("bigint").alias("label"), nq.alias("nq")
+    )
+    s = n.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("nq").cast("bigint").alias("s"),
+        F.sum(F.col("nq").cast("decimal(38,0)") * F.col("nq"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+        F.min("nq").cast("bigint").alias("lo"),
+        F.max("nq").cast("bigint").alias("hi"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "label",
+        F.col("n").alias("n_vectors"),
+        (F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5)) / 1000000)
+        .alias("mean_norm"),
+        (
+            F.floor(
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("q").cast("double")
+                        - F.col("s").cast("double") * F.col("s")
+                    )
+                    / (nd * (F.col("n") - 1))
+                )
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("std_norm"),
+        (F.col("lo").cast("double") / 1000000).alias("min_norm"),
+        (F.col("hi").cast("double") / 1000000).alias("max_norm"),
+    )
+
+
+def _cos_hist_oracle() -> str:
+    cos = _dk_cos("a.embedding", "b.embedding")
+    return f"""
+WITH p AS (
+  SELECT a.vec_id, {cos} AS cos
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+),
+b AS (
+  SELECT least(CAST(floor((cos + 1) * 10) AS BIGINT), 19) AS bucket
+  FROM p
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       floor((bucket::DOUBLE / 10 - 1) * 1000000 + 0.5) / 1000000 AS cos_lo,
+       floor(((bucket + 1)::DOUBLE / 10 - 1) * 1000000 + 0.5) / 1000000
+         AS cos_hi
+FROM b GROUP BY bucket
+"""
+
+
+@register("emb_pair_cosine_histogram", oracle=_cos_hist_oracle())
+def emb_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Background cosine-similarity histogram over deterministic
+    (vec_id, vec_id+1) pairs — the null distribution every similarity
+    threshold should be calibrated against: a near-dup cutoff of 0.9
+    means nothing until you know where random-pair mass sits (the
+    hubness/concentration check; in high dimensions random cosines
+    concentrate tightly, and thresholds inside that band flag
+    everything).
+
+    Shape: the pair set is an EQUI-join on vec_id+1 (one row per
+    vector, no sampling RNG needed, no quadratic pairing); cosines
+    bucket into 20 fixed bins (bounded grain) before the count
+    aggregate. Both engines bucket the same IEEE cosine, and bin
+    edges are exact tenths."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", F.col("embedding").alias("ea"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb")
+    )
+    p = a.join(b, "vec_id").select(
+        VEC.cosine_similarity(F.col("ea"), F.col("eb")).alias("cos")
+    )
+    bucket = F.least(
+        F.floor((F.col("cos") + 1) * 10).cast("bigint"), F.lit(19)
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        p.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "bucket",
+            "n_pairs",
+            q6(F.col("bucket").cast("double") / 10 - 1).alias("cos_lo"),
+            q6((F.col("bucket") + 1).cast("double") / 10 - 1).alias(
+                "cos_hi"
+            ),
+        )
+    )
+
+
+_CENTROID_CONFUSION = """
+WITH e AS (
+  SELECT label, vec_id, unnest(embedding)::DOUBLE AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+c AS (SELECT label AS clabel, pos, AVG(val) AS v FROM e GROUP BY 1, 2),
+d AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         SUM((e.val - c.v) * (e.val - c.v)) AS d2
+  FROM e JOIN c ON c.pos = e.pos
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, label, clabel AS predicted,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk
+  FROM d
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(predicted AS BIGINT) AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE rk = 1 GROUP BY 1, 2
+"""
+
+
+@register("emb_centroid_confusion", oracle=_CENTROID_CONFUSION)
+def emb_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the nearest-centroid classifier: every
+    vector assigned to its closest class centroid (euclidean,
+    label-asc tie-break), counted against its true label — the
+    cheapest possible label-quality probe (a clean embedding table
+    concentrates on the diagonal; off-diagonal mass names exactly
+    WHICH class pairs bleed, where emb_centroid_distances only says
+    the centroids are close).
+
+    Shape: centroids via the posexplode partial-agg rule; assignment
+    is the |labels|-row centroid table BROADCAST against the corpus
+    (the sim_topk_ivf coarse-assignment shape); the argmin is a
+    per-VECTOR rank-1 window (partitions by vec_id — unbounded key,
+    so it distributes); output is <=|labels|^2 rows."""
+    from pyspark.sql import Window
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb).select(
+        F.col("label").alias("clabel"), F.col("centroid")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("clabel").cast("bigint").alias("predicted"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+_SILHOUETTE = """
+WITH e AS (
+  SELECT label, vec_id, unnest(embedding)::DOUBLE AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+c AS (SELECT label AS clabel, pos, AVG(val) AS v FROM e GROUP BY 1, 2),
+d AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         SUM((e.val - c.v) * (e.val - c.v)) AS d2
+  FROM e JOIN c ON c.pos = e.pos
+  GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT vec_id, label,
+         sqrt(MIN(CASE WHEN clabel = label THEN d2 END)) AS a,
+         sqrt(MIN(CASE WHEN clabel != label THEN d2 END)) AS b
+  FROM d GROUP BY 1, 2
+),
+s AS (
+  SELECT label,
+         CAST(floor((b - a) / greatest(a, b) * 1000000 + 0.5) AS BIGINT)
+           AS sq
+  FROM ab
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       floor(SUM(sq)::DOUBLE / COUNT(*) + 0.5) / 1000000
+         AS mean_silhouette,
+       CAST(SUM(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM s GROUP BY label
+"""
+
+
+@register("emb_silhouette_centroid", oracle=_SILHOUETTE)
+def emb_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, a = distance to OWN class centroid, b = distance to the
+    NEAREST other centroid, s = (b-a)/max(a,b); per-label mean and the
+    count of negative-silhouette vectors (rows sitting closer to a
+    foreign class than their own — the label-noise shortlist a
+    relabeling pass should start from). The full silhouette's O(n^2)
+    pair distances never materialize — centroids stand in for
+    clusters, the standard big-data simplification.
+
+    Determinism: per-vector s quantizes to exact integer micro units
+    BEFORE the per-label mean, so group sums are exact; distances are
+    identical IEEE chains off the shared posexplode centroids. Shape:
+    one centroid broadcast against the corpus, per-vector 2-scalar
+    pivot, |labels| rows out."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb).select(
+        F.col("label").alias("clabel"), F.col("centroid")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.sqrt(
+            F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2")))
+        ).alias("a"),
+        F.sqrt(
+            F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2")))
+        ).alias("b"),
+    )
+    sq = F.floor(
+        (F.col("b") - F.col("a"))
+        / F.greatest("a", "b")
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    s = ab.select("label", sq.alias("sq"))
+    return s.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        (
+            F.floor(
+                F.sum("sq").cast("double") / F.count("*") + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_silhouette"),
+        F.sum(F.when(F.col("sq") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative"),
+    )
+
+
+_PARETO_8020 = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey) AS cum,
+         COUNT(*) OVER () AS n, SUM(cents) OVER () AS tot
+  FROM cust
+),
+hit AS (
+  SELECT rk, n, cum, tot FROM r
+  WHERE cum * 5 >= tot * 4
+  ORDER BY rk LIMIT 1
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(rk AS BIGINT) AS k_for_80pct,
+       floor(rk::DOUBLE / n * 1000000 + 0.5) / 1000000 AS customer_share,
+       floor(cum::DOUBLE / tot * 1000000 + 0.5) / 1000000
+         AS revenue_share_at_k
+FROM hit
+"""
+
+
+@register("orders_pareto_8020", oracle=_PARETO_8020)
+def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto point of revenue concentration: the smallest K such
+    that the top-K customers (by lifetime spend) carry >= 80% of all
+    revenue, with K's share of the customer base — the one-row
+    executive form of the Lorenz/Gini machinery (a 'Pareto 80/20'
+    dataset has customer_share ~ 0.2; key-account risk shows up as
+    much less).
+
+    Shape: customer-grain collapse first; the descending rank AND the
+    running revenue sum both come from AGG.global_prefix_sum's
+    two-phase distributed prefix machinery (range partition, local
+    prefix, broadcast offsets) — never a single-partition window over
+    the customer table; the 80% crossing survives as ONE row via an
+    ordered limit. The crossing test is exact integer (cum*5 >=
+    tot*4)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    neg = cust.select(
+        "o_custkey", "cents", (-F.col("cents")).alias("neg_cents")
+    )
+    pre = AGG.global_prefix_sum(
+        neg, ["neg_cents", "o_custkey"], "cents", out_col="cum"
+    )
+    rk = AGG.global_rank(
+        neg, ["neg_cents", "o_custkey"], rank_col="rk"
+    ).select("o_custkey", "rk")
+    pre = pre.join(rk, "o_custkey")
+    tot = cust.agg(
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    hit = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 5 >= F.col("tot") * 4)
+        .orderBy("rk")
+        .limit(1)
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return hit.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("rk").cast("bigint").alias("k_for_80pct"),
+        q6(F.col("rk").cast("double") / F.col("n")).alias(
+            "customer_share"
+        ),
+        q6(F.col("cum").cast("double") / F.col("tot")).alias(
+            "revenue_share_at_k"
+        ),
+    )
+
+
+_THEIL_SEN = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT a.dn AS adn, b.dn AS bdn,
+         (b.x - a.x)::DOUBLE / (b.dn - a.dn) AS slope
+  FROM daily a JOIN daily b ON b.dn > a.dn
+),
+r AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, adn, bdn) AS rk,
+         COUNT(*) OVER () AS m
+  FROM p
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+SELECT n.n AS n_days, CAST(r.m AS BIGINT) AS n_pairs,
+       floor(r.slope / 100 * 1000000 + 0.5) / 1000000
+         AS sen_slope_per_day
+FROM r, n WHERE r.rk = CAST(floor((r.m + 1) / 2.0) AS BIGINT)
+"""
+
+
+@register("orders_theil_sen_slope", oracle=_THEIL_SEN)
+def orders_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of daily revenue: the MEDIAN of
+    all pairwise day-to-day slopes — 29.3%-breakdown-point robust
+    (outlier days that drag OLS cannot move a median of ~n^2/2
+    slopes), the estimator the Mann-Kendall test's significance
+    naturally pairs with.
+
+    Shape: day-grain collapse first, so the pair set is calendar x
+    calendar (bounded at any corpus size); each slope is ONE exact
+    integer division in double; the median comes from
+    AGG.global_rank's two-phase distributed rank over the slope table
+    — never a single-partition sort of the n^2/2 pairs. Lower-median
+    (rank floor((m+1)/2)) with a (slope, adn, bdn) total order keeps
+    the picked value engine-deterministic."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("dn")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    a = daily.select(F.col("dn").alias("adn"), F.col("x").alias("ax"))
+    b = daily.select(F.col("dn").alias("bdn"), F.col("x").alias("bx"))
+    p = (
+        a.join(F.broadcast(b), F.col("bdn") > F.col("adn"))
+        .select(
+            "adn",
+            "bdn",
+            (
+                (F.col("bx") - F.col("ax")).cast("double")
+                / (F.col("bdn") - F.col("adn"))
+            ).alias("slope"),
+        )
+    )
+    r = AGG.global_rank(p, ["slope", "adn", "bdn"], rank_col="rk")
+    m = p.agg(F.count("*").cast("bigint").alias("m"))
+    n = daily.agg(F.count("*").cast("bigint").alias("n"))
+    hit = (
+        r.crossJoin(F.broadcast(m))
+        .filter(
+            F.col("rk")
+            == F.floor((F.col("m") + 1) / 2.0).cast("bigint")
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return hit.select(
+        F.col("n").alias("n_days"),
+        F.col("m").alias("n_pairs"),
+        (
+            F.floor(F.col("slope") / 100 * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("sen_slope_per_day"),
+    )
+
+
+_HOLT_LINEAR = """
+WITH RECURSIVE daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+arr AS (
+  SELECT array_agg(x ORDER BY dn) AS a, CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily
+),
+h AS (
+  SELECT 2 AS i, n, a,
+         a[2]::DOUBLE * 0.3
+           + 0.7 * (a[1]::DOUBLE + (a[2]::DOUBLE - a[1]::DOUBLE)) AS l,
+         0.1 * (a[2]::DOUBLE * 0.3
+                + 0.7 * (a[1]::DOUBLE + (a[2]::DOUBLE - a[1]::DOUBLE))
+                - a[1]::DOUBLE)
+           + 0.9 * (a[2]::DOUBLE - a[1]::DOUBLE) AS b,
+         abs(a[2]::DOUBLE
+             - (a[1]::DOUBLE + (a[2]::DOUBLE - a[1]::DOUBLE)))
+           / a[2]::DOUBLE AS sape
+  FROM arr
+  UNION ALL
+  SELECT i + 1, n, a,
+         a[i + 1]::DOUBLE * 0.3 + 0.7 * (l + b),
+         0.1 * (a[i + 1]::DOUBLE * 0.3 + 0.7 * (l + b) - l) + 0.9 * b,
+         sape + abs(a[i + 1]::DOUBLE - (l + b)) / a[i + 1]::DOUBLE
+  FROM h WHERE i < n
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       floor(l / 100 * 1000000 + 0.5) / 1000000 AS level_end,
+       floor(b / 100 * 1000000 + 0.5) / 1000000 AS trend_end,
+       floor((l + 7 * b) / 100 * 1000000 + 0.5) / 1000000 AS forecast_7d,
+       floor(sape / (n - 1) * 1000000 + 0.5) / 1000000 AS mape_insample
+FROM h WHERE i = n
+"""
+
+
+@register("forecast_holt_linear", oracle=_HOLT_LINEAR)
+def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing of daily revenue,
+    alpha=0.3 / beta=0.1: final level and trend, the 7-day-ahead
+    forecast l + 7b, and the in-sample one-step MAPE — the
+    trend-aware upgrade over forecast_naive_mape's seasonal-naive
+    baseline (compare the two MAPE rows to decide if trend modeling
+    pays on this series).
+
+    Determinism: the recursion is inherently sequential, so BOTH
+    engines run it in the same index order over the same day-sorted
+    exact-integer-cents array — Spark as an F.aggregate left fold
+    with a struct accumulator, DuckDB as a recursive CTE — with the
+    update expressions written identically (0.3*x + 0.7*(l+b); beta
+    form likewise), so every intermediate double matches bit-for-bit.
+    Shape: day-grain collapse (calendar-bounded), one single-row
+    array fold; nothing scales with corpus size."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("dn")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    t = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dn", "x"))),
+            lambda p: p["x"].cast("double"),
+        ).alias("a"),
+    )
+    x1 = F.element_at("a", 1)
+    x2 = F.element_at("a", 2)
+    l0 = x2 * 0.3 + 0.7 * (x1 + (x2 - x1))
+    b0 = 0.1 * (x2 * 0.3 + 0.7 * (x1 + (x2 - x1)) - x1) + 0.9 * (x2 - x1)
+    sape0 = F.abs(x2 - (x1 + (x2 - x1))) / x2
+    init = F.struct(
+        l0.alias("l"), b0.alias("b"), sape0.alias("sape")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("a"), 3, F.size("a") - 2),
+        init,
+        lambda acc, x: F.struct(
+            (x * 0.3 + 0.7 * (acc["l"] + acc["b"])).alias("l"),
+            (
+                0.1 * (x * 0.3 + 0.7 * (acc["l"] + acc["b"]) - acc["l"])
+                + 0.9 * acc["b"]
+            ).alias("b"),
+            (
+                acc["sape"]
+                + F.abs(x - (acc["l"] + acc["b"])) / x
+            ).alias("sape"),
+        ),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    out = t.select("n", fold.alias("h"))
+    return out.select(
+        F.col("n").alias("n_days"),
+        q6(F.col("h.l") / 100).alias("level_end"),
+        q6(F.col("h.b") / 100).alias("trend_end"),
+        q6((F.col("h.l") + 7 * F.col("h.b")) / 100).alias("forecast_7d"),
+        q6(F.col("h.sape") / (F.col("n") - 1)).alias("mape_insample"),
+    )
+
+
+# Abramowitz-Stegun 7.1.26 erf approximation (|err| < 1.5e-7), shared
+# VERBATIM by both engines so p-values are bit-identical: the catalog
+# needs a normal CDF for p-value machinery and neither Spark SQL nor
+# DuckDB ships erf as a deterministic common denominator.
+_AS_ERF = (
+    "(1 - (((((1.061405429 * (1 / (1 + 0.3275911 * {x}))"
+    " - 1.453152027) * (1 / (1 + 0.3275911 * {x}))"
+    " + 1.421413741) * (1 / (1 + 0.3275911 * {x}))"
+    " - 0.284496736) * (1 / (1 + 0.3275911 * {x}))"
+    " + 0.254829592) * (1 / (1 + 0.3275911 * {x})))"
+    " * exp(-({x}) * ({x})))"
+)
+
+
+def _as_erf_col(x):
+    t = 1 / (1 + 0.3275911 * x)
+    poly = (
+        (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+         - 0.284496736) * t + 0.254829592
+    ) * t
+    return 1 - poly * F.exp(-x * x)
+
+
+def _bh_fdr_oracle() -> str:
+    z = "abs(zv)"
+    p = f"(1 - {_AS_ERF.format(x=f'({z} / sqrt(2.0))')})"
+    return f"""
+WITH g AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(r) AS BIGINT) AS tr
+        FROM g),
+zt AS (
+  SELECT p_brand, n, r,
+         (r::DOUBLE / n - tr::DOUBLE / tn)
+           / sqrt((tr::DOUBLE / tn) * (1 - tr::DOUBLE / tn) / n) AS zv
+  FROM g, tot
+),
+pt AS (
+  SELECT p_brand, n, r, zv, {p} AS pv FROM zt
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY pv, p_brand) AS bh_rank,
+         COUNT(*) OVER () AS m
+  FROM pt
+),
+k AS (
+  SELECT COALESCE(MAX(CASE WHEN pv * m <= 0.10 * bh_rank
+                           THEN bh_rank END), 0) AS kstar
+  FROM rk
+)
+SELECT p_brand, n AS n_lines, r AS n_returns,
+       floor(zv * 1000000 + 0.5) / 1000000 AS z,
+       floor(pv * 1000000 + 0.5) / 1000000 AS p_two_sided,
+       CAST(bh_rank AS BIGINT) AS bh_rank,
+       bh_rank <= kstar AS rejected_fdr10
+FROM rk, k
+"""
+
+
+@register("stats_bh_fdr", oracle=_bh_fdr_oracle())
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over 25 simultaneous hypotheses:
+    per-brand two-sided z-tests of return rate against the corpus
+    rate, p-values ranked ascending, rejections = every rank up to the
+    largest k with p_(k) <= q*k/m (q = 0.10) — the multiple-testing
+    discipline any per-group anomaly scan at 100 TB needs (25 brands
+    at alpha=0.05 yield ~1.25 false alarms uncorrected; at thousands
+    of groups, uncorrected scanning IS the false-alarm generator).
+
+    Determinism: group counts are exact BIGINTs; z and the shared
+    Abramowitz-Stegun erf pipeline (|err| < 1.5e-7, both engines run
+    the same literals) produce identical p doubles; the BH threshold
+    comparison is on raw doubles with a brand tie-break. Shape: one
+    broadcast dim join, 25-row brand rollup; the rank window runs
+    over 25 rows (bounded brand grain)."""
+    from pyspark.sql import Window
+
+    (li, part) = _t(spark, sf_dir, "lineitem", "part")
+    g = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("r").cast("bigint").alias("tr"),
+    )
+    p0 = F.col("tr").cast("double") / F.col("tn")
+    zv = (F.col("r").cast("double") / F.col("n") - p0) / F.sqrt(
+        p0 * (1 - p0) / F.col("n")
+    )
+    pt = g.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        "n",
+        "r",
+        zv.alias("zv"),
+        (1 - _as_erf_col(F.abs(zv) / F.sqrt(F.lit(2.0)))).alias("pv"),
+    )
+    wr = Window.orderBy("pv", "p_brand")
+    wall = Window.partitionBy()
+    rk = pt.select(
+        "*",
+        F.row_number().over(wr).alias("bh_rank"),
+        F.count("*").over(wall).alias("m"),
+    )
+    kstar = F.coalesce(
+        F.max(
+            F.when(
+                F.col("pv") * F.col("m") <= 0.10 * F.col("bh_rank"),
+                F.col("bh_rank"),
+            )
+        ).over(wall),
+        F.lit(0),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return rk.select(
+        "p_brand",
+        F.col("n").alias("n_lines"),
+        F.col("r").alias("n_returns"),
+        q6(F.col("zv")).alias("z"),
+        q6(F.col("pv")).alias("p_two_sided"),
+        F.col("bh_rank").cast("bigint").alias("bh_rank"),
+        (F.col("bh_rank") <= kstar).alias("rejected_fdr10"),
+    )
+
+
+def _markov_mixing_oracle() -> str:
+    its = []
+    prev = "p0"
+    for k in (1, 2, 3, 4, 5):
+        its.append(
+            f"d{k} AS (SELECT CAST(COALESCE(SUM(pr), 0) AS BIGINT) AS dm "
+            f"FROM {prev} WHERE node NOT IN (SELECT DISTINCT src FROM edges))"
+        )
+        its.append(
+            f"i{k} AS (SELECT e.dst AS node, "
+            f"CAST(SUM((p.pr * e.share_ppm) // 1000000) AS BIGINT) AS inc "
+            f"FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst)"
+        )
+        its.append(
+            f"p{k} AS (SELECT n.node, "
+            f"CAST(COALESCE(i.inc, 0) "
+            f"+ d{k}.dm // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS pr "
+            f"FROM nodes n LEFT JOIN i{k} i ON i.node = n.node, d{k})"
+        )
+        prev = f"p{k}"
+    return f"""
+WITH seq AS (
+  SELECT event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src
+  FROM events
+),
+c AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst,
+         CAST(floor(w::DOUBLE * 1000000
+                    / (SUM(w) OVER (PARTITION BY src))::DOUBLE)
+              AS BIGINT) AS share_ppm
+  FROM c
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+p0 AS (SELECT node,
+              CAST(1000000 // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS pr
+       FROM nodes),
+{", ".join(its)}
+SELECT p5.node AS event_type,
+       p5.pr::DOUBLE / 1000000 AS stationary_prob,
+       abs(p5.pr - p4.pr)::DOUBLE / 1000000 AS mixing_delta
+FROM p5 JOIN p4 ON p4.node = p5.node
+"""
+
+
+@register("events_markov_mixing", oracle=_markov_mixing_oracle())
+def events_markov_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain: the
+    per-user event-type transition matrix iterated 5 power steps from
+    uniform, with the per-state |p5 - p4| mixing delta (delta ~ 0
+    means the chain has mixed and the numbers ARE the stationary
+    visit shares — the long-run time budget users spend per activity,
+    which raw event counts misstate when sessions differ in length).
+    Companion to events_markov_transitions' one-step matrix.
+
+    Determinism: nation_trade_pagerank's integer discipline — row
+    shares quantize once to ppm, probability mass lives in exact
+    integer micro-units, each iteration is integer multiply/divide,
+    mass parked on out-edge-less states redistributes uniformly.
+    Shape: transitions come from a USER-partitioned lag window; the
+    chain itself is |event types| x |event types| (bounded) with
+    broadcast rank tables per unrolled iteration."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    )
+    c = (
+        seq.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    out = Window.partitionBy("src")
+    edges = c.select(
+        "src",
+        "dst",
+        F.floor(
+            F.col("w").cast("double")
+            * 1000000
+            / F.sum("w").over(out).cast("double")
+        )
+        .cast("bigint")
+        .alias("share_ppm"),
+    ).localCheckpoint()
+    nodes = events.select(
+        F.col("event_type").alias("node")
+    ).distinct().localCheckpoint()
+    nn = nodes.agg(F.count("*").cast("bigint").alias("nn"))
+    srcs = edges.select("src").distinct()
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("1000000 div nn").cast("bigint").alias("pr")
+    )
+    prev = None
+    for _ in range(5):
+        prev = pr
+        dangling = (
+            pr.join(srcs, pr["node"] == srcs["src"], "left_anti")
+            .agg(
+                F.coalesce(F.sum("pr"), F.lit(0))
+                .cast("bigint")
+                .alias("dm")
+            )
+            .crossJoin(F.broadcast(nn))
+        )
+        inc = (
+            edges.join(F.broadcast(pr), pr["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr * share_ppm div 1000000").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("inc"))
+        )
+        pr = (
+            nodes.join(F.broadcast(inc), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("inc"), F.lit(0))
+                    + F.expr("dm div nn")
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    p4 = prev.select("node", F.col("pr").alias("pr4"))
+    return (
+        pr.join(p4, "node")
+        .select(
+            F.col("node").alias("event_type"),
+            (F.col("pr").cast("double") / 1000000).alias(
+                "stationary_prob"
+            ),
+            (
+                F.abs(F.col("pr") - F.col("pr4")).cast("double")
+                / 1000000
+            ).alias("mixing_delta"),
+        )
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    return f"""
+WITH sets AS (
+  SELECT doc_id, {_DK_SHINGLES} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+  FROM sets
+), sigs AS (
+  SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashed
+), bands AS (
+  {_minhash_bands_sql()}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+), m AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(range(1, {DD.N_PERMS} + 1),
+                              i -> sa.sig[i] = sb.sig[i])) AS BIGINT)
+           AS matches
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+), ex AS (
+  SELECT c.id_a, c.id_b,
+         CAST(floor(
+           len(list_intersect(ha.sh, hb.sh))::DOUBLE
+           / (len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)))
+           * 1000000 + 0.5) AS BIGINT) AS jq
+  FROM cand c
+  JOIN sets ha ON ha.doc_id = c.id_a
+  JOIN sets hb ON hb.doc_id = c.id_b
+)
+SELECT m.matches,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       floor(m.matches::DOUBLE / {DD.N_PERMS} * 1000000 + 0.5) / 1000000
+         AS est_jaccard,
+       floor(SUM(ex.jq)::DOUBLE / COUNT(*) + 0.5) / 1000000
+         AS mean_exact_jaccard,
+       floor(SUM(abs(m.matches * 1000000 // {DD.N_PERMS} - ex.jq))::DOUBLE
+             / COUNT(*) + 0.5) / 1000000 AS mean_abs_err
+FROM m JOIN ex ON ex.id_a = m.id_a AND ex.id_b = m.id_b
+GROUP BY m.matches
+"""
+
+
+@register("dedup_minhash_calibration", oracle=_minhash_calibration_oracle())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash fidelity calibration: for every LSH candidate pair,
+    compare the signature-estimated Jaccard (matching components / 16
+    permutations) against the EXACT shingle Jaccard, grouped by match
+    count — the measured answer to "how many permutations does this
+    corpus actually need", the sketch-calibration discipline the
+    Count-Min and PQ-fidelity rows apply to their own sketches
+    (an estimator you haven't measured against truth is a prior, not
+    a dial).
+
+    Shape: signatures and candidates are the dedup_minhash_lsh
+    pipeline verbatim (one shuffle of 16-long partial aggregates, one
+    band-bucket shuffle — never O(n^2)); exact Jaccard touches ONLY
+    candidate pairs; per-pair values quantize to exact integer micro
+    units before the 17-bucket (bounded) rollup."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(docs, "text", "doc_id", k=3)
+    bands = sigs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.lit(DD.N_PERMS // DD.BAND_ROWS - 1)
+                ),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.transform(
+                                F.slice(
+                                    "sig",
+                                    b * DD.BAND_ROWS + 1,
+                                    DD.BAND_ROWS,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    cand = DD._bucket_pairs(
+        bands, ["band_id", "band_key"], "doc_id"
+    ).distinct()
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    m = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a",
+                    "sig_b",
+                    lambda x, y: (x == y).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            .cast("bigint")
+            .alias("matches"),
+        )
+    )
+    sets = DD.shingle_sets(docs, "text", "doc_id", k=3)
+    ha = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    hb = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    ex = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter)
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("jq"),
+        )
+    )
+    j = m.join(ex, ["id_a", "id_b"])
+    return j.groupBy("matches").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (
+            F.floor(
+                F.col("matches").cast("double")
+                / DD.N_PERMS
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("est_jaccard"),
+        (
+            F.floor(
+                F.sum("jq").cast("double") / F.count("*") + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_exact_jaccard"),
+        (
+            F.floor(
+                F.sum(
+                    F.abs(
+                        F.expr(
+                            f"matches * 1000000 div {DD.N_PERMS}"
+                        )
+                        - F.col("jq")
+                    )
+                ).cast("double")
+                / F.count("*")
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_abs_err"),
+    )
+
+
+_SEASONAL_STRENGTH = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT *,
+         CAST(SUM(x) OVER (ORDER BY dn RANGE BETWEEN 3 PRECEDING
+                           AND 3 FOLLOWING) AS BIGINT) AS ts,
+         CAST(COUNT(*) OVER (ORDER BY dn RANGE BETWEEN 3 PRECEDING
+                             AND 3 FOLLOWING) AS BIGINT) AS tc
+  FROM daily
+),
+dw AS (
+  SELECT dn % 7 AS dow, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM daily GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(c) AS BIGINT) AS ct
+        FROM dw),
+comp AS (
+  SELECT CAST(floor((tr.x - tr.ts::DOUBLE / tr.tc
+                     - (dw.s::DOUBLE / dw.c - tot.st::DOUBLE / tot.ct))
+                    * 100 + 0.5) AS BIGINT) AS rq,
+         CAST(floor((tr.x - tr.ts::DOUBLE / tr.tc) * 100 + 0.5) AS BIGINT)
+           AS dq,
+         CAST(floor((tr.x - (dw.s::DOUBLE / dw.c - tot.st::DOUBLE / tot.ct))
+                    * 100 + 0.5) AS BIGINT) AS sq
+  FROM tr JOIN dw ON dw.dow = tr.dn % 7, tot
+),
+v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rq) AS BIGINT) AS sr,
+         CAST(SUM(CAST(rq AS DECIMAL(38,0)) * rq) AS DECIMAL(38,0)) AS qr,
+         CAST(SUM(dq) AS BIGINT) AS sd,
+         CAST(SUM(CAST(dq AS DECIMAL(38,0)) * dq) AS DECIMAL(38,0)) AS qd,
+         CAST(SUM(sq) AS BIGINT) AS ss,
+         CAST(SUM(CAST(sq AS DECIMAL(38,0)) * sq) AS DECIMAL(38,0)) AS qs
+  FROM comp
+)
+SELECT n AS n_days,
+       floor(greatest(0.0,
+             1 - (n * qr::DOUBLE - sr::DOUBLE * sr)
+                 / (n * qd::DOUBLE - sd::DOUBLE * sd))
+             * 1000000 + 0.5) / 1000000 AS seasonal_strength,
+       floor(greatest(0.0,
+             1 - (n * qr::DOUBLE - sr::DOUBLE * sr)
+                 / (n * qs::DOUBLE - ss::DOUBLE * ss))
+             * 1000000 + 0.5) / 1000000 AS trend_strength
+FROM v
+"""
+
+
+@register("orders_seasonal_strength", oracle=_SEASONAL_STRENGTH)
+def orders_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's seasonal/trend strength of the daily revenue series:
+    Fs = max(0, 1 - var(residual)/var(detrended)) and
+    Ft = max(0, 1 - var(residual)/var(deseasonalized)) — the two
+    scalars that summarize orders_seasonal_decompose into a model
+    choice (Fs near 1 mandates the DOW component; Ft near 0 says
+    Holt's trend term is noise on this series).
+
+    Determinism: each per-day component quantizes to exact 1/100-cent
+    integers right after the shared decomposition expressions, so all
+    three variances are single divisions over exact BIGINT/DECIMAL
+    sufficient statistics. Shape: day-grain collapse, the same
+    calendar-bounded RANGE trend window as the decomposition, one
+    scalar row out."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("dn")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    wt = Window.orderBy("dn").rangeBetween(-3, 3)
+    tr = daily.select(
+        "dn",
+        "x",
+        F.sum("x").over(wt).cast("bigint").alias("ts"),
+        F.count("*").over(wt).cast("bigint").alias("tc"),
+    )
+    dw = daily.groupBy((F.col("dn") % 7).alias("dow")).agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    tot = dw.agg(
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("c").cast("bigint").alias("ct"),
+    )
+    j = (
+        tr.join(F.broadcast(dw), (F.col("dn") % 7) == F.col("dow"))
+        .crossJoin(F.broadcast(tot))
+    )
+    trend = F.col("ts").cast("double") / F.col("tc")
+    seas = (
+        F.col("s").cast("double") / F.col("c")
+        - F.col("st").cast("double") / F.col("ct")
+    )
+    qi = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    comp = j.select(
+        qi(F.col("x") - trend - seas).alias("rq"),
+        qi(F.col("x") - trend).alias("dq"),
+        qi(F.col("x") - seas).alias("sq"),
+    )
+
+    def stats(c):
+        return [
+            F.sum(c).cast("bigint"),
+            F.sum(F.col(c).cast("decimal(38,0)") * F.col(c)).cast(
+                "decimal(38,0)"
+            ),
+        ]
+
+    v = comp.agg(
+        F.count("*").cast("bigint").alias("n"),
+        stats("rq")[0].alias("sr"),
+        stats("rq")[1].alias("qr"),
+        stats("dq")[0].alias("sd"),
+        stats("dq")[1].alias("qd"),
+        stats("sq")[0].alias("ss"),
+        stats("sq")[1].alias("qs"),
+    )
+    nn = F.col("n")
+
+    def var(s, q):
+        return (
+            nn * F.col(q).cast("double")
+            - F.col(s).cast("double") * F.col(s)
+        )
+
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return v.select(
+        nn.alias("n_days"),
+        q6(
+            F.greatest(
+                F.lit(0.0), 1 - var("sr", "qr") / var("sd", "qd")
+            )
+        ).alias("seasonal_strength"),
+        q6(
+            F.greatest(
+                F.lit(0.0), 1 - var("sr", "qr") / var("ss", "qs")
+            )
+        ).alias("trend_strength"),
+    )

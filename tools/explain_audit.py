@@ -212,6 +212,8 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "orders_interpurchase_percentiles": "value-histogram percentile walk",
     # control-plane / dim-sized frames (rows ~ constants):
     "mix_epoch_schedule": "per-round source-count frame",
+    "stats_bh_fdr": "25-row brand-grain BH ranks",
+    "events_user_lorenz": "10-row decile cumulative share",
     "events_funnel": "3-step scalar frame",
     "heaps_law_fit": "log-log regression over sample points",
 }
