@@ -3958,12 +3958,30 @@ GROUP BY quartile
 @register("win_ntile_quartiles", oracle=_NTILE_SQL)
 def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) balance quartiles (unique tie-break => deterministic),
-    then per-quartile stats. A global ntile is a single-partition sort —
-    fine as a bucketing demo; at 100 TB assign quantile buckets from
-    approx_percentile boundaries instead (one pass, mergeable t-digest,
-    no global sort)."""
-    _views(spark, sf_dir, "customer")
-    return spark.sql(_NTILE_SQL)
+    then per-quartile stats. The oracle states the semantics as SQL
+    NTILE; the Spark plan reconstructs the identical bucketing from
+    AGG.global_rank + AGG.exact_ntile (bit-identical tile assignment
+    by construction, tests/test_scale_ops.py) — a bare NTILE() OVER
+    (ORDER BY ...) is a single-partition sort of the whole customer
+    table, the r6-retired scale shape."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    r = AGG.global_rank(
+        cust.select("c_custkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"],
+        rank_col="rk",
+    )
+    n = r.agg(F.count("*").cast("bigint").alias("n"))
+    q = r.crossJoin(F.broadcast(n)).select(
+        "c_acctbal", AGG.exact_ntile("rk", "n", 4).alias("quartile")
+    )
+    return q.groupBy(F.col("quartile").cast("bigint").alias("quartile")).agg(
+        F.count("*").alias("n"),
+        F.min("c_acctbal").cast("double").alias("lo"),
+        F.max("c_acctbal").cast("double").alias("hi"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
 
 
 _NAV_SQL = """

@@ -1,0 +1,151 @@
+"""Measured Structured-Streaming throughput at sf0.1 — the data point
+behind the "Structured Streaming + stateful ops" claim (the streaming
+surface is otherwise verified on micro-fixtures).
+
+Two flows over the sf0.1 events table (~hundreds of thousands of rows),
+split into N_CHUNKS parquet files and streamed with maxFilesPerTrigger=1
+so the run exercises real micro-batch cadence, watermark advancement,
+and state growth — not one giant batch:
+
+1. ``windowed_agg`` — watermarked hourly tumbling count per event type
+   (pure JVM stateful aggregation, the 100 TB scale path).
+2. ``bloom_dedup`` — the bloom-gated exact-dedup foreachBatch sink
+   (StateTable-backed persistent bitmap + fingerprint table), fed
+   (event_id, props) as the doc stream.
+
+Prints ONE JSON line and writes it to BENCH_STREAMING.json:
+{"flows": {name: {rows, secs, rows_per_sec, ...}}, "sf": ..., ...}
+
+Usage: PYTHONPATH=/root/repo python tools/bench_streaming.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CHUNKS = 8
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.session import get_spark
+    from slipstream_async_spark.sources.readers import load_table
+
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    src = os.path.join(work, "events")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        # watermarks require TIMESTAMP; the testdata loads as NTZ
+        "ts", F.col("ts").cast("timestamp")
+    )
+    n_rows = events.count()
+    # N_CHUNKS files -> N_CHUNKS micro-batches under maxFilesPerTrigger=1
+    events.repartition(N_CHUNKS).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    flows: dict[str, dict] = {}
+
+    # -- flow 1: watermarked tumbling window aggregation (JVM state) --
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    t0 = time.time()
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bench_windowed")
+        .option("checkpointLocation", os.path.join(work, "ck1"))
+        .start()
+    )
+    q.processAllAvailable()
+    secs = round(time.time() - t0, 3)
+    n_groups = spark.sql("SELECT COUNT(*) AS n FROM bench_windowed").first()["n"]
+    n_batches = len(q.recentProgress)
+    q.stop()
+    flows["windowed_agg"] = {
+        "rows": n_rows,
+        "secs": secs,
+        "rows_per_sec": round(n_rows / secs, 1),
+        "micro_batches": n_batches,
+        "out_groups": int(n_groups),
+    }
+
+    # -- flow 2: bloom-gated exact dedup sink (StateTable state) --
+    from slipstream_async_spark.streaming.dedup_flow import (
+        bloom_gated_exact_dedup_sink,
+    )
+    from slipstream_async_spark.streaming.state import StateTable
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            F.col("event_id").alias("doc_id"),
+            F.col("props").alias("text"),
+        )
+    )
+    fps = StateTable(spark, os.path.join(work, "st_fps"))
+    bloom = StateTable(spark, os.path.join(work, "st_bloom"))
+    dupes = StateTable(spark, os.path.join(work, "st_dupes"))
+    stats: list = []
+    sink = bloom_gated_exact_dedup_sink(
+        fps, bloom, dupes, text_col="text", id_col="doc_id", stats=stats
+    )
+    t0 = time.time()
+    q2 = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ck2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    secs2 = round(time.time() - t0, 3)
+    q2.stop()
+    n_dupes = dupes.snapshot().count()
+    flows["bloom_dedup"] = {
+        "rows": n_rows,
+        "secs": secs2,
+        "rows_per_sec": round(n_rows / secs2, 1),
+        "micro_batches": len(stats),
+        "dupes_found": int(n_dupes),
+        "gate_epochs": stats,
+    }
+
+    payload = {
+        "metric": "streaming_throughput",
+        "unit": "rows/sec",
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "flows": flows,
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_STREAMING.json",
+    )
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

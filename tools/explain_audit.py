@@ -178,6 +178,45 @@ ALLOW_BNLJ = {
     # one-row tie-correction scalar crossed onto the one-row rank-sum
     # aggregate — scalars, not data
     "stats_kruskal_wallis",
+    # 3-row k dim crossed with the 1000-row TakeOrdered head + two
+    # scalar totals — constants, not data
+    "text_ngram_coverage",
+    # one-row (total, count) scalars crossed onto the decile frame
+    "events_user_lorenz",
+    # |labels|-row centroid table broadcast against the corpus — the
+    # sim_topk_ivf coarse-assignment shape
+    "emb_centroid_confusion",
+    "emb_silhouette_centroid",
+    # one-row (total, count) scalars crossed onto the prefix-sum frame
+    "orders_pareto_8020",
+    # day-grain x day-grain slope-pair join (calendar-bounded) plus the
+    # one-row pair-count scalar cross
+    "orders_theil_sen_slope",
+    # one-row corpus return-rate scalar crossed onto the 25-brand frame
+    "stats_bh_fdr",
+    # one-row DOW-grand-total scalars crossed onto the day-grain frame
+    # (the orders_seasonal_decompose/orders_dow_index shape)
+    "orders_seasonal_strength",
+    "orders_seasonal_decompose",
+    "orders_dow_index",
+    # one-row global-total scalars crossed onto bounded aggregates —
+    # the scalar-subquery shape across the global_rank rewrites
+    "orders_rfm_segments",
+    "win_ntile_quartiles",
+    "quality_classifier_calibration",
+    "revenue_concentration",
+    "quality_length_independence",
+    # per-iteration one-row dangling-mass scalar cross (documented in
+    # the pagerank docstring); every data join is broadcast
+    "nation_trade_pagerank",
+    # one-row layout totals crossed onto the 2-row layout comparison
+    "layout_zone_map_skipping",
+    # one-row (sum errors, sum events) scalars crossed onto day grain
+    "events_p_chart",
+    # one-row chain-size/dangling scalars per unrolled power iteration
+    "events_markov_mixing",
+    # one-row global token totals crossed onto |sources| rows
+    "source_vocab_richness",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
@@ -214,6 +253,17 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "mix_epoch_schedule": "per-round source-count frame",
     "stats_bh_fdr": "25-row brand-grain BH ranks",
     "events_user_lorenz": "10-row decile cumulative share",
+    "revenue_concentration": "10-row decile cumulative share",
+    "orders_seasonal_strength": "day-grain centered trend window",
+    "dsir_importance": "128-bucket log-ratio frame",
+    "stats_daily_autocorr": "day-grain lag frame",
+    "events_anomaly_zscore": "day-grain RANGE z frame",
+    "nation_trade_matrix": "25x25 nation-pair frame",
+    "events_time_to_convert": "hour-gap value-grain cumulative walk",
+    "lang_source_chisq": "source x language contingency frame",
+    "orders_backlog_daily": "day-grain open-order walk",
+    "events_entropy_rate": "event-type transition frame",
+    "stats_cramers_v": "bounded contingency-cell frame",
     "events_funnel": "3-step scalar frame",
     "heaps_law_fit": "log-log regression over sample points",
 }
@@ -244,15 +294,26 @@ def singlepartition_window(plan: str) -> bool:
         # shape; stop at the first parent that is neither Sort nor a
         # window operator (e.g. HashAggregate = legitimate global agg).
         d = depth
+        sort_seen = ""
         for j in range(idx - 1, -1, -1):
             pd_, pt = ents[j]
             if pd_ >= d:
                 continue
             d = pd_
             if pt.startswith(("Window", "WindowGroupLimit", "RunningWindowFunction")):
+                # The two-phase global_rank / global_prefix_sum /
+                # contiguous_pack machinery (aggregations.py:147-316,
+                # packing.py) deliberately runs ONE by-less window —
+                # over a per-partition/per-bucket TOTALS frame bounded
+                # by the partition or bucket count, never by data. Its
+                # signature is an INTERNAL underscore-prefixed sort key
+                # (`_pid`, `_bucket`); exempt exactly that sort shape.
+                if re.match(r"Sort \[_\w+#", sort_seen):
+                    break
                 return True
             if not pt.startswith("Sort"):
                 break
+            sort_seen = pt
     return False
 
 
