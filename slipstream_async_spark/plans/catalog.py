@@ -16051,6 +16051,11 @@ def events_markov_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").cast("bigint").alias("inc"))
         )
+        # Per-iteration localCheckpoint is load-bearing even on a
+        # 5-row rank frame: pr feeds BOTH the dangling scalar and the
+        # increment join, so an unchecked unroll doubles the logical
+        # subtree per iteration (measured: 6.9 s checkpointed vs
+        # 14-26 s without at sf0.1 — planning cost, not data).
         pr = (
             nodes.join(F.broadcast(inc), "node", "left")
             .crossJoin(F.broadcast(dangling))
@@ -16417,4 +16422,211 @@ def orders_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0), 1 - var("sr", "qr") / var("ss", "qs")
             )
         ).alias("trend_strength"),
+    )
+
+
+def _hurst_oracle() -> str:
+    return """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT x, row_number() OVER (ORDER BY dn) - 1 AS i,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+sz AS (SELECT unnest([16, 32, 64, 128]) AS s),
+blk AS (
+  SELECT sz.s, idx.i // sz.s AS b, idx.i % sz.s AS j, idx.x
+  FROM idx, sz
+  WHERE idx.i < (idx.n // sz.s) * sz.s
+),
+bsum AS (
+  SELECT s, b, CAST(SUM(x) AS BIGINT) AS sb,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS qb
+  FROM blk GROUP BY 1, 2
+),
+dev AS (
+  SELECT blk.s, blk.b, bsum.sb, bsum.qb,
+         CAST(blk.s AS BIGINT)
+           * CAST(SUM(blk.x) OVER (PARTITION BY blk.s, blk.b
+                                   ORDER BY blk.j) AS BIGINT)
+           - (blk.j + 1) * bsum.sb AS d
+  FROM blk JOIN bsum ON bsum.s = blk.s AND bsum.b = blk.b
+),
+rs AS (
+  SELECT s, b,
+         CAST(floor((MAX(d) - MIN(d))::DOUBLE
+              / sqrt(MAX(s)::DOUBLE * MAX(qb)::DOUBLE
+                     - MAX(sb)::DOUBLE * MAX(sb))
+              * 1000000 + 0.5) AS BIGINT) AS rsq
+  FROM dev GROUP BY 1, 2
+),
+m AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         floor(SUM(rsq)::DOUBLE / COUNT(*) + 0.5) / 1000000 AS mean_rs
+  FROM rs GROUP BY s
+),
+pts AS (
+  SELECT ln(s::DOUBLE) / ln(2.0) AS lx,
+         ln(mean_rs) / ln(2.0) AS ly
+  FROM m
+),
+fit AS (
+  SELECT COUNT(*)::DOUBLE AS k, array_agg({'lx': lx, 'ly': ly}
+                                          ORDER BY lx) AS a
+  FROM pts
+),
+sums AS (
+  SELECT k,
+         list_reduce(list_transform(a, p -> p.lx), (x, y) -> x + y) AS sx,
+         list_reduce(list_transform(a, p -> p.ly), (x, y) -> x + y) AS sy,
+         list_reduce(list_transform(a, p -> p.lx * p.lx),
+                     (x, y) -> x + y) AS sxx,
+         list_reduce(list_transform(a, p -> p.lx * p.ly),
+                     (x, y) -> x + y) AS sxy
+  FROM fit
+)
+SELECT (SELECT MAX(n) FROM idx) AS n_days,
+       floor((k * sxy - sx * sy) / (k * sxx - sx * sx)
+             * 1000000 + 0.5) / 1000000 AS hurst_exponent,
+       (SELECT floor(MAX(CASE WHEN s = 16 THEN mean_rs END)
+                     * 1000000 + 0.5) / 1000000 FROM m) AS mean_rs_16,
+       (SELECT floor(MAX(CASE WHEN s = 128 THEN mean_rs END)
+                     * 1000000 + 0.5) / 1000000 FROM m) AS mean_rs_128
+FROM sums
+"""
+
+
+@register("orders_hurst_rs", oracle=_hurst_oracle())
+def orders_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range (R/S) analysis:
+    split the day series into blocks of 16/32/64/128 days, compute each
+    block's range-of-cumulative-deviations over its standard deviation,
+    and fit log2(mean R/S) against log2(block size) — H ~ 0.5 is a
+    random walk, H > 0.5 long-range persistence (trends feed on
+    themselves; volatility models and anomaly thresholds must widen),
+    H < 0.5 mean reversion. The long-memory companion to the ACF's
+    fixed-lag reads.
+
+    Determinism: within-block cumulative deviations stay EXACT by the
+    scale trick s*cumsum - (j+1)*S_b (pure BIGINT); R/S quantizes to
+    micro units per block before exact-integer means; the 4-point
+    log-log OLS folds over a sorted 4-struct array. Shape: day-grain
+    collapse; block stats are (size, block)-partitioned windows —
+    bounded grain throughout."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("dn")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    wi = Window.orderBy("dn")
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "x",
+        (F.row_number().over(wi) - 1).alias("i"),
+        F.count("*").over(wall).alias("n"),
+    )
+    sz = spark.createDataFrame([(16,), (32,), (64,), (128,)], "s int")
+    blk = (
+        idx.crossJoin(F.broadcast(sz))
+        .filter(
+            F.col("i") < (F.col("n") / F.col("s")).cast("bigint") * F.col("s")
+        )
+        .select(
+            "s",
+            F.expr("i div s").alias("b"),
+            (F.col("i") % F.col("s")).alias("j"),
+            "x",
+        )
+    )
+    bsum = blk.groupBy("s", "b").agg(
+        F.sum("x").cast("bigint").alias("sb"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("qb"),
+    )
+    wc = (
+        Window.partitionBy("s", "b")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = blk.join(bsum, ["s", "b"]).select(
+        "s",
+        "b",
+        "sb",
+        "qb",
+        (
+            F.col("s").cast("bigint")
+            * F.sum("x").over(wc).cast("bigint")
+            - (F.col("j") + 1) * F.col("sb")
+        ).alias("d"),
+    )
+    rs = dev.groupBy("s", "b").agg(
+        F.floor(
+            (F.max("d") - F.min("d")).cast("double")
+            / F.sqrt(
+                F.max("s").cast("double") * F.max("qb").cast("double")
+                - F.max("sb").cast("double") * F.max("sb")
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rsq")
+    )
+    m = rs.groupBy("s").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        (
+            F.floor(
+                F.sum("rsq").cast("double") / F.count("*") + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_rs"),
+    )
+    pts = m.select(
+        "s",
+        "mean_rs",
+        (F.log(F.col("s").cast("double")) / F.log(F.lit(2.0))).alias("lx"),
+        (F.log("mean_rs") / F.log(F.lit(2.0))).alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        F.array_sort(F.collect_list(F.struct("lx", "ly"))).alias("a"),
+        F.max(F.when(F.col("s") == 16, F.col("mean_rs"))).alias("rs16"),
+        F.max(F.when(F.col("s") == 128, F.col("mean_rs"))).alias("rs128"),
+    )
+
+    def fold(expr):
+        return F.aggregate(F.col("a"), F.lit(0.0), lambda acc, p: acc + expr(p))
+
+    sx = fold(lambda p: p["lx"])
+    sy = fold(lambda p: p["ly"])
+    sxx = fold(lambda p: p["lx"] * p["lx"])
+    sxy = fold(lambda p: p["lx"] * p["ly"])
+    n_days = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return fit.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        q6(
+            (F.col("k") * sxy - sx * sy)
+            / (F.col("k") * sxx - sx * sx)
+        ).alias("hurst_exponent"),
+        q6(F.col("rs16")).alias("mean_rs_16"),
+        q6(F.col("rs128")).alias("mean_rs_128"),
     )
