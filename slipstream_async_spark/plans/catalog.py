@@ -16630,3 +16630,324 @@ def orders_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("rs16")).alias("mean_rs_16"),
         q6(F.col("rs128")).alias("mean_rs_128"),
     )
+
+
+_SIMHASH_CALIBRATION = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_DK_TOKS}) AS toks FROM documents
+), h AS (
+  SELECT doc_id, unnest(list_transform(toks,
+         s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS h
+  FROM t
+), bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(fa.simhash, fb.simhash)) AS hamming,
+         CAST(floor(
+           len(list_intersect(a.toks, b.toks))::DOUBLE
+           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+           * 1000000 + 0.5) AS BIGINT) AS jq
+  FROM t a
+  JOIN t b ON b.doc_id = a.doc_id + 1
+  JOIN fp fa ON fa.doc_id = a.doc_id
+  JOIN fp fb ON fb.doc_id = b.doc_id
+)
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       floor(SUM(jq)::DOUBLE / COUNT(*) + 0.5) / 1000000
+         AS mean_exact_jaccard,
+       floor(MIN(jq)::DOUBLE) / 1000000 AS min_jaccard,
+       floor(MAX(jq)::DOUBLE) / 1000000 AS max_jaccard
+FROM pairs GROUP BY hamming
+"""
+
+
+@register("dedup_simhash_calibration", oracle=_SIMHASH_CALIBRATION)
+def dedup_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fidelity calibration: hamming distance between the
+    32-bit fingerprints of deterministic consecutive-id document pairs
+    against their exact distinct-token Jaccard, grouped by hamming
+    distance — the curve that justifies (or indicts) the hamming<=3
+    near-dup cutoff dedup_simhash uses, completing the measured
+    sketch-calibration family (MinHash, Count-Min, PQ already have
+    their truth-vs-estimate rows).
+
+    Shape: fingerprints are the shared one-aggregation 32-bit-sum
+    pipeline; the pair set is an EQUI-join on doc_id+1 (one row per
+    document — a fixed-size sample of the background pair
+    distribution, no quadratic pairing); per-pair exact Jaccard
+    quantizes to micro units before the <=33-bucket (bounded) rollup."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.array_distinct(TXT.tokens("text")).alias("toks")
+    )
+    fp = DD.simhash_fingerprints(docs, "text", "doc_id")
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("tb"),
+    )
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    pairs = (
+        a.join(b, "id_a")
+        .join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).alias("hamming"),
+            F.floor(
+                inter.cast("double")
+                / (F.size("ta") + F.size("tb") - inter)
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("jq"),
+        )
+    )
+    return pairs.groupBy(
+        F.col("hamming").cast("bigint").alias("hamming")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (
+            F.floor(
+                F.sum("jq").cast("double") / F.count("*") + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_exact_jaccard"),
+        (F.floor(F.min("jq").cast("double")) / 1000000).alias(
+            "min_jaccard"
+        ),
+        (F.floor(F.max("jq").cast("double")) / 1000000).alias(
+            "max_jaccard"
+        ),
+    )
+
+
+_LEADTIME_ANOVA = """
+WITH d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(date_diff('day', CAST(date_trunc('day', o_orderdate) AS DATE),
+                        CAST(date_trunc('day', l_shipdate) AS DATE))
+              AS BIGINT) AS v
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(v * v) AS BIGINT) AS qv
+  FROM d GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sv) AS BIGINT) AS s, CAST(SUM(qv) AS BIGINT) AS q,
+         array_agg({'sv': sv, 'ng': ng} ORDER BY grp) AS a
+  FROM g
+),
+f AS (
+  SELECT n, k, q,
+         list_reduce(list_transform(a,
+           p -> (p.sv::DOUBLE) * (p.sv::DOUBLE) / p.ng),
+           (x, y) -> x + y) AS sg,
+         s::DOUBLE * s / n AS corr
+  FROM t
+)
+SELECT n AS n_lines, k AS n_priorities,
+       floor((sg - corr) / (k - 1) / ((q - sg) / (n - k))
+             * 1000000 + 0.5) / 1000000 AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+       (sg - corr) / (k - 1) / ((q - sg) / (n - k)) > 2.21 AS reject_095
+FROM f
+"""
+
+
+@register("shiplag_anova_by_priority", oracle=_LEADTIME_ANOVA)
+def shiplag_anova_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of ship lag (ship date - order date, days)
+    across order priorities: does priority actually move fulfilment?
+    The relational sibling of the corpus battery's Brown-Forsythe —
+    and the gate in front of the per-priority drill-downs
+    (shiplag_quantiles_by_priority): no significant F, no point
+    slicing SLAs by priority. 2.21 is F(6, inf) at 5%, a shared
+    literal (conservative for df1 <= 6).
+
+    Determinism: ship lags are exact integer DAYS; all group
+    sufficient statistics are exact BIGINTs; the one cross-group
+    rational sum folds over the priority-SORTED (bounded, 5-row)
+    array. Shape: one fact-dim equi-join on orderkey, 5-group
+    aggregate, 1 row out."""
+    (li, orders) = _t(spark, sf_dir, "lineitem", "orders")
+    d = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(
+            F.to_date(F.date_trunc("day", "l_shipdate")),
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    g = d.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("qv"),
+    )
+    t = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("sv").cast("bigint").alias("s"),
+        F.sum("qv").cast("bigint").alias("q"),
+        F.array_sort(
+            F.collect_list(F.struct("grp", "sv", "ng"))
+        ).alias("a"),
+    )
+    sg = F.aggregate(
+        F.col("a"),
+        F.lit(0.0),
+        lambda acc, p: acc
+        + p["sv"].cast("double") * p["sv"].cast("double") / p["ng"],
+    )
+    corr = F.col("s").cast("double") * F.col("s") / F.col("n")
+    f_stat = (
+        (sg - corr)
+        / (F.col("k") - 1)
+        / ((F.col("q") - sg) / (F.col("n") - F.col("k")))
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return t.select(
+        F.col("n").alias("n_lines"),
+        F.col("k").alias("n_priorities"),
+        q6(f_stat).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+        (f_stat > 2.21).alias("reject_095"),
+    )
+
+
+def _twonn_oracle() -> str:
+    dq = _DK_DOT.format(a="e.embedding", b="q.qv")
+    dee = _DK_DOT.format(a="e.embedding", b="e.embedding")
+    dqq = _DK_DOT.format(a="q.qv", b="q.qv")
+    return f"""
+WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 20 = 0),
+p AS (
+  SELECT q.anchor_id, e.vec_id,
+         ({dee}) - 2 * ({dq}) + ({dqq}) AS l2sq
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.anchor_id
+),
+nn AS (
+  SELECT anchor_id, l2sq,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY l2sq, vec_id) AS rk
+  FROM p
+),
+mu AS (
+  SELECT anchor_id,
+         MIN(CASE WHEN rk = 1 THEN l2sq END) AS d1,
+         MIN(CASE WHEN rk = 2 THEN l2sq END) AS d2
+  FROM nn WHERE rk <= 2 GROUP BY anchor_id
+),
+lq AS (
+  SELECT CAST(floor(ln(sqrt(d2 / d1)) * 1000000 + 0.5) AS BIGINT) AS l
+  FROM mu WHERE d1 > 0
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(SUM(l) AS BIGINT) AS sl,
+         (SELECT COUNT(*) FROM mu) AS n_anchors
+  FROM lq
+)
+SELECT CAST(n_anchors AS BIGINT) AS n_anchors, n_used,
+       floor(n_used::DOUBLE / (sl::DOUBLE / 1000000) * 1000000 + 0.5)
+         / 1000000 AS intrinsic_dim,
+       floor(sl::DOUBLE / n_used / 1000000 * 1000000 + 0.5) / 1000000
+         AS mean_log_mu
+FROM t
+"""
+
+
+@register("emb_intrinsic_dimension", oracle=_twonn_oracle())
+def emb_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al., Scientific
+    Reports 2017): for every 20th vector, mu = d2/d1 of its two nearest
+    neighbors follows Pareto(1, d) on a d-dimensional manifold, so the
+    MLE is d = n / sum ln(mu) — the number that says how much of the
+    64 ambient dimensions the embeddings actually use (ID << ambient
+    justifies Matryoshka truncation and PQ budgets; the catalog's
+    emb_matryoshka_recall measures the same thing empirically from the
+    retrieval side).
+
+    Determinism: distances are identical IEEE chains; each anchor's
+    ln(mu) quantizes to exact integer micro units BEFORE the global
+    sum (order-free); exact-duplicate anchors (d1 = 0) are excluded
+    and reported via n_anchors vs n_used. Shape: the anchor sample
+    broadcasts against one corpus scan (the sim_topk_bruteforce
+    contract); the 2-NN argmin is a rank window partitioned BY ANCHOR;
+    one scalar row out."""
+    from pyspark.sql import Window
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("qv")
+    )
+    e, v = F.col("embedding"), F.col("qv")
+    p = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            (VEC.dot(e, e) - 2 * VEC.dot(e, v) + VEC.dot(v, v)).alias(
+                "l2sq"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("l2sq", "vec_id")
+    nn = p.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    mu = nn.groupBy("anchor_id").agg(
+        F.min(F.when(F.col("rk") == 1, F.col("l2sq"))).alias("d1"),
+        F.min(F.when(F.col("rk") == 2, F.col("l2sq"))).alias("d2"),
+    )
+    lq = mu.filter(F.col("d1") > 0).select(
+        F.floor(
+            F.log(F.sqrt(F.col("d2") / F.col("d1"))) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("l")
+    )
+    n_anchors = mu.agg(F.count("*").cast("bigint").alias("n_anchors"))
+    t = lq.agg(
+        F.count("*").cast("bigint").alias("n_used"),
+        F.sum("l").cast("bigint").alias("sl"),
+    ).crossJoin(F.broadcast(n_anchors))
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return t.select(
+        "n_anchors",
+        "n_used",
+        q6(
+            F.col("n_used").cast("double")
+            / (F.col("sl").cast("double") / 1000000)
+        ).alias("intrinsic_dim"),
+        q6(
+            F.col("sl").cast("double") / F.col("n_used") / 1000000
+        ).alias("mean_log_mu"),
+    )

@@ -154,6 +154,9 @@ ALLOW_BNLJ = {
     # 10-row anchor set broadcast-crossed against the corpus — the
     # sim_topk_bruteforce shape feeding both argmax windows
     "emb_hard_negatives",
+    # every-20th anchor sample broadcast-crossed against the corpus —
+    # the sim_topk_bruteforce shape feeding the 2-NN rank window
+    "emb_intrinsic_dimension",
     # one-row half-total target crossed onto the prefix-sum frame —
     # the scalar-subquery shape over global_prefix_sum's output
     "lineitem_weighted_median_price",
