@@ -211,9 +211,20 @@ def _run() -> tuple[
             spark.catalog.clearCache()
             gc.collect()
         except Exception as exc:  # noqa: BLE001
-            errors[name] = errors.get(name) or (
-                f"requeue {type(exc).__name__}: {exc}"[:300]
-            )
+            # A transient requeue failure must not mark a query that
+            # already holds a valid main-pass min as errored (r7 advice)
+            # — the requeue exists to IMPROVE timings, never to revoke
+            # them. Only record when the query has no timing at all.
+            if timings.get(name) is None and name not in errors:
+                errors[name] = (
+                    f"requeue {type(exc).__name__}: {exc}"[:300]
+                )
+            else:
+                print(
+                    f"bench: requeue of {name} failed (keeping main-pass "
+                    f"min): {exc}",
+                    file=sys.stderr,
+                )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -111,9 +111,19 @@ _DRIVER_VERIFIED: frozenset[str] = _driver_verified()
 # Queries whose SEMANTICS changed after their last green driver check
 # (so the green row no longer certifies the current code) — pinned to
 # the very front of the rotation until re-verified, ahead even of
-# never-checked entries. r7: source_novelty_order's gram identity
-# widened from hash32 to hash64 in both engines.
-_FORCE_FIRST: tuple[str, ...] = ("source_novelty_order",)
+# never-checked entries. r8: the two fixed-fraction anchor broadcasts
+# were rewritten onto fixed-COUNT hash-ordered samples (bounded at any
+# corpus size), and the Welch-t/Cohen's-d sufficient statistics moved
+# from BIGINT to DECIMAL(38,0) (overflow-safe at corpus scale);
+# shiplag_anova's F critical value corrected to the df1=4 literal.
+# (r7's source_novelty_order pin is re-verified and released.)
+_FORCE_FIRST: tuple[str, ...] = (
+    "emb_intrinsic_dimension",
+    "knn_label_vote",
+    "stats_welch_ttest",
+    "stats_cohens_d",
+    "shiplag_anova_by_priority",
+)
 
 
 def _rotated(mapping: dict) -> dict:
@@ -6200,8 +6210,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_VOTE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-           FROM embeddings WHERE vec_id % 20 = 0),
-c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 != 0),
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 128),
+c AS (SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id NOT IN (SELECT query_id FROM q)),
 scored AS (
   SELECT q.query_id, q.true_label, c.vec_id, c.label,
          round({_dk_cos("q.qv", "c.embedding")}, 6) AS cosine
@@ -6232,26 +6245,41 @@ GROUP BY true_label
 
 @register("knn_label_vote", oracle=_KNN_VOTE)
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-NN majority-vote classification evaluated in-engine: every
-    20th vector is held out and labeled by the majority label of its 5
-    nearest (cosine) neighbors among the rest; per-class accuracy is
-    the output — the standard embedding-quality probe (kNN accuracy)
-    run before committing a representation to a retrieval or curation
-    pipeline. Vote ties break toward the smaller label id, rank ties
-    toward the smaller vec_id, so the verdict is deterministic.
+    """5-NN majority-vote classification evaluated in-engine: a
+    FIXED-COUNT hash-ordered held-out sample (the 128 vectors with the
+    smallest md5(vec_id)) is labeled by the majority label of each
+    vector's 5 nearest (cosine) neighbors among the rest; per-class
+    accuracy is the output — the standard embedding-quality probe
+    (kNN accuracy) run before committing a representation to a
+    retrieval or curation pipeline. Vote ties break toward the smaller
+    label id, rank ties toward the smaller vec_id, so the verdict is
+    deterministic.
 
-    Shape: the held-out set is the whitelisted broadcast-cross query
-    sample (sim_topk_bruteforce shape); voting is a per-query count
-    over <= 5 rows and an argmax window over <= |labels| rows."""
+    Shape: the held-out set is a CONSTANT-SIZE broadcast-cross query
+    sample (r8 fix — the former every-20th-vector fraction grew as
+    n/20 and did not bound at 100x; the sim_topk_bruteforce shape);
+    the corpus excludes the sample via a broadcast anti-join; voting
+    is a per-query count over <= 5 rows and an argmax window over
+    <= |labels| rows."""
     from pyspark.sql import Window
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding"),
-        F.col("label").alias("true_label"),
+    q = (
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.col("label").alias("true_label"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "query_id")
+        .limit(128)
+        .drop("_h")
     )
-    c = emb.filter(F.col("vec_id") % 20 != 0)
+    c = emb.join(
+        F.broadcast(q.select(F.col("query_id").alias("vec_id"))),
+        "vec_id",
+        "left_anti",
+    )
     topk = SIM.brute_force_topk(
         c, q.select("query_id", "embedding"), k=5
     )
@@ -13848,7 +13876,8 @@ WITH g AS (
   SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS grp,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(n_chars) AS BIGINT) AS s,
-         CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS q
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars)
+              AS DECIMAL(38,0)) AS q
   FROM documents GROUP BY 1
 ),
 p AS (
@@ -13863,8 +13892,12 @@ p AS (
 v AS (
   SELECT n1, n2,
          s1::DOUBLE / n1 AS m1, s2::DOUBLE / n2 AS m2,
-         (n1 * q1 - s1 * s1)::DOUBLE / (n1::DOUBLE * (n1 - 1)) / n1 AS a,
-         (n2 * q2 - s2 * s2)::DOUBLE / (n2::DOUBLE * (n2 - 1)) / n2 AS b
+         (CAST(n1 AS DECIMAL(38,0)) * q1
+          - CAST(s1 AS DECIMAL(38,0)) * s1)::DOUBLE
+           / (n1::DOUBLE * (n1 - 1)) / n1 AS a,
+         (CAST(n2 AS DECIMAL(38,0)) * q2
+          - CAST(s2 AS DECIMAL(38,0)) * s2)::DOUBLE
+           / (n2::DOUBLE * (n2 - 1)) / n2 AS b
   FROM p
 )
 SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
@@ -13887,20 +13920,23 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     special case nobody's data satisfies), complementing the
     distribution-level KS/Mann-Whitney pair already in the battery.
 
-    Determinism: each group collapses to exact BIGINT sufficient
-    statistics (n, sum, sum-of-squares) in one partially-aggregated
-    pass; means/variances/t/df are fixed expression chains over those
-    six integers, identical IEEE ops in both engines. Shape: one scan,
-    2-group aggregate, 1-row conditional pivot — nothing about it
-    changes at 100 TB."""
+    Determinism: each group collapses to exact sufficient statistics
+    (n, sum as BIGINT; sum-of-squares and the n*q - s*s numerators in
+    DECIMAL(38,0) — at corpus scale sum(n_chars^2) and n*q exceed
+    2^63, where BIGINT wraps silently in Spark and errors in DuckDB;
+    the r8 overflow-discipline fix) in one partially-aggregated pass;
+    means/variances/t/df are fixed expression chains over those six
+    exact integers, identical IEEE ops in both engines. Shape: one
+    scan, 2-group aggregate, 1-row conditional pivot — nothing about
+    it changes at 100 TB."""
     (docs,) = _t(spark, sf_dir, "documents")
     g = docs.groupBy(
         F.when(F.col("source") == "src0", 1).otherwise(0).alias("grp")
     ).agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("n_chars").cast("bigint").alias("s"),
-        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars"))
-        .cast("bigint")
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars"))
+        .cast("decimal(38,0)")
         .alias("q"),
     )
     pick = lambda grp, c: F.max(F.when(F.col("grp") == grp, F.col(c)))  # noqa: E731
@@ -13912,10 +13948,16 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1, n2 = F.col("n1"), F.col("n2")
     m1 = F.col("s1").cast("double") / n1
     m2 = F.col("s2").cast("double") / n2
-    a = (n1 * F.col("q1") - F.col("s1") * F.col("s1")).cast("double") / (
+    a = (
+        n1.cast("decimal(38,0)") * F.col("q1")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    ).cast("double") / (
         n1.cast("double") * (n1 - 1)
     ) / n1
-    b = (n2 * F.col("q2") - F.col("s2") * F.col("s2")).cast("double") / (
+    b = (
+        n2.cast("decimal(38,0)") * F.col("q2")
+        - F.col("s2").cast("decimal(38,0)") * F.col("s2")
+    ).cast("double") / (
         n2.cast("double") * (n2 - 1)
     ) / n2
     q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
@@ -13938,7 +13980,8 @@ WITH g AS (
   SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS grp,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(n_chars) AS BIGINT) AS s,
-         CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS q
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars)
+              AS DECIMAL(38,0)) AS q
   FROM documents GROUP BY 1
 ),
 p AS (
@@ -13952,8 +13995,8 @@ p AS (
 ),
 v AS (
   SELECT n1, n2, s1::DOUBLE / n1 AS m1, s2::DOUBLE / n2 AS m2,
-         ((q1 - s1 * (s1::DOUBLE / n1))
-          + (q2 - s2 * (s2::DOUBLE / n2)))
+         ((q1::DOUBLE - s1 * (s1::DOUBLE / n1))
+          + (q2::DOUBLE - s2 * (s2::DOUBLE / n2)))
            / (n1 + n2 - 2) AS sp2
   FROM p
 )
@@ -13975,17 +14018,19 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample-size inflation that drives every p to zero at corpus
     scale).
 
-    Determinism: the same six exact BIGINT sufficient statistics as
-    stats_welch_ttest; pooled variance sums the two exact within-group
-    SS in a fixed order. Shape: one scan, 2-row aggregate, 1 row out."""
+    Determinism: the same six exact sufficient statistics as
+    stats_welch_ttest (sum-of-squares in DECIMAL(38,0) — the r8
+    overflow-discipline fix; BIGINT wraps at corpus scale); pooled
+    variance sums the two exact within-group SS in a fixed order.
+    Shape: one scan, 2-row aggregate, 1 row out."""
     (docs,) = _t(spark, sf_dir, "documents")
     g = docs.groupBy(
         F.when(F.col("source") == "src0", 1).otherwise(0).alias("grp")
     ).agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("n_chars").cast("bigint").alias("s"),
-        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars"))
-        .cast("bigint")
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars"))
+        .cast("decimal(38,0)")
         .alias("q"),
     )
     pick = lambda grp, c: F.max(F.when(F.col("grp") == grp, F.col(c)))  # noqa: E731
@@ -13998,8 +14043,8 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1 = F.col("s1").cast("double") / n1
     m2 = F.col("s2").cast("double") / n2
     sp2 = (
-        (F.col("q1") - F.col("s1") * m1)
-        + (F.col("q2") - F.col("s2") * m2)
+        (F.col("q1").cast("double") - F.col("s1") * m1)
+        + (F.col("q2").cast("double") - F.col("s2") * m2)
     ) / (n1 + n2 - 2)
     d = (m1 - m2) / F.sqrt(sp2)
     q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
@@ -16769,7 +16814,7 @@ SELECT n AS n_lines, k AS n_priorities,
        floor((sg - corr) / (k - 1) / ((q - sg) / (n - k))
              * 1000000 + 0.5) / 1000000 AS f_stat,
        CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
-       (sg - corr) / (k - 1) / ((q - sg) / (n - k)) > 2.21 AS reject_095
+       (sg - corr) / (k - 1) / ((q - sg) / (n - k)) > 2.372 AS reject_095
 FROM f
 """
 
@@ -16781,8 +16826,11 @@ def shiplag_anova_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     The relational sibling of the corpus battery's Brown-Forsythe —
     and the gate in front of the per-priority drill-downs
     (shiplag_quantiles_by_priority): no significant F, no point
-    slicing SLAs by priority. 2.21 is F(6, inf) at 5%, a shared
-    literal (conservative for df1 <= 6).
+    slicing SLAs by priority. 2.372 is F(4, inf) at 5% — TPC-H has 5
+    priorities so df1 = 4 exactly; a shared literal in both engines.
+    (r8 fix: the former 2.21 literal was F(5, inf); F criticals GROW
+    as df1 shrinks, so it was anti-conservative for df1 = 4 — false
+    rejections for F in (2.21, 2.372].)
 
     Determinism: ship lags are exact integer DAYS; all group
     sufficient statistics are exact BIGINTs; the one cross-group
@@ -16835,7 +16883,7 @@ def shiplag_anova_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(f_stat).alias("f_stat"),
         (F.col("k") - 1).cast("bigint").alias("df1"),
         (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
-        (f_stat > 2.21).alias("reject_095"),
+        (f_stat > 2.372).alias("reject_095"),
     )
 
 
@@ -16845,7 +16893,9 @@ def _twonn_oracle() -> str:
     dqq = _DK_DOT.format(a="q.qv", b="q.qv")
     return f"""
 WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv
-           FROM embeddings WHERE vec_id % 20 = 0),
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 128),
 p AS (
   SELECT q.anchor_id, e.vec_id,
          ({dee}) - 2 * ({dq}) + ({dqq}) AS l2sq
@@ -16885,26 +16935,38 @@ FROM t
 @register("emb_intrinsic_dimension", oracle=_twonn_oracle())
 def emb_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-NN intrinsic-dimension estimate (Facco et al., Scientific
-    Reports 2017): for every 20th vector, mu = d2/d1 of its two nearest
-    neighbors follows Pareto(1, d) on a d-dimensional manifold, so the
-    MLE is d = n / sum ln(mu) — the number that says how much of the
-    64 ambient dimensions the embeddings actually use (ID << ambient
-    justifies Matryoshka truncation and PQ budgets; the catalog's
-    emb_matryoshka_recall measures the same thing empirically from the
-    retrieval side).
+    Reports 2017): for a FIXED-COUNT hash-ordered anchor sample (the
+    128 vectors with the smallest md5(vec_id) — the two-NN MLE is
+    statistically ample at a few hundred anchors), mu = d2/d1 of each
+    anchor's two nearest neighbors follows Pareto(1, d) on a
+    d-dimensional manifold, so the MLE is d = n / sum ln(mu) — the
+    number that says how much of the 64 ambient dimensions the
+    embeddings actually use (ID << ambient justifies Matryoshka
+    truncation and PQ budgets; the catalog's emb_matryoshka_recall
+    measures the same thing empirically from the retrieval side).
 
-    Determinism: distances are identical IEEE chains; each anchor's
-    ln(mu) quantizes to exact integer micro units BEFORE the global
-    sum (order-free); exact-duplicate anchors (d1 = 0) are excluded
-    and reported via n_anchors vs n_used. Shape: the anchor sample
-    broadcasts against one corpus scan (the sim_topk_bruteforce
-    contract); the 2-NN argmin is a rank window partitioned BY ANCHOR;
-    one scalar row out."""
+    Determinism: the anchor sample is md5-ordered with a vec_id
+    tie-break, identical in both engines; distances are identical IEEE
+    chains; each anchor's ln(mu) quantizes to exact integer micro
+    units BEFORE the global sum (order-free); exact-duplicate anchors
+    (d1 = 0) are excluded and reported via n_anchors vs n_used.
+    Shape: the anchor sample is a CONSTANT-SIZE broadcast (r8 fix —
+    the former every-20th-vector fraction grew as n/20 and did not
+    bound at 100x) against one corpus scan (the sim_topk_bruteforce
+    contract); the 2-NN argmin is a rank window partitioned BY
+    ANCHOR; one scalar row out."""
     from pyspark.sql import Window
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("qv")
+    q = (
+        emb.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("qv"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "anchor_id")
+        .limit(128)
+        .drop("_h")
     )
     e, v = F.col("embedding"), F.col("qv")
     p = (

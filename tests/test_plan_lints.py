@@ -83,6 +83,59 @@ def test_global_window_whitelist_names_real_queries():
     assert not stale, f"whitelist entries with no catalog query: {stale}"
 
 
+def test_bnlj_whitelist_names_real_queries():
+    from slipstream_async_spark.plans.catalog import _QUERIES
+
+    audit = _audit()
+    stale = (set(audit.ALLOW_BNLJ) | set(audit.PY_STAGE_OK)) - set(_QUERIES)
+    assert not stale, f"whitelist entries with no catalog query: {stale}"
+
+
+def test_audit_covers_entire_catalog(spark):
+    """The r7 escape: orders_hurst_rs shipped between two PARTIAL audit
+    runs and nothing asserted audit coverage == catalog coverage, so its
+    SP-WINDOW/BNLJ flags went unadjudicated for a round. This test IS
+    the full audit (flag logic over every catalog query's plan, no
+    files) — a new query that plans a by-less window sort, a cartesian
+    product, an unlisted BNLJ, or an unlisted Python stage now fails
+    pytest until it is either rewritten or whitelisted with a
+    justification in tools/explain_audit.py."""
+    import re as _re
+
+    from slipstream_async_spark.plans.catalog import _QUERIES
+
+    audit = _audit()
+    sf_dir = "/root/testdata/sf0.001"
+    flagged: dict[str, list[str]] = {}
+    for name, fn in _QUERIES.items():
+        df = fn(spark, sf_dir)
+        je = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        plan = je.explainString(mode.fromString("formatted"))
+        plan_simple = je.explainString(mode.fromString("simple"))
+        flags = []
+        if (
+            audit.singlepartition_window(plan_simple)
+            and name not in audit.ALLOW_GLOBAL_WINDOW
+        ):
+            flags.append("SP-WINDOW")
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan and name not in audit.ALLOW_BNLJ:
+            flags.append("BNLJ")
+        if (
+            _re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", plan)
+            and name not in audit.PY_STAGE_OK
+        ):
+            flags.append("PYTHON-STAGE")
+        if flags:
+            flagged[name] = flags
+    assert not flagged, (
+        f"unadjudicated plan flags (rewrite or whitelist with a "
+        f"justification in tools/explain_audit.py): {flagged}"
+    )
+
+
 def test_hash32_never_an_unbounded_identity():
     src = open(
         os.path.join(

@@ -57,8 +57,9 @@ ALLOW_BNLJ = {
     # one-row total-order count crossed into the lift denominator —
     # the scalar-subquery shape
     "basket_part_pairs",
-    # held-out query sample broadcast-crossed against the corpus —
-    # the sim_topk_bruteforce shape
+    # fixed-count (128) hash-ordered held-out sample broadcast-crossed
+    # against the corpus — the sim_topk_bruteforce shape with a
+    # CONSTANT broadcast side at any corpus size (r8 fix)
     "knn_label_vote",
     # one-row corpus token total crossed into the KL denominator —
     # the scalar-subquery shape
@@ -154,8 +155,9 @@ ALLOW_BNLJ = {
     # 10-row anchor set broadcast-crossed against the corpus — the
     # sim_topk_bruteforce shape feeding both argmax windows
     "emb_hard_negatives",
-    # every-20th anchor sample broadcast-crossed against the corpus —
-    # the sim_topk_bruteforce shape feeding the 2-NN rank window
+    # fixed-count (128) hash-ordered anchor sample broadcast-crossed
+    # against the corpus — the sim_topk_bruteforce shape feeding the
+    # 2-NN rank window; CONSTANT broadcast side at any size (r8 fix)
     "emb_intrinsic_dimension",
     # one-row half-total target crossed onto the prefix-sum frame —
     # the scalar-subquery shape over global_prefix_sum's output
@@ -220,6 +222,9 @@ ALLOW_BNLJ = {
     "events_markov_mixing",
     # one-row global token totals crossed onto |sources| rows
     "source_vocab_richness",
+    # 4-row block-size dim broadcast-crossed onto the day-grain index —
+    # calendar-bounded sides (the orders_revenue_ewma contract)
+    "orders_hurst_rs",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
@@ -269,6 +274,10 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "stats_cramers_v": "bounded contingency-cell frame",
     "events_funnel": "3-step scalar frame",
     "heaps_law_fit": "log-log regression over sample points",
+    # r8 adjudication of the r7 escape: the by-less row_number/count
+    # windows run AFTER the groupBy collapse to day grain — the same
+    # calendar-bounded contract as orders_cusum_changepoint
+    "orders_hurst_rs": "day-grain index + day-count window",
 }
 
 
