@@ -66,6 +66,8 @@ def main() -> None:
         payload["requeued"] = requeued
     full = dict(payload)
     full["queries_runs"] = runs_all
+    if _SPLIT_TIMINGS:
+        full["split_timings"] = _SPLIT_TIMINGS
     try:
         side = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
@@ -226,12 +228,51 @@ def _run() -> tuple[
                     file=sys.stderr,
                 )
 
+    # Build-vs-probe split for the materialized-index lanes (r7 lesson:
+    # sim_topk_ivf_indexed's single number times a full index REBUILD +
+    # probe, so it moved 2.98->4.65 s with no lane change and invited
+    # optimizing the wrong half). The driver-contract number stays the
+    # full rebuild+probe; the sidecar records the split so regressions
+    # attribute to the right phase.
+    global _SPLIT_TIMINGS
+    _SPLIT_TIMINGS = {}
+    try:
+        import shutil
+        import tempfile
+
+        from slipstream_async_spark.operators import similarity as SIM
+        from slipstream_async_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        idx = tempfile.mkdtemp(prefix="bench_ivf_split_")
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        SIM.ivf_index_write(emb, idx, n_lists=16)
+        build = round(time.time() - t0, 3)
+        t0 = time.time()
+        SIM.ivf_topk(None, q, k=5, n_probe=4, index_path=idx).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        probe = round(time.time() - t0, 3)
+        _SPLIT_TIMINGS["sim_topk_ivf_indexed"] = {
+            "build": build, "probe": probe,
+        }
+        shutil.rmtree(idx, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001 — sidecar-only, best-effort
+        print(f"bench: split timing failed: {exc}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
     return timings, runs_all, errors, sf_val, suspects
+
+
+_SPLIT_TIMINGS: dict[str, dict[str, float]] = {}
 
 
 def _sf_of(sf_dir: str) -> float | str:

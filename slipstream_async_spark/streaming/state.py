@@ -29,16 +29,24 @@ Per-key transactional RMW (C7/T8's striped locks) is unnecessary: batch
 merges are atomic per version swap, and streaming state updates are
 per-key serialized inside Spark's stateful operators.
 
-Scale: a merge shuffles only on the key and rewrites one version; at
-100 TB this is the standard copy-on-write table pattern (what Delta/
-Iceberg MERGE does). Swap the storage layer for Delta when its jars are
-available — the API here is storage-agnostic.
+Scale: state is HASH-BUCKETED (``pmod(md5-hash(key), n_buckets)``) and a
+commit rewrites ONLY the buckets the batch touches — O(|batch| +
+touched-bucket data), never O(|state|). Each version is a bucket->
+version MANIFEST (the Iceberg/Delta snapshot pattern, poor-man's):
+untouched buckets keep pointing at the version directory that last
+wrote them, so time travel (C8) and the changelog (C10) are unchanged
+while a streaming upsert sink stops paying full-table write
+amplification per micro-batch (the r7-measured reason the bloom-dedup
+flow ran at 483 rows/s vs 2,334 for the stateless path). Swap the
+storage layer for Delta/Iceberg MERGE when its jars are available —
+the API here is storage-agnostic.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from collections.abc import Iterator, MutableMapping
 from typing import Any
@@ -81,19 +89,37 @@ def _decode(s: str | None, attrs) -> Any:
 class StateTable:
     """Versioned parquet-backed keyed state (see module docstring)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
         self.spark = spark
         self.path = path
+        self.n_buckets = n_buckets
         os.makedirs(os.path.join(path, "versions"), exist_ok=True)
         os.makedirs(os.path.join(path, "changelog"), exist_ok=True)
+
+    # -- bucketing ----------------------------------------------------------
+
+    def _bucket_expr(self):
+        """md5-derived key bucket — engine-version-stable (the house
+        hash discipline), unlike F.hash whose murmur3 seed is a Spark
+        implementation detail."""
+        return F.pmod(
+            F.conv(F.substring(F.md5("key"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(self.n_buckets),
+        ).cast("int")
 
     # -- version bookkeeping ------------------------------------------------
 
     def _versions(self) -> list[int]:
         vdir = os.path.join(self.path, "versions")
-        return sorted(
-            int(d[1:]) for d in os.listdir(vdir) if d.startswith("v")
-        )
+        out = []
+        for d in os.listdir(vdir):
+            # only committed versions (manifest is written before the
+            # atomic rename; a crashed commit leaves v{n}.tmp behind)
+            if re.fullmatch(r"v\d+", d) and os.path.exists(
+                os.path.join(vdir, d, "manifest.json")
+            ):
+                out.append(int(d[1:]))
+        return sorted(out)
 
     @property
     def version(self) -> int:
@@ -103,51 +129,118 @@ class StateTable:
     def _vpath(self, version: int) -> str:
         return os.path.join(self.path, "versions", f"v{version}")
 
+    def _manifest(self, version: int) -> dict[int, int]:
+        """bucket -> version-dir holding that bucket's current rows.
+        Buckets absent from the manifest are empty."""
+        if version < 0:
+            return {}
+        with open(os.path.join(self._vpath(version), "manifest.json")) as fh:
+            return {int(b): int(v) for b, v in json.load(fh).items()}
+
+    def _bucket_paths(self, manifest: dict[int, int], buckets=None) -> list[str]:
+        want = manifest if buckets is None else {
+            b: v for b, v in manifest.items() if b in set(buckets)
+        }
+        return sorted(
+            os.path.join(self._vpath(v), f"_bucket={b}")
+            for b, v in want.items()
+        )
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Current state (or any retained version — C8 time travel)."""
         v = self.version if version is None else version
-        if v < 0:
+        paths = self._bucket_paths(self._manifest(v)) if v >= 0 else []
+        if not paths:
             return self.spark.createDataFrame([], _SCHEMA)
-        return self.spark.read.schema(_SCHEMA).parquet(self._vpath(v))
+        return self.spark.read.schema(_SCHEMA).parquet(*paths)
 
     def df(self) -> DataFrame:
         return self.snapshot()
 
     # -- mutation (batch merges) -------------------------------------------
 
-    def _commit(self, merged: DataFrame, log: DataFrame) -> None:
+    def _commit(
+        self,
+        merged: DataFrame,
+        log: DataFrame,
+        touched: list[int],
+        base: dict[int, int],
+    ) -> None:
+        """Write ONLY the touched buckets as a new version plus a
+        manifest that keeps untouched buckets pointing at their prior
+        version directories — O(|batch| + touched-bucket data) per
+        commit, never O(|state|). ``merged`` must contain exactly the
+        post-merge rows of the touched buckets."""
         new_v = self.version + 1
         tmp = self._vpath(new_v) + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        (
+            merged.withColumn("_bucket", self._bucket_expr())
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(tmp)
+        )
+        manifest = {b: v for b, v in base.items() if b not in set(touched)}
+        for b in touched:
+            # a touched bucket with zero surviving rows writes no
+            # partition dir — it drops out of the manifest (empty)
+            if os.path.isdir(os.path.join(tmp, f"_bucket={b}")):
+                manifest[b] = new_v
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump({str(b): v for b, v in manifest.items()}, fh)
         os.rename(tmp, self._vpath(new_v))
         log.withColumn("version", F.lit(new_v)).withColumn(
             "ts", F.current_timestamp()
         ).write.mode("append").parquet(os.path.join(self.path, "changelog"))
+
+    def _touched(self, keyed: DataFrame) -> list[int]:
+        """Distinct key buckets of a batch — a bounded (<= n_buckets)
+        control-plane collect, not a data collect."""
+        return [
+            r[0]
+            for r in keyed.select(self._bucket_expr().alias("_b"))
+            .distinct()
+            .collect()
+        ]
 
     def upsert(self, updates: DataFrame) -> None:
         """Merge a (key, value[, attrs]) batch; last write per key wins
         within the batch (deterministic via max aggregation on arrival
         order is not needed — callers pass one row per key; duplicate
         keys resolve to an arbitrary single row via last over key order).
-        """
+        Only the buckets containing batch keys are re-read and
+        rewritten (partition-pruned merge)."""
         for c, t in (("value", "string"), ("attrs", "map<string,string>")):
             if c not in updates.columns:
                 updates = updates.withColumn(c, F.lit(None).cast(t))
         updates = updates.select("key", "value", "attrs").dropDuplicates(["key"])
-        current = self.snapshot()
+        touched = self._touched(updates)
+        base = self._manifest(self.version)
+        paths = self._bucket_paths(base, touched)
+        current = (
+            self.spark.read.schema(_SCHEMA).parquet(*paths)
+            if paths
+            else self.spark.createDataFrame([], _SCHEMA)
+        )
         merged = current.join(updates.select("key"), "key", "left_anti").unionByName(
             updates
         )
-        self._commit(merged, updates.withColumn("op", F.lit("put")))
+        self._commit(merged, updates.withColumn("op", F.lit("put")), touched, base)
 
     def delete_where(self, predicate) -> None:
-        """Delete all rows matching a Column predicate (generalizes C6)."""
-        current = self.snapshot()
-        removed = current.filter(predicate)
-        self._commit(
-            current.filter(~predicate),
-            removed.withColumn("op", F.lit("delete")),
+        """Delete all rows matching a Column predicate (generalizes C6).
+        The predicate is arbitrary, so finding victims scans the full
+        snapshot — but only the buckets that actually contain victims
+        are rewritten."""
+        base = self._manifest(self.version)
+        removed = self.snapshot().filter(predicate)
+        touched = self._touched(removed)
+        paths = self._bucket_paths(base, touched)
+        kept = (
+            self.spark.read.schema(_SCHEMA).parquet(*paths).filter(~predicate)
+            if paths
+            else self.spark.createDataFrame([], _SCHEMA)
         )
+        self._commit(kept, removed.withColumn("op", F.lit("delete")), touched, base)
 
     def delete_range(self, begin: str, end: str) -> None:
         """C6: delete keys in [begin, end) (caching.py:383-390)."""
@@ -301,8 +394,17 @@ class StateTable:
     # -- maintenance (C9's compact/destroy, engine-managed) -----------------
 
     def vacuum(self, keep_last: int = 2) -> None:
-        for v in self._versions()[:-keep_last]:
-            shutil.rmtree(self._vpath(v), ignore_errors=True)
+        """Drop version directories not referenced by any of the last
+        ``keep_last`` manifests. A directory stays live as long as ANY
+        retained manifest still points a bucket at it (bucket-sharing
+        across versions is the whole point of the manifest layout)."""
+        retained = self._versions()[-keep_last:]
+        live = set(retained)
+        for v in retained:
+            live.update(self._manifest(v).values())
+        for v in self._versions():
+            if v not in live:
+                shutil.rmtree(self._vpath(v), ignore_errors=True)
 
     def destroy(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
