@@ -17013,3 +17013,776 @@ def emb_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sl").cast("double") / F.col("n_used") / 1000000
         ).alias("mean_log_mu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — time-series inference depth (Ljung-Box portmanteau, partial
+# autocorrelation, Kendall tau-b, sign test, calendar growth): the
+# model-adequacy and monotone-association tests a forecasting pipeline
+# runs AFTER the r7 battery's point estimates. Same discipline: day- or
+# month-grain collapse first, exact integer sufficient statistics,
+# micro-quantization before any cross-engine float, pair joins only on
+# calendar-bounded grains.
+# ---------------------------------------------------------------------------
+
+_DAILY_CENTS = """
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS day_no,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+"""
+
+
+def _spark_daily_cents(orders: DataFrame) -> DataFrame:
+    """Day-grain collapse of orders to (day_no, c, x-cents) — the shared
+    first stage of the r8 time-series family (the revenue_acf_lags
+    shape: the fact table collapses BEFORE any pairing, so everything
+    downstream runs on calendar-bounded rows)."""
+    return orders.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("day_no")
+    ).agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+
+
+_LJUNG_BOX = f"""
+WITH daily AS ({_DAILY_CENTS}),
+l AS (SELECT unnest([1, 2, 3, 4, 5]) AS lag),
+p AS (
+  SELECT l.lag, t.x AS x, s.x AS y
+  FROM daily t JOIN l ON TRUE
+  JOIN daily s ON s.day_no + l.lag = t.day_no
+),
+a AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+  FROM p GROUP BY lag
+),
+r AS (
+  SELECT lag,
+         floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+               * 1000000 + 0.5) / 1000000 AS rho
+  FROM a
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+f AS (
+  SELECT nd.n_days,
+         list_reduce(
+           list_transform(array_agg({{'lag': r.lag, 'rho': r.rho}}
+                                    ORDER BY r.lag),
+                          s -> s.rho * s.rho / (nd.n_days - s.lag)),
+           (x, y) -> x + y) AS acc
+  FROM r CROSS JOIN nd
+  GROUP BY nd.n_days
+)
+SELECT n_days,
+       floor(n_days * (n_days + 2) * acc * 1000000 + 0.5) / 1000000
+         AS q_stat,
+       CAST(5 AS BIGINT) AS df,
+       11.070497693516351 AS crit_095,
+       n_days * (n_days + 2) * acc > 11.070497693516351 AS reject_095
+FROM f
+"""
+
+
+@register("stats_ljung_box", oracle=_LJUNG_BOX)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily revenue: Q = n(n+2) *
+    sum_k rho_k^2/(n-k) over lags 1..5 against chi-square(5) — "is there ANY
+    autocorrelation structure left?", the standard residual-adequacy
+    gate run after a forecast model (and, on the raw series, the
+    one-number summary of whether revenue_acf_lags' profile is noise).
+    Uses gap-correct calendar pairing for each rho_k, exactly as
+    revenue_acf_lags does.
+
+    Determinism: each rho_k quantizes to micro units before squaring;
+    the 5-term sum folds over a lag-SORTED bounded array; moment sums
+    are exact DECIMAL. Shape: day-grain collapse -> 5-row lag dim
+    broadcast -> calendar equi-join -> 5-row aggregate -> one-row
+    scalar cross with the day count. Nothing grows past the calendar."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = _spark_daily_cents(orders)
+    lags = spark.createDataFrame([(1,), (2,), (3,), (4,), (5,)], "lag int")
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("day_no") + F.col("lag")).alias("day_no"),
+        F.col("x").alias("y"),
+    )
+    p = daily.join(shifted, "day_no").select("lag", "x", "y")
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y").cast("decimal(19,0)")
+    a = p.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).alias("sx"), F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"), F.sum(dy * dy).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = F.floor(
+        (n * sxy - sx * sy)
+        / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    r = a.select("lag", rho.alias("rho"))
+    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    f = (
+        r.crossJoin(F.broadcast(nd))
+        .groupBy("n_days")
+        .agg(F.array_sort(F.collect_list(F.struct("lag", "rho"))).alias("a"))
+        .select(
+            "n_days",
+            F.aggregate(
+                F.col("a"),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + s["rho"] * s["rho"] / (F.col("n_days") - s["lag"]),
+            ).alias("acc"),
+        )
+    )
+    q = F.col("n_days") * (F.col("n_days") + 2) * F.col("acc")
+    return f.select(
+        "n_days",
+        (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("q_stat"),
+        F.lit(5).cast("bigint").alias("df"),
+        F.lit(11.070497693516351).alias("crit_095"),
+        (q > 11.070497693516351).alias("reject_095"),
+    )
+
+
+_PACF = f"""
+WITH daily AS ({_DAILY_CENTS}),
+l AS (SELECT unnest([1, 2, 3]) AS lag),
+p AS (
+  SELECT l.lag, t.x AS x, s.x AS y
+  FROM daily t JOIN l ON TRUE
+  JOIN daily s ON s.day_no + l.lag = t.day_no
+),
+a AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+  FROM p GROUP BY lag
+),
+r AS (
+  SELECT lag,
+         floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+               * 1000000 + 0.5) / 1000000 AS rho
+  FROM a
+),
+piv AS (
+  SELECT MAX(CASE WHEN lag = 1 THEN rho END) AS r1,
+         MAX(CASE WHEN lag = 2 THEN rho END) AS r2,
+         MAX(CASE WHEN lag = 3 THEN rho END) AS r3
+  FROM r
+),
+dl AS (
+  SELECT r1 AS phi11,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS phi22,
+         r1 * (1 - (r2 - r1 * r1) / (1 - r1 * r1)) AS phi21,
+         r1, r2, r3
+  FROM piv
+),
+out3 AS (
+  SELECT phi11, phi22,
+         (r3 - phi21 * r2 - phi22 * r1)
+           / (1 - phi21 * r1 - phi22 * r2) AS phi33
+  FROM dl
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       floor(pacf * 1000000 + 0.5) / 1000000 AS pacf
+FROM (
+  SELECT 1 AS lag, phi11 AS pacf FROM out3
+  UNION ALL SELECT 2, phi22 FROM out3
+  UNION ALL SELECT 3, phi33 FROM out3
+)
+"""
+
+
+@register("orders_partial_autocorr", oracle=_PACF)
+def orders_partial_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1-3 via the
+    Durbin-Levinson recursion over the calendar-paired ACF — the AR
+    order selector (an AR(p) series cuts off after lag p in PACF while
+    its ACF decays; the companion plot every Box-Jenkins fit starts
+    from). Complements stats_ljung_box (any structure?) with WHICH
+    lags carry direct structure.
+
+    Determinism: rho_1..3 quantize to micro units first; the recursion
+    is a fixed rational expression chain over those three doubles,
+    identical IEEE in both engines; outputs quantize once. Shape:
+    day-grain collapse -> 3-row lag fan -> calendar equi-join ->
+    3-row aggregate -> 1-row pivot -> 3-row unpivot."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = _spark_daily_cents(orders)
+    lags = spark.createDataFrame([(1,), (2,), (3,)], "lag int")
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("day_no") + F.col("lag")).alias("day_no"),
+        F.col("x").alias("y"),
+    )
+    p = daily.join(shifted, "day_no").select("lag", "x", "y")
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y").cast("decimal(19,0)")
+    a = p.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).alias("sx"), F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"), F.sum(dy * dy).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = F.floor(
+        (n * sxy - sx * sy)
+        / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    r = a.select("lag", rho.alias("rho"))
+    pick = lambda k: F.max(F.when(F.col("lag") == k, F.col("rho")))  # noqa: E731
+    piv = r.agg(pick(1).alias("r1"), pick(2).alias("r2"), pick(3).alias("r3"))
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi11 = r1
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 * (1 - phi22)
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+    out = piv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("bigint").alias("lag"),
+                    phi11.alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(2).cast("bigint").alias("lag"),
+                    phi22.alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(3).cast("bigint").alias("lag"),
+                    phi33.alias("pacf"),
+                ),
+            )
+        ).alias("s")
+    )
+    return out.select(
+        F.col("s.lag").alias("lag"),
+        (F.floor(F.col("s.pacf") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "pacf"
+        ),
+    )
+
+
+_KENDALL = f"""
+WITH daily AS ({_DAILY_CENTS}),
+p AS (
+  SELECT CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS dx,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS dy
+  FROM daily a JOIN daily b ON a.day_no < b.day_no
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM p
+),
+nd_days AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+SELECT nd_days.n_days, t.n0 AS n_pairs, t.nc AS concordant,
+       t.nd AS discordant,
+       floor((t.nc - t.nd)::DOUBLE
+             / sqrt((t.n0 - t.n1)::DOUBLE * (t.n0 - t.n2)::DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS tau_b
+FROM t CROSS JOIN nd_days
+"""
+
+
+@register("stats_kendall_tau_daily", oracle=_KENDALL)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily order count and daily revenue —
+    the rank-based monotone-association coefficient (robust to
+    outliers and nonlinearity where Pearson is not; the tie-corrected
+    form, since integer day counts tie often). Complements
+    stats_spearman_rank: tau has a direct probabilistic reading
+    (P(concordant) - P(discordant)) and better small-sample behavior.
+
+    Determinism: concordant/discordant/tie counts are exact integers
+    over sign comparisons (no floats until the final ratio). Shape:
+    day-grain collapse FIRST, then the pair join is day x day with
+    a.day_no < b.day_no — calendar-bounded on both sides at any
+    corpus size (the orders_theil_sen_slope contract), one row out."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = _spark_daily_cents(orders)
+    a = daily.select(
+        F.col("day_no").alias("da"), F.col("c").alias("ca"),
+        F.col("x").alias("xa"),
+    )
+    b = daily.select(
+        F.col("day_no").alias("db"), F.col("c").alias("cb"),
+        F.col("x").alias("xb"),
+    )
+    sgn = lambda u, v: F.when(u > v, 1).when(u < v, -1).otherwise(0)  # noqa: E731
+    p = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        sgn(F.col("cb"), F.col("ca")).alias("dx"),
+        sgn(F.col("xb"), F.col("xa")).alias("dy"),
+    )
+    t = p.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nd"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    nd_days = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    tau = (F.col("nc") - F.col("nd")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n2")).cast("double")
+    )
+    return t.crossJoin(F.broadcast(nd_days)).select(
+        "n_days",
+        F.col("n0").alias("n_pairs"),
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        (F.floor(tau * 1000000 + F.lit(0.5)) / 1000000).alias("tau_b"),
+    )
+
+
+_SIGN_TEST = """
+WITH m AS (
+  SELECT (date_part('year', o_orderdate) - 1990) * 12
+         + date_part('month', o_orderdate) - 1 AS month_no,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT cur.x AS x, prev.x AS px
+  FROM m cur JOIN m prev ON prev.month_no = cur.month_no - 1
+),
+t AS (
+  SELECT CAST(SUM(CASE WHEN x > px THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(SUM(CASE WHEN x < px THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+  FROM p
+)
+SELECT n_up, n_down,
+       CAST(n_up + n_down AS BIGINT) AS n_eff,
+       floor((n_up - n_down)::DOUBLE / sqrt((n_up + n_down)::DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS z_stat,
+       abs((n_up - n_down)::DOUBLE / sqrt((n_up + n_down)::DOUBLE))
+         > 1.959963984540054 AS reject_095
+FROM t
+"""
+
+
+@register("stats_sign_test_monthly", oracle=_SIGN_TEST)
+def stats_sign_test_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign test for monotone drift in month-over-month revenue: count
+    up-months vs down-months over consecutive calendar pairs (ties
+    dropped, per the classical test) and the large-sample normal
+    z = (up - down)/sqrt(up + down) against +-1.96 — the assumption-
+    free "is revenue trending?" answer (Mann-Kendall's cheaper
+    binomial cousin; no magnitude enters, so one blowout quarter
+    can't fake a trend).
+
+    Determinism: exact integer up/down counts; one final double ratio.
+    Shape: month-grain collapse, calendar lag-1 equi-join (month_no =
+    month_no - 1, never a row-offset window), one row out."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (
+            (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate") - 1
+        ).alias("month_no")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    prev = m.select(
+        (F.col("month_no") + 1).alias("month_no"), F.col("x").alias("px")
+    )
+    p = m.join(prev, "month_no")
+    t = p.agg(
+        F.sum(F.when(F.col("x") > F.col("px"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("x") < F.col("px"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+    )
+    z = (F.col("n_up") - F.col("n_down")).cast("double") / F.sqrt(
+        (F.col("n_up") + F.col("n_down")).cast("double")
+    )
+    return t.select(
+        "n_up",
+        "n_down",
+        (F.col("n_up") + F.col("n_down")).cast("bigint").alias("n_eff"),
+        (F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias("z_stat"),
+        (F.abs(z) > 1.959963984540054).alias("reject_095"),
+    )
+
+
+_MOM_GROWTH = """
+WITH m AS (
+  SELECT (date_part('year', o_orderdate) - 1990) * 12
+         + date_part('month', o_orderdate) - 1 AS month_no,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(cur.month_no AS BIGINT) AS month_no,
+       CAST(1990 + cur.month_no // 12 AS BIGINT) AS year,
+       CAST(cur.month_no % 12 + 1 AS BIGINT) AS month,
+       floor(cur.cents::DOUBLE / 100 * 100 + 0.5) / 100 AS revenue,
+       floor((cur.cents - mom.cents)::DOUBLE / mom.cents
+             * 100 * 1000000 + 0.5) / 1000000 AS mom_pct,
+       floor((cur.cents - yoy.cents)::DOUBLE / yoy.cents
+             * 100 * 1000000 + 0.5) / 1000000 AS yoy_pct
+FROM m cur
+LEFT JOIN m mom ON mom.month_no = cur.month_no - 1
+LEFT JOIN m yoy ON yoy.month_no = cur.month_no - 12
+"""
+
+
+@register("orders_monthly_growth", oracle=_MOM_GROWTH)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    reporting workhorse every finance dashboard opens with, done
+    calendar-correct: growth pairs by month NUMBER arithmetic
+    (month_no - 1 / - 12 equi-joins), so a missing month yields NULL
+    growth instead of silently comparing against the wrong period
+    (the row-offset LAG bug).
+
+    Determinism: month revenue in exact cents; growth ratios quantize
+    to micro-percent. Shape: month-grain collapse FIRST, then two
+    self-equi-joins on bounded calendar keys — no by-less window, no
+    unbounded grain anywhere."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (
+            (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate") - 1
+        ).alias("month_no")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    mom = m.select(
+        (F.col("month_no") + 1).alias("month_no"),
+        F.col("cents").alias("mom_cents"),
+    )
+    yoy = m.select(
+        (F.col("month_no") + 12).alias("month_no"),
+        F.col("cents").alias("yoy_cents"),
+    )
+    j = m.join(mom, "month_no", "left").join(yoy, "month_no", "left")
+    pct = lambda cur, base: (  # noqa: E731
+        F.floor(
+            (cur - base).cast("double") / base * 100 * 1000000 + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return j.select(
+        F.col("month_no").cast("bigint").alias("month_no"),
+        (1990 + F.floor(F.col("month_no") / 12)).cast("bigint").alias("year"),
+        (F.col("month_no") % 12 + 1).cast("bigint").alias("month"),
+        (
+            F.floor(F.col("cents").cast("double") / 100 * 100 + F.lit(0.5))
+            / 100
+        ).alias("revenue"),
+        pct(F.col("cents"), F.col("mom_cents")).alias("mom_pct"),
+        pct(F.col("cents"), F.col("yoy_cents")).alias("yoy_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — behavioral retention (cohort triangle, new-vs-returning,
+# sessionization): the lifecycle reads on the events stream that sit on
+# top of r7's DAU/WAU, Lorenz, and inter-arrival diagnostics. Grain
+# discipline: user-grain first-touch collapses partial-aggregate before
+# any join; outputs are week^2- or day-bounded.
+# ---------------------------------------------------------------------------
+
+_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_diff('day', DATE '1990-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) / 7) AS BIGINT)
+           AS week_no
+  FROM events
+),
+first_w AS (
+  SELECT user_id, MIN(week_no) AS cohort_week FROM act GROUP BY user_id
+),
+r AS (
+  SELECT f.cohort_week, a.week_no - f.cohort_week AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM act a JOIN first_w f ON f.user_id = a.user_id
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort_week, n_users AS cohort_size FROM r WHERE week_offset = 0
+)
+SELECT r.cohort_week, CAST(r.week_offset AS BIGINT) AS week_offset,
+       r.n_users, base.cohort_size,
+       floor(r.n_users::DOUBLE / base.cohort_size * 1000000 + 0.5)
+         / 1000000 AS retention
+FROM r JOIN base ON base.cohort_week = r.cohort_week
+"""
+
+
+@register("events_retention_cohort", oracle=_RETENTION)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen
+    week, each cohort's share still active k weeks later — THE
+    growth-accounting artifact (flat rows = a retaining product,
+    rows that decay to zero = a leaky one; reading it per acquisition
+    cohort separates product change from mix shift, which the blended
+    DAU/WAU ratio cannot).
+
+    Shape: distinct (user, week) collapses the stream first; the
+    first-touch table is a user-grain partial aggregate; the triangle
+    join and the offset-0 base join are week^2-bounded at any corpus
+    size. The user-grain equi-join shuffles on user_id — the one
+    unavoidable shuffle, and it carries two integers per row."""
+    (events,) = _t(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")),
+            F.lit("1990-01-01").cast("date"),
+        )
+        / 7
+    ).cast("bigint")
+    act = events.select("user_id", week.alias("week_no")).distinct()
+    first_w = act.groupBy("user_id").agg(
+        F.min("week_no").alias("cohort_week")
+    )
+    r = (
+        act.join(first_w, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_no") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    base = r.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return r.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        F.col("week_offset").cast("bigint").alias("week_offset"),
+        "n_users",
+        "cohort_size",
+        (
+            F.floor(
+                F.col("n_users").cast("double")
+                / F.col("cohort_size")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("retention"),
+    )
+
+
+_NEW_RETURNING = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS day_no
+  FROM events
+),
+first_d AS (
+  SELECT user_id, MIN(day_no) AS first_day FROM act GROUP BY user_id
+)
+SELECT CAST(a.day_no AS BIGINT) AS day_no,
+       CAST(SUM(CASE WHEN a.day_no = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN a.day_no > f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning,
+       floor(SUM(CASE WHEN a.day_no = f.first_day THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000 AS new_share
+FROM act a JOIN first_d f ON f.user_id = a.user_id
+GROUP BY a.day_no
+"""
+
+
+@register("events_new_vs_returning", oracle=_NEW_RETURNING)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new (first-ever-seen today) vs
+    returning — the acquisition-vs-retention decomposition of the DAU
+    curve (growth driven by new_share ~ 1 churns the moment spend
+    stops; growth with a thick returning base compounds). The daily
+    companion to events_retention_cohort's weekly triangle.
+
+    Shape: distinct (user, day) collapse -> user-grain first-touch
+    partial agg -> one user-keyed equi-join carrying two integers ->
+    day-grain output. Bounded by the calendar."""
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.datediff(
+        F.to_date(F.date_trunc("day", "ts")),
+        F.lit("1990-01-01").cast("date"),
+    )
+    act = events.select("user_id", day.alias("day_no")).distinct()
+    first_d = act.groupBy("user_id").agg(F.min("day_no").alias("first_day"))
+    new_f = F.when(F.col("day_no") == F.col("first_day"), 1).otherwise(0)
+    ret_f = F.when(F.col("day_no") > F.col("first_day"), 1).otherwise(0)
+    return (
+        act.join(first_d, "user_id")
+        .groupBy(F.col("day_no").cast("bigint").alias("day_no"))
+        .agg(
+            F.sum(new_f).cast("bigint").alias("n_new"),
+            F.sum(ret_f).cast("bigint").alias("n_returning"),
+            (
+                F.floor(
+                    F.sum(new_f) / F.count("*") * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("new_share"),
+        )
+    )
+
+
+_SESSION_STATS = """
+WITH o AS (
+  SELECT user_id, event_id,
+         epoch_us(ts::TIMESTAMP) AS us,
+         lag(epoch_us(ts::TIMESTAMP)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev IS NULL OR us - prev > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+sid AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+),
+per AS (
+  SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+  FROM sid GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       floor(SUM(n_ev)::DOUBLE / COUNT(*) * 1000000 + 0.5) / 1000000
+         AS events_per_session,
+       floor(SUM(dur_us)::DOUBLE / COUNT(*) / 1000000 * 1000000 + 0.5)
+         / 1000000 AS mean_duration_secs,
+       CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce_sessions
+FROM per
+"""
+
+
+@register("events_session_stats", oracle=_SESSION_STATS)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity cutoff — the
+    industry-standard web-analytics rule) with the per-session
+    distribution collapsed to corpus stats: session count, events per
+    session, mean duration, the bounce count (single-event sessions).
+    The batch twin of the A6 streaming session window — same cutoff,
+    same semantics, verifiable against SQL.
+
+    Shape: the lag and running-sum windows are partitioned BY USER
+    (unbounded key count, bounded per-key rows — they distribute);
+    per-session aggregation is a (user, session) groupBy; the final
+    reduce is exact integer sums. No by-less window anywhere."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias(
+            "prev"
+        ),
+    )
+    new_s = F.when(
+        F.col("prev").isNull() | (F.col("us") - F.col("prev") > 1800000000),
+        1,
+    ).otherwise(0)
+    f = o.select("user_id", "event_id", "us", new_s.alias("new_s"))
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sid = f.select(
+        "user_id", "us", F.sum("new_s").over(ws).alias("sess")
+    )
+    per = sid.groupBy("user_id", "sess").agg(
+        F.count("*").cast("bigint").alias("n_ev"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("dur_us"),
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        (
+            F.floor(
+                F.sum("n_ev").cast("double") / F.count("*") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("events_per_session"),
+        (
+            F.floor(
+                F.sum("dur_us").cast("double")
+                / F.count("*")
+                / 1000000
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_duration_secs"),
+        F.max("n_ev").cast("bigint").alias("max_session_events"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounce_sessions"),
+    )

@@ -225,6 +225,15 @@ ALLOW_BNLJ = {
     # 4-row block-size dim broadcast-crossed onto the day-grain index —
     # calendar-bounded sides (the orders_revenue_ewma contract)
     "orders_hurst_rs",
+    # 5-row lag dim cross onto day grain plus the one-row day-count
+    # scalar cross — the revenue_acf_lags shape with a scalar tail
+    "stats_ljung_box",
+    # 3-row lag dim cross onto day grain — the revenue_acf_lags shape
+    "orders_partial_autocorr",
+    # day-grain x day-grain sign-pair join (a.day_no < b.day_no) plus
+    # the one-row day-count scalar cross — calendar-bounded on both
+    # sides (the orders_theil_sen_slope contract)
+    "stats_kendall_tau_daily",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
