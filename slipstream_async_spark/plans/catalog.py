@@ -17786,3 +17786,672 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bounce_sessions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — corpus-quality depth: character-level entropy (the
+# compressibility proxy under the token-level battery) and mergeable-
+# sketch SET ALGEBRA (HLL inclusion-exclusion intersection vs exact) —
+# the estimate a 100 TB vocabulary-overlap matrix would be built from.
+# ---------------------------------------------------------------------------
+
+_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT source, unnest(string_split(text, '')) AS ch
+  FROM documents
+),
+c AS (
+  SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ch GROUP BY 1, 2
+),
+per AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         array_agg({'ch': ch, 'c': c} ORDER BY ch) AS a
+  FROM c GROUP BY source
+),
+e AS (
+  SELECT source, n, n_distinct,
+         -list_reduce(list_transform(a,
+            p -> (p.c::DOUBLE / n) * ln(p.c::DOUBLE / n)),
+            (x, y) -> x + y) / ln(2) AS h
+  FROM per
+)
+SELECT source, n AS n_chars, n_distinct AS n_distinct_chars,
+       floor(h * 1000000 + 0.5) / 1000000 AS entropy_bits,
+       floor(h / (ln(n_distinct::DOUBLE) / ln(2)) * 1000000 + 0.5)
+         / 1000000 AS entropy_normalized
+FROM e
+"""
+
+
+@register("text_char_entropy", oracle=_CHAR_ENTROPY)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram Shannon entropy per source, in bits, plus the
+    alphabet-normalized form — the compressibility proxy UNDER the
+    token-level quality battery: machine-generated or templated text
+    sits measurably below natural prose (low entropy = repetitive
+    byte patterns gzip would crush), while encoding mojibake and
+    binary spill push it above. The cheapest source-level screen
+    before the heavier perplexity/surprisal gates.
+
+    Determinism: (source, char) counts are exact integers on a
+    BOUNDED grain (|alphabet| per source); each source's entropy
+    folds over the char-SORTED array (the events_hourly_entropy
+    discipline — Spark does not fix double-sum order, the fold does).
+    Shape: one scan, char-grain partial agg, |sources| rows out."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "source", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    c = ch.groupBy("source", "ch").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("a"),
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        -F.aggregate(
+            F.col("a"),
+            F.lit(0.0),
+            lambda acc, p: acc
+            + (p["c"].cast("double") / nd)
+            * F.log(p["c"].cast("double") / nd),
+        )
+        / F.log(F.lit(2.0))
+    )
+    q6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return per.select(
+        "source",
+        F.col("n").alias("n_chars"),
+        F.col("n_distinct").alias("n_distinct_chars"),
+        q6(h).alias("entropy_bits"),
+        q6(
+            h / (F.log(F.col("n_distinct").cast("double")) / F.log(F.lit(2.0)))
+        ).alias("entropy_normalized"),
+    )
+
+
+_HLL_VOCAB = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x != '')) AS t
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+va AS (SELECT DISTINCT t FROM tok WHERE source = 'src0'),
+vb AS (SELECT DISTINCT t FROM tok WHERE source = 'src1'),
+u AS (SELECT t FROM va UNION SELECT t FROM vb),
+i AS (SELECT t FROM va INTERSECT SELECT t FROM vb)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM va) AS exact_vocab_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM vb) AS exact_vocab_b,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS exact_union,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM i) AS exact_intersection,
+       TRUE AS est_union_within_5pct,
+       TRUE AS est_intersection_within_5pct_of_union
+"""
+
+
+@register("vocab_hll_intersection", oracle=_HLL_VOCAB)
+def vocab_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch SET ALGEBRA: estimate the vocabulary
+    intersection of two sources by inclusion-exclusion over HLL
+    sketches (|A & B| ~ est(A) + est(B) - est(A | B), the union sketch
+    merged from the two per-source sketches) and check it against the
+    exact intersection — at 100 TB the per-source sketches are
+    kilobytes materialized once, and ANY pairwise overlap in a
+    |sources|^2 matrix is answered by merging sketches, never by
+    re-shuffling token sets (the scale path under vocab_jaccard_sources).
+
+    Sketch bytes are engine-specific (DataSketches HLL), so — the
+    agg_hll_mergeable contract — the query emits the exact counts plus
+    booleans asserting the union estimate lands within 5% of exact and
+    the intersection estimate within 5% OF THE UNION (inclusion-
+    exclusion error is relative to the union, the standard caveat); a
+    broken merge or wrong algebra flips a boolean in both engines'
+    eyes since the oracle pins them TRUE."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        r"""
+WITH tok AS (
+  SELECT source, t
+  FROM documents
+  LATERAL VIEW explode(filter(split(text, '\\s+'), x -> x != '')) AS t
+  WHERE source IN ('src0', 'src1')
+),
+sk AS (
+  SELECT source, hll_sketch_agg(t) AS s
+  FROM tok GROUP BY source
+),
+est AS (
+  SELECT MAX(CASE WHEN source = 'src0'
+                  THEN hll_sketch_estimate(s) END) AS est_a,
+         MAX(CASE WHEN source = 'src1'
+                  THEN hll_sketch_estimate(s) END) AS est_b,
+         hll_sketch_estimate(hll_union_agg(s)) AS est_u
+  FROM sk
+),
+ex AS (
+  SELECT CAST(COUNT(DISTINCT CASE WHEN source = 'src0' THEN t END)
+              AS BIGINT) AS exact_vocab_a,
+         CAST(COUNT(DISTINCT CASE WHEN source = 'src1' THEN t END)
+              AS BIGINT) AS exact_vocab_b,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS exact_union
+  FROM tok
+),
+ei AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM (SELECT t FROM tok WHERE source = 'src0'
+        INTERSECT
+        SELECT t FROM tok WHERE source = 'src1')
+)
+SELECT ex.exact_vocab_a, ex.exact_vocab_b, ex.exact_union,
+       ei.exact_intersection,
+       est.est_u BETWEEN ex.exact_union * 0.95 AND ex.exact_union * 1.05
+         AS est_union_within_5pct,
+       abs(est.est_a + est.est_b - est.est_u - ei.exact_intersection)
+         <= ex.exact_union * 0.05
+         AS est_intersection_within_5pct_of_union
+FROM est CROSS JOIN ex CROSS JOIN ei
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — embedding-space depth (assignment ambiguity margin, global
+# anisotropy) and two more robust/segmentation reads on orders (ABC
+# classes over the distributed prefix sum, Huber M-location). Same
+# discipline: micro-quantize per element/vector BEFORE any re-summed
+# aggregate; centroid tables broadcast; prefix machinery distributed.
+# ---------------------------------------------------------------------------
+
+_CENTROID_MARGIN = """
+WITH e AS (
+  SELECT label, vec_id, unnest(embedding)::DOUBLE AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+c AS (SELECT label AS clabel, pos, AVG(val) AS v FROM e GROUP BY 1, 2),
+d AS (
+  SELECT e.vec_id, c.clabel,
+         SUM((e.val - c.v) * (e.val - c.v)) AS d2
+  FROM e JOIN c ON c.pos = e.pos
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT vec_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS r
+  FROM d
+),
+m AS (
+  SELECT vec_id,
+         MIN(CASE WHEN r = 1 THEN d2 END) AS d1,
+         MIN(CASE WHEN r = 2 THEN d2 END) AS dd2
+  FROM rk WHERE r <= 2 GROUP BY vec_id
+),
+mg AS (
+  SELECT CAST(floor(dd2 / d1 * 1000000 + 0.5) AS BIGINT) AS mq
+  FROM m WHERE d1 > 0
+),
+b AS (
+  SELECT CASE WHEN mq < 1100000 THEN 0
+              WHEN mq < 1250000 THEN 1
+              WHEN mq < 1500000 THEN 2
+              WHEN mq < 2000000 THEN 3
+              ELSE 4 END AS bucket, mq
+  FROM mg
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       floor(SUM(mq)::DOUBLE / COUNT(*) + 0.5) / 1000000 AS mean_margin
+FROM b GROUP BY bucket
+"""
+
+
+@register("emb_centroid_margin", oracle=_CENTROID_MARGIN)
+def emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-ambiguity margin histogram: for every vector, the
+    ratio of its second-nearest to nearest centroid SQUARED distance,
+    bucketed at 1.1/1.25/1.5/2.0 — mass near 1.0 is the set of
+    vectors an IVF coarse quantizer or a nearest-centroid labeler will
+    flip under tiny perturbations (exactly where sim_topk_ivf's
+    n_probe dial and emb_centroid_confusion's off-diagonal live);
+    mass far above 2.0 says one probe suffices. The per-vector margin
+    is the decision-boundary companion to emb_silhouette_centroid's
+    cohesion read.
+
+    Determinism: margins quantize to micro units BEFORE bucketing and
+    the per-bucket mean (exact integer sums; the bucket edges are
+    integer micro thresholds). Shape: |labels|-row centroid broadcast
+    against one scan, per-vector rank window (unbounded key count,
+    bounded per-key rows — distributes), 5 bounded rows out."""
+    from pyspark.sql import Window
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb).select(
+        F.col("label").alias("clabel"), F.col("centroid")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "clabel", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    m = (
+        d.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("r") == 1, F.col("d2"))).alias("d1"),
+            F.min(F.when(F.col("r") == 2, F.col("d2"))).alias("dd2"),
+        )
+    )
+    mq = (
+        m.filter(F.col("d1") > 0)
+        .select(
+            F.floor(
+                F.col("dd2") / F.col("d1") * 1000000 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mq")
+        )
+    )
+    bucket = (
+        F.when(F.col("mq") < 1100000, 0)
+        .when(F.col("mq") < 1250000, 1)
+        .when(F.col("mq") < 1500000, 2)
+        .when(F.col("mq") < 2000000, 3)
+        .otherwise(4)
+    )
+    return (
+        mq.select(bucket.cast("bigint").alias("bucket"), "mq")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            (
+                F.floor(
+                    F.sum("mq").cast("double") / F.count("*") + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("mean_margin"),
+        )
+    )
+
+
+_COV_OFFDIAG = """
+WITH e AS (
+  SELECT vec_id,
+         CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT)
+           AS vq,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+dims AS (
+  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vq) AS BIGINT) AS s,
+         CAST(SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS DECIMAL(38,0)) AS q
+  FROM e GROUP BY pos
+),
+pq AS (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(SUM(CAST(a.vq AS DECIMAL(38,0)) * b.vq) AS DECIMAL(38,0))
+           AS qij
+  FROM e a JOIN e b ON b.vec_id = a.vec_id AND a.pos < b.pos
+  GROUP BY 1, 2
+),
+corr AS (
+  SELECT i, j,
+         CAST(floor(abs((di.n * pq.qij::DOUBLE - di.s::DOUBLE * dj.s)
+               / sqrt((di.n * di.q::DOUBLE - di.s::DOUBLE * di.s)
+                      * (dj.n * dj.q::DOUBLE - dj.s::DOUBLE * dj.s)))
+               * 1000000 + 0.5) AS BIGINT) AS cq
+  FROM pq JOIN dims di ON di.pos = pq.i JOIN dims dj ON dj.pos = pq.j
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dims) AS n_dims,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       floor(SUM(cq)::DOUBLE / COUNT(*) + 0.5) / 1000000
+         AS mean_abs_offdiag_corr,
+       MAX(cq)::DOUBLE / 1000000 AS max_abs_offdiag_corr
+FROM corr
+"""
+
+
+@register("emb_covariance_offdiag", oracle=_COV_OFFDIAG)
+def emb_covariance_offdiag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global anisotropy of the embedding space: mean and max absolute
+    OFF-DIAGONAL Pearson correlation across all dim pairs — isotropic
+    (well-conditioned) embeddings sit near zero; a high mean says the
+    64 ambient dims are entangled and whitening / fewer PQ subspaces /
+    Matryoshka truncation will be nearly free (the covariance-level
+    companion to emb_intrinsic_dimension's manifold estimate and
+    emb_pca_power_iteration's top direction).
+
+    Determinism: every element quantizes to micro units at the scan,
+    so ALL moment sums (per-dim and per-pair) are exact integers; each
+    |corr| quantizes before the pair-mean. Shape: posexplode then a
+    vec_id-keyed self equi-join emits dim^2/2 rows per vector that
+    PARTIALLY AGGREGATE map-side to a bounded (dim x dim) grain —
+    the shuffle carries ~2k rows per partition regardless of corpus
+    size; two broadcast joins against the 64-row dims table; one row
+    out."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    dims = e.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vq").cast("bigint").alias("s"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    a = e.select("vec_id", F.col("pos").alias("i"), F.col("vq").alias("va"))
+    b = e.select("vec_id", F.col("pos").alias("j"), F.col("vq").alias("vb"))
+    pq = (
+        a.join(b, ["vec_id"])
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("va").cast("decimal(38,0)") * F.col("vb"))
+            .cast("decimal(38,0)")
+            .alias("qij")
+        )
+    )
+    di = dims.select(
+        F.col("pos").alias("i"), F.col("n").alias("ni"),
+        F.col("s").alias("si"), F.col("q").alias("qi"),
+    )
+    dj = dims.select(
+        F.col("pos").alias("j"), F.col("s").alias("sj"),
+        F.col("q").alias("qj"),
+    )
+    num = (
+        F.col("ni") * F.col("qij").cast("double")
+        - F.col("si").cast("double") * F.col("sj")
+    )
+    den = F.sqrt(
+        (F.col("ni") * F.col("qi").cast("double")
+         - F.col("si").cast("double") * F.col("si"))
+        * (F.col("ni") * F.col("qj").cast("double")
+           - F.col("sj").cast("double") * F.col("sj"))
+    )
+    corr = (
+        pq.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            F.floor(F.abs(num / den) * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+    nd = dims.agg(F.count("*").cast("bigint").alias("n_dims"))
+    return corr.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (
+            F.floor(F.sum("cq").cast("double") / F.count("*") + F.lit(0.5))
+            / 1000000
+        ).alias("mean_abs_offdiag_corr"),
+        (F.max("cq").cast("double") / 1000000).alias(
+            "max_abs_offdiag_corr"
+        ),
+    ).crossJoin(F.broadcast(nd)).select(
+        "n_dims", "n_pairs", "mean_abs_offdiag_corr",
+        "max_abs_offdiag_corr",
+    )
+
+
+_ABC_CLASS = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER () AS total
+  FROM cust
+),
+cls AS (
+  SELECT cents,
+         CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100
+                   <= CAST(total AS DECIMAL(38,0)) * 80 THEN 'A'
+              WHEN CAST(cum AS DECIMAL(38,0)) * 100
+                   <= CAST(total AS DECIMAL(38,0)) * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         total
+  FROM r
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       floor(SUM(cents)::DOUBLE / 100 * 100 + 0.5) / 100 AS revenue,
+       floor(SUM(cents)::DOUBLE / MAX(total) * 1000000 + 0.5) / 1000000
+         AS revenue_share
+FROM cls GROUP BY abc_class
+"""
+
+
+@register("orders_abc_class", oracle=_ABC_CLASS)
+def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory-style customer segmentation: customers sorted by
+    revenue descending, class A = the head carrying the first 80% of
+    cumulative revenue, B = to 95%, C = the tail — the operational
+    cut ("manage A accounts by hand, automate C") that
+    orders_pareto_8020's single crossing point summarizes and
+    orders_rfm_segments refines. Class membership is an exact integer
+    comparison (cum*100 vs total*{80,95} in DECIMAL), no float
+    boundary drift.
+
+    Shape: customer-grain collapse first; the descending running
+    revenue sum is AGG.global_prefix_sum (range-shuffle + broadcast
+    offsets — never a single-partition ORDER BY window over every
+    customer); the total is a one-row broadcast cross; 3 rows out."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    neg = cust.select(
+        "o_custkey", "cents", (-F.col("cents")).alias("neg_cents")
+    )
+    pre = AGG.global_prefix_sum(
+        neg, ["neg_cents", "o_custkey"], "cents", out_col="cum"
+    )
+    tot = cust.agg(F.sum("cents").cast("bigint").alias("total"))
+    cls = (
+        pre.crossJoin(F.broadcast(tot))
+        .select(
+            "cents",
+            "total",
+            F.when(
+                F.col("cum").cast("decimal(38,0)") * 100
+                <= F.col("total").cast("decimal(38,0)") * 80,
+                "A",
+            )
+            .when(
+                F.col("cum").cast("decimal(38,0)") * 100
+                <= F.col("total").cast("decimal(38,0)") * 95,
+                "B",
+            )
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        (
+            F.floor(
+                F.sum("cents").cast("double") / 100 * 100 + F.lit(0.5)
+            )
+            / 100
+        ).alias("revenue"),
+        (
+            F.floor(
+                F.sum("cents").cast("double") / F.max("total") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("revenue_share"),
+    )
+
+
+_HUBER = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS day_no,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+m0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS q
+  FROM daily
+),
+st AS (
+  SELECT n, s::DOUBLE / n AS mu0,
+         1.345 * sqrt((n * q::DOUBLE - s::DOUBLE * s)
+                      / (n::DOUBLE * (n - 1))) AS k
+  FROM m0
+),
+i1 AS (
+  SELECT st.n, st.k,
+         SUM(CAST(CASE WHEN abs(x - st.mu0) <= st.k THEN 1000000
+                  ELSE CAST(floor(st.k / abs(x - st.mu0) * 1000000 + 0.5)
+                            AS BIGINT) END AS DECIMAL(38,0)) * x)::DOUBLE
+         / SUM(CASE WHEN abs(x - st.mu0) <= st.k THEN 1000000
+               ELSE CAST(floor(st.k / abs(x - st.mu0) * 1000000 + 0.5)
+                         AS BIGINT) END) AS mu,
+         MAX(st.mu0) AS mu0
+  FROM daily CROSS JOIN st GROUP BY st.n, st.k
+),
+i2 AS (
+  SELECT i1.n, i1.k, i1.mu0,
+         SUM(CAST(CASE WHEN abs(x - i1.mu) <= i1.k THEN 1000000
+                  ELSE CAST(floor(i1.k / abs(x - i1.mu) * 1000000 + 0.5)
+                            AS BIGINT) END AS DECIMAL(38,0)) * x)::DOUBLE
+         / SUM(CASE WHEN abs(x - i1.mu) <= i1.k THEN 1000000
+               ELSE CAST(floor(i1.k / abs(x - i1.mu) * 1000000 + 0.5)
+                         AS BIGINT) END) AS mu
+  FROM daily CROSS JOIN i1 GROUP BY i1.n, i1.k, i1.mu0
+),
+i3 AS (
+  SELECT i2.n, i2.k, i2.mu0,
+         SUM(CAST(CASE WHEN abs(x - i2.mu) <= i2.k THEN 1000000
+                  ELSE CAST(floor(i2.k / abs(x - i2.mu) * 1000000 + 0.5)
+                            AS BIGINT) END AS DECIMAL(38,0)) * x)::DOUBLE
+         / SUM(CASE WHEN abs(x - i2.mu) <= i2.k THEN 1000000
+               ELSE CAST(floor(i2.k / abs(x - i2.mu) * 1000000 + 0.5)
+                         AS BIGINT) END) AS mu
+  FROM daily CROSS JOIN i2 GROUP BY i2.n, i2.k, i2.mu0
+)
+SELECT n AS n_days,
+       floor(mu0 / 100 * 100 + 0.5) / 100 AS plain_mean,
+       floor(mu / 100 * 100 + 0.5) / 100 AS huber_mean,
+       floor((mu - mu0) / 100 * 100 + 0.5) / 100 AS huber_minus_mean
+FROM i3
+"""
+
+
+@register("stats_huber_mean_daily", oracle=_HUBER)
+def stats_huber_mean_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimate of daily revenue location (3 IRLS iterations,
+    k = 1.345 sigma — the 95%-efficiency tuning constant): weights
+    w_i = min(1, k/|x_i - mu|) downweight outlier days linearly
+    instead of trimming them, giving the robust center the mean/
+    median pair brackets (mean chases blowout days; median ignores
+    magnitude entirely; Huber interpolates). The difference column is
+    the outlier-pull diagnostic: a large huber_minus_mean means a few
+    extreme days move the plain mean.
+
+    Simplification, documented: the scale is the exact-moment sigma
+    (not MAD) and the start is the exact mean, both pure functions of
+    BIGINT/DECIMAL sufficient statistics — deterministic cross-engine
+    where a median-seeded chain would need the exact-quantile
+    machinery three times. Determinism: weights quantize to micro
+    units per day, so each iteration's weighted sums are exact
+    DECIMAL. Shape: day-grain collapse; 3 fixed iterations, each a
+    one-row broadcast cross + exact aggregate over calendar-bounded
+    rows."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = _spark_daily_cents(orders).select("day_no", "x")
+    m0 = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    st = m0.select(
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mu0"),
+        (
+            1.345
+            * F.sqrt(
+                (
+                    F.col("n") * F.col("q").cast("double")
+                    - F.col("s").cast("double") * F.col("s")
+                )
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            )
+        ).alias("k"),
+    )
+
+    def _iterate(frame: DataFrame, mu_col: str) -> DataFrame:
+        wq = F.when(
+            F.abs(F.col("x") - F.col(mu_col)) <= F.col("k"),
+            F.lit(1000000).cast("bigint"),
+        ).otherwise(
+            F.floor(
+                F.col("k") / F.abs(F.col("x") - F.col(mu_col)) * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        keep = [c for c in frame.columns if c not in ("day_no", "x")]
+        return (
+            daily.crossJoin(F.broadcast(frame))
+            .groupBy(*keep)
+            .agg(
+                (
+                    F.sum(wq.cast("decimal(38,0)") * F.col("x")).cast(
+                        "double"
+                    )
+                    / F.sum(wq)
+                ).alias("mu")
+            )
+        )
+
+    i1 = _iterate(st, "mu0")
+    i2 = _iterate(
+        i1.select("n", "k", "mu0", F.col("mu").alias("mu_prev")), "mu_prev"
+    )
+    i3 = _iterate(
+        i2.select("n", "k", "mu0", F.col("mu").alias("mu_prev")), "mu_prev"
+    )
+    q2 = lambda c: F.floor(c / 100 * 100 + F.lit(0.5)) / 100  # noqa: E731
+    return i3.select(
+        F.col("n").alias("n_days"),
+        q2(F.col("mu0")).alias("plain_mean"),
+        q2(F.col("mu")).alias("huber_mean"),
+        q2(F.col("mu") - F.col("mu0")).alias("huber_minus_mean"),
+    )

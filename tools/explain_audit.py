@@ -234,6 +234,21 @@ ALLOW_BNLJ = {
     # the one-row day-count scalar cross — calendar-bounded on both
     # sides (the orders_theil_sen_slope contract)
     "stats_kendall_tau_daily",
+    # three one-row frames (sketch estimates, exact counts, exact
+    # intersection) crossed into the single summary row — scalars,
+    # not data (the agg_hll_mergeable shape)
+    "vocab_hll_intersection",
+    # |labels|-row centroid table broadcast against the corpus — the
+    # emb_centroid_confusion coarse-assignment shape
+    "emb_centroid_margin",
+    # one-row dim-count scalar crossed onto the one-row pair summary
+    "emb_covariance_offdiag",
+    # one-row revenue total crossed onto the prefix-sum frame — the
+    # scalar-subquery shape over global_prefix_sum's output
+    "orders_abc_class",
+    # three one-row location scalars crossed onto the day-grain frame,
+    # one per IRLS iteration — control-plane rows, not data
+    "stats_huber_mean_daily",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
