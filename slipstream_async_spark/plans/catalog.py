@@ -18455,3 +18455,291 @@ def stats_huber_mean_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         q2(F.col("mu")).alias("huber_mean"),
         q2(F.col("mu") - F.col("mu0")).alias("huber_minus_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8, final set — gaps-and-islands (the classic consecutive-run SQL
+# family, done on the distributed rank), dedup survivorship accounting
+# by source, and the k-occurrence hubness diagnostic over the fixed
+# anchor sample.
+# ---------------------------------------------------------------------------
+
+_GAPS_ISLANDS = """
+WITH daily AS (
+  SELECT DISTINCT date_diff('day', DATE '1990-01-01',
+                  CAST(date_trunc('day', o_orderdate) AS DATE)) AS day_no
+  FROM orders
+),
+r AS (
+  SELECT day_no,
+         day_no - row_number() OVER (ORDER BY day_no) AS island
+  FROM daily
+),
+isl AS (
+  SELECT island, CAST(MIN(day_no) AS BIGINT) AS start_day,
+         CAST(COUNT(*) AS BIGINT) AS len
+  FROM r GROUP BY island
+),
+top AS (
+  SELECT start_day AS longest_start, len AS longest_len
+  FROM isl ORDER BY len DESC, start_day LIMIT 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_islands,
+         CAST(SUM(len) AS BIGINT) AS n_active_days,
+         floor(SUM(len)::DOUBLE / COUNT(*) * 1000000 + 0.5) / 1000000
+           AS mean_island_len
+  FROM isl
+)
+SELECT s.n_islands, s.n_active_days, s.mean_island_len,
+       top.longest_start, top.longest_len
+FROM s CROSS JOIN top
+"""
+
+
+@register("orders_gaps_and_islands", oracle=_GAPS_ISLANDS)
+def orders_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over order days: maximal runs of CONSECUTIVE
+    calendar days with at least one order (island id = day_no - rank,
+    the classic trick — constant exactly within a consecutive run),
+    summarized as island count, mean run length, and the longest run —
+    the continuity/outage read (a long gap is a pipeline or business
+    outage; islands shrinking over time is demand fragmenting). The
+    operator family (sessionize-by-identity rather than by time gap)
+    that interviews call "gaps and islands".
+
+    Shape: day-grain distinct FIRST; the rank is AGG.global_rank
+    (range-shuffle + broadcast offsets, never one task sorting every
+    day... and days are calendar-bounded anyway — belt and braces);
+    the longest-island pick is a 1-row TakeOrdered crossed onto the
+    1-row summary."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.to_date(F.date_trunc("day", "o_orderdate")),
+                F.lit("1990-01-01").cast("date"),
+            ).alias("day_no")
+        )
+        .distinct()
+    )
+    r = AGG.global_rank(daily, ["day_no"], rank_col="rk")
+    isl = (
+        r.select("day_no", (F.col("day_no") - F.col("rk")).alias("island"))
+        .groupBy("island")
+        .agg(
+            F.min("day_no").cast("bigint").alias("start_day"),
+            F.count("*").cast("bigint").alias("len"),
+        )
+    )
+    top = (
+        isl.orderBy(F.col("len").desc(), "start_day")
+        .limit(1)
+        .select(
+            F.col("start_day").alias("longest_start"),
+            F.col("len").alias("longest_len"),
+        )
+    )
+    s = isl.agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        (
+            F.floor(
+                F.sum("len").cast("double") / F.count("*") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_island_len"),
+    )
+    return s.crossJoin(F.broadcast(top)).select(
+        "n_islands", "n_active_days", "mean_island_len",
+        "longest_start", "longest_len",
+    )
+
+
+_DEDUP_IMPACT = f"""
+WITH RECURSIVE
+pairs AS ({{pairs}}),
+{_CC_FROM_PAIRS},
+drops AS (SELECT node FROM cc GROUP BY node HAVING node != MIN(label)),
+d AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens,
+         doc_id IN (SELECT node FROM drops) AS dropped
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       floor(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             * 1000000 + 0.5) / 1000000 AS drop_rate,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(CASE WHEN dropped THEN 0 ELSE n_tokens END) AS BIGINT)
+         AS tokens_after
+FROM d GROUP BY source
+"""
+
+
+@register(
+    "dedup_impact_by_source",
+    oracle=_DEDUP_IMPACT.format(pairs=_ORACLES["dedup_ngram_jaccard"]),
+)
+def dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship accounting: after near-dup clustering drops
+    non-canonicals, WHICH sources lose how much — doc drop rate and
+    token mass before/after, per source. The mix-shift audit every
+    curation pipeline owes its consumers: dedup is never uniform
+    (syndicated and templated sources crater; original sources barely
+    move), so the post-dedup corpus has a different source mix than
+    the one the mixing weights were tuned on.
+
+    Shape: reuses the PPJoin pair -> connected-components -> drop-list
+    lineage (the pipeline_curation shape) and lands it on a |sources|-
+    row aggregate via the adaptively-broadcast drop-list join
+    (_join_drops)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    clusters = DD.duplicate_clusters(pairs)
+    drops = clusters.filter(~F.col("is_canonical")).select(
+        "doc_id", F.lit(True).alias("dropped")
+    )
+    d = _join_drops(
+        docs.select(
+            "source",
+            "doc_id",
+            F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
+        ),
+        drops,
+        "left",
+    ).select(
+        "source",
+        "n_tokens",
+        F.coalesce(F.col("dropped"), F.lit(False)).alias("dropped"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+                / F.count("*")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("drop_rate"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+        F.sum(F.when(F.col("dropped"), 0).otherwise(F.col("n_tokens")))
+        .cast("bigint")
+        .alias("tokens_after"),
+    )
+
+
+def _hubness_oracle() -> str:
+    cos = _dk_cos("q.qv", "e.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 128),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({cos}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+rk AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+),
+occ AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+  FROM rk WHERE rk <= 5 GROUP BY vec_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+         CAST(SUM(k_occ) AS BIGINT) AS s1,
+         CAST(SUM(k_occ * k_occ) AS BIGINT) AS s2,
+         CAST(SUM(k_occ * k_occ * k_occ) AS BIGINT) AS s3,
+         CAST(MAX(k_occ) AS BIGINT) AS max_occ
+  FROM occ
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+m AS (
+  SELECT t.n, s.n_retrieved, s.max_occ,
+         s.s1::DOUBLE / t.n AS m1,
+         s.s2::DOUBLE / t.n AS m2,
+         s.s3::DOUBLE / t.n AS m3
+  FROM s CROSS JOIN t
+)
+SELECT n AS n_vectors, n_retrieved, max_occ AS max_k_occurrence,
+       floor((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+             / ((m2 - m1 * m1) ^ 1.5) * 1000000 + 0.5) / 1000000
+         AS k_occurrence_skewness
+FROM m
+"""
+
+
+@register("emb_hubness_skew", oracle=_hubness_oracle())
+def emb_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic: the skewness of the 5-occurrence
+    distribution N_5(x) = how many of the 128 fixed anchors retrieve x
+    in their cosine top-5 (zeros over the unretrieved corpus included
+    via exact total-count moments). High positive skew — a few "hub"
+    vectors appearing in everyone's neighbor lists — is THE
+    high-dimensional pathology that silently degrades kNN labeling,
+    SemDeDup, and IVF recall (Radovanovic et al., JMLR 2010); it says
+    to mitigate (centering, mutual-kNN) before trusting any
+    neighbor-based curation verdict upstream.
+
+    Determinism: the anchor sample is the shared md5-ordered LIMIT 128
+    (the knn_label_vote convention); occurrence counts and their three
+    power sums are exact integers; one IEEE skew expression at the
+    end. Shape: the whitelisted constant-size anchor broadcast against
+    one corpus scan; per-anchor rank windows; moments over a
+    |retrieved| <= 640-row frame crossed with the one-row corpus
+    count."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = (
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "query_id")
+        .limit(128)
+        .drop("_h")
+    )
+    topk = SIM.brute_force_topk(emb, q, k=5)
+    occ = topk.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("k_occ")
+    )
+    s = occ.agg(
+        F.count("*").cast("bigint").alias("n_retrieved"),
+        F.sum("k_occ").cast("bigint").alias("s1"),
+        F.sum(F.col("k_occ") * F.col("k_occ")).cast("bigint").alias("s2"),
+        F.sum(F.col("k_occ") * F.col("k_occ") * F.col("k_occ"))
+        .cast("bigint")
+        .alias("s3"),
+        F.max("k_occ").cast("bigint").alias("max_occ"),
+    )
+    t = emb.agg(F.count("*").cast("bigint").alias("n"))
+    m = s.crossJoin(F.broadcast(t))
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(
+        m2 - m1 * m1, 1.5
+    )
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        "n_retrieved",
+        F.col("max_occ").alias("max_k_occurrence"),
+        (F.floor(skew * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "k_occurrence_skewness"
+        ),
+    )

@@ -249,6 +249,13 @@ ALLOW_BNLJ = {
     # three one-row location scalars crossed onto the day-grain frame,
     # one per IRLS iteration — control-plane rows, not data
     "stats_huber_mean_daily",
+    # one-row longest-island TakeOrdered crossed onto the one-row
+    # island summary — two scalars, not data
+    "orders_gaps_and_islands",
+    # fixed-count (128) hash-ordered anchor sample broadcast-crossed
+    # against the corpus (the knn_label_vote shape) plus the one-row
+    # corpus-count scalar cross for the zero-inclusive moments
+    "emb_hubness_skew",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
