@@ -107,6 +107,23 @@ class StateTable:
             F.lit(self.n_buckets),
         ).cast("int")
 
+    def _bucket_of(self, key: str) -> int:
+        """Driver-side twin of :meth:`_bucket_expr` (same md5-prefix
+        formula), so point lookups prune to ONE bucket's files instead
+        of scanning the whole snapshot."""
+        import hashlib
+
+        h = hashlib.md5(str(key).encode("utf-8")).hexdigest()[:8]
+        return int(h, 16) % self.n_buckets
+
+    def _key_frame(self, key: str) -> DataFrame:
+        """The (at most one-bucket) DataFrame a point op needs."""
+        manifest = self._manifest(self.version)
+        paths = self._bucket_paths(manifest, [self._bucket_of(key)])
+        if not paths:
+            return self.spark.createDataFrame([], _SCHEMA)
+        return self.spark.read.schema(_SCHEMA).parquet(*paths)
+
     # -- version bookkeeping ------------------------------------------------
 
     def _versions(self) -> list[int]:
@@ -258,7 +275,7 @@ class StateTable:
     def get(self, key: str, default: Any = None) -> Any:
         """None/default on miss, never KeyError (interfaces.py:84-90)."""
         rows = (
-            self.snapshot()
+            self._key_frame(key)
             .filter(F.col("key") == str(key))
             .select("value", "attrs")
             .take(1)
@@ -266,7 +283,9 @@ class StateTable:
         return _decode(rows[0][0], rows[0][1]) if rows else default
 
     def __contains__(self, key: str) -> bool:
-        return bool(self.snapshot().filter(F.col("key") == str(key)).take(1))
+        return bool(
+            self._key_frame(key).filter(F.col("key") == str(key)).take(1)
+        )
 
     def delete(self, key: str) -> None:
         self.delete_where(F.col("key") == str(key))
@@ -287,7 +306,12 @@ class StateTable:
         self.upsert(df)
 
     def get_entity(self, key: str) -> dict[str, str] | None:
-        rows = self.snapshot().filter(F.col("key") == str(key)).select("attrs").take(1)
+        rows = (
+            self._key_frame(key)
+            .filter(F.col("key") == str(key))
+            .select("attrs")
+            .take(1)
+        )
         if not rows or rows[0][0] is None:
             return None
         ent = {k: v for k, v in rows[0][0].items() if k != _CODEC_KEY}
@@ -363,7 +387,10 @@ class StateTable:
         class _View(MutableMapping):
             def __getitem__(self, k: str) -> str:
                 rows = (
-                    table.snapshot().filter(F.col("key") == k).select("value").take(1)
+                    table._key_frame(k)
+                    .filter(F.col("key") == k)
+                    .select("value")
+                    .take(1)
                 )
                 if not rows:
                     raise KeyError(k)
