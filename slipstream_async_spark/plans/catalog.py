@@ -18743,3 +18743,268 @@ def emb_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_occurrence_skewness"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 addenda — structural-break inference (Chow test) and customer
+# lifecycle migration (quartile transition matrix): a regime-change
+# detector to pair with CUSUM's argmax, and the segment-flow artifact
+# retention teams read next to the RFM snapshot.
+# ---------------------------------------------------------------------------
+
+_CHOW = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+mid AS (
+  SELECT CAST((MIN(dn) + MAX(dn)) // 2 AS BIGINT) AS m FROM daily
+),
+seg AS (
+  SELECT CASE WHEN dn <= mid.m THEN 1 ELSE 2 END AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dn) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(dn AS DECIMAL(38,0)) * dn) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(dn AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM daily CROSS JOIN mid GROUP BY 1
+),
+p AS (
+  SELECT MAX(CASE WHEN s = 1 THEN n END) AS n1,
+         MAX(CASE WHEN s = 1 THEN sx END) AS sx1,
+         MAX(CASE WHEN s = 1 THEN sy END) AS sy1,
+         MAX(CASE WHEN s = 1 THEN sxx END) AS sxx1,
+         MAX(CASE WHEN s = 1 THEN sxy END) AS sxy1,
+         MAX(CASE WHEN s = 1 THEN syy END) AS syy1,
+         MAX(CASE WHEN s = 2 THEN n END) AS n2,
+         MAX(CASE WHEN s = 2 THEN sx END) AS sx2,
+         MAX(CASE WHEN s = 2 THEN sy END) AS sy2,
+         MAX(CASE WHEN s = 2 THEN sxx END) AS sxx2,
+         MAX(CASE WHEN s = 2 THEN sxy END) AS sxy2,
+         MAX(CASE WHEN s = 2 THEN syy END) AS syy2
+  FROM seg
+),
+ssr AS (
+  SELECT n1 + n2 AS n,
+         ((n1 * syy1::DOUBLE - sy1::DOUBLE * sy1)
+          - (n1 * sxy1::DOUBLE - sx1::DOUBLE * sy1)
+            * (n1 * sxy1::DOUBLE - sx1::DOUBLE * sy1)
+            / (n1 * sxx1::DOUBLE - sx1::DOUBLE * sx1)) / n1 AS ssr1,
+         ((n2 * syy2::DOUBLE - sy2::DOUBLE * sy2)
+          - (n2 * sxy2::DOUBLE - sx2::DOUBLE * sy2)
+            * (n2 * sxy2::DOUBLE - sx2::DOUBLE * sy2)
+            / (n2 * sxx2::DOUBLE - sx2::DOUBLE * sx2)) / n2 AS ssr2,
+         (((n1 + n2) * (syy1 + syy2)::DOUBLE
+           - (sy1 + sy2)::DOUBLE * (sy1 + sy2))
+          - ((n1 + n2) * (sxy1 + sxy2)::DOUBLE
+             - (sx1 + sx2)::DOUBLE * (sy1 + sy2))
+            * ((n1 + n2) * (sxy1 + sxy2)::DOUBLE
+               - (sx1 + sx2)::DOUBLE * (sy1 + sy2))
+            / ((n1 + n2) * (sxx1 + sxx2)::DOUBLE
+               - (sx1 + sx2)::DOUBLE * (sx1 + sx2))) / (n1 + n2) AS ssrp
+  FROM p
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       (SELECT m FROM mid) AS split_day,
+       floor((ssrp - ssr1 - ssr2) / 2 / ((ssr1 + ssr2) / (n - 4))
+             * 1000000 + 0.5) / 1000000 AS f_stat,
+       CAST(2 AS BIGINT) AS df1, CAST(n - 4 AS BIGINT) AS df2,
+       (ssrp - ssr1 - ssr2) / 2 / ((ssr1 + ssr2) / (n - 4))
+         > 2.995732273553991 AS reject_095
+FROM ssr
+"""
+
+
+@register("stats_chow_test", oracle=_CHOW)
+def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test on the daily-revenue trend line: fit
+    OLS revenue ~ day on each half of the calendar (split at the
+    midpoint day) and on the pooled series, and test whether the two
+    segment fits beat one — F = ((SSR_p - SSR_1 - SSR_2)/2) /
+    ((SSR_1 + SSR_2)/(n-4)). The REGIME-CHANGE companion to
+    orders_cusum_changepoint: CUSUM names the most suspicious day,
+    Chow says whether a split there (here: at the fixed midpoint, so
+    the test is pre-registered rather than data-snooped) is
+    statistically real. 2.9957 is F(2, inf) at 5% (= chi2(2)/2), the
+    shared literal; df2 is thousands of days so the asymptote is
+    exact to the digits shown.
+
+    Determinism: per-segment moment sums are exact BIGINT/DECIMAL;
+    each SSR is a fixed rational expression; pooled moments are the
+    exact integer sums of the segment moments. Shape: day-grain
+    collapse, one-row midpoint scalar cross, 2-group aggregate, 1-row
+    pivot -> 1 row out."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = _spark_daily_cents(orders).select(
+        F.col("day_no").alias("dn"), F.col("x").alias("y")
+    )
+    mid = daily.agg(
+        F.floor((F.min("dn") + F.max("dn")) / 2).cast("bigint").alias("m")
+    )
+    dxn = F.col("dn").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    seg = (
+        daily.crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.when(F.col("dn") <= F.col("m"), 1).otherwise(2).alias("s")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("dn").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(dxn * F.col("dn")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(dxn * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+            F.sum(dy * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        )
+    )
+    pick = lambda s, c: F.max(F.when(F.col("s") == s, F.col(c)))  # noqa: E731
+    p = seg.agg(
+        *[
+            pick(s, c).alias(f"{c}{s}")
+            for s in (1, 2)
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ]
+    )
+
+    def _ssr(n, sx, sy, sxx, sxy, syy):
+        nn = n.cast("double")
+        num = n * sxy.cast("double") - sx.cast("double") * sy
+        den = n * sxx.cast("double") - sx.cast("double") * sx
+        return (
+            (n * syy.cast("double") - sy.cast("double") * sy)
+            - num * num / den
+        ) / nn
+
+    c = F.col
+    ssr1 = _ssr(c("n1"), c("sx1"), c("sy1"), c("sxx1"), c("sxy1"), c("syy1"))
+    ssr2 = _ssr(c("n2"), c("sx2"), c("sy2"), c("sxx2"), c("sxy2"), c("syy2"))
+    n = c("n1") + c("n2")
+    ssrp = _ssr(
+        n,
+        c("sx1") + c("sx2"),
+        c("sy1") + c("sy2"),
+        c("sxx1") + c("sxx2"),
+        c("sxy1") + c("sxy2"),
+        c("syy1") + c("syy2"),
+    )
+    f_stat = (ssrp - ssr1 - ssr2) / 2 / ((ssr1 + ssr2) / (n - 4))
+    return p.crossJoin(F.broadcast(mid)).select(
+        n.cast("bigint").alias("n_days"),
+        F.col("m").alias("split_day"),
+        (F.floor(f_stat * 1000000 + F.lit(0.5)) / 1000000).alias("f_stat"),
+        F.lit(2).cast("bigint").alias("df1"),
+        (n - 4).cast("bigint").alias("df2"),
+        (f_stat > 2.995732273553991).alias("reject_095"),
+    )
+
+
+_MIGRATION = """
+WITH mid AS (
+  SELECT CAST((MIN(date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)))
+               + MAX(date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)))) // 2
+              AS BIGINT) AS m
+  FROM orders
+),
+spend AS (
+  SELECT o_custkey,
+         CASE WHEN date_diff('day', DATE '1990-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) <= mid.m
+              THEN 1 ELSE 2 END AS period,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders CROSS JOIN mid GROUP BY 1, 2
+),
+q AS (
+  SELECT o_custkey, period,
+         NTILE(4) OVER (PARTITION BY period
+                        ORDER BY cents, o_custkey) AS quartile
+  FROM spend
+),
+m AS (
+  SELECT COALESCE(a.o_custkey, b.o_custkey) AS k,
+         COALESCE(a.quartile, 0) AS q_early,
+         COALESCE(b.quartile, 0) AS q_late
+  FROM (SELECT * FROM q WHERE period = 1) a
+  FULL OUTER JOIN (SELECT * FROM q WHERE period = 2) b
+    ON b.o_custkey = a.o_custkey
+)
+SELECT CAST(q_early AS BIGINT) AS q_early,
+       CAST(q_late AS BIGINT) AS q_late,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM m GROUP BY 1, 2
+"""
+
+
+@register("customer_migration_matrix", oracle=_MIGRATION)
+def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-quartile migration matrix: each customer's
+    spend quartile in the EARLY half of the calendar vs the LATE half
+    (0 = absent in that period), counted per (early, late) cell — the
+    flow artifact behind every "are our best customers upgrading or
+    churning?" review (orders_rfm_segments is the stock; this is the
+    flow). Diagonal mass = stable tiers; the (4, 0) cell is lost
+    whales; (0, q) columns are acquisition intake by entry tier.
+
+    Shape: customer-period grain collapses first; each period's
+    quartile is the distributed global_rank + exact NTILE
+    reconstruction (never a single-partition NTILE window over every
+    customer — but note the per-period rank IS partitioned by period
+    here, 2 bounded partitions, so plain rank windows would still
+    funnel half the customer base through one task; the two-phase
+    machinery per period avoids that); the early/late join is a
+    customer-keyed full outer equi-join; 5x5-bounded output."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.to_date(F.date_trunc("day", "o_orderdate")),
+        F.lit("1990-01-01").cast("date"),
+    )
+    days = orders.select(day.alias("dn"))
+    mid = days.agg(
+        F.floor((F.min("dn") + F.max("dn")) / 2).cast("bigint").alias("m")
+    )
+    spend = (
+        orders.select(
+            "o_custkey",
+            day.alias("dn"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(mid))
+        .groupBy(
+            "o_custkey",
+            F.when(F.col("dn") <= F.col("m"), 1).otherwise(2).alias(
+                "period"
+            ),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+
+    def _quartiles(period: int) -> DataFrame:
+        part = spend.filter(F.col("period") == period).select(
+            "o_custkey", "cents"
+        )
+        ranked = AGG.global_rank(part, ["cents", "o_custkey"], rank_col="_r")
+        n_tot = part.agg(F.count("*").cast("bigint").alias("_n"))
+        return ranked.crossJoin(F.broadcast(n_tot)).select(
+            "o_custkey",
+            AGG.exact_ntile("_r", "_n", 4)
+            .cast("bigint")
+            .alias(f"q{period}"),
+        )
+
+    a = _quartiles(1)
+    b = _quartiles(2)
+    m = a.join(b, "o_custkey", "full_outer").select(
+        F.coalesce(F.col("q1"), F.lit(0)).cast("bigint").alias("q_early"),
+        F.coalesce(F.col("q2"), F.lit(0)).cast("bigint").alias("q_late"),
+    )
+    return m.groupBy("q_early", "q_late").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )

@@ -256,6 +256,13 @@ ALLOW_BNLJ = {
     # against the corpus (the knn_label_vote shape) plus the one-row
     # corpus-count scalar cross for the zero-inclusive moments
     "emb_hubness_skew",
+    # one-row calendar-midpoint scalar crossed onto day grain — the
+    # scalar-subquery shape
+    "stats_chow_test",
+    # one-row midpoint + two one-row period-count scalars crossed onto
+    # customer grain for the exact-NTILE reconstruction — the
+    # orders_rfm_segments shape
+    "customer_migration_matrix",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
