@@ -281,3 +281,68 @@ def test_covariance_offdiag_matches_numpy(q):
         np.floor(np.mean(cqs) + 0.5) / 1e6, abs=2e-6
     )
     assert got["max_abs_offdiag_corr"] == pytest.approx(mx / 1e6, abs=2e-6)
+
+
+def test_chow_test_matches_numpy(q, orders):
+    x, _ = _daily_cents(orders)
+    df = x.sort_index()
+    dn = df.index.to_numpy(dtype=float)
+    y = df.to_numpy(dtype=float)
+    m = (dn.min() + dn.max()) // 2
+
+    def ssr(mask):
+        xs, ys = dn[mask], y[mask]
+        n = len(xs)
+        num = n * (xs * ys).sum() - xs.sum() * ys.sum()
+        den = n * (xs * xs).sum() - xs.sum() ** 2
+        return ((n * (ys * ys).sum() - ys.sum() ** 2) - num * num / den) / n
+
+    s1 = ssr(dn <= m)
+    s2 = ssr(dn > m)
+    sp = ssr(np.ones_like(dn, dtype=bool))
+    n = len(dn)
+    f = (sp - s1 - s2) / 2 / ((s1 + s2) / (n - 4))
+    got = q("stats_chow_test").iloc[0]
+    assert got["n_days"] == n and got["split_day"] == m
+    assert got["f_stat"] == pytest.approx(f, abs=2e-4)
+    assert got["reject_095"] == (f > 2.995732273553991)
+
+
+def test_migration_matrix_matches_pandas(q, orders):
+    dn = (
+        orders.o_orderdate.values.astype("datetime64[D]") - EPOCH
+    ).astype(int)
+    m = (dn.min() + dn.max()) // 2
+    cents = (orders.o_totalprice * 100).round().astype(np.int64)
+    d = pd.DataFrame(
+        {
+            "k": orders.o_custkey,
+            "p": np.where(dn <= m, 1, 2),
+            "c": cents,
+        }
+    )
+    spend = d.groupby(["k", "p"]).c.sum().reset_index()
+
+    def quart(p):
+        s = spend[spend.p == p].sort_values(["c", "k"]).reset_index(drop=True)
+        n = len(s)
+        qn, rem = divmod(n, 4)
+        ranks = np.arange(1, n + 1)
+        head = (qn + 1) * rem
+        tile = np.where(
+            ranks <= head,
+            (ranks - 1) // (qn + 1) + 1,
+            rem + (ranks - head - 1) // qn + 1,
+        )
+        return dict(zip(s.k, tile))
+
+    q1, q2 = quart(1), quart(2)
+    want: dict[tuple[int, int], int] = {}
+    for k in set(q1) | set(q2):
+        cell = (q1.get(k, 0), q2.get(k, 0))
+        want[cell] = want.get(cell, 0) + 1
+    got = {
+        (int(r.q_early), int(r.q_late)): int(r.n_customers)
+        for r in q("customer_migration_matrix").itertuples()
+    }
+    assert got == want
