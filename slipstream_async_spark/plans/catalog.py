@@ -18394,7 +18394,15 @@ def stats_huber_mean_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row broadcast cross + exact aggregate over calendar-bounded
     rows."""
     (orders,) = _t(spark, sf_dir, "orders")
-    daily = _spark_daily_cents(orders).select("day_no", "x")
+    # The IRLS chain references the day-grain frame 4x (sufficient
+    # stats + one per iteration); without pinning, the final plan scans
+    # the FACT table 4x. localCheckpoint materializes the calendar-
+    # bounded collapse once (measured at sf0.1: 11.9 s -> scan-once).
+    daily = (
+        _spark_daily_cents(orders)
+        .select("day_no", "x")
+        .localCheckpoint(eager=False)
+    )
     m0 = daily.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),
