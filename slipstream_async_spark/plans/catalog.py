@@ -19016,3 +19016,140 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("q_early", "q_late").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )
+
+
+_FRIEDMAN = """
+WITH d AS (
+  SELECT (date_part('year', o_orderdate) - 1990) * 12
+         + date_part('month', o_orderdate) - 1 AS block,
+         o_orderpriority AS trt,
+         CAST(date_diff('day', CAST(date_trunc('day', o_orderdate) AS DATE),
+                        CAST(date_trunc('day', l_shipdate) AS DATE))
+              AS BIGINT) AS v
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+cell AS (
+  SELECT block, trt,
+         CAST(floor(SUM(v)::DOUBLE / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+           AS mq
+  FROM d GROUP BY 1, 2
+),
+complete AS (
+  SELECT block FROM cell GROUP BY block HAVING COUNT(*) = 5
+),
+rk AS (
+  SELECT c.block, c.trt,
+         rank() OVER (PARTITION BY c.block ORDER BY c.mq)
+           + (COUNT(*) OVER (PARTITION BY c.block, c.mq) - 1) / 2.0
+           AS midrank
+  FROM cell c JOIN complete ON complete.block = c.block
+),
+rj AS (
+  SELECT trt, SUM(midrank) AS r FROM rk GROUP BY trt
+),
+t AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce(list_transform(array_agg({'trt': trt, 'r': r}
+                                              ORDER BY trt),
+                                    s -> s.r * s.r),
+                     (x, y) -> x + y) AS sr2
+  FROM rj
+)
+SELECT n AS n_blocks, k AS n_treatments,
+       floor((12.0 / (n * k * (k + 1)) * sr2 - 3 * n * (k + 1))
+             * 1000000 + 0.5) / 1000000 AS chi2_stat,
+       CAST(k - 1 AS BIGINT) AS df,
+       9.487729036781154 AS crit_095,
+       12.0 / (n * k * (k + 1)) * sr2 - 3 * n * (k + 1)
+         > 9.487729036781154 AS reject_095
+FROM t
+"""
+
+
+@register("stats_friedman_test", oracle=_FRIEDMAN)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: does order priority move ship lag once
+    month-to-month drift is BLOCKED out? Each complete month ranks its
+    5 priorities' mean lags (midranks on exact ties); chi2_F =
+    12/(nk(k+1)) sum R_j^2 - 3n(k+1) against chi-square(4) — the
+    nonparametric two-way companion to shiplag_anova_by_priority
+    (ANOVA pools months, so a seasonal lag trend can fake or mask a
+    priority effect; Friedman compares priorities only WITHIN months).
+    9.4877 is chi-square(4) at 95%, a shared literal.
+
+    Determinism: cell means quantize to exact integer micro units
+    before ranking; midranks are rank() + (ties-1)/2 — identical
+    RANK semantics in both engines over the same integers; R_j sums
+    fold over the treatment-sorted bounded array. Shape: one fact-dim
+    equi-join, (month x priority)-bounded cell grain, 5-row windows
+    per month, one row out."""
+    from pyspark.sql import Window
+
+    (li, orders) = _t(spark, sf_dir, "lineitem", "orders")
+    d = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        (
+            (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate") - 1
+        ).alias("block"),
+        F.col("o_orderpriority").alias("trt"),
+        F.datediff(
+            F.to_date(F.date_trunc("day", "l_shipdate")),
+            F.to_date(F.date_trunc("day", "o_orderdate")),
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    cell = d.groupBy("block", "trt").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count("*") * 1000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mq")
+    )
+    complete = (
+        cell.groupBy("block")
+        .agg(F.count("*").alias("_k"))
+        .filter(F.col("_k") == 5)
+        .select("block")
+    )
+    wr = Window.partitionBy("block").orderBy("mq")
+    wt = Window.partitionBy("block", "mq")
+    rk = cell.join(F.broadcast(complete), "block").select(
+        "block",
+        "trt",
+        (
+            F.rank().over(wr)
+            + (F.count("*").over(wt) - 1) / 2.0
+        ).alias("midrank"),
+    )
+    rj = rk.groupBy("trt").agg(F.sum("midrank").alias("r"))
+    n_blocks = complete.agg(F.count("*").cast("bigint").alias("n"))
+    t = (
+        rj.agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.array_sort(F.collect_list(F.struct("trt", "r"))).alias("a"),
+        )
+        .crossJoin(F.broadcast(n_blocks))
+        .select(
+            "n",
+            "k",
+            F.aggregate(
+                F.col("a"), F.lit(0.0), lambda acc, s: acc + s["r"] * s["r"]
+            ).alias("sr2"),
+        )
+    )
+    chi2 = (
+        12.0 / (F.col("n") * F.col("k") * (F.col("k") + 1)) * F.col("sr2")
+        - 3 * F.col("n") * (F.col("k") + 1)
+    )
+    return t.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        (F.floor(chi2 * 1000000 + F.lit(0.5)) / 1000000).alias("chi2_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.lit(9.487729036781154).alias("crit_095"),
+        (chi2 > 9.487729036781154).alias("reject_095"),
+    )

@@ -263,6 +263,9 @@ ALLOW_BNLJ = {
     # customer grain for the exact-NTILE reconstruction — the
     # orders_rfm_segments shape
     "customer_migration_matrix",
+    # one-row complete-block count crossed onto the 5-row treatment
+    # rank sums — scalars, not data
+    "stats_friedman_test",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
