@@ -90,6 +90,44 @@ def main() -> None:
         "out_groups": int(n_groups),
     }
 
+    # -- flow 1b: watermarked SESSION window aggregation (A6, JVM
+    # state with dynamic-gap merging — the stateful operator whose
+    # batch twin is events_session_stats) --
+    stream_s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = (
+        stream_s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    t0 = time.time()
+    qs = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bench_sessions")
+        .option("checkpointLocation", os.path.join(work, "ck1b"))
+        .start()
+    )
+    qs.processAllAvailable()
+    secs_s = round(time.time() - t0, 3)
+    n_sessions = spark.sql(
+        "SELECT COUNT(*) AS n FROM bench_sessions"
+    ).first()["n"]
+    n_batches_s = len(qs.recentProgress)
+    qs.stop()
+    flows["session_window_agg"] = {
+        "rows": n_rows,
+        "secs": secs_s,
+        "rows_per_sec": round(n_rows / secs_s, 1),
+        "micro_batches": n_batches_s,
+        # append mode only emits sessions CLOSED by the watermark, so
+        # this undercounts the batch twin's total by the tail sessions
+        "closed_sessions": int(n_sessions),
+    }
+
     # -- flow 2: bloom-gated exact dedup sink (StateTable state) --
     from slipstream_async_spark.streaming.dedup_flow import (
         bloom_gated_exact_dedup_sink,
