@@ -19153,3 +19153,128 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(9.487729036781154).alias("crit_095"),
         (chi2 > 9.487729036781154).alias("reject_095"),
     )
+
+
+def _ivf_probe_recall_oracle() -> str:
+    return f"""
+WITH {_DK_IVF_CENTS},
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS list_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_dk_cos("e.embedding", "c.cv")} DESC, c.cent_id) AS rk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10),
+pranks AS (
+  SELECT q.query_id, q.qv, c.cent_id AS list_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY {_dk_cos("q.qv", "c.cv")} DESC, c.cent_id) AS prk
+  FROM q CROSS JOIN cents c
+),
+np AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+scored AS (
+  SELECT np.n_probe, p.query_id, a.vec_id,
+         round({_dk_cos("p.qv", "a.embedding")}, 6) AS cosine
+  FROM pranks p
+  JOIN np ON p.prk <= np.n_probe
+  JOIN assigned a ON a.list_id = p.list_id
+  WHERE a.vec_id != p.query_id
+),
+approx AS (
+  SELECT n_probe, query_id, vec_id FROM (
+    SELECT n_probe, query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+                              ORDER BY cosine DESC, vec_id) AS rk
+    FROM scored)
+  WHERE rk <= 5
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY round({_dk_cos("q.qv", "e.embedding")}, 6) DESC,
+                      e.vec_id) AS rk
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id)
+  WHERE rk <= 5
+),
+hits AS (
+  SELECT np.n_probe, ex.query_id,
+         CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hit
+  FROM exact ex
+  CROSS JOIN np
+  LEFT JOIN approx ap ON ap.n_probe = np.n_probe
+                     AND ap.query_id = ex.query_id
+                     AND ap.vec_id = ex.vec_id
+  GROUP BY 1, 2
+)
+SELECT CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       floor(SUM(n_hit)::DOUBLE / (COUNT(*) * 5) * 1000000 + 0.5)
+         / 1000000 AS mean_recall_at_5
+FROM hits GROUP BY n_probe
+"""
+
+
+@register("sim_ivf_probe_recall", oracle=_ivf_probe_recall_oracle())
+def sim_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost DIAL CURVE: recall@5 vs exact brute force at
+    n_probe = 1/2/4/8 over the 10-query sample — the tuning artifact
+    an ANN deployment reads before picking its probe budget (scan cost
+    grows linearly in n_probe; recall saturates; the knee is the
+    setting). Extends sim_ann_recall's single LSH point to the curve
+    the IVF family (sim_topk_ivf / _indexed / ivfadc) actually needs.
+
+    Shape: both arms reuse the production operators (similarity.
+    ivf_topk per probe count, brute_force_topk once); every cross is
+    the whitelisted 16-row centroid / 10-row query broadcast; output
+    is 4 rows. At 100 TB this runs on exactly this query-sample
+    shape."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.brute_force_topk(emb, q, k=5).select("query_id", "vec_id")
+    arms = None
+    for p in (1, 2, 4, 8):
+        arm = (
+            SIM.ivf_topk(emb, q, k=5, n_lists=16, n_probe=p)
+            .select(
+                F.lit(p).cast("bigint").alias("ap_probe"),
+                F.col("query_id").alias("aq"),
+                F.col("vec_id").alias("av"),
+            )
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    hits = (
+        exact.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(1,), (2,), (4,), (8,)], "n_probe bigint"
+                )
+            )
+        )
+        .join(
+            arms,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("vec_id") == F.col("av"))
+            & (F.col("n_probe") == F.col("ap_probe")),
+            "left",
+        )
+        .groupBy("n_probe", "query_id")
+        .agg(F.count("av").cast("bigint").alias("n_hit"))
+    )
+    return hits.groupBy("n_probe").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        (
+            F.floor(
+                F.sum("n_hit").cast("double")
+                / (F.count("*") * 5)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_recall_at_5"),
+    )

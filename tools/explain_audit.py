@@ -266,6 +266,10 @@ ALLOW_BNLJ = {
     # one-row complete-block count crossed onto the 5-row treatment
     # rank sums — scalars, not data
     "stats_friedman_test",
+    # 16-row centroid / 10-row query / 4-row probe-count dims
+    # broadcast-crossed per arm — the sim_topk_ivf + sim_ann_recall
+    # shapes, swept over four probe budgets
+    "sim_ivf_probe_recall",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
