@@ -346,3 +346,42 @@ def test_migration_matrix_matches_pandas(q, orders):
         for r in q("customer_migration_matrix").itertuples()
     }
     assert got == want
+
+
+def test_friedman_matches_numpy(q, orders):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    j = li.merge(
+        orders[["o_orderkey", "o_orderpriority", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    lag = (
+        j.l_shipdate.values.astype("datetime64[D]")
+        - j.o_orderdate.values.astype("datetime64[D]")
+    ).astype(int)
+    block = (
+        j.o_orderdate.dt.year - 1990
+    ) * 12 + j.o_orderdate.dt.month - 1
+    cell = (
+        pd.DataFrame({"b": block, "t": j.o_orderpriority, "v": lag})
+        .groupby(["b", "t"])
+        .v.agg(["sum", "size"])
+    )
+    mq = np.floor(cell["sum"] / cell["size"] * 1e6 + 0.5).rename("mq")
+    tbl = mq.reset_index()
+    complete = tbl.groupby("b").size()
+    blocks = complete[complete == 5].index
+    tbl = tbl[tbl.b.isin(blocks)]
+    rj: dict[str, float] = {}
+    for b, grp in tbl.groupby("b"):
+        vals = grp.mq.to_numpy()
+        for t, v in zip(grp.t, vals):
+            rank = 1 + (vals < v).sum() + ((vals == v).sum() - 1) / 2.0
+            rj[t] = rj.get(t, 0.0) + rank
+    n, k = len(blocks), len(rj)
+    sr2 = sum(r * r for r in rj.values())
+    chi2 = 12.0 / (n * k * (k + 1)) * sr2 - 3 * n * (k + 1)
+    got = q("stats_friedman_test").iloc[0]
+    assert got["n_blocks"] == n and got["n_treatments"] == k
+    assert got["chi2_stat"] == pytest.approx(chi2, abs=2e-6)
+    assert got["reject_095"] == (chi2 > 9.487729036781154)
