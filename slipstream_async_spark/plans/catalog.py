@@ -19278,3 +19278,88 @@ def sim_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("mean_recall_at_5"),
     )
+
+
+_DEDUP_THRESH = f"""
+WITH sets AS (
+  SELECT doc_id, {_DK_SHINGLES} AS sh FROM documents
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM sets
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM sets
+), pair_counts AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT id_a, id_b,
+         round(c::DOUBLE / (na.n + nb.n - c), 6) AS j
+  FROM pair_counts
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE round(c::DOUBLE / (na.n + nb.n - c), 6) >= 0.3
+), th AS (SELECT unnest([300, 500, 700]) AS t),
+pairs AS (
+  SELECT th.t, jac.id_a, jac.id_b FROM jac JOIN th
+    ON jac.j >= th.t / 1000.0
+),
+nodes AS (
+  SELECT t, id_a AS d FROM pairs UNION SELECT t, id_b FROM pairs
+)
+SELECT CAST(th.t AS BIGINT) AS threshold_permille,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p WHERE p.t = th.t)
+         AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes n WHERE n.t = th.t)
+         AS n_docs_in_pairs
+FROM th
+"""
+
+
+@register("dedup_threshold_sensitivity", oracle=_DEDUP_THRESH)
+def dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedup THRESHOLD DIAL CURVE: near-dup pair count and docs
+    touched at Jaccard cutoffs 0.3 / 0.5 / 0.7 — the sensitivity sweep
+    a curation owner reads before committing to a cutoff (pairs
+    explode superlinearly as the threshold drops; if the docs-touched
+    count doubles between 0.5 and 0.3 the corpus has a soft-template
+    stratum and the choice is editorial, not technical). The dedup
+    twin of sim_ivf_probe_recall's ANN dial.
+
+    Shape: pairs >= 0.5 and >= 0.7 are SUBSETS of pairs >= 0.3, so the
+    production PPJoin prefix-filtered generator runs ONCE at the
+    loosest cutoff (where its prefix-index cost is exactly the
+    phenomenon being measured) and the tighter cutoffs are derived by
+    filtering the verified-jaccard column — one pair pass, a 3-row
+    threshold dim broadcast, 3 bounded rows out. (Cluster/drop counts
+    at the production 0.5 cutoff live in dedup_clusters /
+    dedup_impact_by_source; re-clustering per threshold would triple
+    the iterative CC cost for a number this curve does not need.)"""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs03 = DD.dedup_ngram_jaccard(
+        docs, "text", "doc_id", k=3, threshold=0.3
+    )
+    th = spark.createDataFrame([(300,), (500,), (700,)], "t int")
+    p = pairs03.crossJoin(F.broadcast(th)).filter(
+        F.col("jaccard") >= F.col("t") / 1000.0
+    )
+    n_pairs = p.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    nodes = (
+        p.select("t", F.col("id_a").alias("d"))
+        .unionByName(p.select("t", F.col("id_b").alias("d")))
+        .distinct()
+    )
+    n_docs = nodes.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_docs_in_pairs")
+    )
+    return (
+        n_pairs.join(n_docs, "t")
+        .select(
+            F.col("t").cast("bigint").alias("threshold_permille"),
+            "n_pairs",
+            "n_docs_in_pairs",
+        )
+    )

@@ -270,6 +270,9 @@ ALLOW_BNLJ = {
     # broadcast-crossed per arm — the sim_topk_ivf + sim_ann_recall
     # shapes, swept over four probe budgets
     "sim_ivf_probe_recall",
+    # 3-row threshold dim broadcast-crossed onto the verified pair set
+    # — a bounded dim against derived pairs, never the corpus
+    "dedup_threshold_sensitivity",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
