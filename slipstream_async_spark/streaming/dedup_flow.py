@@ -160,6 +160,8 @@ def bloom_gated_exact_dedup_sink(
     """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         keyed = (
             batch_df.select(
                 F.col(id_col).cast("string").alias("doc"),
@@ -182,9 +184,6 @@ def bloom_gated_exact_dedup_sink(
         batch = keyed.filter(F.col("fp").isNotNull())
         probed = None
         try:
-            # stats-only action: don't pay an extra per-epoch count
-            # on the production hot path when nobody collects it
-            n_keyed = keyed.count() if stats is not None else 0
             standing_bloom = bloom_state.snapshot().select(
                 F.col("key").cast("int").alias("word"),
                 F.col("value").cast("bigint").alias("bm"),
@@ -216,31 +215,49 @@ def bloom_gated_exact_dedup_sink(
                 .select("doc", "canonical")
             )
             all_dupes = exact_hits.unionByName(internal)
-            n_batch, n_maybe, n_dup = (
-                batch.count(),
-                maybe.count(),
-                all_dupes.count(),
-            )
-            dupes.upsert(
-                all_dupes.select(
-                    F.col("doc").alias("key"), F.col("canonical").alias("value")
-                )
-            )
-            fingerprints.upsert(
-                canon.select(
-                    F.col("fp").alias("key"), F.col("canonical").alias("value")
-                )
-            )
+            if stats is not None:
+                # stats-only actions, folded: ONE agg over the cached
+                # probe (count + gate selectivity together) and one
+                # count over keyed; skipped on the production hot path
+                gate = probed.agg(
+                    F.count("*").alias("nb"),
+                    F.sum(F.col("bloom_hit").cast("long")).alias("nm"),
+                ).first()
+                n_batch, n_maybe = int(gate["nb"]), int(gate["nm"] or 0)
+                n_keyed, n_dup = keyed.count(), all_dupes.count()
             updated = bloom_merge(
                 standing_bloom,
                 bloom_build(batch.select("fp"), "fp", words=words, k=k),
             )
-            bloom_state.upsert(
-                updated.select(
-                    F.col("word").cast("string").alias("key"),
-                    F.col("bm").cast("string").alias("value"),
-                )
-            )
+            # the three state writes hit three INDEPENDENT tables:
+            # overlap their (driver-coordinated, two-job) commits so the
+            # epoch pays max not sum of their scheduling latencies
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                futs = [
+                    ex.submit(
+                        dupes.upsert,
+                        all_dupes.select(
+                            F.col("doc").alias("key"),
+                            F.col("canonical").alias("value"),
+                        ),
+                    ),
+                    ex.submit(
+                        fingerprints.upsert,
+                        canon.select(
+                            F.col("fp").alias("key"),
+                            F.col("canonical").alias("value"),
+                        ),
+                    ),
+                    ex.submit(
+                        bloom_state.upsert,
+                        updated.select(
+                            F.col("word").cast("string").alias("key"),
+                            F.col("bm").cast("string").alias("value"),
+                        ),
+                    ),
+                ]
+                for f in futs:
+                    f.result()
             if stats is not None:
                 stats.append(
                     {

@@ -18,7 +18,7 @@ DataFrames at any scale*:
 - C4 prefix scan     -> ``scan(prefix=...)`` = ``startswith`` predicate
                         (rewritten to a sargable range: [p, p+maxchar))
 - C5 wide columns    -> MAP<STRING,STRING> ``attrs`` column
-- C6 delete_range    -> anti-predicate merge
+- C6 delete_range    -> tombstone merge
 - C8 snapshot        -> read any retained version (time travel)
 - C10 update events  -> ``changelog()`` DataFrame / ``changelog_stream()``
                         (file-source streaming over the changelog dir)
@@ -29,17 +29,25 @@ Per-key transactional RMW (C7/T8's striped locks) is unnecessary: batch
 merges are atomic per version swap, and streaming state updates are
 per-key serialized inside Spark's stateful operators.
 
-Scale: state is HASH-BUCKETED (``pmod(md5-hash(key), n_buckets)``) and a
-commit rewrites ONLY the buckets the batch touches — O(|batch| +
-touched-bucket data), never O(|state|). Each version is a bucket->
-version MANIFEST (the Iceberg/Delta snapshot pattern, poor-man's):
-untouched buckets keep pointing at the version directory that last
-wrote them, so time travel (C8) and the changelog (C10) are unchanged
-while a streaming upsert sink stops paying full-table write
-amplification per micro-batch (the r7-measured reason the bloom-dedup
-flow ran at 483 rows/s vs 2,334 for the stateless path). Swap the
-storage layer for Delta/Iceberg MERGE when its jars are available —
-the API here is storage-agnostic.
+Scale — the LSM shape, not the rewrite shape: state is HASH-BUCKETED
+(``pmod(md5-hash(key), n_buckets)``) and a commit appends a **per-bucket
+DELTA** (the batch's own rows, puts or tombstones) — write cost is
+O(|batch|) REGARDLESS of state size or how many buckets the batch
+touches. Each version carries a MANIFEST mapping bucket -> its ordered
+chain of delta files (the Iceberg/Delta snapshot pattern, poor-man's);
+reads merge a bucket's chain newest-wins. When a bucket's chain would
+exceed ``max_chain`` the commit COMPACTS that bucket (rewrites it
+merged, chain resets to one file) — amortized write amplification is
+bounded at ~|bucket|/max_chain per commit, exactly RocksDB's
+memtable->L0->compaction economics (the reference's FIFO-bounded ingest,
+caching.py:109-133) re-expressed as immutable parquet versions. This is
+what keeps a streaming upsert sink's commit cost proportional to the
+micro-batch, not to the standing state (the r8-measured reason the
+bloom-dedup flow was stuck at ~1k rows/s: with 16 buckets and uniform
+keys every realistic batch touched all buckets, so "rewrite touched
+buckets" degenerated to "rewrite everything"). Swap the storage layer
+for Delta/Iceberg MERGE when its jars are available — the API here is
+storage-agnostic.
 """
 
 from __future__ import annotations
@@ -55,6 +63,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SCHEMA = "key string, value string, attrs map<string,string>"
+# on-disk file schema: op marks puts vs delete tombstones inside delta
+# files; compacted files contain only live rows (op='put'). Files
+# written by the pre-delta layout lack the column entirely and read as
+# NULL -> coalesced to 'put'.
+_FILE_SCHEMA = _SCHEMA + ", op string"
 _LOG_SCHEMA = (
     "key string, value string, attrs map<string,string>, "
     "op string, version long, ts timestamp"
@@ -87,14 +100,63 @@ def _decode(s: str | None, attrs) -> Any:
 
 
 class StateTable:
-    """Versioned parquet-backed keyed state (see module docstring)."""
+    """Versioned parquet-backed keyed state (see module docstring).
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
+    ``n_buckets`` fixes the key-hash bucketing and is persisted in the
+    manifest on first commit; reopening an existing table adopts the
+    stored value (passing a conflicting explicit value raises — there
+    is no online rehash). ``max_chain`` is the per-bucket delta-chain
+    length that triggers compaction (policy only, safe to change
+    between opens).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int | None = None,
+        max_chain: int = 8,
+    ):
         self.spark = spark
         self.path = path
-        self.n_buckets = n_buckets
-        os.makedirs(os.path.join(path, "versions"), exist_ok=True)
+        self.max_chain = max_chain
+        vdir = os.path.join(path, "versions")
+        os.makedirs(vdir, exist_ok=True)
         os.makedirs(os.path.join(path, "changelog"), exist_ok=True)
+        # layout guard: a v{n} dir without a manifest is the
+        # pre-manifest layout (or a torn copy) — reading it as "empty"
+        # would silently shadow existing state and the next commit
+        # would collide with the legacy dir. Fail loudly instead.
+        for d in os.listdir(vdir):
+            if re.fullmatch(r"v\d+", d) and not os.path.exists(
+                os.path.join(vdir, d, "manifest.json")
+            ):
+                raise RuntimeError(
+                    f"unsupported StateTable layout at {path}: {d} has no "
+                    "manifest.json (pre-manifest layout or torn commit); "
+                    "rebuild the table or remove the stray directory"
+                )
+        latest = self.version
+        if latest >= 0:
+            with open(
+                os.path.join(self._vpath(latest), "manifest.json")
+            ) as fh:
+                raw = json.load(fh)
+            if isinstance(raw, dict) and "chains" in raw:
+                stored = int(raw["n_buckets"])
+                if n_buckets is not None and n_buckets != stored:
+                    raise ValueError(
+                        f"StateTable at {path} was written with "
+                        f"n_buckets={stored}; cannot reopen with "
+                        f"n_buckets={n_buckets} (no online rehash)"
+                    )
+                self.n_buckets = stored
+            else:
+                # flat bucket->version manifest (r8 layout): bucket
+                # count was ctor-only then, default 16
+                self.n_buckets = 16 if n_buckets is None else n_buckets
+        else:
+            self.n_buckets = 64 if n_buckets is None else n_buckets
 
     # -- bucketing ----------------------------------------------------------
 
@@ -117,12 +179,8 @@ class StateTable:
         return int(h, 16) % self.n_buckets
 
     def _key_frame(self, key: str) -> DataFrame:
-        """The (at most one-bucket) DataFrame a point op needs."""
-        manifest = self._manifest(self.version)
-        paths = self._bucket_paths(manifest, [self._bucket_of(key)])
-        if not paths:
-            return self.spark.createDataFrame([], _SCHEMA)
-        return self.spark.read.schema(_SCHEMA).parquet(*paths)
+        """The (at most one-bucket, chain-merged) frame a point op needs."""
+        return self._read(self._manifest(self.version), [self._bucket_of(key)])
 
     # -- version bookkeeping ------------------------------------------------
 
@@ -146,118 +204,257 @@ class StateTable:
     def _vpath(self, version: int) -> str:
         return os.path.join(self.path, "versions", f"v{version}")
 
-    def _manifest(self, version: int) -> dict[int, int]:
-        """bucket -> version-dir holding that bucket's current rows.
-        Buckets absent from the manifest are empty."""
+    def _manifest(self, version: int) -> dict[int, list[int]]:
+        """bucket -> ordered (oldest->newest) chain of version dirs
+        holding that bucket's delta files. Buckets absent from the
+        manifest are empty. Normalizes the r8 flat bucket->version
+        layout to single-element chains."""
         if version < 0:
             return {}
         with open(os.path.join(self._vpath(version), "manifest.json")) as fh:
-            return {int(b): int(v) for b, v in json.load(fh).items()}
+            raw = json.load(fh)
+        if isinstance(raw, dict) and "chains" in raw:
+            return {int(b): [int(v) for v in ch] for b, ch in raw["chains"].items()}
+        return {int(b): [int(v)] for b, v in raw.items()}
 
-    def _bucket_paths(self, manifest: dict[int, int], buckets=None) -> list[str]:
-        want = manifest if buckets is None else {
-            b: v for b, v in manifest.items() if b in set(buckets)
+    def _chain_paths(self, chain: list[int], bucket: int) -> list[str]:
+        return [os.path.join(self._vpath(v), f"_bucket={bucket}") for v in chain]
+
+    def _read(self, manifest: dict[int, list[int]], buckets=None) -> DataFrame:
+        """Live rows (key, value, attrs) of the requested buckets.
+
+        Single-file buckets (freshly compacted, first write, or legacy
+        layout) are by construction unique-key all-put and read PLAIN —
+        the common fully-compacted state costs no merge shuffle. Only
+        buckets with a delta chain pay the newest-wins merge: one
+        partial-aggregating ``max_by`` over the chain's files, version
+        derived from the file path (each version dir holds at most one
+        row per key, so there are no ties)."""
+        want = {
+            b: ch
+            for b, ch in manifest.items()
+            if buckets is None or b in set(buckets)
         }
-        return sorted(
-            os.path.join(self._vpath(v), f"_bucket={b}")
-            for b, v in want.items()
+        simple = sorted(
+            p for b, ch in want.items() if len(ch) == 1
+            for p in self._chain_paths(ch, b)
+        )
+        chained = sorted(
+            p for b, ch in want.items() if len(ch) > 1
+            for p in self._chain_paths(ch, b)
+        )
+        parts = []
+        if simple:
+            parts.append(self.spark.read.schema(_SCHEMA).parquet(*simple))
+        if chained:
+            parts.append(self._merge_files(chained))
+        if not parts:
+            return self.spark.createDataFrame([], _SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _merge_files(self, paths: list[str]) -> DataFrame:
+        """Newest-wins merge of delta/base files into live (key, value,
+        attrs) rows. The version orders the merge and is derived from
+        the FILE PATH (``.../v12/_bucket=3/...`` or an in-flight
+        ``.../delta-12.tmp/_bucket=3/...`` during compaction); each
+        version holds at most one row per key, so there are no ties.
+        One partial-aggregating ``max_by`` — no sort, no window."""
+        raw = self.spark.read.schema(_FILE_SCHEMA).parquet(*paths)
+        ver = F.regexp_extract(
+            F.col("_metadata.file_path"),
+            r"/(?:v|delta-)(\d+)(?:\.tmp)?/_bucket=",
+            1,
+        ).cast("long")
+        return (
+            raw.withColumn("_v", ver)
+            .groupBy("key")
+            .agg(
+                F.max_by(
+                    F.struct("value", "attrs", "op"), F.col("_v")
+                ).alias("_r")
+            )
+            .filter(F.coalesce(F.col("_r.op"), F.lit("put")) == "put")
+            .select("key", F.col("_r.value").alias("value"),
+                    F.col("_r.attrs").alias("attrs"))
         )
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Current state (or any retained version — C8 time travel)."""
         v = self.version if version is None else version
-        paths = self._bucket_paths(self._manifest(v)) if v >= 0 else []
-        if not paths:
-            return self.spark.createDataFrame([], _SCHEMA)
-        return self.spark.read.schema(_SCHEMA).parquet(*paths)
+        return self._read(self._manifest(v)) if v >= 0 else (
+            self.spark.createDataFrame([], _SCHEMA)
+        )
 
     def df(self) -> DataFrame:
         return self.snapshot()
 
     # -- mutation (batch merges) -------------------------------------------
 
-    def _commit(
-        self,
-        merged: DataFrame,
-        log: DataFrame,
-        touched: list[int],
-        base: dict[int, int],
-    ) -> None:
-        """Write ONLY the touched buckets as a new version plus a
-        manifest that keeps untouched buckets pointing at their prior
-        version directories — O(|batch| + touched-bucket data) per
-        commit, never O(|state|). ``merged`` must contain exactly the
-        post-merge rows of the touched buckets."""
-        new_v = self.version + 1
-        tmp = self._vpath(new_v) + ".tmp"
-        (
-            merged.withColumn("_bucket", self._bucket_expr())
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(tmp)
-        )
-        manifest = {b: v for b, v in base.items() if b not in set(touched)}
-        for b in touched:
-            # a touched bucket with zero surviving rows writes no
-            # partition dir — it drops out of the manifest (empty)
-            if os.path.isdir(os.path.join(tmp, f"_bucket={b}")):
-                manifest[b] = new_v
-        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
-            json.dump({str(b): v for b, v in manifest.items()}, fh)
-        os.rename(tmp, self._vpath(new_v))
-        log.withColumn("version", F.lit(new_v)).withColumn(
-            "ts", F.current_timestamp()
-        ).write.mode("append").parquet(os.path.join(self.path, "changelog"))
+    @staticmethod
+    def _link_dir(src: str, dst: str) -> None:
+        """Populate ``dst`` with hardlinks to ``src``'s files (zero-copy
+        on one filesystem; falls back to a byte copy across devices)."""
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            s, d = os.path.join(src, f), os.path.join(dst, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
-    def _touched(self, keyed: DataFrame) -> list[int]:
-        """Distinct key buckets of a batch — a bounded (<= n_buckets)
-        control-plane collect, not a data collect."""
-        return [
-            r[0]
-            for r in keyed.select(self._bucket_expr().alias("_b"))
-            .distinct()
-            .collect()
-        ]
+    def _merge_commit(self, batch: DataFrame) -> None:
+        """Commit one mutation batch (columns key,value,attrs,op; one
+        row per key expected).
+
+        TWO Spark jobs on the hot path, both batch-sized: (1) the batch
+        is written ONCE as per-bucket delta files — that single
+        materialization is the source of truth for the manifest, the
+        changelog, and any compaction, so a non-deterministic input
+        (sample()/rand()/uncached stream frame) cannot diverge between
+        planning and data; (2) the changelog append re-reads those
+        files. Buckets whose chain would exceed ``max_chain`` are
+        compacted in the same commit (one extra merge job over just
+        those buckets — amortized O(|bucket|/max_chain)). Write cost is
+        O(|batch|) regardless of state size or key spread."""
+        base = self._manifest(self.version)
+        new_v = self.version + 1
+        vdir = os.path.join(self.path, "versions")
+        # names deliberately NOT matching v\d+ so torn commits are
+        # invisible to _versions()
+        tmp_delta = os.path.join(vdir, f"delta-{new_v}.tmp")
+        vtmp = self._vpath(new_v) + ".tmp"
+        ctmp = os.path.join(vdir, f"compact-{new_v}.tmp")
+        try:
+            (
+                batch.withColumn("_bucket", self._bucket_expr())
+                # group each bucket into one task -> ONE file per bucket
+                # per version (otherwise every input partition writes a
+                # sliver into every bucket dir: tasks x buckets files)
+                .repartition(F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(tmp_delta)
+            )
+            written = set()
+            for d in os.listdir(tmp_delta):
+                if d.startswith("_bucket="):
+                    m = re.fullmatch(r"_bucket=(\d+)", d)
+                    if not m:
+                        # NULL keys hash to a NULL bucket and land in the
+                        # default partition dir — invisible to the
+                        # manifest, so they are a contract violation
+                        raise ValueError(
+                            "StateTable keys must be non-NULL strings; "
+                            f"the batch wrote bucket partition {d!r}"
+                        )
+                    written.add(int(m.group(1)))
+            compacting = {
+                b for b in written if len(base.get(b, ())) + 1 > self.max_chain
+            }
+            os.makedirs(vtmp)
+            for b in sorted(written - compacting):
+                self._link_dir(
+                    os.path.join(tmp_delta, f"_bucket={b}"),
+                    os.path.join(vtmp, f"_bucket={b}"),
+                )
+            compacted_live: set[int] = set()
+            if compacting:
+                clist = sorted(compacting)
+                paths = [
+                    p for b in clist for p in self._chain_paths(base[b], b)
+                ] + [os.path.join(tmp_delta, f"_bucket={b}") for b in clist]
+                live = self._merge_files(paths)
+                (
+                    live.withColumn("op", F.lit("put"))
+                    .withColumn("_bucket", self._bucket_expr())
+                    .repartition(F.col("_bucket"))
+                    .write.mode("overwrite")
+                    .partitionBy("_bucket")
+                    .parquet(ctmp)
+                )
+                for b in clist:
+                    src = os.path.join(ctmp, f"_bucket={b}")
+                    if os.path.isdir(src):  # all-tombstone buckets vanish
+                        os.rename(src, os.path.join(vtmp, f"_bucket={b}"))
+                        compacted_live.add(b)
+            chains = {
+                b: list(ch) for b, ch in base.items() if b not in written
+            }
+            for b in sorted(written):
+                if b in compacting:
+                    if b in compacted_live:
+                        chains[b] = [new_v]
+                    else:
+                        chains.pop(b, None)
+                else:
+                    chains[b] = list(base.get(b, [])) + [new_v]
+            with open(os.path.join(vtmp, "manifest.json"), "w") as fh:
+                json.dump(
+                    {
+                        "n_buckets": self.n_buckets,
+                        "chains": {str(b): ch for b, ch in chains.items()},
+                    },
+                    fh,
+                )
+            os.rename(vtmp, self._vpath(new_v))  # the commit point
+            # changelog: the committed delta files ARE the log segment —
+            # hardlinked (zero-copy, zero-job) under changelog/v{n}/;
+            # version and ts are derived at read time from the path and
+            # file mtime, so publishing a mutation event costs no Spark
+            # job and cannot diverge from what was committed
+            if written:
+                seg = os.path.join(self.path, "changelog", f"v{new_v}")
+                os.makedirs(seg, exist_ok=True)
+                for b in sorted(written):
+                    src = os.path.join(tmp_delta, f"_bucket={b}")
+                    for f in os.listdir(src):
+                        if f.endswith(".parquet"):
+                            s = os.path.join(src, f)
+                            d = os.path.join(seg, f"b{b}_{f}")
+                            try:
+                                os.link(s, d)
+                            except OSError:
+                                shutil.copy2(s, d)
+        finally:
+            shutil.rmtree(tmp_delta, ignore_errors=True)
+            shutil.rmtree(ctmp, ignore_errors=True)
+            shutil.rmtree(vtmp, ignore_errors=True)
 
     def upsert(self, updates: DataFrame) -> None:
-        """Merge a (key, value[, attrs]) batch; last write per key wins
-        within the batch (deterministic via max aggregation on arrival
-        order is not needed — callers pass one row per key; duplicate
-        keys resolve to an arbitrary single row via last over key order).
-        Only the buckets containing batch keys are re-read and
-        rewritten (partition-pruned merge)."""
+        """Merge a (key, value[, attrs]) batch; one row per key
+        (duplicate keys within the batch resolve to an arbitrary single
+        row). Keys are normalized to strings (the documented contract),
+        so numeric-key frames work. Commit cost is O(|batch|) — a
+        per-bucket delta append, never a state rewrite."""
         for c, t in (("value", "string"), ("attrs", "map<string,string>")):
             if c not in updates.columns:
                 updates = updates.withColumn(c, F.lit(None).cast(t))
-        updates = updates.select("key", "value", "attrs").dropDuplicates(["key"])
-        touched = self._touched(updates)
-        base = self._manifest(self.version)
-        paths = self._bucket_paths(base, touched)
-        current = (
-            self.spark.read.schema(_SCHEMA).parquet(*paths)
-            if paths
-            else self.spark.createDataFrame([], _SCHEMA)
+        batch = (
+            updates.select(
+                F.col("key").cast("string").alias("key"), "value", "attrs"
+            )
+            .dropDuplicates(["key"])
+            .withColumn("op", F.lit("put"))
         )
-        merged = current.join(updates.select("key"), "key", "left_anti").unionByName(
-            updates
-        )
-        self._commit(merged, updates.withColumn("op", F.lit("put")), touched, base)
+        self._merge_commit(batch)
 
     def delete_where(self, predicate) -> None:
-        """Delete all rows matching a Column predicate (generalizes C6).
-        The predicate is arbitrary, so finding victims scans the full
-        snapshot — but only the buckets that actually contain victims
-        are rewritten."""
-        base = self._manifest(self.version)
-        removed = self.snapshot().filter(predicate)
-        touched = self._touched(removed)
-        paths = self._bucket_paths(base, touched)
-        kept = (
-            self.spark.read.schema(_SCHEMA).parquet(*paths).filter(~predicate)
-            if paths
-            else self.spark.createDataFrame([], _SCHEMA)
+        """Delete all rows where the Column predicate is TRUE
+        (generalizes C6). SQL three-valued semantics: rows where the
+        predicate evaluates to NULL are NOT deleted. Victims become
+        tombstone rows in their buckets' delta chains — kept rows are
+        never rewritten, so deletion outcome cannot depend on bucket
+        co-location. The changelog row carries the removed value/attrs."""
+        victims = (
+            self.snapshot()
+            .filter(predicate)
+            .select("key", "value", "attrs")
+            .withColumn("op", F.lit("delete"))
         )
-        self._commit(kept, removed.withColumn("op", F.lit("delete")), touched, base)
+        self._merge_commit(victims)
 
     def delete_range(self, begin: str, end: str) -> None:
         """C6: delete keys in [begin, end) (caching.py:383-390)."""
@@ -359,22 +556,81 @@ class StateTable:
 
     # -- CDC (C10/S8) -------------------------------------------------------
 
+    def _log_enrich(self, df: DataFrame) -> DataFrame:
+        """Attach version (from the segment path) and ts (the segment
+        file's commit mtime) to raw hardlinked log rows."""
+        return df.select(
+            "key",
+            "value",
+            "attrs",
+            F.coalesce("op", F.lit("put")).alias("op"),
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/changelog/v(\d+)/", 1
+            )
+            .cast("long")
+            .alias("version"),
+            F.col("_metadata.file_modification_time")
+            .cast("timestamp")
+            .alias("ts"),
+        )
+
+    def _log_segments(self) -> tuple[list[str], bool]:
+        """(hardlink segment dirs, legacy flat files present?)."""
+        log_dir = os.path.join(self.path, "changelog")
+        segs, legacy = [], False
+        for d in sorted(os.listdir(log_dir)):
+            p = os.path.join(log_dir, d)
+            if re.fullmatch(r"v\d+", d) and os.path.isdir(p):
+                segs.append(p)
+            elif d.endswith(".parquet"):
+                legacy = True
+        return segs, legacy
+
     def changelog(self) -> DataFrame:
         """All mutation events in version order (the update stream the
-        reference publishes via ICache.__aiter__, interfaces.py:105-110)."""
+        reference publishes via ICache.__aiter__, interfaces.py:105-110).
+        Events are the hardlinked commit deltas themselves (zero write
+        amplification); version/ts derive from the segment path/mtime.
+        Flat parquet files written by the pre-segment layout are read
+        as-is and unioned."""
         log_dir = os.path.join(self.path, "changelog")
-        if not any(f.endswith(".parquet") for _, _, fs in os.walk(log_dir) for f in fs):
+        segs, legacy = self._log_segments()
+        parts = []
+        if segs:
+            parts.append(
+                self._log_enrich(
+                    self.spark.read.schema(_FILE_SCHEMA).parquet(*segs)
+                )
+            )
+        if legacy:
+            parts.append(
+                self.spark.read.schema(_LOG_SCHEMA).parquet(
+                    *(
+                        os.path.join(log_dir, f)
+                        for f in os.listdir(log_dir)
+                        if f.endswith(".parquet")
+                    )
+                )
+            )
+        if not parts:
             return self.spark.createDataFrame([], _LOG_SCHEMA)
-        return self.spark.read.schema(_LOG_SCHEMA).parquet(log_dir)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
-    def changelog_stream(self) -> DataFrame:
+    def changelog_stream(self, max_files_per_trigger: int | None = 1) -> DataFrame:
         """Unbounded changelog (file-source stream): downstream queries
         react to state updates — the CDC-ish pattern of
-        cookbook.rst:522-588."""
-        return (
-            self.spark.readStream.schema(_LOG_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(os.path.join(self.path, "changelog"))
+        cookbook.rst:522-588. New commit segments match the glob as they
+        appear. ``max_files_per_trigger=1`` (default) exercises
+        per-commit micro-batch cadence; pass ``None`` to let each
+        trigger drain everything available (catch-up mode)."""
+        reader = self.spark.readStream.schema(_FILE_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return self._log_enrich(
+            reader.parquet(os.path.join(self.path, "changelog", "v[0-9]*"))
         )
 
     def as_mapping(self) -> "MutableMapping[str, str]":
@@ -420,15 +676,53 @@ class StateTable:
 
     # -- maintenance (C9's compact/destroy, engine-managed) -----------------
 
+    def compact(self) -> None:
+        """Force-merge every chained bucket (delta chains -> one file
+        per bucket). The background-compaction analog of C9; routine
+        compaction happens incrementally inside commits when a chain
+        hits ``max_chain``."""
+        base = self._manifest(self.version)
+        chained = sorted(b for b, ch in base.items() if len(ch) > 1)
+        if not chained:
+            return
+        # source version dirs are immutable while the new version is
+        # assembled, so the read needs no pinning
+        live = self._read(base, chained).withColumn("op", F.lit("put"))
+        new_v = self.version + 1
+        tmp = self._vpath(new_v) + ".tmp"
+        (
+            live.withColumn("_bucket", self._bucket_expr())
+            .repartition(F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(tmp)
+        )
+        chains = {b: ch for b, ch in base.items() if b not in set(chained)}
+        for b in chained:
+            if os.path.isdir(os.path.join(tmp, f"_bucket={b}")):
+                chains[b] = [new_v]
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump(
+                {
+                    "n_buckets": self.n_buckets,
+                    "chains": {str(b): ch for b, ch in chains.items()},
+                },
+                fh,
+            )
+        os.rename(tmp, self._vpath(new_v))
+        # compaction re-arranges storage; it is not a mutation -> no
+        # changelog rows
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop version directories not referenced by any of the last
         ``keep_last`` manifests. A directory stays live as long as ANY
-        retained manifest still points a bucket at it (bucket-sharing
-        across versions is the whole point of the manifest layout)."""
+        retained manifest still points a bucket chain at it (delta
+        sharing across versions is the whole point of the layout)."""
         retained = self._versions()[-keep_last:]
         live = set(retained)
         for v in retained:
-            live.update(self._manifest(v).values())
+            for chain in self._manifest(v).values():
+                live.update(chain)
         for v in self._versions():
             if v not in live:
                 shutil.rmtree(self._vpath(v), ignore_errors=True)

@@ -6,6 +6,7 @@ reference: CRUD, prefix families user:/order:, ordered scans)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from slipstream_async_spark.streaming.state import StateTable
 
@@ -137,3 +138,163 @@ def test_codec_provenance_not_content_sniffing(spark, tmp_path):
                    "e": "[1,2]", "f": "plain"}
     # the codec marker is internal: entity view doesn't leak it
     assert t.get_entity("a") is None
+
+
+# -- r9: LSM delta-chain commit contract ------------------------------------
+
+
+def _version_rows(spark, table, version):
+    """Rows physically written INTO one version directory (deltas +
+    compactions), not the logical snapshot."""
+    import glob
+
+    files = glob.glob(f"{table._vpath(version)}/_bucket=*/*.parquet")
+    if not files:
+        return 0
+    return spark.read.parquet(*files).count()
+
+
+def _version_bytes(table, version):
+    import glob
+
+    return sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(f"{table._vpath(version)}/_bucket=*/*.parquet")
+    )
+
+
+def test_commit_cost_scales_with_batch_not_state(spark, tmp_path):
+    """THE scale contract (reference: RocksDB's O(|write|) memtable
+    ingest, caching.py:109-133): committing a small batch into a large
+    standing state writes O(|batch|) rows/bytes, regardless of how many
+    buckets the batch touches."""
+    t = StateTable(spark, str(tmp_path / "prop"), n_buckets=8, max_chain=100)
+    big = spark.range(100_000).selectExpr(
+        "cast(id as string) as key",
+        "concat(uuid(), uuid()) as value",  # incompressible payload
+    )
+    t.upsert(big)
+    v_big = t.version
+    small = spark.range(200).selectExpr(
+        "concat('new', id) as key", "concat(uuid(), uuid()) as value"
+    )
+    t.upsert(small)
+    v_small = t.version
+    assert _version_rows(spark, t, v_big) == 100_000
+    # the small commit wrote EXACTLY the batch rows — no state rewrite
+    assert _version_rows(spark, t, v_small) == 200
+    assert _version_bytes(t, v_small) < _version_bytes(t, v_big) / 10
+    # and the logical snapshot is the union
+    assert t.snapshot().count() == 100_200
+    t.destroy()
+
+
+def test_chain_merge_newest_wins_and_compaction(spark, tmp_path):
+    """Delta chains merge newest-wins at read; when a bucket's chain
+    hits max_chain the commit compacts it back to one file."""
+    t = StateTable(spark, str(tmp_path / "chain"), n_buckets=2, max_chain=3)
+    for i in range(7):  # same keys every time -> chains grow then compact
+        t.upsert(
+            spark.range(50).selectExpr(
+                "cast(id as string) as key",
+                f"cast({i} as string) as value",
+            )
+        )
+    assert t.snapshot().count() == 50
+    got = {r["key"]: r["value"] for r in t.snapshot().collect()}
+    assert got["7"] == "6"  # last write wins across the whole chain
+    # every bucket chain is bounded by max_chain
+    chains = t._manifest(t.version)
+    assert chains and all(len(ch) <= 3 for ch in chains.values())
+    # time travel still exact
+    v0_rows = {r["key"]: r["value"] for r in t.snapshot(0).collect()}
+    assert v0_rows["7"] == "0"
+    # explicit compact() folds every chain to length 1, snapshot unchanged
+    t.compact()
+    assert all(len(ch) == 1 for ch in t._manifest(t.version).values())
+    got2 = {r["key"]: r["value"] for r in t.snapshot().collect()}
+    assert got2 == got
+    t.destroy()
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL three-valued delete semantics: rows where the predicate is
+    NULL are never deleted — regardless of which bucket they share with
+    a true victim (tombstones touch only victims; kept rows are never
+    rewritten)."""
+    t = StateTable(spark, str(tmp_path / "nulls"), n_buckets=1)  # co-locate all
+    t.put_entity("ent", ["a"], ["1"])  # value NULL -> predicate NULL
+    t.upsert(
+        spark.createDataFrame(
+            [("victim", "doomed"), ("keeper", "safe")],
+            "key string, value string",
+        )
+    )
+    t.delete_where(F.col("value") == "doomed")
+    keys = set(t.keys())
+    assert keys == {"ent", "keeper"}
+    assert t.get_entity("ent") == {"a": "1"}
+    # the delete changelog row carries the removed value
+    dels = t.changelog().filter("op = 'delete'").collect()
+    assert [(r["key"], r["value"]) for r in dels] == [("victim", "doomed")]
+    t.destroy()
+
+
+def test_numeric_keys_normalized_to_string(spark, tmp_path):
+    """upsert casts keys to string (the documented contract) instead of
+    failing analysis on bigint keys."""
+    t = StateTable(spark, str(tmp_path / "numkeys"))
+    t.upsert(spark.range(5).selectExpr("id as key", "cast(id*2 as string) as value"))
+    assert t.get("3") == "6"
+    assert t.snapshot().schema["key"].dataType.simpleString() == "string"
+    t.destroy()
+
+
+def test_null_keys_rejected(spark, tmp_path):
+    t = StateTable(spark, str(tmp_path / "nullkey"))
+    bad = spark.createDataFrame(
+        [(None, "v"), ("k", "v")], "key string, value string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        t.upsert(bad)
+    # nothing was committed
+    assert t.version == -1
+    t.destroy()
+
+
+def test_legacy_layout_detected(spark, tmp_path):
+    """A v{n} dir without manifest.json (pre-manifest layout) must fail
+    loudly, not read as empty state."""
+    import os
+
+    p = tmp_path / "legacy"
+    os.makedirs(p / "versions" / "v0")
+    with pytest.raises(RuntimeError, match="manifest"):
+        StateTable(spark, str(p))
+
+
+def test_n_buckets_persisted_and_mismatch_rejected(spark, tmp_path):
+    t = StateTable(spark, str(tmp_path / "nb"), n_buckets=4)
+    t.put("k", 1)
+    # reopen with default: adopts stored bucketing
+    t2 = StateTable(spark, str(tmp_path / "nb"))
+    assert t2.n_buckets == 4
+    assert t2.get("k") == 1
+    with pytest.raises(ValueError, match="n_buckets"):
+        StateTable(spark, str(tmp_path / "nb"), n_buckets=8)
+    t.destroy()
+
+
+def test_replayed_upsert_is_idempotent(spark, tmp_path):
+    """The streaming exactly-once argument: replaying the same batch
+    (same keys, same values) converges to the same snapshot — duplicate
+    keys across chain deltas resolve newest-wins, never multiply."""
+    t = StateTable(spark, str(tmp_path / "replay"))
+    batch = spark.range(100).selectExpr(
+        "cast(id as string) as key", "cast(id as string) as value"
+    )
+    t.upsert(batch)
+    t.upsert(batch)  # replay
+    assert t.snapshot().count() == 100
+    assert t.get("42") == "42"
+    t.destroy()

@@ -837,22 +837,37 @@ def test_streaming_asof_enrichment_two_streams(spark, stream_dir):
     two concurrent streaming queries: a weather stream maintains keyed
     state; an activity stream enriches each micro-batch with the latest
     weather at-or-before its event time via an as-of join against the
-    state snapshot — the stream-to-state temporal join, end to end."""
+    state snapshot — the stream-to-state temporal join, end to end.
+
+    The demonstrated shape is the PARTITIONED one (``by="city"`` — the
+    cookbook keys its temporal state per city): per-key windows
+    distribute, so this exact pattern survives a 1000-executor stream.
+    The no-``by`` global fallback is exercised (and warned about) only
+    in tests/test_operators.py's dedicated fallback tests."""
     from slipstream_async_spark.operators.joins import asof_join
     from slipstream_async_spark.streaming.state import StateTable, foreach_batch_upsert
 
     w_path = os.path.join(stream_dir, "weather")
     a_path = os.path.join(stream_dir, "activity")
-    w_schema = "ts timestamp, condition string"
-    a_schema = "ts timestamp, activity string"
-    _write_batch(spark, w_path, [(ts(0.0), "sunny"), (ts(10.0), "rainy")], w_schema, 0)
-    _write_batch(spark, a_path, [(ts(5.0), "walk")], a_schema, 0)
+    w_schema = "ts timestamp, city string, condition string"
+    a_schema = "ts timestamp, city string, activity string"
+    _write_batch(
+        spark, w_path,
+        [(ts(0.0), "ams", "sunny"), (ts(10.0), "ams", "rainy"),
+         (ts(0.0), "rtm", "cloudy")],
+        w_schema, 0,
+    )
+    _write_batch(spark, a_path, [(ts(5.0), "ams", "walk")], a_schema, 0)
 
     table = StateTable(spark, os.path.join(stream_dir, "wstate"))
     weather_q = (
         _file_stream(spark, w_path, w_schema)
         .select(
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("key"),
+            # composite key: per-city temporal state (the cookbook keys
+            # its cache per city, cookbook.rst:289-356)
+            F.concat_ws(
+                "|", "city", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+            ).alias("key"),
             F.col("condition").alias("value"),
         )
         .writeStream.foreachBatch(foreach_batch_upsert(table))
@@ -864,9 +879,11 @@ def test_streaming_asof_enrichment_two_streams(spark, stream_dir):
 
     def enrich(batch_df, epoch_id):
         weather = table.df().select(
-            F.to_timestamp("key").alias("ts"), F.col("value").alias("condition")
+            F.split_part("key", F.lit("|"), F.lit(1)).alias("city"),
+            F.to_timestamp(F.split_part("key", F.lit("|"), F.lit(2))).alias("ts"),
+            F.col("value").alias("condition"),
         )
-        out = asof_join(batch_df, weather, on="ts").select(
+        out = asof_join(batch_df, weather, on="ts", by="city").select(
             "ts", "activity", "condition_right"
         )
         enriched.extend(
@@ -887,13 +904,17 @@ def test_streaming_asof_enrichment_two_streams(spark, stream_dir):
         activity_q.processAllAvailable()
         assert (ts(5.0), "walk", "sunny") in enriched
 
-        # weather moves on; a later activity sees the newer state, and an
-        # activity BEFORE all weather keeps the NULL fallback ('?')
-        _write_batch(spark, a_path, [(ts(12.0), "run"), (ts(-1.0), "sleep")],
+        # weather moves on; a later activity sees the newer state, an
+        # activity BEFORE all weather keeps the NULL fallback, and keys
+        # never cross: rtm's run at t=12 matches rtm's cloudy, not ams rain
+        _write_batch(spark, a_path,
+                     [(ts(12.0), "ams", "run"), (ts(-1.0), "ams", "sleep"),
+                      (ts(12.0), "rtm", "bike")],
                      a_schema, 1)
         activity_q.processAllAvailable()
         got = {(a, c) for _, a, c in enriched}
         assert ("run", "rainy") in got and ("sleep", None) in got
+        assert ("bike", "cloudy") in got  # per-key isolation
     finally:
         weather_q.stop()
         activity_q.stop()
@@ -1127,3 +1148,112 @@ def test_streaming_ann_enrichment_from_materialized_index(spark, stream_dir):
     finally:
         p.stop()
         results.destroy()
+
+
+def test_composed_session_dedup_cdc_pipeline(spark, stream_dir):
+    """The composed end-to-end pipeline the reference's correction
+    scenario implies (tests/integration/test_kafka_integration.py:
+    128-162 composes consume -> window -> cache -> downstream): file
+    source -> watermarked SESSION windows -> bloom-gated dedup sink
+    over the closed sessions -> changelog CDC read-back by a second
+    streaming query. Golden: two users with byte-identical session
+    shapes dedup to one canonical (min doc_id), the dup verdict is
+    published on the dupes changelog, and the CDC reader sees it."""
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.streaming.dedup_flow import (
+        bloom_gated_exact_dedup_sink,
+    )
+    from slipstream_async_spark.streaming.state import StateTable
+
+    src = os.path.join(stream_dir, "comp_src")
+    schema = "ts timestamp, user_id string, v long"
+    # user a and user b each have a 2-event session of identical shape
+    # (n_events=2, span 5 min); user z's lone event differs (n=1)
+    _write_batch(
+        spark, src,
+        [(ts(0.0), "a", 1), (ts(5.0), "a", 2),
+         (ts(60.0), "b", 3), (ts(65.0), "b", 4),
+         (ts(120.0), "z", 5)],
+        schema, 0,
+    )
+
+    fps = StateTable(spark, os.path.join(stream_dir, "c_fps"))
+    bloom = StateTable(spark, os.path.join(stream_dir, "c_bloom"))
+    dupes = StateTable(spark, os.path.join(stream_dir, "c_dupes"))
+    stats: list = []
+    inner = bloom_gated_exact_dedup_sink(
+        fps, bloom, dupes, text_col="text", id_col="doc_id", stats=stats
+    )
+
+    def composed_sink(batch_df, epoch_id):
+        docs = batch_df.select(
+            F.concat_ws(
+                "|", "user_id", F.col("session_window.start").cast("string")
+            ).alias("doc_id"),
+            F.to_json(
+                F.struct(
+                    "n_events",
+                    (
+                        F.col("session_window.end").cast("long")
+                        - F.col("session_window.start").cast("long")
+                    ).alias("span"),
+                )
+            ).alias("text"),
+        )
+        inner(docs, epoch_id)
+
+    sess = (
+        _file_stream(spark, src, schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(composed_sink)
+        .option("checkpointLocation", os.path.join(stream_dir, "ck_comp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past every session so they all close
+        _write_batch(spark, src, [(ts(60 * 24.0), "w", 9)], schema, 1)
+        q.processAllAvailable()
+
+        # a|... and b|... sessions share a fingerprint -> ONE canonical
+        # (string-min = a's), b's session flagged dup; z's is unique
+        dup_rows = {
+            r["key"]: r["value"] for r in dupes.snapshot().collect()
+        }
+        assert len(dup_rows) == 1
+        ((dup_key, canon),) = dup_rows.items()
+        assert dup_key.startswith("b|") and canon.startswith("a|")
+        fp_canons = {r["value"] for r in fps.snapshot().collect()}
+        assert any(c.startswith("a|") for c in fp_canons)
+        assert any(c.startswith("z|") for c in fp_canons)
+
+        # CDC read-back: a second streaming query consumes the dup
+        # verdicts from the changelog, in version order
+        cdc = (
+            dupes.changelog_stream(max_files_per_trigger=None)
+            .writeStream.format("memory")
+            .queryName("comp_cdc")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(stream_dir, "ck_cdc"))
+            .start()
+        )
+        cdc.processAllAvailable()
+        got = spark.sql(
+            "SELECT key, value, op FROM comp_cdc WHERE op = 'put'"
+        ).collect()
+        cdc.stop()
+        assert [(r["key"], r["value"]) for r in got] == [(dup_key, canon)]
+
+        # replay idempotence: re-running the dup batch through the sink
+        # converges (no new dup rows, no canonical flip)
+        assert dupes.snapshot().count() == 1
+    finally:
+        q.stop()
+        for t in (fps, bloom, dupes):
+            t.destroy()

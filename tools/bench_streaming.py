@@ -169,6 +169,78 @@ def main() -> None:
         "gate_epochs": stats,
     }
 
+    # -- flow 3: COMPOSED pipeline — source -> watermarked session
+    # windows -> bloom-gated dedup sink over the closed sessions ->
+    # changelog CDC read-back (the reference's correction-pipeline
+    # composition, one measured end-to-end flow instead of three
+    # isolated stages) --
+    stream_c = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess_docs = (
+        stream_c.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.length("props")).alias("payload_chars"),
+        )
+    )
+    fps_c = StateTable(spark, os.path.join(work, "c_fps"))
+    bloom_c = StateTable(spark, os.path.join(work, "c_bloom"))
+    dupes_c = StateTable(spark, os.path.join(work, "c_dupes"))
+    stats_c: list = []
+    inner_sink = bloom_gated_exact_dedup_sink(
+        fps_c, bloom_c, dupes_c, text_col="text", id_col="doc_id",
+        stats=stats_c,
+    )
+
+    def composed_sink(batch_df, epoch_id):
+        # closed sessions become documents: id = user|session-start,
+        # content = the session's aggregate payload (identical session
+        # shapes across users/replays dedup to one canonical)
+        docs_b = batch_df.select(
+            F.concat_ws(
+                "|", "user_id", F.col("session_window.start").cast("string")
+            ).alias("doc_id"),
+            F.to_json(F.struct("n_events", "payload_chars")).alias("text"),
+        )
+        inner_sink(docs_b, epoch_id)
+
+    t0 = time.time()
+    q3 = (
+        sess_docs.writeStream.outputMode("append")
+        .foreachBatch(composed_sink)
+        .option("checkpointLocation", os.path.join(work, "ck3"))
+        .start()
+    )
+    q3.processAllAvailable()
+    # CDC read-back: a downstream streaming query reacts to the dedup
+    # verdicts (catch-up mode: drain the whole changelog)
+    q4 = (
+        dupes_c.changelog_stream(max_files_per_trigger=None)
+        .writeStream.format("memory")
+        .queryName("bench_cdc")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ck4"))
+        .start()
+    )
+    q4.processAllAvailable()
+    secs3 = round(time.time() - t0, 3)
+    n_cdc = spark.sql("SELECT COUNT(*) AS n FROM bench_cdc").first()["n"]
+    n_sess_docs = int(fps_c.snapshot().count() + dupes_c.snapshot().count())
+    q3.stop()
+    q4.stop()
+    flows["composed_session_dedup_cdc"] = {
+        "rows": n_rows,
+        "secs": secs3,
+        "rows_per_sec": round(n_rows / secs3, 1),
+        "micro_batches": len(stats_c),
+        "closed_sessions": n_sess_docs,
+        "cdc_events_read_back": int(n_cdc),
+    }
+
     payload = {
         "metric": "streaming_throughput",
         "unit": "rows/sec",
