@@ -314,3 +314,53 @@ def global_prefix_sum(
         .withColumn(out_col, F.col("_off") + F.col("_lcs"))
         .drop("_pid", "_lcs", "_off")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "run_max",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed running maximum of ``value_col`` over the total order
+    given by ``order_cols`` — the high-water-mark / record-tracking
+    primitive (all-time-high detection, watermark simulation, drawdown
+    analysis), :func:`global_prefix_sum`'s shape with MAX instead of SUM.
+
+    ``MAX(v) OVER (ORDER BY ...)`` with no PARTITION BY funnels the
+    whole input through one task; this is the two-phase form: range-
+    repartition on the sort key, running-max locally per partition,
+    then fold in the broadcast prefix-max of all EARLIER partitions
+    (``greatest`` skips the NULL offset of the first partition). The
+    only by-less window left runs over the per-partition maxima —
+    bounded by the partition count, never by the data. Unlike the sum
+    twin, max is order-insensitive, so any comparable type (numeric,
+    timestamp, string) is safe.
+
+    Callers must end ``order_cols`` with a unique tie-break key. The
+    range-partitioned frame is localCheckpoint'd so the offsets branch
+    and the local branch provably read the same partition assignment.
+    """
+    sess = df.sparkSession
+    n = partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    tops = part.groupBy("_pid").agg(F.max(value_col).alias("_m"))
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = tops.select("_pid", F.max("_m").over(ow).alias("_off"))
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        part.withColumn("_lm", F.max(value_col).over(lw))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.greatest(F.col("_lm"), F.col("_off")))
+        .drop("_pid", "_lm", "_off")
+    )

@@ -69,7 +69,9 @@ def register(name: str, oracle: str | None = None):
 # deliberately forgone in favor of first-time coverage.
 
 
-def _driver_verified() -> frozenset[str]:
+def _driver_verified() -> dict[str, int]:
+    """name -> round of its latest green driver check (queries whose
+    LATEST check is red are absent — they re-enter the unverified pool)."""
     import glob
     import json as _json
     import re as _re
@@ -86,7 +88,7 @@ def _driver_verified() -> frozenset[str]:
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
         return int(m.group(1)) if m else -1
 
-    latest: dict[str, bool] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
                        key=_round_no):
         try:
@@ -95,38 +97,37 @@ def _driver_verified() -> frozenset[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            latest[name] = (
+            ok = (
                 isinstance(row, dict)
                 and row.get("rows_match") is True
                 and row.get("schema_match") is True
                 and row.get("hash_match") is True
                 and row.get("err") in (None, "")
             )
-    return frozenset(n for n, ok in latest.items() if ok)
+            latest[name] = (_round_no(path), ok)
+    return {n: rnd for n, (rnd, ok) in latest.items() if ok}
 
 
-_DRIVER_VERIFIED: frozenset[str] = _driver_verified()
+_DRIVER_VERIFIED: dict[str, int] = _driver_verified()
 
 
 # Queries whose SEMANTICS changed after their last green driver check
 # (so the green row no longer certifies the current code) — pinned to
 # the very front of the rotation until re-verified, ahead even of
-# never-checked entries. r8: the two fixed-fraction anchor broadcasts
-# were rewritten onto fixed-COUNT hash-ordered samples (bounded at any
-# corpus size), and the Welch-t/Cohen's-d sufficient statistics moved
-# from BIGINT to DECIMAL(38,0) (overflow-safe at corpus scale);
-# shiplag_anova's F critical value corrected to the df1=4 literal.
-# (r7's source_novelty_order pin is re-verified and released.)
-_FORCE_FIRST: tuple[str, ...] = (
-    "emb_intrinsic_dimension",
-    "knn_label_vote",
-    "stats_welch_ttest",
-    "stats_cohens_d",
-    "shiplag_anova_by_priority",
-)
+# never-checked entries. r8's five pins (emb_intrinsic_dimension,
+# knn_label_vote, stats_welch_ttest, stats_cohens_d,
+# shiplag_anova_by_priority) all re-verified green in CORRECTNESS_r08
+# and are released. r9: dedup_threshold_sensitivity's zero-pair
+# thresholds now left-join from the threshold dim (rows no longer drop
+# when a cutoff has no surviving pairs).
+_FORCE_FIRST: tuple[str, ...] = ("dedup_threshold_sensitivity",)
 
 
 def _rotated(mapping: dict) -> dict:
+    """Rotation order: pinned semantics-changes first, then
+    never-driver-checked entries, then the verified tail OLDEST green
+    round first — so the driver's ~50-per-round window re-certifies the
+    stalest greens round-robin instead of whatever dict order yields."""
     forced = {k: mapping[k] for k in _FORCE_FIRST if k in mapping}
     unverified = {
         k: v
@@ -134,9 +135,11 @@ def _rotated(mapping: dict) -> dict:
         if k not in _DRIVER_VERIFIED and k not in forced
     }
     verified = {
-        k: v
-        for k, v in mapping.items()
-        if k in _DRIVER_VERIFIED and k not in forced
+        k: mapping[k]
+        for k in sorted(
+            (k for k in mapping if k in _DRIVER_VERIFIED and k not in forced),
+            key=lambda k: (_DRIVER_VERIFIED[k], k),
+        )
     }
     return {**forced, **unverified, **verified}
 
@@ -19355,11 +19358,496 @@ def dedup_threshold_sensitivity(
     n_docs = nodes.groupBy("t").agg(
         F.count("*").cast("bigint").alias("n_docs_in_pairs")
     )
+    # build from the 3-row threshold dim with LEFT joins: a cutoff with
+    # ZERO surviving pairs must still emit its row (count 0), exactly as
+    # the oracle's FROM th does — an inner join would silently drop it
+    # on corpora with no near-dups above 0.5/0.7
     return (
-        n_pairs.join(n_docs, "t")
+        th.join(n_pairs, "t", "left")
+        .join(n_docs, "t", "left")
         .select(
             F.col("t").cast("bigint").alias("threshold_permille"),
-            "n_pairs",
-            "n_docs_in_pairs",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_in_pairs"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions: CC hardening readout, deterministic sampling/splits,
+# distributed exact-NTILE and running-max showcases, privacy depth,
+# embedding metric health, context-window economics, template detection,
+# LSH index balance.
+# ---------------------------------------------------------------------------
+
+
+_STAR_COMPONENTS = f"""
+WITH RECURSIVE
+pairs AS ({_ORACLES["dedup_ngram_jaccard"]}),
+{_CC_FROM_PAIRS},
+members AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM members GROUP BY cluster_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs_in_clusters,
+       CAST(MAX(sz) AS BIGINT) AS max_cluster_size,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+FROM sizes
+"""
+
+
+@register("dedup_star_components", oracle=_STAR_COMPONENTS)
+def dedup_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the ALTERNATING LARGE-STAR/SMALL-STAR
+    algorithm (Kiveris et al., SoCC'14; operators.dedup._cc_two_phase)
+    over the standard near-dup pair set — the O(log^2 n)-round CC that
+    stays fast when duplicate graphs degenerate into long revision
+    chains (min-label propagation needs diameter rounds: ~500 for a
+    1,000-link chain vs ~10 here; tests/test_scale_ops.py asserts the
+    bound). Output is the cluster summary the curation owner reads:
+    cluster count, docs covered, largest cluster, keep-one removals.
+
+    Oracle = the same recursive-CTE transitive closure that certifies
+    the propagation method (dedup_clusters) — both algorithms must land
+    on IDENTICAL min-id-per-component labels (also property-tested on
+    random graphs against a union-find model)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    members = DD.duplicate_clusters(pairs, method="star")
+    sizes = members.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs_in_clusters"),
+        F.max("sz").cast("bigint").alias("max_cluster_size"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+    )
+
+
+_STRAT_SAMPLE = f"""
+WITH d AS (
+  SELECT source,
+         len({_DK_TOKS}) AS toks,
+         50 + ({_DK_HASH32.format(x="source")} % 150) AS tgt,
+         ({_DK_HASH32.format(x="'samp|' || CAST(doc_id AS VARCHAR)")} % 1000)
+           AS pick
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(tgt) AS BIGINT) AS target_permille,
+       CAST(SUM(CASE WHEN pick < tgt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       round(SUM(CASE WHEN pick < tgt THEN 1 ELSE 0 END) * 1000.0
+             / COUNT(*), 6) AS observed_permille,
+       CAST(SUM(CASE WHEN pick < tgt THEN toks ELSE 0 END) AS BIGINT)
+         AS sampled_tokens
+FROM d GROUP BY source
+"""
+
+
+@register("sample_stratified_hash", oracle=_STRAT_SAMPLE)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC stratified sampling — the reproducible-subset
+    primitive every 100 TB pipeline needs (eval carve-outs, ablation
+    corpora, cheap dev slices): membership is a pure function of the
+    row key (md5 permille vs a per-stratum target rate), so the sample
+    is identical on every engine, every run, every retry — no
+    rand()-seed drift, no resample on task replay — and ANY worker can
+    answer "is this row in the sample" without coordination. Per-source
+    target rates here derive from the source hash (50-199 permille) to
+    exercise unequal allocation; the observed permille column is the
+    realized-vs-target calibration readout.
+
+    Shape: one scan, two md5 evaluations per row, one partial-agg
+    groupBy to |sources| rows. No shuffle beyond the final tiny agg."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tgt = (F.lit(50) + TXT.hash32(F.col("source")) % 150).cast("bigint")
+    pick = (
+        TXT.hash32(F.concat(F.lit("samp|"), F.col("doc_id").cast("string")))
+        % 1000
+    )
+    d = docs.select(
+        "source",
+        TXT.token_count("text").alias("toks"),
+        tgt.alias("tgt"),
+        (pick < tgt).alias("in_sample"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("tgt").cast("bigint").alias("target_permille"),
+        F.sum(F.col("in_sample").cast("long")).cast("bigint").alias("n_sampled"),
+        F.round(
+            F.sum(F.col("in_sample").cast("long")) * 1000.0 / F.count("*"), 6
+        ).alias("observed_permille"),
+        F.sum(F.when(F.col("in_sample"), F.col("toks")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+    )
+
+
+_LEN_DECILES = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, len({_DK_TOKS}) AS toks,
+         NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       round(SUM(toks) * 1.0 / COUNT(*), 6) AS avg_tokens
+FROM d GROUP BY decile
+"""
+
+
+@register("doc_length_deciles", oracle=_LEN_DECILES)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-decile profile via the DISTRIBUTED exact NTILE:
+    documents land in 10 equal-population length buckets (SQL NTILE
+    semantics, bit-identical), each summarized by char range and mean
+    token count — the curation readout behind length-based mixing and
+    packing decisions (which deciles carry the token mass; where a
+    min/max-length gate actually cuts).
+
+    Shape: ``AGG.global_rank`` (range-repartitioned two-phase
+    row_number — NO single-partition sort) + the closed-form
+    ``AGG.exact_ntile`` reconstruction from rank and total count; the
+    only by-less window runs over per-partition counts, bounded by the
+    partition count."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "n_chars", TXT.token_count("text").alias("toks")
+    )
+    ranked = AGG.global_rank(d, ["n_chars", "doc_id"], rank_col="r")
+    total = d.agg(F.count("*").cast("bigint").alias("n"))
+    tiled = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "decile", AGG.exact_ntile("r", "n", 10)
+    )
+    return tiled.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.sum("toks") * 1.0 / F.count("*"), 6).alias("avg_tokens"),
+    )
+
+
+_L_DIVERSITY = """
+WITH g AS (
+  SELECT c_nationkey, FLOOR(c_acctbal / 1000) AS band,
+         COUNT(*) AS sz, COUNT(DISTINCT c_mktsegment) AS l
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(l AS BIGINT) AS l_sensitive,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(MIN(sz) AS BIGINT) AS min_group_size
+FROM g GROUP BY l
+"""
+
+
+@register("privacy_l_diversity", oracle=_L_DIVERSITY)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    stronger sibling: a quasi-identifier group with many members but
+    ONE sensitive value (l=1) still leaks the attribute to anyone who
+    can place a person in the group. Histogram of groups by their
+    count of distinct sensitive values (market segment) within the
+    (nation, $1000 balance band) quasi-identifier; the l=1 row is the
+    homogeneity-attack exposure the k-anonymity gate
+    (privacy_k_anonymity) cannot see.
+
+    Shape: two partial-agg groupBys (quasi grain -> l grain); integer
+    arithmetic end to end."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("band"),
+    ).agg(
+        F.count("*").alias("sz"),
+        F.count_distinct("c_mktsegment").alias("l"),
+    )
+    return g.groupBy(F.col("l").cast("bigint").alias("l_sensitive")).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.min("sz").cast("bigint").alias("min_group_size"),
+    )
+
+
+_TRIPLET = f"""
+WITH q AS (SELECT vec_id AS aid, embedding AS av, label AS alabel
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 128),
+scored AS (
+  SELECT q.aid, q.alabel, c.label,
+         CAST(round({_dk_cos("q.av", "c.embedding")}, 6) AS DECIMAL(18,6))
+           AS cosine
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id != q.aid),
+per AS (
+  SELECT aid, alabel,
+         MAX(CASE WHEN label = alabel THEN cosine END) AS best_same,
+         MAX(CASE WHEN label != alabel THEN cosine END) AS best_diff
+  FROM scored GROUP BY aid, alabel)
+SELECT CAST(alabel AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(CASE WHEN best_diff > best_same THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       round(SUM(CASE WHEN best_diff > best_same THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS violation_rate,
+       round(CAST(SUM(best_same - best_diff) AS DOUBLE) / COUNT(*), 6)
+         AS mean_margin
+FROM per
+WHERE best_same IS NOT NULL AND best_diff IS NOT NULL
+GROUP BY alabel
+"""
+
+
+@register("emb_triplet_violation", oracle=_TRIPLET)
+def emb_triplet_violation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-constraint violation rate — the metric-learning health
+    probe: for each anchor, is the nearest SAME-label vector closer
+    (cosine) than the nearest DIFFERENT-label vector? A violation means
+    the representation ranks an impostor above every genuine neighbor —
+    the exact failure mode that poisons label-conditioned curation
+    (SemDeDup, kNN filtering) and retrieval. Per-label rate + mean
+    margin (best-same minus best-diff, positive = healthy separation).
+
+    Shape: the CONSTANT-SIZE 128-anchor md5-ordered sample broadcast
+    against the corpus (knn_label_vote's bounded-at-any-scale shape);
+    cosines rounded to 6dp then carried as DECIMAL so the max/compare/
+    mean pipeline is order-independent and engine-exact."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = (
+        emb.select(
+            F.col("vec_id").alias("aid"),
+            F.col("embedding").alias("av"),
+            F.col("label").alias("alabel"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "aid")
+        .limit(128)
+        .drop("_h")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            "alabel",
+            "label",
+            F.round(
+                VEC.cosine_similarity(F.col("embedding"), F.col("av")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("cosine"),
+        )
+    )
+    per = scored.groupBy("aid", "alabel").agg(
+        F.max(F.when(F.col("label") == F.col("alabel"), F.col("cosine"))).alias(
+            "best_same"
+        ),
+        F.max(F.when(F.col("label") != F.col("alabel"), F.col("cosine"))).alias(
+            "best_diff"
+        ),
+    ).filter(F.col("best_same").isNotNull() & F.col("best_diff").isNotNull())
+    viol = F.when(F.col("best_diff") > F.col("best_same"), 1).otherwise(0)
+    return per.groupBy(F.col("alabel").cast("bigint").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_anchors"),
+        F.sum(viol).cast("bigint").alias("n_violations"),
+        F.round(F.sum(viol) * 1.0 / F.count("*"), 6).alias("violation_rate"),
+        F.round(
+            F.sum(F.col("best_same") - F.col("best_diff")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_margin"),
+    )
+
+
+_CONTEXT_FIT = f"""
+WITH d AS (SELECT len({_DK_TOKS}) AS toks FROM documents),
+th AS (SELECT unnest([64, 256, 2048]) AS w)
+SELECT CAST(th.w AS BIGINT) AS context_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN toks <= th.w THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_fit,
+       round(SUM(CASE WHEN toks <= th.w THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS pct_docs_fit,
+       CAST(SUM(toks) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN toks > th.w THEN toks - th.w ELSE 0 END) AS BIGINT)
+         AS tokens_truncated,
+       round(SUM(CASE WHEN toks > th.w THEN toks - th.w ELSE 0 END) * 1.0
+             / SUM(toks), 6) AS pct_tokens_truncated
+FROM d CROSS JOIN th GROUP BY th.w
+"""
+
+
+@register("tokens_context_fit", oracle=_CONTEXT_FIT)
+def tokens_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window economics: for each candidate sequence length,
+    how many documents fit whole and how many tokens a hard truncation
+    would discard — the first number a training-data owner reads when
+    choosing packing length (pack_sequences' capacity) or a long-
+    context curriculum split. The three-point dial makes the
+    truncation-loss curve visible the way dedup_threshold_sensitivity
+    exposes the dedup dial.
+
+    Shape: one corpus scan to per-doc token counts, crossed with a
+    3-row broadcast dim, one partial agg to 3 rows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    d = docs.select(TXT.token_count("text").alias("toks"))
+    th = spark.createDataFrame([(64,), (256,), (2048,)], "w long")
+    fit = F.when(F.col("toks") <= F.col("w"), 1).otherwise(0)
+    lost = F.when(
+        F.col("toks") > F.col("w"), F.col("toks") - F.col("w")
+    ).otherwise(0)
+    return (
+        d.crossJoin(F.broadcast(th))
+        .groupBy(F.col("w").cast("bigint").alias("context_tokens"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(fit).cast("bigint").alias("n_docs_fit"),
+            F.round(F.sum(fit) * 1.0 / F.count("*"), 6).alias("pct_docs_fit"),
+            F.sum("toks").cast("bigint").alias("tokens_total"),
+            F.sum(lost).cast("bigint").alias("tokens_truncated"),
+            F.round(F.sum(lost) * 1.0 / F.sum("toks"), 6).alias(
+                "pct_tokens_truncated"
+            ),
+        )
+    )
+
+
+_TEMPLATES = f"""
+WITH p AS (
+  SELECT source, doc_id,
+         array_to_string(({_DK_TOKS})[1:8], ' ') AS pfx
+  FROM documents),
+t AS (SELECT pfx, COUNT(*) AS n FROM p GROUP BY pfx HAVING COUNT(*) >= 2)
+SELECT p.source,
+       CAST(COUNT(DISTINCT p.pfx) AS BIGINT) AS n_templates,
+       CAST(COUNT(*) AS BIGINT) AS n_template_docs,
+       CAST(MAX(t.n) AS BIGINT) AS max_template_size
+FROM p JOIN t ON p.pfx = t.pfx
+GROUP BY p.source
+"""
+
+
+@register("source_templates", oracle=_TEMPLATES)
+def source_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by OPENING-PREFIX collision: docs
+    whose first 8 tokens match another doc verbatim are template
+    instances (form letters, scraped listings, generated spam) — the
+    cheap screen run before the expensive near-dup pass, and the
+    per-source attribution that names which feed ships templated
+    content. Complements text_boilerplate_ngrams (which finds repeated
+    FRAGMENTS anywhere; this finds shared document SKELETONS).
+
+    Shape: prefix is a pure per-row expression; template detection is
+    one count-groupBy on the prefix (inverted-index discipline — no
+    pairing); the doc->template join is template-count-sized."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    p = docs.select(
+        "source",
+        "doc_id",
+        F.concat_ws(" ", F.slice(TXT.tokens("text"), 1, 8)).alias("pfx"),
+    )
+    t = (
+        p.groupBy("pfx")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return (
+        p.join(t, "pfx")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("pfx").cast("bigint").alias("n_templates"),
+            F.count("*").cast("bigint").alias("n_template_docs"),
+            F.max("n").cast("bigint").alias("max_template_size"),
+        )
+    )
+
+
+_RECORD_DAYS = """
+WITH d AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1),
+m AS (SELECT day, rev, MAX(rev) OVER (ORDER BY day) AS run_max FROM d)
+SELECT day, CAST(rev AS DOUBLE) AS revenue,
+       CAST(run_max AS DOUBLE) AS record_revenue,
+       (rev = run_max) AS at_record
+FROM m
+"""
+
+
+@register("orders_record_revenue_days", oracle=_RECORD_DAYS)
+def orders_record_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-time-high tracking: each day's revenue against the running
+    maximum over the whole order timeline, flagging the days that sit
+    AT the high-water mark — the record/drawdown primitive behind
+    peak-detection, high-water-mark fees, and freshness SLOs.
+
+    Shape: ``AGG.global_running_max`` — the two-phase distributed
+    running max (range-repartition, per-partition running max,
+    broadcast prefix-max offsets) instead of the single-partition
+    ``MAX() OVER (ORDER BY ...)``; DECIMAL revenue so the max/compare
+    is exact."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    m = AGG.global_running_max(daily, ["day"], "rev", out_col="run_max")
+    return m.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("run_max").cast("double").alias("record_revenue"),
+        (F.col("rev") == F.col("run_max")).alias("at_record"),
+    )
+
+
+_BAND_BALANCE = f"""
+WITH sets AS (
+  SELECT doc_id, {_DK_SHINGLES} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+  FROM sets
+), sigs AS (
+  SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashed
+), bands AS (
+  {_minhash_bands_sql()}
+), b AS (
+  SELECT band_id, band_key, COUNT(*) AS sz
+  FROM bands GROUP BY band_id, band_key)
+SELECT CAST(band_id AS BIGINT) AS band_id,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket_size,
+       CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM b GROUP BY band_id
+"""
+
+
+@register("dedup_band_balance", oracle=_BAND_BALANCE)
+def dedup_band_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index health: per-band bucket statistics of the MinHash
+    band assignment (operators.dedup.minhash_band_keys) — bucket count,
+    largest bucket, and the candidate-pair bill sum(C(sz,2)) each band
+    contributes. THE dial that says whether the band shape (4x4 here)
+    is generating a bounded candidate set or a degenerate mega-bucket
+    (one hot bucket of size B costs B^2/2 verifications — at 100 TB
+    this number is the difference between an overnight dedup and an
+    impossible one). Complements dedup_threshold_sensitivity (quality
+    dial) with the COST dial of the same pipeline.
+
+    Shape: signature + banding is per-row; the histogram is two
+    partial-agg groupBys (bucket grain -> band grain); never pairs."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    bands = DD.minhash_band_keys(docs, "text", "doc_id")
+    b = bands.groupBy("band_id", "band_key").agg(F.count("*").alias("sz"))
+    return b.groupBy(F.col("band_id").cast("bigint").alias("band_id")).agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.max("sz").cast("bigint").alias("max_bucket_size"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+        .cast("bigint")
+        .alias("candidate_pairs"),
     )

@@ -85,6 +85,9 @@ def _model_asof(left, right, direction, by: bool, tol_min=None):
     return sorted(out, key=lambda r: (r[0], r[1], r[2], r[3] is None, r[3]))
 
 
+@pytest.mark.filterwarnings(
+    "default::slipstream_async_spark.operators.handlers.GlobalSortWarning"
+)
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("use_by", [True, False])
 @given(left=_left_rows, right=_right_rows)
@@ -205,6 +208,9 @@ def test_dedup_ngram_jaccard_matches_bruteforce(spark, texts):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.filterwarnings(
+    "default::slipstream_async_spark.operators.handlers.GlobalSortWarning"
+)
 @given(
     vals=st.lists(st.integers(min_value=-1000, max_value=1000), max_size=30)
 )
@@ -266,6 +272,13 @@ def test_duplicate_clusters_matches_union_find(spark, edges):
         r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
     }
     assert got == expect
+    # the alternating large-star/small-star method is output-IDENTICAL
+    # (same min-id-per-component labels) on any graph shape
+    got_star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, method="star").collect()
+    }
+    assert got_star == expect
 
 
 @given(

@@ -61,6 +61,15 @@ ALLOW_BNLJ = {
     # against the corpus — the sim_topk_bruteforce shape with a
     # CONSTANT broadcast side at any corpus size (r8 fix)
     "knn_label_vote",
+    # same CONSTANT 128-anchor broadcast cross (the knn_label_vote
+    # shape): nearest same/diff-label scan per anchor
+    "emb_triplet_violation",
+    # one-row total-doc-count crossed onto ranked rows for the exact
+    # NTILE reconstruction — the scalar-subquery shape
+    "doc_length_deciles",
+    # 3-row context-window dim broadcast against per-doc token counts —
+    # the banded-dim shape (join_range_price_bands)
+    "tokens_context_fit",
     # one-row corpus token total crossed into the KL denominator —
     # the scalar-subquery shape
     "source_token_drift",
