@@ -132,25 +132,30 @@ def test_enrichment_correction_flow(spark, tmp_path):
     from slipstream_async_spark.operators import asof_join, dedup_keep_first
     from pyspark.sql import functions as F
 
+    # keyed per city — the scale-safe partitioned as-of shape the
+    # cookbook's per-key temporal cache implies (one city here, but the
+    # demonstrated pattern distributes)
     weather = spark.createDataFrame(
-        [(t(0), "🌞")], "ts timestamp, weather string"
+        [("ams", t(0), "🌞")], "city string, ts timestamp, weather string"
     )
     activity = spark.createDataFrame(
-        [(t(30), "swimming"), (t(90), "walking home")],
-        "ts timestamp, activity string",
+        [("ams", t(30), "swimming"), ("ams", t(90), "walking home")],
+        "city string, ts timestamp, activity string",
     )
     # Pass 1: weather down since t(0) -> 'walking home' enriched stale.
-    pass1 = asof_join(activity, weather, on="ts").select(
+    pass1 = asof_join(activity, weather, on="ts", by="city").select(
         "ts", "activity", F.col("weather_right").alias("weather"),
         F.lit(1).alias("pass_id"),
     )
     # Recovery: weather for t(60) arrives; dependent rows since the
     # downtime window are reprocessed (the seek-back replay).
     weather2 = weather.union(
-        spark.createDataFrame([(t(60), "🌧")], "ts timestamp, weather string")
+        spark.createDataFrame(
+            [("ams", t(60), "🌧")], "city string, ts timestamp, weather string"
+        )
     )
     pass2 = asof_join(
-        activity.filter(F.col("ts") >= t(60)), weather2, on="ts"
+        activity.filter(F.col("ts") >= t(60)), weather2, on="ts", by="city"
     ).select(
         "ts", "activity", F.col("weather_right").alias("weather"),
         F.lit(2).alias("pass_id"),

@@ -35,6 +35,9 @@ def test_fold_count(emoji):
     assert out == {"🏆": 2, "📞": 2, "😀": 1, "👌": 1}
 
 
+@pytest.mark.filterwarnings(
+    "default::slipstream_async_spark.operators.handlers.GlobalSortWarning"
+)
 def test_pairwise_golden(spark):
     # cookbook.rst:119-131: pairwise over 0..4 -> (0,1),(1,2),(2,3),(3,4).
     from slipstream_async_spark.operators import pairwise
@@ -47,6 +50,9 @@ def test_pairwise_golden(spark):
     assert pairs == [(0, 1), (1, 2), (2, 3), (3, 4)]
 
 
+@pytest.mark.filterwarnings(
+    "default::slipstream_async_spark.operators.handlers.GlobalSortWarning"
+)
 def test_accumulate_golden(spark):
     # cookbook.rst:127-131: accumulate 0..4 -> 0,1,3,6,10.
     from slipstream_async_spark.operators import accumulate
@@ -58,6 +64,9 @@ def test_accumulate_golden(spark):
     assert [r["total"] for r in out] == [0, 1, 3, 6, 10]
 
 
+@pytest.mark.filterwarnings(
+    "default::slipstream_async_spark.operators.handlers.GlobalSortWarning"
+)
 def test_asof_join_weather_activity(spark):
     """The reference's flagship scenario (cookbook.rst:289-356 comments):
     swimming->sunny, walking home->cloudy, shopping->rainy-ish, lunch->rain;
@@ -93,6 +102,9 @@ def test_asof_join_weather_activity(spark):
     }
 
 
+@pytest.mark.filterwarnings(
+    "default::slipstream_async_spark.operators.handlers.GlobalSortWarning"
+)
 def test_asof_join_forward_and_tolerance(spark):
     from slipstream_async_spark.operators import asof_join
 
@@ -178,6 +190,9 @@ def test_interval_join(spark):
     assert out.count() == 1
 
 
+@pytest.mark.filterwarnings(
+    "default::slipstream_async_spark.operators.handlers.GlobalSortWarning"
+)
 def test_batched(spark):
     from slipstream_async_spark.operators.handlers import batched
 
