@@ -19851,3 +19851,219 @@ def dedup_band_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("candidate_pairs"),
     )
+
+
+_VOCAB_COVERAGE = f"""
+WITH tf AS (
+  SELECT t, COUNT(*) AS f FROM (
+    SELECT unnest({_DK_TOKS}) AS t FROM documents)
+  GROUP BY t),
+rk AS (SELECT t, f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS r FROM tf),
+tot AS (SELECT SUM(f) AS n FROM tf),
+ks AS (SELECT unnest([4, 16, 64]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN rk.r <= ks.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_types_used,
+       CAST(SUM(CASE WHEN rk.r <= ks.k THEN rk.f ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       round(SUM(CASE WHEN rk.r <= ks.k THEN rk.f ELSE 0 END) * 1.0
+             / MIN(tot.n), 6) AS coverage_pct
+FROM rk CROSS JOIN ks CROSS JOIN tot
+GROUP BY ks.k
+"""
+
+
+@register("vocab_coverage_topk", oracle=_VOCAB_COVERAGE)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size dial: what fraction of all corpus TOKENS the k
+    most frequent TYPES cover, for candidate vocab sizes — the first
+    curve a tokenizer designer reads (where coverage saturates is where
+    extra vocab buys nothing; the complement is the OOV/byte-fallback
+    rate a size-k vocab would pay). Composes with text_oov_rate (fixed
+    vocab) and heaps_law_fit (type growth) as the third face of the
+    vocabulary-economics battery.
+
+    Shape: type frequencies are one partial-agg groupBy on an UNBOUNDED
+    domain, so the frequency ranking uses ``AGG.global_rank`` (two-phase
+    distributed row_number — no single-partition sort over the vocab);
+    coverage per k is a conditional sum against a 3-row broadcast dim."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(TXT.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+    rk = AGG.global_rank(tf, [F.col("f").desc(), F.col("t")], rank_col="r")
+    tot = tf.agg(F.sum("f").alias("n"))
+    ks = spark.createDataFrame([(4,), (16,), (64,)], "k long")
+    hit = F.when(F.col("r") <= F.col("k"), 1).otherwise(0)
+    return (
+        rk.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").cast("bigint").alias("vocab_size"))
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_types_used"),
+            F.sum(F.when(F.col("r") <= F.col("k"), F.col("f")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("r") <= F.col("k"), F.col("f")).otherwise(0)
+                )
+                * 1.0
+                / F.min("n"),
+                6,
+            ).alias("coverage_pct"),
+        )
+    )
+
+
+_DRAWDOWN = """
+WITH d AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1),
+m AS (SELECT day, rev, MAX(rev) OVER (ORDER BY day) AS run_max FROM d)
+SELECT CAST(year(day) AS BIGINT) AS year,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN rev = run_max THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_at_record,
+       round(MAX(CAST(run_max - rev AS DOUBLE) / CAST(run_max AS DOUBLE)),
+             6) AS max_drawdown_pct
+FROM m GROUP BY year(day)
+"""
+
+
+@register("orders_drawdown_by_year", oracle=_DRAWDOWN)
+def orders_drawdown_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly drawdown profile against the all-time revenue high-water
+    mark: how far below the running record each year sank (peak-to-
+    trough risk) and how many of its days SET a record — the companion
+    readout to orders_record_revenue_days, collapsed to the grain a
+    capacity/risk review actually reads.
+
+    Shape: one ``AGG.global_running_max`` pass (distributed two-phase
+    running max over the day grain), then a 7-row year rollup; DECIMAL
+    revenue keeps the max/ratio arithmetic exact until the final
+    rounded division."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    m = AGG.global_running_max(daily, ["day"], "rev", out_col="run_max")
+    dd = (F.col("run_max") - F.col("rev")).cast("double") / F.col(
+        "run_max"
+    ).cast("double")
+    return m.groupBy(F.year("day").cast("bigint").alias("year")).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("rev") == F.col("run_max"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("days_at_record"),
+        F.round(F.max(dd), 6).alias("max_drawdown_pct"),
+    )
+
+
+_GAP_SENSITIVITY = """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+g AS (SELECT unnest([15, 30, 60]) AS gap_min)
+SELECT CAST(g.gap_min AS BIGINT) AS gap_minutes,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > g.gap_min * 60
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       round(COUNT(*) * 1.0
+             / SUM(CASE WHEN prev_ts IS NULL
+                          OR epoch(ts) - epoch(prev_ts) > g.gap_min * 60
+                        THEN 1 ELSE 0 END), 6) AS avg_events_per_session
+FROM e CROSS JOIN g
+GROUP BY g.gap_min
+"""
+
+
+@register("events_session_gap_sensitivity", oracle=_GAP_SENSITIVITY)
+def events_session_gap_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SESSIONIZATION DIAL: session count and mean session size at
+    candidate inactivity gaps (15/30/60 min) — the sweep a product/
+    streaming owner reads before fixing the session_window gap (A6's
+    parameter; events_session_stats and the streaming session flow both
+    assume 30 min — this query is the evidence for that choice). Same
+    measured-dial family as dedup_threshold_sensitivity and
+    tokens_context_fit.
+
+    Shape: ONE per-user lag window (keyed — distributes), session
+    starts counted per gap against a 3-row broadcast dim; no
+    re-sessionization per candidate."""
+    (ev,) = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    g = spark.createDataFrame([(15,), (30,), (60,)], "gap_min long")
+    new_s = F.when(
+        F.col("prev_ts").isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+            > F.col("gap_min") * 60
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        e.crossJoin(F.broadcast(g))
+        .groupBy(F.col("gap_min").cast("bigint").alias("gap_minutes"))
+        .agg(
+            F.sum(new_s).cast("bigint").alias("n_sessions"),
+            F.round(F.count("*") * 1.0 / F.sum(new_s), 6).alias(
+                "avg_events_per_session"
+            ),
+        )
+    )
+
+
+_MM_PAYLOAD_DEDUP = f"""
+WITH {_DK_MEDIA}
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(COUNT(DISTINCT md5(payload::VARCHAR)) AS BIGINT)
+         AS n_unique_payloads,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(payload::VARCHAR)) AS BIGINT)
+         AS n_dup_copies,
+       round((COUNT(*) - COUNT(DISTINCT md5(payload::VARCHAR))) * 1.0
+             / COUNT(*), 6) AS dup_ratio
+FROM media GROUP BY kind
+"""
+
+
+@register("mm_payload_dedup", oracle=_MM_PAYLOAD_DEDUP)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal EXACT dedup: byte-identical payload rate per media
+    kind, via content-hash distinct counts over the opaque BINARY
+    column — the first pass of any image/audio/video curation pipeline
+    (identical bytes are the cheapest duplicates to kill; at 100 TB the
+    hash-groupBy never moves payload bytes, only 16-byte digests).
+    Extends the dedup family (dedup_exact is the text twin) onto the M7
+    multimodal columns.
+
+    Shape: one scan; md5 computed JVM-side on the binary column; one
+    partial-agg groupBy to |kinds| rows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = MM.attach_payloads(docs)
+    h = F.md5(F.col("payload").cast("string"))
+    return media.groupBy("kind").agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.count_distinct(h).cast("bigint").alias("n_unique_payloads"),
+        (F.count("*") - F.count_distinct(h))
+        .cast("bigint")
+        .alias("n_dup_copies"),
+        F.round(
+            (F.count("*") - F.count_distinct(h)) * 1.0 / F.count("*"), 6
+        ).alias("dup_ratio"),
+    )
