@@ -218,13 +218,15 @@ def bloom_gated_exact_dedup_sink(
             if stats is not None:
                 # stats-only actions, folded: ONE agg over the cached
                 # probe (count + gate selectivity together) and one
-                # count over keyed; skipped on the production hot path
+                # count over keyed; n_dup comes free from the dupes
+                # table's commit accounting below. Skipped entirely on
+                # the production hot path.
                 gate = probed.agg(
                     F.count("*").alias("nb"),
                     F.sum(F.col("bloom_hit").cast("long")).alias("nm"),
                 ).first()
                 n_batch, n_maybe = int(gate["nb"]), int(gate["nm"] or 0)
-                n_keyed, n_dup = keyed.count(), all_dupes.count()
+                n_keyed = keyed.count()
             updated = bloom_merge(
                 standing_bloom,
                 bloom_build(batch.select("fp"), "fp", words=words, k=k),
@@ -264,7 +266,10 @@ def bloom_gated_exact_dedup_sink(
                         "epoch": epoch_id,
                         "n_batch": n_batch,
                         "n_maybe": n_maybe,
-                        "n_dup": n_dup,
+                        # all_dupes carries one row per doc, so the dupes
+                        # table's committed delta row count IS the dup
+                        # count — parquet-footer accounting, no extra job
+                        "n_dup": dupes.last_commit_rows,
                         "n_null_fp": n_keyed - n_batch,
                     }
                 )

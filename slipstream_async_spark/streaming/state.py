@@ -120,6 +120,10 @@ class StateTable:
         self.spark = spark
         self.path = path
         self.max_chain = max_chain
+        #: rows written by the most recent commit's delta (per-commit
+        #: telemetry, read from parquet footers — no Spark job). The
+        #: rows-ingested counter every storage engine reports.
+        self.last_commit_rows: int = 0
         vdir = os.path.join(path, "versions")
         os.makedirs(vdir, exist_ok=True)
         os.makedirs(os.path.join(path, "changelog"), exist_ok=True)
@@ -400,6 +404,17 @@ class StateTable:
                     fh,
                 )
             os.rename(vtmp, self._vpath(new_v))  # the commit point
+            # commit accounting from the parquet footers (driver-side
+            # metadata read, zero Spark jobs)
+            import pyarrow.parquet as _pq
+
+            self.last_commit_rows = sum(
+                _pq.ParquetFile(os.path.join(tmp_delta, d, f)).metadata.num_rows
+                for d in os.listdir(tmp_delta)
+                if d.startswith("_bucket=")
+                for f in os.listdir(os.path.join(tmp_delta, d))
+                if f.endswith(".parquet")
+            )
             # changelog: the committed delta files ARE the log segment —
             # hardlinked (zero-copy, zero-job) under changelog/v{n}/;
             # version and ts are derived at read time from the path and
