@@ -298,3 +298,50 @@ def test_replayed_upsert_is_idempotent(spark, tmp_path):
     assert t.snapshot().count() == 100
     assert t.get("42") == "42"
     t.destroy()
+
+
+def test_vacuum_preserves_chain_shared_versions(spark, tmp_path):
+    """vacuum(keep_last=k) must retain every version directory any
+    retained manifest's CHAINS still reference — delta sharing across
+    versions is the point of the layout — and time travel within the
+    retained window stays exact."""
+    t = StateTable(spark, str(tmp_path / "vac"), n_buckets=2, max_chain=10)
+    for i in range(5):
+        t.upsert(
+            spark.createDataFrame(
+                [(f"k{i}", str(i))], "key string, value string"
+            )
+        )
+    v_last = t.version
+    t.vacuum(keep_last=2)
+    # all five delta versions are still referenced by the latest chains
+    assert t.snapshot().count() == 5
+    assert {r["key"] for r in t.snapshot().collect()} == {
+        "k0", "k1", "k2", "k3", "k4"
+    }
+    assert t.snapshot(v_last - 1).count() == 4  # retained window intact
+    # compaction folds chains; a second vacuum can now drop old deltas
+    t.compact()
+    t.vacuum(keep_last=1)
+    assert t.snapshot().count() == 5
+    assert t.get("k3") == "3"
+    t.destroy()
+
+
+def test_torn_commit_dirs_are_invisible_and_recoverable(spark, tmp_path):
+    """Crash leftovers (delta-N.tmp / vN.tmp without manifests) must
+    not surface as state, break version listing, or block the next
+    commit."""
+    import os
+
+    t = StateTable(spark, str(tmp_path / "torn"))
+    t.put("a", 1)
+    vdir = os.path.join(t.path, "versions")
+    os.makedirs(os.path.join(vdir, "delta-9.tmp", "_bucket=0"))
+    os.makedirs(os.path.join(vdir, "v9.tmp", "_bucket=0"))
+    assert t.version == 0  # torn dirs invisible
+    t.put("b", 2)  # next commit proceeds
+    assert t.version == 1
+    assert t.get("a") == 1 and t.get("b") == 2
+    assert t.snapshot().count() == 2
+    t.destroy()
