@@ -20067,3 +20067,367 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count_distinct(h)) * 1.0 / F.count("*"), 6
         ).alias("dup_ratio"),
     )
+
+
+_BIGRAM_ENTROPY = f"""
+WITH t AS (
+  SELECT source, {_DK_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT source, unnest(list_transform(range(1, len(toks)),
+         i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS b
+  FROM t WHERE len(toks) >= 2
+), cj AS (
+  SELECT source, b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2, 3
+), pj AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         array_agg({{'k': w1 || ' ' || w2, 'c': c}} ORDER BY w1, w2) AS a
+  FROM cj GROUP BY source
+), cm AS (
+  SELECT source, w1, CAST(SUM(c) AS BIGINT) AS c FROM cj GROUP BY 1, 2
+), pm AS (
+  SELECT source, array_agg({{'k': w1, 'c': c}} ORDER BY w1) AS a
+  FROM cm GROUP BY source
+), e AS (
+  SELECT pj.source, pj.n,
+         -list_reduce(list_transform(pj.a,
+            p -> (p.c::DOUBLE / pj.n) * ln(p.c::DOUBLE / pj.n)),
+            (x, y) -> x + y) / ln(2) AS hj,
+         -list_reduce(list_transform(pm.a,
+            p -> (p.c::DOUBLE / pj.n) * ln(p.c::DOUBLE / pj.n)),
+            (x, y) -> x + y) / ln(2) AS hm
+  FROM pj JOIN pm ON pj.source = pm.source
+)
+SELECT source, n AS n_bigrams,
+       floor(hj * 1000000 + 0.5) / 1000000 AS h_joint_bits,
+       floor(hm * 1000000 + 0.5) / 1000000 AS h_unigram_bits,
+       floor((hj - hm) * 1000000 + 0.5) / 1000000 AS cond_entropy_bits
+FROM e
+"""
+
+
+@register("text_bigram_entropy_rate", oracle=_BIGRAM_ENTROPY)
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(next word | word) per source — the
+    word-level predictability rate (the quantity a language model
+    actually has to beat, and the n-gram entropy-rate estimate of
+    Shannon's experiment): H(w2|w1) = H(w1,w2) - H(w1). Low rate =
+    templated/boilerplate text whose next token is nearly determined;
+    complements text_char_entropy (byte level) and lm_bigram_score
+    (per-doc likelihood) at the source grain.
+
+    Determinism: exact bigram counts on the bounded vocab² grain; both
+    entropies fold over key-SORTED arrays (the text_char_entropy
+    discipline — Spark does not fix double-sum order, the fold does).
+    Shape: one scan, bigram partial agg, two bounded folds per source."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    bg = (
+        docs.select("source", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("source", "b.w1", "b.w2")
+    )
+    cj = bg.groupBy("source", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    pj = cj.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws(" ", "w1", "w2").alias("k"), F.col("c")
+                )
+            )
+        ).alias("a"),
+    )
+    cm = cj.groupBy("source", "w1").agg(F.sum("c").cast("bigint").alias("c"))
+    pm = cm.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("w1").alias("k"), F.col("c")))
+        ).alias("a")
+    )
+    j = pj.join(pm.withColumnRenamed("a", "am"), "source")
+    nd = F.col("n").cast("double")
+
+    def _h(arr):
+        return -F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, p: acc
+            + (p["c"].cast("double") / nd) * F.log(p["c"].cast("double") / nd),
+        ) / F.log(F.lit(2.0))
+
+    q6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    hj, hm = _h(F.col("a")), _h(F.col("am"))
+    return j.select(
+        "source",
+        F.col("n").alias("n_bigrams"),
+        q6(hj).alias("h_joint_bits"),
+        q6(hm).alias("h_unigram_bits"),
+        q6(hj - hm).alias("cond_entropy_bits"),
+    )
+
+
+_PACK_DIAL = f"""
+WITH d AS (
+  SELECT doc_id, len({_DK_TOKS}) AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         COALESCE(SUM(toks) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM d
+), th AS (SELECT unnest([64, 256, 2048]) AS cap)
+SELECT CAST(th.cap AS BIGINT) AS capacity,
+       CAST(MAX(s.start + s.toks + th.cap - 1) // th.cap AS BIGINT)
+         AS n_chunks,
+       round(SUM(s.toks) * 1.0
+             / ((MAX(s.start + s.toks + th.cap - 1) // th.cap) * th.cap), 6)
+         AS fill_pct,
+       CAST(SUM(CASE WHEN s.start % th.cap + s.toks > th.cap
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+       round(SUM(CASE WHEN s.start % th.cap + s.toks > th.cap
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS straddle_rate
+FROM s CROSS JOIN th GROUP BY th.cap
+"""
+
+
+@register("pack_capacity_dial", oracle=_PACK_DIAL)
+def pack_capacity_dial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing CAPACITY dial: for candidate context lengths,
+    how many packed chunks the corpus concatenation needs, how full
+    they run, and how many documents straddle a chunk boundary (each
+    straddler is a forced split or a padding decision downstream) —
+    the economics read next to tokens_context_fit (which measures hard
+    truncation; this measures concatenation packing, pack_sequences'
+    strategy).
+
+    Shape: ONE distributed running offset (operators.packing.
+    contiguous_pack's two-phase prefix sum — the offset is
+    capacity-independent, so all three capacities are pure expressions
+    over the same pass) crossed with a 3-row broadcast dim."""
+    from slipstream_async_spark.operators.packing import contiguous_pack
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", TXT.token_count("text").alias("toks"))
+    s = contiguous_pack(d, "doc_id", "toks", budget=2048).select(
+        "doc_id", "toks", "start"
+    )
+    th = spark.createDataFrame([(64,), (256,), (2048,)], "cap long")
+    end = F.col("start") + F.col("toks")
+    n_chunks = F.max(
+        F.floor((end + F.col("cap") - 1) / F.col("cap"))
+    ).cast("bigint")
+    straddle = F.when(
+        F.col("start") % F.col("cap") + F.col("toks") > F.col("cap"), 1
+    ).otherwise(0)
+    return (
+        s.crossJoin(F.broadcast(th))
+        .groupBy(F.col("cap").cast("bigint").alias("capacity"))
+        .agg(
+            n_chunks.alias("n_chunks"),
+            F.round(
+                F.sum("toks")
+                * 1.0
+                / (
+                    F.max(F.floor((end + F.col("cap") - 1) / F.col("cap")))
+                    * F.max("cap")
+                ),
+                6,
+            ).alias("fill_pct"),
+            F.sum(straddle).cast("bigint").alias("n_straddlers"),
+            F.round(F.sum(straddle) * 1.0 / F.count("*"), 6).alias(
+                "straddle_rate"
+            ),
+        )
+    )
+
+
+_PEAK_CONCURRENCY = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s
+  FROM e
+), sess AS (
+  SELECT user_id, s, MIN(ts) AS st, MAX(ts) AS en
+  FROM sid GROUP BY user_id, s
+), b AS (
+  SELECT strftime(st, '%Y-%m-%d') AS day, st AS bts, 1 AS delta, user_id, s FROM sess
+  UNION ALL
+  SELECT strftime(st, '%Y-%m-%d') AS day, en AS bts, -1 AS delta, user_id, s FROM sess
+), r AS (
+  SELECT day, SUM(delta) OVER (PARTITION BY day
+           ORDER BY bts, delta, user_id, s) AS conc
+  FROM b
+)
+SELECT r.day,
+       CAST((SELECT COUNT(*) FROM sess x
+             WHERE strftime(x.st, '%Y-%m-%d') = r.day) AS BIGINT) AS n_sessions,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+FROM r GROUP BY r.day
+"""
+
+
+@register("events_peak_concurrency", oracle=_PEAK_CONCURRENCY)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-stacking
+    primitive behind capacity planning and connection-pool sizing:
+    sessionize (30-min gap), explode each session into +1/-1 boundary
+    events (attributed to its START day), and take the day's maximum
+    running sum. Tie order is pinned (time, then -1 before +1, then
+    user/session) so simultaneous start/end resolves identically on
+    any engine.
+
+    Shape: per-user lag + cumulative-flag sessionization (keyed
+    windows), boundary explode doubles the session count (not the
+    event count), and the running sum partitions by DAY — bounded-day
+    grain, no global window."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sid = e.withColumn(
+        "s",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = sid.groupBy("user_id", "s").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    day = F.date_format("st", "yyyy-MM-dd").alias("day")
+    b = sess.select(
+        day, F.col("st").alias("bts"), F.lit(1).alias("delta"), "user_id", "s"
+    ).unionByName(
+        sess.select(
+            day, F.col("en").alias("bts"), F.lit(-1).alias("delta"),
+            "user_id", "s",
+        )
+    )
+    rw = (
+        Window.partitionBy("day")
+        .orderBy("bts", "delta", "user_id", "s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = b.withColumn("conc", F.sum("delta").over(rw))
+    starts = sess.groupBy(F.date_format("st", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    peaks = r.groupBy("day").agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency")
+    )
+    return starts.join(peaks, "day").select(
+        "day", "n_sessions", "peak_concurrency"
+    )
+
+
+_RANK_AGREEMENT = f"""
+WITH m AS (
+  SELECT source,
+         SUM(len({_DK_TOKS})) * 1.0 / COUNT(*) AS mean_tokens,
+         SUM(len(list_distinct({_DK_TOKS})) * 1.0
+             / len({_DK_TOKS})) / COUNT(*) AS mean_ttr
+  FROM documents GROUP BY source
+), p AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CASE WHEN (a.mean_tokens - b.mean_tokens)
+                   * (a.mean_ttr - b.mean_ttr) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.mean_tokens - b.mean_tokens)
+                   * (a.mean_ttr - b.mean_ttr) < 0 THEN 1 ELSE 0 END AS disc
+  FROM m a JOIN m b ON a.source < b.source
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_sources,
+       CAST(SUM(conc) AS BIGINT) AS n_concordant,
+       CAST(SUM(disc) AS BIGINT) AS n_discordant,
+       round((SUM(conc) - SUM(disc)) * 1.0 / COUNT(*), 6) AS kendall_tau
+FROM p
+"""
+
+
+@register("source_quality_rank_agreement", oracle=_RANK_AGREEMENT)
+def source_quality_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do two cheap quality signals RANK the sources the same way?
+    Kendall tau-a between the per-source mean document length (tokens)
+    and mean type-token ratio — the metric-agreement meta-readout run
+    before trusting any single heuristic as a curation gate (length
+    and lexical diversity usually anti-correlate; a strongly negative
+    tau says a length gate and a diversity gate would keep DIFFERENT
+    corpora). Complements the per-doc gate interaction matrix
+    (quality_gate_attribution) at the source-ranking grain.
+
+    Shape: one scan to |sources| metric rows, an O(|sources|^2)
+    bounded-dim pair join (20 sources -> 190 pairs), one scalar row."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    m = docs.groupBy("source").agg(
+        (F.sum(F.size(toks)) * 1.0 / F.count("*")).alias("mean_tokens"),
+        (
+            F.sum(
+                F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+            )
+            / F.count("*")
+        ).alias("mean_ttr"),
+    )
+    a = m.select(
+        F.col("source").alias("sa"),
+        F.col("mean_tokens").alias("ta"),
+        F.col("mean_ttr").alias("ra"),
+    )
+    b = m.select(
+        F.col("source").alias("sb"),
+        F.col("mean_tokens").alias("tb"),
+        F.col("mean_ttr").alias("rb"),
+    )
+    prod = (F.col("ta") - F.col("tb")) * (F.col("ra") - F.col("rb"))
+    p = a.join(b, F.col("sa") < F.col("sb")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+    )
+    n_src = m.agg(F.count("*").cast("bigint").alias("n_sources"))
+    return (
+        p.agg(
+            F.sum("conc").cast("bigint").alias("n_concordant"),
+            F.sum("disc").cast("bigint").alias("n_discordant"),
+            F.round(
+                (F.sum("conc") - F.sum("disc")) * 1.0 / F.count("*"), 6
+            ).alias("kendall_tau"),
+        )
+        .crossJoin(F.broadcast(n_src))
+        .select("n_sources", "n_concordant", "n_discordant", "kendall_tau")
+    )

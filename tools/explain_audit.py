@@ -70,6 +70,17 @@ ALLOW_BNLJ = {
     # 3-row context-window dim broadcast against per-doc token counts —
     # the banded-dim shape (join_range_price_bands)
     "tokens_context_fit",
+    # 3-row capacity dim broadcast against per-doc pack offsets —
+    # the banded-dim shape
+    "pack_capacity_dial",
+    # 3-row vocab-size dim + one-row token total crossed onto the
+    # ranked type frequencies — banded-dim + scalar-subquery shapes
+    "vocab_coverage_topk",
+    # 3-row gap dim broadcast against per-event lag rows — banded-dim
+    "events_session_gap_sensitivity",
+    # |sources|^2 bounded-dim pair join (~20 sources) + one-row source
+    # count cross — dim-sized, not data-sized
+    "source_quality_rank_agreement",
     # one-row corpus token total crossed into the KL denominator —
     # the scalar-subquery shape
     "source_token_drift",
