@@ -20431,3 +20431,98 @@ def source_quality_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
         .crossJoin(F.broadcast(n_src))
         .select("n_sources", "n_concordant", "n_discordant", "kendall_tau")
     )
+
+
+_DWELL_TIME = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id))) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS dwell
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(dwell) AS BIGINT) AS n_transitions,
+       round(SUM(dwell) * 1.0 / COUNT(dwell), 6) AS mean_dwell_secs,
+       CAST(MAX(dwell) AS BIGINT) AS max_dwell_secs
+FROM e WHERE dwell IS NOT NULL GROUP BY event_type
+"""
+
+
+@register("events_dwell_time_by_type", oracle=_DWELL_TIME)
+def events_dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-Markov HOLDING TIMES: how long a user dwells in each event
+    type before their next action — the time dimension
+    events_markov_transitions (where do they go) deliberately drops,
+    and the number that turns a transition matrix into latency
+    expectations (time-to-convert decompositions, stuck-state
+    detection: a state users enter often but leave slowly).
+
+    Shape: one per-user lead window (keyed — distributes), one
+    partial-agg rollup to |event types| rows; integer second
+    arithmetic until the final rounded mean."""
+    from pyspark.sql import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("dwell"),
+    ).filter(F.col("dwell").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.count("dwell").cast("bigint").alias("n_transitions"),
+        F.round(F.sum("dwell") * 1.0 / F.count("dwell"), 6).alias(
+            "mean_dwell_secs"
+        ),
+        F.max("dwell").cast("bigint").alias("max_dwell_secs"),
+    )
+
+
+_VOCAB_PRUNING = f"""
+WITH tok AS (SELECT source, unnest({_DK_TOKS}) AS t FROM documents),
+tf AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t),
+rk AS (SELECT t, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS r FROM tf),
+ks AS (SELECT unnest([4, 16, 64]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS vocab_size, tok.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN rk.r > ks.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(SUM(CASE WHEN rk.r > ks.k THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS oov_rate
+FROM tok JOIN rk ON tok.t = rk.t CROSS JOIN ks
+GROUP BY ks.k, tok.source
+"""
+
+
+@register("vocab_pruning_fairness", oracle=_VOCAB_PRUNING)
+def vocab_pruning_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO pays for a small vocabulary: per-source OOV token rate under
+    the corpus-global top-k vocab, for candidate sizes — the fairness
+    face of vocab_coverage_topk's corpus curve (a vocab trained on the
+    majority mix can hit 95% corpus coverage while one source eats a
+    multiple of the average OOV cost; this is the readout that catches
+    it before the tokenizer ships).
+
+    Shape: corpus type frequencies ranked with ``AGG.global_rank``
+    (distributed — no single-partition vocab sort), joined back to the
+    token stream on the type key (rank table is vocab-sized), crossed
+    with the 3-row size dim, rolled up to |sources| x 3 rows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(TXT.tokens("text")).alias("t"))
+    tf = tok.groupBy("t").agg(F.count("*").alias("f"))
+    rk = AGG.global_rank(tf, [F.col("f").desc(), F.col("t")], rank_col="r")
+    ks = spark.createDataFrame([(4,), (16,), (64,)], "k long")
+    oov = F.when(F.col("r") > F.col("k"), 1).otherwise(0)
+    return (
+        tok.join(rk.select("t", "r"), "t")
+        .crossJoin(F.broadcast(ks))
+        .groupBy(
+            F.col("k").cast("bigint").alias("vocab_size"), "source"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            F.round(F.sum(oov) * 1.0 / F.count("*"), 6).alias("oov_rate"),
+        )
+    )

@@ -78,6 +78,9 @@ ALLOW_BNLJ = {
     "vocab_coverage_topk",
     # 3-row gap dim broadcast against per-event lag rows — banded-dim
     "events_session_gap_sensitivity",
+    # 3-row vocab-size dim broadcast against the ranked token stream —
+    # banded-dim
+    "vocab_pruning_fairness",
     # |sources|^2 bounded-dim pair join (~20 sources) + one-row source
     # count cross — dim-sized, not data-sized
     "source_quality_rank_agreement",
