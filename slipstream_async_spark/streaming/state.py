@@ -728,6 +728,50 @@ class StateTable:
         # compaction re-arranges storage; it is not a mutation -> no
         # changelog rows
 
+    def rebucket(self, n_buckets: int) -> None:
+        """Rewrite the CURRENT state under a new bucket count (one full
+        compacted version; the explicit resize maintenance op — sized
+        like a RocksDB manual compaction, run when state volume has
+        outgrown the bucket granularity chosen at creation). Earlier
+        versions keep their manifests and stay time-travel readable
+        (snapshot(v) reads whole manifests, so the bucket function
+        changing across versions is invisible to it); point-lookup
+        pruning and new commits use the new bucketing immediately."""
+        if n_buckets == self.n_buckets:
+            return
+        live = self.snapshot().withColumn("op", F.lit("put"))
+        old_n = self.n_buckets
+        self.n_buckets = n_buckets
+        new_v = self.version + 1
+        tmp = self._vpath(new_v) + ".tmp"
+        try:
+            (
+                live.withColumn("_bucket", self._bucket_expr())
+                .repartition(F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(tmp)
+            )
+            chains = {}
+            for d in os.listdir(tmp):
+                m = re.fullmatch(r"_bucket=(\d+)", d)
+                if m:
+                    chains[int(m.group(1))] = [new_v]
+            with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+                json.dump(
+                    {
+                        "n_buckets": self.n_buckets,
+                        "chains": {str(b): ch for b, ch in chains.items()},
+                    },
+                    fh,
+                )
+            os.rename(tmp, self._vpath(new_v))
+        except BaseException:
+            self.n_buckets = old_n
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        # a storage re-arrangement, not a mutation -> no changelog rows
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop version directories not referenced by any of the last
         ``keep_last`` manifests. A directory stays live as long as ANY

@@ -345,3 +345,29 @@ def test_torn_commit_dirs_are_invisible_and_recoverable(spark, tmp_path):
     assert t.get("a") == 1 and t.get("b") == 2
     assert t.snapshot().count() == 2
     t.destroy()
+
+
+def test_rebucket_resizes_and_persists(spark, tmp_path):
+    """rebucket() rewrites state under a new bucket count in one
+    compacted version; reopening adopts the new count, point lookups
+    prune with the new hash, and prior versions stay readable."""
+    t = StateTable(spark, str(tmp_path / "rb"), n_buckets=2)
+    t.upsert(
+        spark.range(200).selectExpr(
+            "cast(id as string) as key", "cast(id as string) as value"
+        )
+    )
+    v_before = t.version
+    t.rebucket(16)
+    assert t.n_buckets == 16
+    assert t.snapshot().count() == 200
+    assert t.get("123") == "123"
+    assert t.snapshot(v_before).count() == 200  # time travel across resize
+    t2 = StateTable(spark, str(tmp_path / "rb"))  # reopen adopts 16
+    assert t2.n_buckets == 16
+    assert t2.get("42") == "42"
+    t2.upsert(
+        spark.createDataFrame([("new", "1")], "key string, value string")
+    )
+    assert t2.snapshot().count() == 201
+    t.destroy()
