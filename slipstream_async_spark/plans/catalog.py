@@ -20526,3 +20526,60 @@ def vocab_pruning_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(oov) * 1.0 / F.count("*"), 6).alias("oov_rate"),
         )
     )
+
+
+_PROFILE_COLS = (
+    "l_orderkey l_partkey l_suppkey l_linenumber l_quantity "
+    "l_extendedprice l_discount l_tax l_returnflag l_linestatus l_shipdate"
+).split()
+
+_PROFILE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       round((COUNT(*) - COUNT({c})) * 1.0 / COUNT(*), 6) AS null_pct
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_lineitem_columns", oracle=_PROFILE)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of the fact table: per column,
+    row count, NULL count/rate, and EXACT distinct cardinality — the
+    completeness/cardinality audit every ingest pipeline runs before
+    trusting a new drop (a key column whose distinct count stops
+    matching the row count, or a measure whose null rate jumps, is the
+    canonical upstream-schema-drift symptom).
+
+    Shape: ONE scan computes all 33 aggregates (count/nulls/distinct x
+    11 columns) in a single multi-aggregate pass (expand + partial
+    agg), then a 1-row->11-row stack — vs the naive per-column scan
+    loop (the oracle's UNION ALL shape) that reads the table 11 times.
+    At 100 TB that is the difference between one pass and eleven."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"n_{c}"),
+            (F.count("*") - F.count(c)).alias(f"z_{c}"),
+            F.count_distinct(c).alias(f"d_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n_{c}, z_{c}, d_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct)"
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(F.col("n_nulls") * 1.0 / F.col("n_rows"), 6).alias(
+            "null_pct"
+        ),
+    )

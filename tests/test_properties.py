@@ -431,3 +431,83 @@ def test_bloom_never_false_negative_and_merge_is_union(spark, members, probes):
         for r in out:
             if not r["bloom_hit"]:
                 assert r["k"] not in member_set
+
+
+# ---------------------------------------------------------------------------
+# StateTable vs dict model (the LSM delta-chain merge semantics)
+# ---------------------------------------------------------------------------
+
+
+_st_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("put"),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=99),
+        ),
+        st.tuples(st.just("del"), st.integers(min_value=0, max_value=9)),
+        st.tuples(
+            st.just("upsert_batch"),
+            st.integers(min_value=0, max_value=7),  # key range start
+            st.integers(min_value=1, max_value=4),  # batch width
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ops=_st_ops)
+def test_state_table_matches_dict_model(spark, tmp_path_factory, ops):
+    """Model-based check of the delta-chain StateTable: any interleaving
+    of point puts, deletes, and batch upserts must read back exactly
+    like a python dict — newest write wins per key across the whole
+    chain, deletes tombstone, compaction (max_chain=2 here, so it
+    triggers constantly) never changes the logical state."""
+    from slipstream_async_spark.streaming.state import StateTable
+
+    t = StateTable(
+        spark,
+        str(tmp_path_factory.mktemp("stprop") / "t"),
+        n_buckets=2,
+        max_chain=2,
+    )
+    model: dict[str, str] = {}
+    try:
+        for op in ops:
+            if op[0] == "put":
+                _, k, v = op
+                t.upsert(
+                    spark.createDataFrame(
+                        [(str(k), str(v))], "key string, value string"
+                    )
+                )
+                model[str(k)] = str(v)
+            elif op[0] == "del":
+                _, k = op
+                t.delete(str(k))
+                model.pop(str(k), None)
+            else:
+                _, start, width = op
+                rows = [(str(start + i), f"b{start + i}") for i in range(width)]
+                t.upsert(
+                    spark.createDataFrame(rows, "key string, value string")
+                )
+                model.update({k: v for k, v in rows})
+        got = {
+            r["key"]: r["value"] for r in t.snapshot().collect()
+        }
+        assert got == model
+        # point reads agree too (the pruned one-bucket path)
+        for k in list(model)[:3]:
+            assert t.get(k) == model[k]
+    finally:
+        t.destroy()
