@@ -241,6 +241,83 @@ def main() -> None:
         "cdc_events_read_back": int(n_cdc),
     }
 
+    # -- flow 4: streaming ANN enrichment — query vectors probe a
+    # MATERIALIZED IVF index (write-once/probe-many read path), results
+    # land in a StateTable --
+    from slipstream_async_spark.operators.similarity import ivf_index_write
+    from slipstream_async_spark.sources.readers import load_table as _lt
+    from slipstream_async_spark.streaming.ann_flow import ann_enrich_sink
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    index_path = os.path.join(work, "ann_index")
+    ivf_index_write(emb, index_path, n_lists=16)
+    q_src = os.path.join(work, "ann_queries")
+    emb.select(F.col("vec_id").alias("query_id"), "embedding").repartition(
+        N_CHUNKS
+    ).write.mode("overwrite").parquet(q_src)
+    q_schema = spark.read.parquet(q_src).schema
+    ann_results = StateTable(spark, os.path.join(work, "ann_results"))
+    ann_sink = ann_enrich_sink(index_path, ann_results, k=5, n_probe=4)
+    t0 = time.time()
+    q5 = (
+        spark.readStream.schema(q_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(q_src)
+        .writeStream.foreachBatch(ann_sink)
+        .option("checkpointLocation", os.path.join(work, "ck5"))
+        .start()
+    )
+    q5.processAllAvailable()
+    secs5 = round(time.time() - t0, 3)
+    n_enriched = ann_results.snapshot().count()
+    q5.stop()
+    flows["ann_ivf_enrich"] = {
+        "rows": int(n_vecs),
+        "secs": secs5,
+        "rows_per_sec": round(n_vecs / secs5, 1),
+        "micro_batches": len(q5.recentProgress),
+        "queries_enriched": int(n_enriched),
+    }
+
+    # -- flow 5: incremental NEAR-dup dedup — each micro-batch is
+    # prefix-index probed against the standing corpus StateTable, then
+    # folded into it (batch x corpus pairs only, never corpus^2) --
+    from slipstream_async_spark.streaming.dedup_flow import (
+        incremental_dedup_sink,
+    )
+
+    docs_tbl = _lt(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text")
+    )
+    n_docs = docs_tbl.count()
+    d_src = os.path.join(work, "inc_docs")
+    docs_tbl.repartition(N_CHUNKS).write.mode("overwrite").parquet(d_src)
+    d_schema = spark.read.parquet(d_src).schema
+    inc_corpus = StateTable(spark, os.path.join(work, "inc_corpus"))
+    inc_pairs = StateTable(spark, os.path.join(work, "inc_pairs"))
+    inc_sink = incremental_dedup_sink(inc_corpus, inc_pairs, threshold=0.5)
+    t0 = time.time()
+    q6 = (
+        spark.readStream.schema(d_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d_src)
+        .writeStream.foreachBatch(inc_sink)
+        .option("checkpointLocation", os.path.join(work, "ck6"))
+        .start()
+    )
+    q6.processAllAvailable()
+    secs6 = round(time.time() - t0, 3)
+    n_pairs = inc_pairs.snapshot().count()
+    q6.stop()
+    flows["incremental_near_dup"] = {
+        "rows": int(n_docs),
+        "secs": secs6,
+        "rows_per_sec": round(n_docs / secs6, 1),
+        "micro_batches": len(q6.recentProgress),
+        "pairs_found": int(n_pairs),
+    }
+
     payload = {
         "metric": "streaming_throughput",
         "unit": "rows/sec",
