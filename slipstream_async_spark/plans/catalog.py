@@ -20583,3 +20583,2034 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "null_pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 — pipeline-trust and signal-geometry batch: referential-
+# integrity audit (the ingest gate every warehouse runs before a drop is
+# trusted), exact Fourier periodogram (WHICH cycle dominates — the
+# seasonality battery names the strength, this names the period),
+# Tukey-HSD pairwise group inference (which pairs differ, after ANOVA
+# says "some do"), McNemar paired-gate comparison (are two curation
+# gates exchangeable on the SAME documents), and the exact corpus
+# isotropy score (mean pairwise cosine via the norm-of-sum identity —
+# O(n·d), never all-pairs).
+# ---------------------------------------------------------------------------
+
+_FK_EDGES: list[tuple[str, str, str, str, str]] = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_FK_AUDIT = " UNION ALL ".join(
+    f"""
+SELECT '{edge}' AS edge,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL) AS BIGINT)
+         AS n_null_fk,
+       CAST((SELECT COUNT(*) FROM
+              (SELECT DISTINCT {fk} AS k FROM {child}
+               WHERE {fk} IS NOT NULL) c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.k)) AS BIGINT)
+         AS n_orphan_keys,
+       CAST((SELECT COALESCE(SUM(cnt), 0) FROM
+              (SELECT {fk} AS k, COUNT(*) AS cnt FROM {child}
+               WHERE {fk} IS NOT NULL GROUP BY 1) c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.k)) AS BIGINT)
+         AS n_orphan_rows"""
+    for edge, child, fk, parent, pk in _FK_EDGES
+)
+
+
+@register("fk_violation_audit", oracle=_FK_AUDIT)
+def fk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema:
+    per edge, total child rows, NULL FKs, and orphan keys/rows (FK
+    values with no matching parent) — the trust gate an ingest
+    pipeline runs before a new drop joins the warehouse (a single
+    upstream repartition that drops a dimension file shows up here
+    first, as a nonzero orphan count, long before any query reads
+    wrong revenue).
+
+    Shape per edge: one key-grain partial aggregation of the child
+    (count per FK value — map-side combinable) and one LEFT ANTI join
+    against the parent's key column (dimension side broadcastable;
+    the fact-fact edge shuffles key counts, never rows). 7 edges, 7
+    rows out; at 100 TB each edge is a key-projection scan, not a
+    fact-table self-join."""
+    frames = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        (ch, par) = _t(spark, sf_dir, child, parent)
+        tot = ch.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_fk"),
+        )
+        cnt = (
+            ch.filter(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        orph = cnt.join(
+            par.select(F.col(pk).alias("k")), "k", "left_anti"
+        ).agg(
+            F.count("*").cast("bigint").alias("n_orphan_keys"),
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+        )
+        frames.append(
+            tot.crossJoin(orph).select(
+                F.lit(edge).alias("edge"),
+                "n_rows",
+                "n_null_fk",
+                "n_orphan_keys",
+                "n_orphan_rows",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+_PERIODOGRAM = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS d,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS q
+  FROM daily
+),
+terms AS (
+  SELECT p.period,
+         CAST(floor(cos(2 * pi() * (daily.d % p.period)
+                        / p.period) * 1000000 + 0.5) AS BIGINT) AS cq,
+         CAST(floor(sin(2 * pi() * (daily.d % p.period)
+                        / p.period) * 1000000 + 0.5) AS BIGINT) AS sq,
+         daily.x
+  FROM daily CROSS JOIN (VALUES (7), (30), (91), (365)) p(period)
+),
+per AS (
+  SELECT period,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * cq) AS DECIMAL(38,0)) AS c,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * sq) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(cq) AS DECIMAL(38,0)) AS cc,
+         CAST(SUM(sq) AS DECIMAL(38,0)) AS ss
+  FROM terms GROUP BY period
+),
+pw AS (
+  SELECT period,
+         ((CAST(g.n * c - g.sx * cc AS DOUBLE) / 1e6)
+          * (CAST(g.n * c - g.sx * cc AS DOUBLE) / 1e6)
+          + (CAST(g.n * s - g.sx * ss AS DOUBLE) / 1e6)
+            * (CAST(g.n * s - g.sx * ss AS DOUBLE) / 1e6))
+           AS a2,
+         CAST(g.n AS DOUBLE) AS nd,
+         CAST(g.n * g.q - g.sx * g.sx AS DOUBLE) AS sstot
+  FROM per, g
+)
+SELECT CAST(period AS BIGINT) AS period_days,
+       CAST(nd AS BIGINT) AS n_days,
+       floor(2 * a2 / (nd * nd * sstot) * 1000000 + 0.5) / 1000000
+         AS power_frac,
+       a2 = (SELECT MAX(a2) FROM pw) AS dominant
+FROM pw
+"""
+
+
+@register("orders_spectral_periodogram", oracle=_PERIODOGRAM)
+def orders_spectral_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Fourier periodogram of daily revenue at the candidate
+    calendar periods (7/30/91/365 days): the fraction of series
+    variance a pure sinusoid at each period explains, and which one
+    dominates. The seasonality battery (orders_seasonal_strength,
+    orders_seasonality) measures HOW seasonal the series is — this is
+    the spectral face that names WHICH cycle carries the signal, the
+    readout that decides a forecast model's seasonal period.
+
+    Determinism: revenue quantizes to integer cents at the row;
+    cos/sin arguments are reduced mod the period first (only |period|
+    distinct evaluations) and quantize to 1e-6 fixed point, so every
+    sum is exact DECIMAL on both engines; mean-centering is folded
+    algebraically (n*C - Sx*Cc) so no float mean ever enters a sum.
+    Shape: one day-grain partial agg of the fact table, a 4-row
+    broadcast period dim, and a 4-row output — the day-grain frame is
+    the only shuffle, identical at any scale."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    import math
+
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    g = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    periods = spark.createDataFrame([(7,), (30,), (91,), (365,)], "period int")
+    two_pi = F.lit(2.0 * math.pi)
+    ang = two_pi * (F.col("d") % F.col("period")) / F.col("period")
+    terms = daily.crossJoin(F.broadcast(periods)).select(
+        "period",
+        "x",
+        F.floor(F.cos(ang) * 1000000 + F.lit(0.5)).cast("bigint").alias("cq"),
+        F.floor(F.sin(ang) * 1000000 + F.lit(0.5)).cast("bigint").alias("sq"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    per = terms.groupBy("period").agg(
+        F.sum(xd * F.col("cq")).cast("decimal(38,0)").alias("c"),
+        F.sum(xd * F.col("sq")).cast("decimal(38,0)").alias("s"),
+        F.sum("cq").cast("decimal(38,0)").alias("cc"),
+        F.sum("sq").cast("decimal(38,0)").alias("ss"),
+    )
+    a_c = (F.col("n") * F.col("c") - F.col("sx") * F.col("cc")).cast(
+        "double"
+    ) / 1e6
+    a_s = (F.col("n") * F.col("s") - F.col("sx") * F.col("ss")).cast(
+        "double"
+    ) / 1e6
+    pw = per.crossJoin(F.broadcast(g)).select(
+        "period",
+        (a_c * a_c + a_s * a_s).alias("a2"),
+        F.col("n").cast("double").alias("nd"),
+        (F.col("n") * F.col("q") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("sstot"),
+    )
+    mx = pw.agg(F.max("a2").alias("mx"))
+    return pw.crossJoin(F.broadcast(mx)).select(
+        F.col("period").cast("bigint").alias("period_days"),
+        F.col("nd").cast("bigint").alias("n_days"),
+        (
+            F.floor(
+                2 * F.col("a2") / (F.col("nd") * F.col("nd") * F.col("sstot"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("power_frac"),
+        (F.col("a2") == F.col("mx")).alias("dominant"),
+    )
+
+
+_TUKEY_HSD = """
+WITH y AS (
+  SELECT o.o_orderpriority AS prio,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS lag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+g AS (
+  SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lag) AS BIGINT) AS s,
+         CAST(SUM(CAST(lag AS DECIMAL(38,0)) * lag) AS DECIMAL(38,0)) AS q
+  FROM y GROUP BY prio
+),
+w AS (
+  SELECT CAST(SUM(q::DOUBLE - s::DOUBLE * s / n) AS DOUBLE) AS ssw,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+)
+SELECT a.prio AS prio_a, b.prio AS prio_b,
+       floor(a.s::DOUBLE / a.n * 1000000 + 0.5) / 1000000 AS mean_a,
+       floor(b.s::DOUBLE / b.n * 1000000 + 0.5) / 1000000 AS mean_b,
+       floor((a.s::DOUBLE / a.n - b.s::DOUBLE / b.n) * 1000000 + 0.5)
+         / 1000000 AS mean_diff,
+       floor(abs(a.s::DOUBLE / a.n - b.s::DOUBLE / b.n)
+             / sqrt(w.ssw / (w.nn - w.k) / 2
+                    * (1.0 / a.n + 1.0 / b.n)) * 1000000 + 0.5)
+         / 1000000 AS q_stat,
+       abs(a.s::DOUBLE / a.n - b.s::DOUBLE / b.n)
+         / sqrt(w.ssw / (w.nn - w.k) / 2 * (1.0 / a.n + 1.0 / b.n))
+         > 3.858 AS significant
+FROM g a JOIN g b ON a.prio < b.prio, w
+"""
+
+
+@register("stats_tukey_hsd", oracle=_TUKEY_HSD)
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey honestly-significant-difference pairwise comparisons of
+    mean ship lag across the 5 order priorities: for every priority
+    pair, the mean difference, the studentized-range q statistic
+    (|mi-mj| / sqrt(MSW/2 * (1/ni + 1/nj)), MSW pooled within-group
+    variance), and significance against the alpha=0.05 critical value
+    for k=5 groups at large df (3.858). The post-hoc step AFTER
+    shiplag_anova_by_priority's omnibus F — ANOVA says "some pair
+    differs", HSD names which pairs, with the family-wise error rate
+    held at alpha (what 10 pairwise t-tests would not do).
+
+    Determinism: per-group (n, sum, sum-of-squares) are exact
+    BIGINT/DECIMAL; MSW and each q are single double expressions over
+    those exact sufficient statistics. Shape: one fact-scan partial
+    agg to 5 rows, a 5x5 self-join of the tiny group frame, 10 rows
+    out — identical plan at any scale."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    y = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lag"),
+    )
+    g = y.groupBy("prio").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lag").cast("bigint").alias("s"),
+        F.sum(F.col("lag").cast("decimal(38,0)") * F.col("lag"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    w = g.agg(
+        F.sum(
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("ssw"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    a = g.select(
+        F.col("prio").alias("prio_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = g.select(
+        F.col("prio").alias("prio_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    msw = F.col("ssw") / (F.col("nn") - F.col("k"))
+    se = F.sqrt(
+        msw / 2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        # broadcast theta-join of two 5-row group frames (never a
+        # shuffle cartesian): the pair grid is k(k-1)/2 = 10 rows
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("prio_a") < F.col("prio_b"))
+        .crossJoin(F.broadcast(w))
+        .select(
+            "prio_a",
+            "prio_b",
+            q6(ma).alias("mean_a"),
+            q6(mb).alias("mean_b"),
+            q6(ma - mb).alias("mean_diff"),
+            q6(F.abs(ma - mb) / se).alias("q_stat"),
+            (F.abs(ma - mb) / se > 3.858).alias("significant"),
+        )
+    )
+
+
+_MCNEMAR = r"""
+WITH gates AS (
+  SELECT (n_chars >= 300) AS ga,
+         (len(list_filter(regexp_split_to_array(text, '\s+'),
+                          x -> x != '')) >= 60) AS gb
+  FROM documents
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both,
+         CAST(SUM(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a_only,
+         CAST(SUM(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b_only,
+         CAST(SUM(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neither
+  FROM gates
+)
+SELECT n_docs, n_both, n_a_only, n_b_only, n_neither,
+       CASE WHEN n_a_only + n_b_only = 0 THEN 0.0
+            ELSE floor((abs(n_a_only - n_b_only) - 1)
+                       * (abs(n_a_only - n_b_only) - 1)
+                       / CAST(n_a_only + n_b_only AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000 END AS mcnemar_chi2,
+       CASE WHEN n_a_only + n_b_only = 0 THEN FALSE
+            ELSE (abs(n_a_only - n_b_only) - 1)
+                 * (abs(n_a_only - n_b_only) - 1)
+                 / CAST(n_a_only + n_b_only AS DOUBLE) > 3.841459 END
+         AS gates_differ
+FROM c
+"""
+
+
+@register("stats_mcnemar", oracle=_MCNEMAR)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test on two curation gates evaluated on the SAME
+    documents — gate A: n_chars >= 300; gate B: >= 60 whitespace
+    tokens. The discordant counts (A-only vs B-only) carry all the
+    information about whether the gates disagree systematically; the
+    continuity-corrected statistic (|b-c|-1)^2/(b+c) against
+    chi2(1)=3.841 decides if swapping gate A for gate B would change
+    WHICH documents survive, not just how many (the question a
+    marginal-rate comparison cannot answer, because it ignores
+    pairing). The gate-exchangeability readout before a cheaper gate
+    replaces an expensive one in a curation pipeline.
+
+    Determinism: four exact BIGINT cell counts from one scan; the
+    statistic is one double expression. Shape: single partial-agg
+    scan, 1 row out."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    ga = F.col("n_chars") >= 300
+    gb = F.size(TXT.tokens("text")) >= 60
+    c = docs.select(ga.alias("ga"), gb.alias("gb")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("ga") & F.col("gb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(F.when(F.col("ga") & ~F.col("gb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a_only"),
+        F.sum(F.when(~F.col("ga") & F.col("gb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b_only"),
+        F.sum(F.when(~F.col("ga") & ~F.col("gb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neither"),
+    )
+    disc = F.col("n_a_only") + F.col("n_b_only")
+    chi = (
+        (F.abs(F.col("n_a_only") - F.col("n_b_only")) - 1)
+        * (F.abs(F.col("n_a_only") - F.col("n_b_only")) - 1)
+        / disc.cast("double")
+    )
+    return c.select(
+        "n_docs",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        F.when(disc == 0, F.lit(0.0))
+        .otherwise(F.floor(chi * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("mcnemar_chi2"),
+        F.when(disc == 0, F.lit(False))
+        .otherwise(chi > 3.841459)
+        .alias("gates_differ"),
+    )
+
+
+_ISOTROPY = """
+WITH q AS (
+  SELECT label, pos,
+         CAST(floor(val / nrm * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM (SELECT CAST(label AS BIGINT) AS label,
+               unnest(embedding)::DOUBLE AS val,
+               unnest(range(len(embedding))) AS pos,
+               sqrt({dot}) AS nrm
+        FROM embeddings)
+),
+d AS (
+  SELECT label, pos,
+         CAST(SUM(qv) AS BIGINT) AS sq,
+         CAST(SUM(CAST(qv AS DECIMAL(38,0)) * qv) AS DECIMAL(38,0)) AS sq2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2
+),
+l AS (
+  SELECT label,
+         CAST(SUM(CAST(sq AS DECIMAL(38,0)) * sq) AS DECIMAL(38,0)) AS t,
+         CAST(SUM(sq2) AS DECIMAL(38,0)) AS r,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM d GROUP BY label
+)
+SELECT label, n AS n_vectors,
+       floor((t::DOUBLE - r::DOUBLE) / (n::DOUBLE * (n - 1) * 1e12)
+             * 1000000 + 0.5) / 1000000 AS mean_pairwise_cos,
+       floor(sqrt(t::DOUBLE) / (n::DOUBLE * 1e6) * 1000000 + 0.5)
+         / 1000000 AS norm_of_mean
+FROM l
+""".format(dot=_DK_DOT.format(a="embedding", b="embedding"))
+
+
+@register("emb_isotropy_score", oracle=_ISOTROPY)
+def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mean pairwise cosine within each label (the isotropy /
+    anisotropy score of the representation): for unit-normalized
+    vectors, sum_{i != j} cos(vi, vj) = ||sum_i v̂i||^2 - n, so the
+    all-pairs mean collapses to per-dimension component sums — O(n·d)
+    with a groupBy, never an n^2 pair join. Near 0 = isotropic
+    (directions spread over the sphere); near 1 = representation
+    collapse (embeddings bunch in a cone — the classic contextual-
+    embedding pathology that silently breaks cosine thresholds tuned
+    on an isotropic model). Complements emb_pair_cosine_histogram
+    (sampled distribution shape) with the exact corpus moment, and
+    norm_of_mean is the companion mean-vector bias readout.
+
+    Determinism: normalized components quantize to 1e-6 fixed point
+    at the row (after an IEEE-exact sqrt/divide), so the per-(label,
+    dim) sums and both quadratic folds are exact DECIMAL on both
+    engines. Shape: one posexplode scan -> (label, dim)-grain partial
+    agg -> |labels| rows; the identity does the n^2 work."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(VEC.dot(F.col("embedding"), F.col("embedding")))
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x / nrm * 1000000 + F.lit(0.5)).cast("bigint"),
+    )
+    q = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode(qarr).alias("pos", "qv"),
+    )
+    d = q.groupBy("label", "pos").agg(
+        F.sum("qv").cast("bigint").alias("sq"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv"))
+        .cast("decimal(38,0)")
+        .alias("sq2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    lbl = d.groupBy("label").agg(
+        F.sum(F.col("sq").cast("decimal(38,0)") * F.col("sq"))
+        .cast("decimal(38,0)")
+        .alias("t"),
+        F.sum("sq2").cast("decimal(38,0)").alias("r"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return lbl.select(
+        "label",
+        F.col("n").alias("n_vectors"),
+        q6(
+            (F.col("t").cast("double") - F.col("r").cast("double"))
+            / (F.col("n").cast("double") * (F.col("n") - 1) * 1e12)
+        ).alias("mean_pairwise_cos"),
+        q6(
+            F.sqrt(F.col("t").cast("double"))
+            / (F.col("n").cast("double") * 1e6)
+        ).alias("norm_of_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (cont.) — multiscale and resampling inference: Haar wavelet
+# energy split (WHERE on the time axis the variance lives, per dyadic
+# scale), a hash-derandomized permutation test (inference with NO
+# distributional assumption), Grubbs max-deviation screening, and the
+# interval-union sweep (per-key merged coverage — the scheduling/SLA
+# primitive window functions were made for).
+# ---------------------------------------------------------------------------
+
+_HAAR_ENERGY = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS d,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+lv AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5)) l(level)),
+blk AS (
+  SELECT l.level, daily.d // (1 << l.level) AS block,
+         CAST(SUM(CASE WHEN daily.d % (1 << l.level) < (1 << (l.level - 1))
+                       THEN daily.x ELSE -daily.x END) AS BIGINT) AS diff
+  FROM daily CROSS JOIN lv l
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT level,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CAST(diff AS DECIMAL(38,0)) * diff) AS DECIMAL(38,0))
+           AS ssq
+  FROM blk GROUP BY level
+),
+tot AS (
+  SELECT CAST(SUM(ssq::DOUBLE / (1 << level)) AS DOUBLE) AS te FROM e
+)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(1 << level AS BIGINT) AS block_days,
+       n_blocks,
+       floor(ssq::DOUBLE / (1 << level) / tot.te * 1000000 + 0.5)
+         / 1000000 AS energy_frac
+FROM e, tot
+"""
+
+
+@register("orders_haar_energy", oracle=_HAAR_ENERGY)
+def orders_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail-energy decomposition of daily revenue over
+    dyadic scales 2..32 days: at each level j the series splits into
+    blocks of 2^j days and the detail energy sum((left-half sum -
+    right-half sum)^2)/2^j measures variance living AT that time
+    scale. The multiscale complement to the spectral periodogram —
+    Fourier asks "which period repeats", Haar asks "at which
+    granularity does the series move" (day-to-day noise loads level
+    1; promotions/weekly cycles load 2-8 days; regime drifts load the
+    top). Missing calendar days read as zero revenue on both engines
+    (absent rows simply don't contribute to either half-sum).
+
+    Determinism: integer cents, integer half-sum differences, exact
+    DECIMAL squares; the only doubles are the final per-level ratios.
+    Shape: day-grain partial agg, a 5-row broadcast level dim, block-
+    grain partial agg (map-side combinable — blocks nest inside data
+    partitions), 5 rows out."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    levels = spark.createDataFrame([(1,), (2,), (3,), (4,), (5,)], "level int")
+    size = F.expr("shiftleft(1, level)")
+    half = F.expr("shiftleft(1, level - 1)")
+    blk = (
+        daily.crossJoin(F.broadcast(levels))
+        .groupBy(
+            "level", F.floor(F.col("d") / size).cast("bigint").alias("block")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("d") % size < half, F.col("x")).otherwise(
+                    -F.col("x")
+                )
+            )
+            .cast("bigint")
+            .alias("diff")
+        )
+    )
+    e = blk.groupBy("level").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("diff").cast("decimal(38,0)") * F.col("diff"))
+        .cast("decimal(38,0)")
+        .alias("ssq"),
+    )
+    lvl_e = F.col("ssq").cast("double") / F.expr("shiftleft(1, level)")
+    tot = e.agg(F.sum(lvl_e).alias("te"))
+    return e.crossJoin(F.broadcast(tot)).select(
+        F.col("level").cast("bigint").alias("level"),
+        F.expr("shiftleft(1, level)").cast("bigint").alias("block_days"),
+        "n_blocks",
+        (F.floor(lvl_e / F.col("te") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "energy_frac"
+        ),
+    )
+
+
+_PERM_TEST = """
+WITH y AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         (o_orderpriority = '1-URGENT') AS grp
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+obs AS (
+  SELECT SUM(CASE WHEN grp THEN cents ELSE 0 END)::DOUBLE
+           / SUM(CASE WHEN grp THEN 1 ELSE 0 END)
+         - SUM(CASE WHEN NOT grp THEN cents ELSE 0 END)::DOUBLE
+           / SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS d_obs
+  FROM y
+),
+perm AS (
+  SELECT r.r,
+         SUM(CASE WHEN flip THEN cents ELSE 0 END)::DOUBLE
+           / SUM(CASE WHEN flip THEN 1 ELSE 0 END)
+         - SUM(CASE WHEN NOT flip THEN cents ELSE 0 END)::DOUBLE
+           / SUM(CASE WHEN NOT flip THEN 1 ELSE 0 END) AS d_r
+  FROM (SELECT y.*, r.r,
+               ('0x' || substr(md5(y.k::VARCHAR || ':' || r.r::VARCHAR),
+                               1, 8))::BIGINT % 2 = 0 AS flip
+        FROM y CROSS JOIN (SELECT unnest(range(64)) AS r) r) r
+  GROUP BY r.r
+)
+SELECT CAST((SELECT COUNT(*) FROM y) AS BIGINT) AS n_rows,
+       CAST(64 AS BIGINT) AS n_perms,
+       floor(obs.d_obs / 100 * 1000000 + 0.5) / 1000000 AS observed_diff,
+       CAST((SELECT COUNT(*) FROM perm WHERE abs(d_r) >= abs(obs.d_obs))
+            AS BIGINT) AS n_extreme,
+       floor((1.0 + (SELECT COUNT(*) FROM perm
+                     WHERE abs(d_r) >= abs(obs.d_obs))) / 65.0
+             * 1000000 + 0.5) / 1000000 AS p_value
+FROM obs
+"""
+
+
+@register("stats_permutation_test", oracle=_PERM_TEST)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the URGENT-vs-LOW order-value gap with
+    NO distributional assumption: 64 derandomized label reassignments
+    (row's draw r = parity of md5(orderkey:r) — reproducible on any
+    engine, no RNG state), each yielding a null mean-difference; the
+    p-value is the Monte-Carlo bound (1 + #extreme)/(R + 1). The
+    robustness cross-check for stats_welch_ttest: when the two
+    disagree, the t-test's normality assumption is the suspect. Uses
+    unconditional reassignment (each row flips independently) — the
+    standard MC approximation to the label-permutation null.
+
+    Determinism: the 64 draws are pure md5 bit functions of the row
+    key, so both engines build the SAME 64 pseudo-samples; per-draw
+    sums are exact integers. Shape: one scan fans each row into 64
+    (map-side, combiner collapses to 128 partial sums before the
+    shuffle), output 1 row — the 64x expansion never crosses the
+    network."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    y = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("grp"),
+    )
+    def _mean_diff(flag):
+        s1 = F.sum(F.when(flag, F.col("cents")).otherwise(0)).cast("double")
+        n1 = F.sum(F.when(flag, 1).otherwise(0))
+        s0 = F.sum(F.when(~flag, F.col("cents")).otherwise(0)).cast("double")
+        n0 = F.sum(F.when(~flag, 1).otherwise(0))
+        return s1 / n1 - s0 / n0
+
+    obs = y.agg(
+        _mean_diff(F.col("grp")).alias("d_obs"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    rdim = spark.createDataFrame([(r,) for r in range(64)], "r int")
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("k").cast("string"),
+                                  F.col("r").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    perm = (
+        y.crossJoin(F.broadcast(rdim))
+        .withColumn("flip", flip)
+        .groupBy("r")
+        .agg(_mean_diff(F.col("flip")).alias("d_r"))
+    )
+    ext = perm.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(F.abs(F.col("d_r")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme")
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return obs.crossJoin(F.broadcast(ext)).select(
+        "n_rows",
+        F.lit(64).cast("bigint").alias("n_perms"),
+        q6(F.col("d_obs") / 100).alias("observed_diff"),
+        "n_extreme",
+        q6((1.0 + F.col("n_extreme")) / 65.0).alias("p_value"),
+    )
+
+
+_GRUBBS = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS q
+  FROM daily
+),
+dev AS (
+  SELECT daily.day, daily.x,
+         abs(daily.x::DOUBLE - g.s::DOUBLE / g.n) AS ad
+  FROM daily, g
+),
+top AS (
+  SELECT day, x, ad FROM dev ORDER BY ad DESC, day LIMIT 1
+)
+SELECT g.n AS n_days,
+       floor(g.s::DOUBLE / g.n / 100 * 1000000 + 0.5) / 1000000
+         AS mean_revenue,
+       floor(sqrt((g.n * g.q::DOUBLE - g.s::DOUBLE * g.s)
+                  / (g.n::DOUBLE * (g.n - 1))) / 100 * 1000000 + 0.5)
+         / 1000000 AS sd_revenue,
+       strftime(top.day, '%Y-%m-%d') AS max_dev_day,
+       floor(top.x::DOUBLE / 100 * 1000000 + 0.5) / 1000000
+         AS max_dev_revenue,
+       floor(top.ad / sqrt((g.n * g.q::DOUBLE - g.s::DOUBLE * g.s)
+                           / (g.n::DOUBLE * (g.n - 1)))
+             * 1000000 + 0.5) / 1000000 AS g_stat,
+       top.ad / sqrt((g.n * g.q::DOUBLE - g.s::DOUBLE * g.s)
+                     / (g.n::DOUBLE * (g.n - 1))) > 3.5 AS outlier_flag
+FROM g, top
+"""
+
+
+@register("stats_grubbs_outlier", oracle=_GRUBBS)
+def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs extreme-studentized-deviate screen on daily revenue: the
+    single most deviant day, its G statistic max|x - mean|/sd, and a
+    flag against the conventional G > 3.5 rule (the fixed-threshold
+    screen used when the exact t-based critical value is overkill).
+    The single-point complement to revenue_mad_outliers (which counts
+    robust outliers) — Grubbs answers "is the WORST day explainable
+    by the normal-noise model", the first question asked of a revenue
+    anomaly page before anyone pages anyone.
+
+    Determinism: day sums exact integer cents; mean/sd from exact
+    sufficient statistics; argmax day resolved with an explicit
+    (deviation DESC, day) tie-break via max_by on a struct. Shape:
+    day-grain partial agg, one scalar agg, 1 row out."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    g = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    dev = daily.crossJoin(F.broadcast(g)).withColumn(
+        "ad",
+        F.abs(
+            F.col("x").cast("double")
+            - F.col("s").cast("double") / F.col("n")
+        ),
+    )
+    # argmax with (ad DESC, day ASC) tie-break: max_by over a struct
+    # whose second component is the NEGATED epoch day
+    top = dev.agg(
+        F.max_by(
+            F.struct("day", "x", "ad"),
+            F.struct(
+                F.col("ad"),
+                (-F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+                .alias("nd"),
+            ),
+        ).alias("t")
+    ).select(F.col("t.day").alias("day"), F.col("t.x").alias("x"),
+             F.col("t.ad").alias("ad"))
+    sd = F.sqrt(
+        (
+            F.col("n") * F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return g.crossJoin(F.broadcast(top)).select(
+        F.col("n").alias("n_days"),
+        q6(F.col("s").cast("double") / F.col("n") / 100).alias("mean_revenue"),
+        q6(sd / 100).alias("sd_revenue"),
+        F.date_format("day", "yyyy-MM-dd").alias("max_dev_day"),
+        q6(F.col("x").cast("double") / 100).alias("max_dev_revenue"),
+        q6(F.col("ad") / sd).alias("g_stat"),
+        (F.col("ad") / sd > 3.5).alias("outlier_flag"),
+    )
+
+
+_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT l.l_suppkey AS suppkey,
+         datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+           AS s,
+         datediff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE))
+           AS e
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+mk AS (
+  SELECT suppkey, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY suppkey ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                s - 1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+isl AS (
+  SELECT suppkey, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY suppkey ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM mk
+),
+per AS (
+  SELECT suppkey, island,
+         MIN(s) AS lo, MAX(e) AS hi
+  FROM isl GROUP BY 1, 2
+)
+SELECT suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_busy_islands,
+       CAST(SUM(hi - lo + 1) AS BIGINT) AS covered_days,
+       CAST(MAX(hi) - MIN(lo) + 1 AS BIGINT) AS span_days,
+       floor(SUM(hi - lo + 1)::DOUBLE / (MAX(hi) - MIN(lo) + 1)
+             * 1000000 + 0.5) / 1000000 AS busy_frac
+FROM per GROUP BY suppkey
+"""
+
+
+@register("supplier_interval_coverage", oracle=_INTERVAL_COVERAGE)
+def supplier_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union sweep per supplier: each lineitem opens a busy
+    interval [order date, ship date]; overlapping intervals merge, and
+    the readout is merged-busy days vs calendar span — the capacity-
+    utilization primitive (the same sweep prices SLA exposure windows,
+    machine-booking conflicts, and on-call coverage). Distinct from
+    orders_gaps_and_islands (presence/absence of single days): this
+    merges ARBITRARY-LENGTH overlapping intervals, the strictly
+    harder sweep-line shape.
+
+    Shape: one fact join, then the classic two-window sweep — running
+    max of interval end (1-preceding) marks island starts, a running
+    sum numbers islands — both windows PARTITIONED BY supplier (the
+    scale-safe per-key sort, never a global one), then island-grain
+    and supplier-grain partial aggs. All arithmetic on integer day
+    numbers; the only double is the final utilization ratio."""
+    from pyspark.sql import Window
+
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    iv = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        ).alias("s"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        ).alias("e"),
+    )
+    w = (
+        Window.partitionBy("suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mk = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w), F.col("s") - 1), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(wrun))
+    per = mk.groupBy("suppkey", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    return per.groupBy("suppkey").agg(
+        F.count("*").cast("bigint").alias("n_busy_islands"),
+        F.sum(F.col("hi") - F.col("lo") + 1)
+        .cast("bigint")
+        .alias("covered_days"),
+        (F.max("hi") - F.min("lo") + 1).cast("bigint").alias("span_days"),
+        (
+            F.floor(
+                F.sum(F.col("hi") - F.col("lo") + 1).cast("double")
+                / (F.max("hi") - F.min("lo") + 1)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("busy_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (cont.) — graph structure of the trade network (assortativity
+# and clustering, the two numbers that say whether hubs talk to hubs
+# and whether neighborhoods close), confounder-aware association
+# (Simpson audit: stratified vs pooled sign), code-vs-prose detection
+# for LLM corpus routing, and the covariance participation ratio (the
+# eig-free effective rank an embedding table can be graded by in SQL).
+# ---------------------------------------------------------------------------
+
+_TRADE_EDGES = """
+  SELECT DISTINCT
+         LEAST(cn.n_nationkey, sn.n_nationkey) AS lo,
+         GREATEST(cn.n_nationkey, sn.n_nationkey) AS hi
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE cn.n_nationkey <> sn.n_nationkey
+"""
+
+_ASSORTATIVITY = f"""
+WITH e AS ({_TRADE_EDGES}),
+both_dir AS (
+  SELECT lo AS u, hi AS v FROM e UNION ALL SELECT hi AS u, lo AS v FROM e
+),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM both_dir GROUP BY u),
+ed AS (
+  SELECT du.d AS j, dv.d AS k
+  FROM e JOIN deg du ON du.node = e.lo JOIN deg dv ON dv.node = e.hi
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CAST(j AS DECIMAL(38,0)) * k) AS DECIMAL(38,0)) AS sjk,
+         CAST(SUM(j + k) AS BIGINT) AS s1,
+         CAST(SUM(CAST(j AS DECIMAL(38,0)) * j
+                  + CAST(k AS DECIMAL(38,0)) * k) AS DECIMAL(38,0)) AS s2
+  FROM ed
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       m AS n_edges,
+       CASE WHEN s2::DOUBLE / (2 * m) - (s1::DOUBLE / (2 * m))
+                                        * (s1::DOUBLE / (2 * m)) <= 0
+            THEN 0.0  -- regular graph: degree variance 0, r undefined
+            ELSE floor((sjk::DOUBLE / m - (s1::DOUBLE / (2 * m))
+                                          * (s1::DOUBLE / (2 * m)))
+                       / (s2::DOUBLE / (2 * m) - (s1::DOUBLE / (2 * m))
+                                                 * (s1::DOUBLE / (2 * m)))
+                       * 1000000 + 0.5) / 1000000 END AS assortativity_r
+FROM m
+"""
+
+
+@register("graph_degree_assortativity", oracle=_ASSORTATIVITY)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected nation trade graph
+    (nations linked when any customer of one buys from a supplier of
+    the other): Newman's r = Pearson correlation of endpoint degrees
+    over edges — positive means hub nations trade with hubs
+    (assortative core), negative means hubs fan out to the periphery
+    (the hub-and-spoke shape). The structural summary UNDER
+    nation_trade_pagerank's per-node centrality.
+
+    Shape: the five-table star reduces to a DISTINCT canonical edge
+    list (partial-agg'd — the fact table never leaves the first
+    groupBy), degrees from a both-direction count, one broadcast
+    degree join back to edges, exact integer moment sums, 1 row out.
+    At 100 TB the only fact-scale work is the distinct-edge agg."""
+    li, orders, cust, supp = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier"
+    )
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("lo"),
+            F.greatest("c_nationkey", "s_nationkey").alias("hi"),
+        )
+        .distinct()
+    )
+    both = e.select(F.col("lo").alias("u")).unionAll(
+        e.select(F.col("hi").alias("u"))
+    )
+    deg = both.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    ed = (
+        e.join(F.broadcast(deg.withColumnRenamed("u", "lo")
+                           .withColumnRenamed("d", "j")), "lo")
+        .join(F.broadcast(deg.withColumnRenamed("u", "hi")
+                          .withColumnRenamed("d", "k")), "hi")
+    )
+    jd = F.col("j").cast("decimal(38,0)")
+    kd = F.col("k").cast("decimal(38,0)")
+    m = ed.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(jd * F.col("k")).cast("decimal(38,0)").alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).cast("bigint").alias("s1"),
+        F.sum(jd * F.col("j") + kd * F.col("k"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    nn = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    mb = F.col("s1").cast("double") / (2 * F.col("m"))
+    num = F.col("sjk").cast("double") / F.col("m") - mb * mb
+    den = F.col("s2").cast("double") / (2 * F.col("m")) - mb * mb
+    return m.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        # regular graph (complete at small SF): degree variance is 0 and
+        # r is undefined -> report 0.0, matching the oracle's CASE
+        F.when(den <= 0, F.lit(0.0))
+        .otherwise(F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("assortativity_r"),
+    )
+
+
+_CLUSTERING = f"""
+WITH e AS ({_TRADE_EDGES}),
+both_dir AS (
+  SELECT lo AS u, hi AS v FROM e UNION ALL SELECT hi AS u, lo AS v FROM e
+),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM both_dir GROUP BY u),
+tri AS (
+  SELECT a.u AS node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM both_dir a
+  JOIN both_dir b ON b.u = a.u AND a.v < b.v
+  JOIN e ON e.lo = a.v AND e.hi = b.v
+  GROUP BY a.u
+)
+SELECT n.n_name AS nation,
+       deg.d AS degree,
+       COALESCE(tri.t, 0) AS triangles,
+       CASE WHEN deg.d < 2 THEN 0.0
+            ELSE floor(2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1))
+                       * 1000000 + 0.5) / 1000000 END AS clustering_coeff
+FROM deg
+JOIN nation n ON n.n_nationkey = deg.node
+LEFT JOIN tri ON tri.node = deg.node
+"""
+
+
+@register("graph_clustering_coefficient", oracle=_CLUSTERING)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation in the trade graph: of
+    the pairs of a nation's trade partners, the fraction that also
+    trade with each other (2*triangles / d(d-1)) — whether trade
+    neighborhoods CLOSE into blocs or stay star-shaped around the
+    focal nation. With graph_degree_assortativity this pins the
+    network's mesoscale: assortative + high clustering = regional
+    blocs; disassortative + low clustering = global hub-and-spoke.
+
+    Shape: triangles by the standard wedge-closing join — adjacency
+    self-join on the shared endpoint (v-ordered to count each wedge
+    once) + one edge-existence join on the canonical edge list. The
+    node grain is |nations| (~25) so every join side after the
+    distinct-edge agg broadcasts; the fact table is only scanned for
+    the edge list."""
+    li, orders, cust, supp, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("lo"),
+            F.greatest("c_nationkey", "s_nationkey").alias("hi"),
+        )
+        .distinct()
+    )
+    both = e.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v")
+    ).unionAll(e.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+    deg = both.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    a = both.select("u", F.col("v").alias("va"))
+    b = both.select(F.col("u").alias("u2"), F.col("v").alias("vb"))
+    tri = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("va") < F.col("vb")))
+        .join(e, (e.lo == F.col("va")) & (e.hi == F.col("vb")))
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    return (
+        deg.join(F.broadcast(nation), deg.u == nation.n_nationkey)
+        .join(F.broadcast(tri), "u", "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(F.col("d") < 2, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    2.0
+                    * F.coalesce("t", F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            )
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+_SIMPSON_AUDIT = """
+WITH base AS (
+  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+         (l_discount >= 0.05) AS hi,
+         (l_returnflag = 'R') AS ret
+  FROM lineitem
+),
+g AS (
+  SELECT CASE WHEN GROUPING(yr) = 1 THEN 'ALL' ELSE CAST(yr AS VARCHAR) END
+           AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN hi AND ret THEN 1 ELSE 0 END) AS BIGINT) AS rh,
+         CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS nh,
+         CAST(SUM(CASE WHEN NOT hi AND ret THEN 1 ELSE 0 END) AS BIGINT)
+           AS rl,
+         CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS nl
+  FROM base GROUP BY ROLLUP(yr)
+),
+d AS (
+  SELECT stratum, n,
+         rh::DOUBLE / nh AS rate_hi,
+         rl::DOUBLE / nl AS rate_lo,
+         rh::DOUBLE / nh - rl::DOUBLE / nl AS rd
+  FROM g WHERE nh > 0 AND nl > 0
+),
+o AS (SELECT rd AS ord FROM d WHERE stratum = 'ALL')
+SELECT stratum, n,
+       floor(rate_hi * 1000000 + 0.5) / 1000000 AS return_rate_high_disc,
+       floor(rate_lo * 1000000 + 0.5) / 1000000 AS return_rate_low_disc,
+       floor(rd * 1000000 + 0.5) / 1000000 AS risk_diff,
+       SIGN(rd) = SIGN(o.ord) AS sign_agrees_overall
+FROM d, o
+"""
+
+
+@register("stats_simpson_paradox_audit", oracle=_SIMPSON_AUDIT)
+def stats_simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the discount -> returns association:
+    the risk difference (return rate of high-discount lines minus
+    low-discount lines) pooled over the whole fact table AND within
+    each ship-year stratum, with a per-stratum flag for whether the
+    stratum's sign agrees with the pooled sign. When strata
+    systematically disagree with the pool, the pooled association is
+    a mix artifact (the year composition, not the discount, drives
+    it) — the one-query confounder check run before anyone acts on a
+    pooled rate difference.
+
+    Shape: ONE scan with ROLLUP(year) produces all strata plus the
+    pooled row in the same partial aggregation; the overall row joins
+    back as a broadcast scalar. Exact integer cell counts; rates are
+    final-step doubles. |years|+1 rows out."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr"),
+        (F.col("l_discount") >= 0.05).alias("hi"),
+        (F.col("l_returnflag") == "R").alias("ret"),
+    )
+    g = base.rollup("yr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("hi") & F.col("ret"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rh"),
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("bigint").alias("nh"),
+        F.sum(F.when(~F.col("hi") & F.col("ret"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rl"),
+        F.sum(F.when(~F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nl"),
+    ).select(
+        F.when(F.col("yr").isNull(), F.lit("ALL"))
+        .otherwise(F.col("yr").cast("string"))
+        .alias("stratum"),
+        "n",
+        "rh",
+        "nh",
+        "rl",
+        "nl",
+    )
+    d = g.filter((F.col("nh") > 0) & (F.col("nl") > 0)).select(
+        "stratum",
+        "n",
+        (F.col("rh").cast("double") / F.col("nh")).alias("rate_hi"),
+        (F.col("rl").cast("double") / F.col("nl")).alias("rate_lo"),
+        (
+            F.col("rh").cast("double") / F.col("nh")
+            - F.col("rl").cast("double") / F.col("nl")
+        ).alias("rd"),
+    )
+    o = d.filter(F.col("stratum") == "ALL").select(
+        F.col("rd").alias("ord")
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return d.crossJoin(F.broadcast(o)).select(
+        "stratum",
+        "n",
+        q6(F.col("rate_hi")).alias("return_rate_high_disc"),
+        q6(F.col("rate_lo")).alias("return_rate_low_disc"),
+        q6(F.col("rd")).alias("risk_diff"),
+        (F.signum("rd") == F.signum("ord")).alias("sign_agrees_overall"),
+    )
+
+
+_CODE_DETECT = r"""
+WITH f AS (
+  SELECT source,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[{{}};()=<>\[\]]', '',
+                                              'g')) AS n_punct,
+         len(list_filter(string_split(text, chr(10)),
+                         x -> x LIKE '  %' OR x LIKE chr(9) || '%'))
+           AS n_indent,
+         len(string_split(text, chr(10))) AS n_lines
+  FROM documents WHERE length(text) > 0
+),
+s AS (
+  SELECT source,
+         5.0 * n_punct / n_chars
+           + 1.0 * n_indent / n_lines AS score
+  FROM f
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_code_like,
+       floor(SUM(CASE WHEN score > 0.08 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS code_rate,
+       floor(SUM(floor(score * 1000000 + 0.5)) / COUNT(*) + 0.5) / 1000000
+         AS mean_score,
+       floor(MAX(floor(score * 1000000 + 0.5))) / 1000000 AS max_score
+FROM s GROUP BY source
+"""
+
+
+@register("text_code_detect", oracle=_CODE_DETECT)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signal per source: a structural score of
+    code-punctuation density ({};()=<>[] per char, weight 5) plus
+    indented-line fraction (weight 1), the two cheapest features that
+    separate source files from prose without a tokenizer. LLM
+    pipelines route code into separate mixtures (different dedup
+    thresholds, different quality gates), so the per-source code rate
+    at the documented 0.08 cutoff is a mixture-composition input, not
+    just a diagnostic. Complements text_quality (prose-facing gates)
+    and quality_feature_matrix (which has no code axis).
+
+    Determinism: punct counts via regexp strip-length (exact
+    integers), line splits on chr(10); each doc's score quantizes to
+    micro units before the per-source mean. One scan, |sources| rows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[{};()=<>\[\]]", "")
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_indent = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("  ") | x.startswith("\t"),
+        )
+    )
+    n_lines = F.size(lines)
+    score = (
+        5.0 * n_punct / n_chars + 1.0 * n_indent / n_lines
+    )
+    sq = F.floor(score * 1000000 + F.lit(0.5))
+    s = docs.filter(n_chars > 0).select(
+        "source", score.alias("score"), sq.alias("sq")
+    )
+    return s.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("score") > 0.08, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_code_like"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("score") > 0.08, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("code_rate"),
+        (F.floor(F.sum("sq") / F.count("*") + F.lit(0.5)) / 1000000).alias(
+            "mean_score"
+        ),
+        (F.floor(F.max("sq")) / 1000000).alias("max_score"),
+    )
+
+
+_EFFECTIVE_RANK = """
+WITH e AS (
+  SELECT vec_id,
+         CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT)
+           AS vq,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+dims AS (
+  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vq) AS BIGINT) AS s,
+         CAST(SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS DECIMAL(38,0)) AS q
+  FROM e GROUP BY pos
+),
+pq AS (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(SUM(CAST(a.vq AS DECIMAL(38,0)) * b.vq) AS DECIMAL(38,0))
+           AS qij
+  FROM e a JOIN e b ON b.vec_id = a.vec_id AND a.pos < b.pos
+  GROUP BY 1, 2
+),
+cov AS (
+  SELECT i, j,
+         CAST(floor((di.n * pq.qij::DOUBLE - di.s::DOUBLE * dj.s)
+                    / (di.n::DOUBLE * di.n) / 1e12 * 1e9 + 0.5) AS BIGINT)
+           AS cq
+  FROM pq JOIN dims di ON di.pos = pq.i JOIN dims dj ON dj.pos = pq.j
+),
+diag AS (
+  SELECT pos,
+         CAST(floor((n * q::DOUBLE - s::DOUBLE * s)
+                    / (n::DOUBLE * n) / 1e12 * 1e9 + 0.5) AS BIGINT) AS cq
+  FROM dims
+),
+tr AS (
+  SELECT (SELECT CAST(SUM(cq) AS BIGINT) FROM diag) AS trace_q,
+         (SELECT CAST(SUM(CAST(cq AS DECIMAL(38,0)) * cq)
+                      AS DECIMAL(38,0)) FROM diag) AS d2,
+         (SELECT COALESCE(CAST(SUM(CAST(cq AS DECIMAL(38,0)) * cq)
+                               AS DECIMAL(38,0)), 0) FROM cov) AS o2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dims) AS n_dims
+)
+SELECT n_dims,
+       floor(trace_q::DOUBLE / 1e9 * 1000000 + 0.5) / 1000000
+         AS total_variance,
+       floor(trace_q::DOUBLE * trace_q / (d2::DOUBLE + 2 * o2::DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS effective_rank_pr,
+       floor(trace_q::DOUBLE * trace_q / (d2::DOUBLE + 2 * o2::DOUBLE)
+             / n_dims * 1000000 + 0.5) / 1000000 AS rank_utilization
+FROM tr
+"""
+
+
+@register("emb_effective_rank_pr", oracle=_EFFECTIVE_RANK)
+def emb_effective_rank_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation-ratio effective rank of the embedding covariance:
+    PR = trace(C)^2 / trace(C^2) = (sum of eigenvalues)^2 / (sum of
+    squared eigenvalues), computed WITHOUT an eigendecomposition —
+    trace(C^2) is the squared Frobenius norm, a plain sum over
+    covariance entries, so the whole readout stays in SQL-expressible
+    exact aggregation. PR ~ d means variance spreads over all
+    directions; PR << d quantifies dimensional collapse with one
+    number where emb_covariance_offdiag reports pairwise symptoms and
+    emb_intrinsic_dimension estimates the manifold. The capacity
+    number cited when deciding Matryoshka truncation depth.
+
+    Determinism: the emb_covariance_offdiag moment machinery (micro-
+    quantized elements, exact DECIMAL moment sums); each covariance
+    entry quantizes to 1e-9 before the trace folds, so both trace
+    sums are exact integers/DECIMALs. Shape: posexplode, vec_id-keyed
+    self-join partial-agg'd to the bounded dim^2/2 grain, 1 row out."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    dims = e.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vq").cast("bigint").alias("s"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    a = e.select("vec_id", F.col("pos").alias("i"), F.col("vq").alias("va"))
+    b = e.select("vec_id", F.col("pos").alias("j"), F.col("vq").alias("vb"))
+    pq = (
+        a.join(b, ["vec_id"])
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("va").cast("decimal(38,0)") * F.col("vb"))
+            .cast("decimal(38,0)")
+            .alias("qij")
+        )
+    )
+    di = dims.select(
+        F.col("pos").alias("i"),
+        F.col("n").alias("ni"),
+        F.col("s").alias("si"),
+    )
+    dj = dims.select(
+        F.col("pos").alias("j"), F.col("s").alias("sj")
+    )
+    cov = (
+        pq.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            F.floor(
+                (
+                    F.col("ni") * F.col("qij") - F.col("si") * F.col("sj")
+                ).cast("double")
+                / (F.col("ni").cast("double") * F.col("ni"))
+                / 1e12
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+    diag = dims.select(
+        F.floor(
+            (F.col("n") * F.col("q") - F.col("s").cast("decimal(38,0)") * F.col("s"))
+            .cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+            / 1e12
+            * 1e9
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cq")
+    )
+    trd = diag.agg(
+        F.sum("cq").cast("bigint").alias("trace_q"),
+        F.sum(F.col("cq").cast("decimal(38,0)") * F.col("cq"))
+        .cast("decimal(38,0)")
+        .alias("d2"),
+        F.count("*").cast("bigint").alias("n_dims"),
+    )
+    tro = cov.agg(
+        F.coalesce(
+            F.sum(F.col("cq").cast("decimal(38,0)") * F.col("cq")),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("o2")
+    )
+    pr = (
+        F.col("trace_q").cast("double")
+        * F.col("trace_q")
+        / (F.col("d2").cast("double") + 2 * F.col("o2").cast("double"))
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return trd.crossJoin(F.broadcast(tro)).select(
+        "n_dims",
+        q6(F.col("trace_q").cast("double") / 1e9).alias("total_variance"),
+        q6(pr).alias("effective_rank_pr"),
+        q6(pr / F.col("n_dims")).alias("rank_utilization"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (cont.) — queueing audit (Little's law: does the pipeline's
+# own bookkeeping balance), distributional privacy (t-closeness: what
+# k-anonymity misses when every member of a class shares the sensitive
+# value), Kneser-Ney bigram scoring (the smoothing KenLM actually uses,
+# vs lm_bigram_score's add-alpha), and ROUGE-1 overlap grading of the
+# near-dup pairs the dedup family emits.
+# ---------------------------------------------------------------------------
+
+_LITTLES_LAW = """
+WITH iv AS (
+  SELECT o.o_orderkey,
+         datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+           AS arr,
+         MAX(datediff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE)))
+           AS comp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(comp - arr + 1) AS BIGINT) AS w,
+         CAST(MIN(arr) AS BIGINT) AS lo,
+         CAST(MAX(comp) AS BIGINT) AS hi
+  FROM iv
+),
+census AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(cnt) AS BIGINT) AS open_sum
+  FROM (
+    SELECT m.d,
+           (SELECT COUNT(*) FROM iv
+            WHERE iv.arr <= m.d AND m.d <= iv.comp) AS cnt
+    FROM (SELECT unnest(range(0, 3000, 30)) AS d) m
+    WHERE m.d BETWEEN (SELECT MIN(arr) FROM iv)
+                  AND (SELECT MAX(comp) FROM iv)
+  )
+)
+SELECT g.n AS n_orders,
+       floor(g.n::DOUBLE / (g.hi - g.lo + 1) * 1000000 + 0.5) / 1000000
+         AS lambda_per_day,
+       floor(g.w::DOUBLE / g.n * 1000000 + 0.5) / 1000000
+         AS mean_lead_days,
+       floor(g.w::DOUBLE / (g.hi - g.lo + 1) * 1000000 + 0.5) / 1000000
+         AS l_littles,
+       census.n_samples,
+       floor(census.open_sum::DOUBLE / census.n_samples * 1000000 + 0.5)
+         / 1000000 AS l_sampled,
+       floor(census.open_sum::DOUBLE / census.n_samples
+             / (g.w::DOUBLE / (g.hi - g.lo + 1)) * 1000000 + 0.5) / 1000000
+         AS sampled_over_littles
+FROM g, census
+"""
+
+
+@register("orders_littles_law", oracle=_LITTLES_LAW)
+def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law audit of the order queue: L = lambda * W computed
+    from per-order bookkeeping (arrival = order date, completion =
+    last shipment; lambda = orders/day over the active span, W = mean
+    lead time) versus an INDEPENDENT L measured by a 30-day census of
+    concurrently-open orders. The two agree only if the system is
+    near-stationary and the bookkeeping is consistent — a
+    sampled/littles ratio far from 1 flags either ramp-up/down
+    non-stationarity or broken lifecycle timestamps, the queueing
+    sanity check behind any "orders in flight" dashboard number.
+
+    Shape: order-grain agg (partial), one 4-scalar rollup, and a
+    census via a ~100-row broadcast date dim range-joined against
+    order intervals (the interval side is scanned once; the count per
+    sample date partially aggregates map-side). Integer day math
+    end-to-end; only final ratios are doubles."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    iv = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.first(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1992-01-01").cast("date"),
+                )
+            ).alias("arr"),
+            F.max(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.lit("1992-01-01").cast("date"),
+                )
+            ).alias("comp"),
+        )
+    )
+    g = iv.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("comp") - F.col("arr") + 1).cast("bigint").alias("w"),
+        F.min("arr").cast("bigint").alias("lo"),
+        F.max("comp").cast("bigint").alias("hi"),
+    )
+    grid = spark.createDataFrame([(d,) for d in range(0, 3000, 30)], "d long")
+    census = (
+        grid.crossJoin(F.broadcast(g))
+        .filter((F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
+        .select("d")
+        .join(
+            iv,
+            (iv.arr <= F.col("d")) & (F.col("d") <= iv.comp),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count("o_orderkey").alias("cnt"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.sum("cnt").cast("bigint").alias("open_sum"),
+        )
+    )
+    span = (F.col("hi") - F.col("lo") + 1).cast("double")
+    l_lit = F.col("w").cast("double") / span
+    l_smp = F.col("open_sum").cast("double") / F.col("n_samples")
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return g.crossJoin(F.broadcast(census)).select(
+        F.col("n").alias("n_orders"),
+        q6(F.col("n").cast("double") / span).alias("lambda_per_day"),
+        q6(F.col("w").cast("double") / F.col("n")).alias("mean_lead_days"),
+        q6(l_lit).alias("l_littles"),
+        "n_samples",
+        q6(l_smp).alias("l_sampled"),
+        q6(l_smp / l_lit).alias("sampled_over_littles"),
+    )
+
+
+_T_CLOSENESS = """
+WITH gdist AS (
+  SELECT c_mktsegment AS seg,
+         COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM customer) AS p
+  FROM customer GROUP BY 1
+),
+grp AS (
+  SELECT c_nationkey AS nat,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+         c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+gsz AS (
+  SELECT nat, band, CAST(SUM(c) AS BIGINT) AS n
+  FROM grp GROUP BY 1, 2
+),
+tvd AS (
+  SELECT gsz.nat, gsz.band, gsz.n,
+         CAST(floor(0.5 * SUM(abs(COALESCE(grp.c, 0)::DOUBLE / gsz.n
+                                  - gdist.p)) * 1000000 + 0.5) AS BIGINT)
+           AS tq
+  FROM gsz
+  CROSS JOIN gdist
+  LEFT JOIN grp ON grp.nat = gsz.nat AND grp.band = gsz.band
+                AND grp.seg = gdist.seg
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       MAX(tq)::DOUBLE / 1000000 AS max_tvd,
+       floor(SUM(tq * n)::DOUBLE / SUM(n) / 1000000 * 1000000 + 0.5)
+         / 1000000 AS weighted_mean_tvd,
+       CAST(SUM(CASE WHEN tq > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN tq > 300000 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk
+FROM tvd
+"""
+
+
+@register("privacy_t_closeness", oracle=_T_CLOSENESS)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) over the (nation, $1000
+    balance band) quasi-identifier with market segment as the
+    sensitive attribute: per equivalence class, the total-variation
+    distance between the class's segment distribution and the global
+    one (EMD under uniform ground distance); the release gate is the
+    max and the t=0.3 violation count. Catches what
+    privacy_k_anonymity and privacy_l_diversity both miss — a class
+    can be large AND diverse yet still leak, if its sensitive
+    distribution is far from the population's (e.g. 90% one segment
+    where the population is 20%).
+
+    Shape: one scan to (QI, segment) grain, a broadcast 5-row global
+    distribution, per-class TVD via a partial-agg'd left join (absent
+    segments contribute |0 - p|), one summary row. Exact integer
+    counts; TVD is a bounded-grain double fold ordered by the segment
+    join key."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    n_total = cust.count()  # bounded scalar: drives the global dist
+    glob = (
+        cust.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg((F.count("*").cast("double") / n_total).alias("p"))
+    )
+    grp = cust.groupBy(
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    gsz = grp.groupBy("nat", "band").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    tvd = (
+        gsz.crossJoin(F.broadcast(glob))
+        .join(grp, ["nat", "band", "seg"], "left")
+        .groupBy("nat", "band", "n")
+        .agg(
+            F.floor(
+                0.5
+                * F.sum(
+                    F.abs(
+                        F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                        / F.col("n")
+                        - F.col("p")
+                    )
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("tq")
+        )
+    )
+    # per-group TVD quantizes to micro units BEFORE the cross-group
+    # folds, so max/weighted-mean are exact integer aggregations
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return tvd.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        (F.max("tq").cast("double") / 1000000).alias("max_tvd"),
+        q6(
+            F.sum(F.col("tq") * F.col("n")).cast("double")
+            / F.sum("n")
+            / 1000000
+        ).alias("weighted_mean_tvd"),
+        F.sum(F.when(F.col("tq") > 300000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("tq") > 300000, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+    )
+
+
+_KNESER_NEY = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DK_TOKS} AS t,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 10000 AS b
+  FROM documents),
+tp AS (
+  SELECT doc_id, source, b, u.pair
+  FROM toks, UNNEST(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS u(pair)
+  WHERE len(t) >= 2),
+c2 AS (SELECT pair[1] AS w1, pair[2] AS w2,
+              CAST(COUNT(*) AS BIGINT) AS c2
+       FROM tp WHERE b >= 1000 GROUP BY 1, 2),
+fwd AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1dot,
+               CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM c2 GROUP BY w1),
+bwd AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c2 GROUP BY w2),
+tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) AS t,
+               (SELECT CAST(COUNT(DISTINCT u.tok) AS BIGINT)
+                FROM toks, UNNEST(t) AS u(tok) WHERE b >= 1000) AS v),
+h AS (SELECT source, pair[1] AS w1, pair[2] AS w2
+      FROM tp WHERE b < 1000),
+scored AS (
+  SELECT h.source,
+         CAST(floor(ln(
+           CASE WHEN COALESCE(fwd.c1dot, 0) > 0 THEN
+             GREATEST(COALESCE(c2.c2, 0) - 0.75, 0) / fwd.c1dot
+             + 0.75 * fwd.n1f / fwd.c1dot
+               * ((COALESCE(bwd.n1b, 0) + 0.5) / (tot.t + 0.5 * tot.v))
+           ELSE (COALESCE(bwd.n1b, 0) + 0.5) / (tot.t + 0.5 * tot.v) END
+         ) * 1000000 + 0.5) AS BIGINT) AS lq
+  FROM h
+  LEFT JOIN c2 ON c2.w1 = h.w1 AND c2.w2 = h.w2
+  LEFT JOIN fwd ON fwd.w1 = h.w1
+  LEFT JOIN bwd ON bwd.w2 = h.w2
+  CROSS JOIN tot
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       floor(SUM(lq)::DOUBLE / COUNT(*) + 0.5) / 1000000 AS mean_logprob,
+       floor(exp(-(floor(SUM(lq)::DOUBLE / COUNT(*) + 0.5) / 1000000))
+             * 1000000 + 0.5) / 1000000 AS perplexity
+FROM scored GROUP BY source
+"""
+
+
+@register("lm_kneser_ney_bigram", oracle=_KNESER_NEY)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram scoring of the held-out split (the md5 split
+    discipline of lm_bigram_score) — absolute discounting d=0.75 with
+    the CONTINUATION-count back-off that makes KN the smoothing KenLM
+    ships: P(w2|w1) = max(c12-d,0)/c1 + d*N1+(w1,.)/c1 * Pcont(w2),
+    Pcont from how many distinct contexts precede w2 (not how often
+    it occurs — the "San Francisco" effect: 'Francisco' is frequent
+    but nearly always follows 'San', so its continuation mass is
+    tiny). Reported per source as mean log-prob and perplexity, the
+    fluency ranking a CCNet-style pipeline buckets sources by;
+    lm_bigram_score's add-alpha model is the calibration baseline.
+
+    Shape: train-side bigram counts partial-agg to vocab grain; the
+    forward (c1, N1+fwd) and backward (N1+bwd) tables derive from the
+    bigram table, not a rescan; held-out bigrams score via three
+    vocab-keyed equi-joins + one 2-scalar broadcast. Each bigram's
+    log-prob quantizes to micro units, so the per-source mean is an
+    exact integer fold. |sources| rows out."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        TXT.tokens("text").alias("t"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10000
+        ).alias("b"),
+    ).filter(F.size("t") >= 2)
+    bi = toks.select(
+        "doc_id",
+        "source",
+        "b",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("p"),
+    ).select(
+        "source",
+        "b",
+        F.col("p.0").alias("w1"),
+        F.col("p.1").alias("w2"),
+    )
+    train = bi.filter(F.col("b") >= 1000)
+    c2 = train.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c2")
+    )
+    fwd = c2.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1dot"),
+        F.count("*").cast("bigint").alias("n1f"),
+    )
+    bwd = c2.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1b"))
+    uni = (
+        toks.filter(F.col("b") >= 1000)
+        .select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct("tok").cast("bigint").alias("v"))
+    )
+    tot = c2.agg(F.count("*").cast("bigint").alias("t")).crossJoin(
+        F.broadcast(uni)
+    )
+    h = bi.filter(F.col("b") < 1000).select("source", "w1", "w2")
+    pcont = (F.coalesce(F.col("n1b"), F.lit(0)) + 0.5) / (
+        F.col("t") + 0.5 * F.col("v")
+    )
+    p_kn = F.when(
+        F.coalesce(F.col("c1dot"), F.lit(0)) > 0,
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)) - 0.75, F.lit(0.0))
+        / F.col("c1dot")
+        + 0.75 * F.col("n1f") / F.col("c1dot") * pcont,
+    ).otherwise(pcont)
+    scored = (
+        h.join(c2, ["w1", "w2"], "left")
+        .join(fwd, "w1", "left")
+        .join(bwd, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(F.log(p_kn) * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    mean_lp = F.floor(
+        F.sum("lq").cast("double") / F.count("*") + F.lit(0.5)
+    ) / 1000000
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        mean_lp.alias("mean_logprob"),
+        (F.floor(F.exp(-mean_lp) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "perplexity"
+        ),
+    )
+
+
+_ROUGE1 = f"""
+WITH pairs AS ({{jac}}),
+tc AS (
+  SELECT doc_id, u.tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, {_DK_TOKS} AS t FROM documents),
+       UNNEST(t) AS u(tok)
+  GROUP BY 1, 2
+),
+lens AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+ov AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS overlap
+  FROM pairs p
+  JOIN tc a ON a.doc_id = p.id_a
+  JOIN tc b ON b.doc_id = p.id_b AND b.w = a.w
+  GROUP BY 1, 2
+)
+SELECT ov.id_a, ov.id_b, ov.overlap,
+       la.n AS len_a, lb.n AS len_b,
+       floor(ov.overlap::DOUBLE / la.n * 1000000 + 0.5) / 1000000
+         AS rouge1_recall,
+       floor(ov.overlap::DOUBLE / lb.n * 1000000 + 0.5) / 1000000
+         AS rouge1_precision,
+       floor(2.0 * ov.overlap / (la.n + lb.n) * 1000000 + 0.5) / 1000000
+         AS rouge1_f1
+FROM ov
+JOIN lens la ON la.doc_id = ov.id_a
+JOIN lens lb ON lb.doc_id = ov.id_b
+"""
+
+
+@register(
+    "text_rouge1_pairs",
+    oracle=_ROUGE1.format(jac=_ORACLES["dedup_ngram_jaccard"]),
+)
+def text_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 grading of the near-duplicate pairs the shingle-Jaccard
+    dedup emits: clipped unigram-overlap recall/precision/F1 per pair
+    (overlap = sum over words of min(count_a, count_b) — the summary-
+    evaluation metric repurposed as a dedup-quality readout). Jaccard
+    on 3-shingle SETS decides candidacy; ROUGE-1 on token MULTISETS
+    grades how much text the pair actually shares — a pair with high
+    Jaccard but middling F1 is a template match (same boilerplate,
+    different filler), exactly the distinction a canonical-selection
+    step needs before it throws one copy away.
+
+    Shape: candidate pairs come from the inverted-index PPJoin
+    operator (never all-pairs); the overlap is a token-grain equi-join
+    of the two sides' count tables restricted to candidate pairs —
+    cost is |pairs| x shared-vocab, partial-agg'd map-side. Token
+    counts and lengths are exact integers; ratios final doubles."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(
+        docs, "text", "doc_id", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    tc = (
+        docs.select(
+            "doc_id", F.explode(TXT.tokens("text")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    lens = tc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    a = tc.select(
+        F.col("doc_id").alias("id_a"), "w", F.col("c").alias("ca")
+    )
+    b = tc.select(
+        F.col("doc_id").alias("id_b"), "w", F.col("c").alias("cb")
+    )
+    ov = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("overlap"))
+    )
+    la = lens.select(F.col("doc_id").alias("id_a"), F.col("n").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("id_b"), F.col("n").alias("len_b"))
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        ov.join(la, "id_a")
+        .join(lb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "overlap",
+            "len_a",
+            "len_b",
+            q6(F.col("overlap").cast("double") / F.col("len_a")).alias(
+                "rouge1_recall"
+            ),
+            q6(F.col("overlap").cast("double") / F.col("len_b")).alias(
+                "rouge1_precision"
+            ),
+            q6(
+                2.0 * F.col("overlap") / (F.col("len_a") + F.col("len_b"))
+            ).alias("rouge1_f1"),
+        )
+    )

@@ -296,6 +296,44 @@ ALLOW_BNLJ = {
     # 3-row threshold dim broadcast-crossed onto the verified pair set
     # — a bounded dim against derived pairs, never the corpus
     "dedup_threshold_sensitivity",
+    # per-FK-edge: one-row child totals crossed onto the one-row
+    # orphan summary — 7 scalar pairs, not data
+    "fk_violation_audit",
+    # 4-row period dim broadcast-crossed onto day grain, then one-row
+    # global-moment and max-power scalars crossed onto the 4-row
+    # periodogram — calendar-bounded dims and scalars
+    "orders_spectral_periodogram",
+    # 5-row x 5-row broadcast theta-join (10 priority pairs) plus the
+    # one-row pooled-MSW scalar — group-grain frames, not data
+    "stats_tukey_hsd",
+    # 5-row level dim broadcast-crossed onto day grain plus the
+    # one-row total-energy scalar onto the 5-row energy frame
+    "orders_haar_energy",
+    # 64-row derandomized-draw dim broadcast-crossed onto the order
+    # stream (map-side fan-out, combiner collapses pre-shuffle) plus
+    # one-row observed/extreme scalars
+    "stats_permutation_test",
+    # one-row moment scalars crossed onto day grain and the one-row
+    # argmax — the stats_chow_test scalar shape
+    "stats_grubbs_outlier",
+    # one-row node-count scalar crossed onto the one-row moment frame
+    # (degree joins themselves are broadcast equi-joins)
+    "graph_degree_assortativity",
+    # one-row pooled-association scalar crossed onto |years|+1 strata
+    "stats_simpson_paradox_audit",
+    # one-row off-diagonal trace scalar crossed onto the one-row
+    # diagonal trace frame — the emb_covariance_offdiag scalar tail
+    "emb_effective_rank_pr",
+    # ~100-row census date grid broadcast range-joined against order
+    # intervals (each interval tests a constant number of sample
+    # dates) plus one-row span/census scalars
+    "orders_littles_law",
+    # 5-row global segment distribution broadcast-crossed onto the
+    # bounded QI-class grain
+    "privacy_t_closeness",
+    # one-row (bigram-type count, vocab size) scalar broadcast onto
+    # the held-out bigram stream — the emb_hubness_skew scalar shape
+    "lm_kneser_ney_bigram",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
