@@ -22614,3 +22614,316 @@ def text_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rouge1_f1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (cont.) — operator-quality dials: the as-of join's own
+# tolerance curve (what fraction of probes actually have a match within
+# the SLA the pipeline is about to pin), and circular statistics
+# (Rayleigh test: is the within-day event phase uniform, the readout
+# hourly histograms eyeball but never test).
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_CURVE = """
+WITH j AS (
+  SELECT l.event_id, l.ts AS lts, r.ts AS rts
+  FROM (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'view') l
+  ASOF LEFT JOIN
+       (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+),
+g AS (
+  SELECT event_id,
+         CASE WHEN rts IS NULL THEN NULL
+              ELSE epoch_us(lts) - epoch_us(rts) END AS gap_us
+  FROM j
+),
+d AS (
+  SELECT t.tol_min, g.gap_us
+  FROM g CROSS JOIN (VALUES (1), (5), (30), (120)) t(tol_min)
+)
+SELECT CAST(tol_min AS BIGINT) AS tolerance_minutes,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN gap_us IS NOT NULL
+                      AND gap_us <= tol_min::BIGINT * 60000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       floor(SUM(CASE WHEN gap_us IS NOT NULL
+                       AND gap_us <= tol_min::BIGINT * 60000000 THEN 1 ELSE 0 END)
+             ::DOUBLE / COUNT(*) * 1000000 + 0.5) / 1000000 AS match_rate,
+       CAST(COALESCE(SUM(CASE WHEN gap_us IS NOT NULL
+                               AND gap_us <= tol_min::BIGINT * 60000000
+                              THEN gap_us ELSE 0 END), 0) AS BIGINT)
+         AS matched_gap_us_total
+FROM d GROUP BY tol_min
+"""
+
+
+@register("j1_asof_tolerance_curve", oracle=_ASOF_TOL_CURVE)
+def j1_asof_tolerance_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's OWN quality dial: match rate of the flagship
+    view->click backward join under tolerance caps of 1/5/30/120
+    minutes, plus the total matched gap (its mean is the enrichment
+    staleness actually being served). Before a pipeline pins an as-of
+    tolerance (J1's tolerance arg), this is the curve that says what
+    the cap costs in coverage — the operator-centric twin of
+    sim_ivf_probe_recall's probe dial.
+
+    Shape: the operator runs ONCE with no cap (backward nearest match
+    per probe); every tighter tolerance is a FILTER over the measured
+    gap — correct because the backward match is the closest one, so a
+    probe fails a cap iff its nearest match does. One partitioned
+    as-of pass, a 4-row broadcast tolerance dim, 4 rows out. Gap
+    arithmetic in exact integer microseconds."""
+    (ev,) = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    j = J.asof_join(left, right, on="ts", by="user_id")
+    g = j.select(
+        "event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts_right").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+    tol = spark.createDataFrame([(1,), (5,), (30,), (120,)], "tol_min int")
+    matched = F.col("gap_us").isNotNull() & (
+        F.col("gap_us") <= F.col("tol_min").cast("bigint") * 60000000
+    )
+    return (
+        g.crossJoin(F.broadcast(tol))
+        .groupBy(F.col("tol_min").cast("bigint").alias("tolerance_minutes"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum(F.when(matched, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            (
+                F.floor(
+                    F.sum(F.when(matched, 1).otherwise(0)).cast("double")
+                    / F.count("*")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("match_rate"),
+            F.coalesce(
+                F.sum(F.when(matched, F.col("gap_us")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("matched_gap_us_total"),
+        )
+    )
+
+
+_RAYLEIGH = """
+WITH a AS (
+  SELECT event_type,
+         CAST(floor(cos(2 * pi() * (epoch_us(ts) % 86400000000)
+                        / 86400000000.0) * 1000000 + 0.5) AS BIGINT) AS cq,
+         CAST(floor(sin(2 * pi() * (epoch_us(ts) % 86400000000)
+                        / 86400000000.0) * 1000000 + 0.5) AS BIGINT) AS sq
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cq) AS BIGINT) AS c, CAST(SUM(sq) AS BIGINT) AS s
+  FROM a GROUP BY event_type
+)
+SELECT event_type, n,
+       floor(sqrt(c::DOUBLE * c + s::DOUBLE * s) / (n * 1e6)
+             * 1000000 + 0.5) / 1000000 AS rbar,
+       floor((c::DOUBLE * c + s::DOUBLE * s) / (n * 1e12)
+             * 1000000 + 0.5) / 1000000 AS rayleigh_z,
+       (c::DOUBLE * c + s::DOUBLE * s) / (n * 1e12) > 2.995732
+         AS nonuniform,
+       floor(((atan2(s::DOUBLE, c::DOUBLE) / (2 * pi()) + 1) % 1) * 24
+             * 1000000 + 0.5) / 1000000 AS mean_hour
+FROM g
+"""
+
+
+@register("events_rayleigh_test", oracle=_RAYLEIGH)
+def events_rayleigh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh test of within-day phase uniformity per event type:
+    each event's time-of-day maps to an angle on the 24 h circle; the
+    mean resultant length Rbar and z = n*Rbar^2 test H0 "events are
+    uniform over the day" (reject at z > 3.0 ~ p 0.05), and atan2 of
+    the resultant gives the circular mean hour — the peak a linear
+    mean of hours gets WRONG across midnight. events_hourly_profile
+    shows the histogram; this is the significance test and the
+    correct peak estimate, per type (the circadian-signal readout a
+    bot-vs-human triage reads: bots are flat, humans are phase-
+    locked).
+
+    Determinism: time-of-day reduces in exact integer microseconds
+    before the angle; cos/sin quantize to micro units so the
+    resultant sums are exact integers (the periodogram discipline).
+    One scan, |event types| rows."""
+    import math
+
+    (ev,) = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (session TZ is
+    # UTC, so the cast is value-preserving)
+    frac = (
+        F.unix_micros(F.col("ts").cast("timestamp")) % 86400000000
+    ) / 86400000000.0
+    ang = F.lit(2.0 * math.pi) * frac
+    a = ev.select(
+        "event_type",
+        F.floor(F.cos(ang) * 1000000 + F.lit(0.5)).cast("bigint").alias("cq"),
+        F.floor(F.sin(ang) * 1000000 + F.lit(0.5)).cast("bigint").alias("sq"),
+    )
+    g = a.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cq").cast("bigint").alias("c"),
+        F.sum("sq").cast("bigint").alias("s"),
+    )
+    r2 = F.col("c").cast("double") * F.col("c") + F.col("s").cast(
+        "double"
+    ) * F.col("s")
+    z = r2 / (F.col("n") * 1e12)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return g.select(
+        "event_type",
+        "n",
+        q6(F.sqrt(r2) / (F.col("n") * 1e6)).alias("rbar"),
+        q6(z).alias("rayleigh_z"),
+        (z > 2.995732).alias("nonuniform"),
+        q6(
+            (
+                (
+                    F.atan2(F.col("s").cast("double"), F.col("c").cast("double"))
+                    / F.lit(2.0 * math.pi)
+                    + 1
+                )
+                % 1
+            )
+            * 24
+        ).alias("mean_hour"),
+    )
+
+
+_ROC_STOPS = "', '".join(
+    ["the", "a", "of", "and", "to", "value", "fast", "is", "in", "it"]
+)
+
+_ROC_AUC = f"""
+WITH s AS (
+  SELECT (lang = 'en') AS pos,
+         CAST(floor(
+           len(list_filter({_DK_TOKS},
+                           x -> list_contains(['{_ROC_STOPS}'], x)))::DOUBLE
+           / greatest(len({_DK_TOKS}), 1) * 1000000 + 0.5) AS BIGINT) AS sq
+  FROM documents
+),
+vg AS (
+  SELECT sq,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS m
+  FROM s GROUP BY sq
+),
+cum AS (
+  SELECT sq, p, m,
+         CAST(COALESCE(SUM(m) OVER (ORDER BY sq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below
+  FROM vg
+),
+tot AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(m) AS BIGINT) AS nm,
+         CAST(SUM(CAST(p AS DECIMAL(38,0)) * neg_below) AS DECIMAL(38,0))
+           + CAST(SUM(CAST(p AS DECIMAL(38,0)) * m) AS DECIMAL(38,0)) / 2
+           AS num
+  FROM cum
+)
+SELECT CAST(t.thr AS BIGINT) AS threshold_micro,
+       tot.np AS n_pos, tot.nm AS n_neg,
+       floor((SELECT SUM(CASE WHEN vg.sq >= t.thr THEN vg.p ELSE 0 END)
+              FROM vg)::DOUBLE / tot.np * 1000000 + 0.5) / 1000000 AS tpr,
+       floor((SELECT SUM(CASE WHEN vg.sq >= t.thr THEN vg.m ELSE 0 END)
+              FROM vg)::DOUBLE / tot.nm * 1000000 + 0.5) / 1000000 AS fpr,
+       floor(tot.num::DOUBLE / (tot.np::DOUBLE * tot.nm)
+             * 1000000 + 0.5) / 1000000 AS auc
+FROM (VALUES (50000), (100000), (150000), (200000), (300000)) t(thr), tot
+"""
+
+
+@register("quality_roc_auc", oracle=_ROC_AUC)
+def quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC curve + tie-corrected AUC of the occurrence-weighted
+    English-stopword-ratio score as an is-English classifier: TPR/FPR
+    at five ratio thresholds, and AUC = P(score_pos > score_neg) +
+    0.5 P(tie) computed EXACTLY from value-grain counts — the
+    classifier-eval readout (threshold dial + threshold-free rank
+    quality in one pass) a curation gate is judged by before it
+    ships; complements quality_classifier_calibration (probability
+    calibration) with discrimination.
+
+    Shape: one scan to a micro-quantized value grain; the AUC's
+    pairwise comparisons collapse onto that grain via a DISTRIBUTED
+    prefix sum (AGG.global_prefix_sum — range-repartitioned two-phase,
+    no single-partition sort); the 5-row threshold dim and one-row
+    totals broadcast-cross onto it. All counts exact integers; ratios
+    final doubles."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    stop_n = F.size(
+        F.filter(toks, lambda t: t.isin(*TXT.STOPWORDS))
+    )
+    sq = F.floor(
+        stop_n.cast("double") / F.greatest(F.size(toks), F.lit(1)) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    s = docs.select(
+        (F.col("lang") == "en").alias("pos"), sq.alias("sq")
+    )
+    vg = s.groupBy("sq").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("p"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("m"),
+    )
+    cum = AGG.global_prefix_sum(vg, ["sq"], "m", out_col="cum_m").withColumn(
+        "neg_below", F.col("cum_m") - F.col("m")
+    )
+    tot = cum.agg(
+        F.sum("p").cast("bigint").alias("np"),
+        F.sum("m").cast("bigint").alias("nm"),
+        (
+            F.sum(F.col("p").cast("decimal(38,0)") * F.col("neg_below"))
+            + F.sum(F.col("p").cast("decimal(38,0)") * F.col("m")) / 2
+        )
+        .cast("decimal(38,1)")
+        .alias("num"),
+    )
+    thr = spark.createDataFrame(
+        [(50000,), (100000,), (150000,), (200000,), (300000,)], "thr long"
+    )
+    per = (
+        vg.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("sq") >= F.col("thr"), F.col("p")).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when(F.col("sq") >= F.col("thr"), F.col("m")).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("thr").cast("bigint").alias("threshold_micro"),
+        F.col("np").alias("n_pos"),
+        F.col("nm").alias("n_neg"),
+        q6(F.col("tp").cast("double") / F.col("np")).alias("tpr"),
+        q6(F.col("fp").cast("double") / F.col("nm")).alias("fpr"),
+        q6(
+            F.col("num").cast("double")
+            / (F.col("np").cast("double") * F.col("nm"))
+        ).alias("auc"),
+    )

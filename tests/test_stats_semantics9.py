@@ -473,3 +473,87 @@ def test_rouge1_pairs_vs_recompute(q, documents):
         assert r.rouge1_f1 == pytest.approx(2 * ov / (la + lb), abs=2e-6)
     # near-dup candidates must share most tokens: F1 meaningfully high
     assert out.rouge1_f1.min() > 0.2
+
+
+@pytest.fixture(scope="module")
+def events():
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def test_asof_tolerance_curve_vs_merge_asof(q, events):
+    ev = events.sort_values("ts")
+    left = ev[ev.event_type == "view"][["event_id", "user_id", "ts"]]
+    right = ev[ev.event_type == "click"][["user_id", "ts"]]
+    m = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "rts"}),
+        left_on="ts",
+        right_on="rts",
+        by="user_id",
+        direction="backward",
+    )
+    gap_us = (m.ts - m.rts).dt.total_seconds() * 1e6
+    out = q("j1_asof_tolerance_curve").set_index("tolerance_minutes")
+    for tol in (1, 5, 30, 120):
+        ok = gap_us.notna() & (gap_us <= tol * 60e6)
+        r = out.loc[tol]
+        assert r.n_probes == len(m)
+        assert r.n_matched == int(ok.sum())
+        assert r.match_rate == pytest.approx(ok.sum() / len(m), abs=2e-6)
+        assert r.matched_gap_us_total == int(gap_us[ok].sum())
+    # monotone: a looser cap can only match more
+    assert out.sort_index().n_matched.is_monotonic_increasing
+
+
+def test_rayleigh_vs_textbook(q, events):
+    us = events.ts.astype("int64")  # datetime64[us] -> microseconds
+    frac = (us % 86_400_000_000) / 86_400_000_000
+    ang = 2 * np.pi * frac
+    df = pd.DataFrame(
+        {
+            "t": events.event_type,
+            "cq": np.floor(np.cos(ang) * 1e6 + 0.5),
+            "sq": np.floor(np.sin(ang) * 1e6 + 0.5),
+        }
+    )
+    out = q("events_rayleigh_test").set_index("event_type")
+    for t, grp in df.groupby("t"):
+        n = len(grp)
+        c, s = grp.cq.sum(), grp.sq.sum()
+        rbar = np.hypot(c, s) / (n * 1e6)
+        z = (c * c + s * s) / (n * 1e12)
+        mean_hour = ((np.arctan2(s, c) / (2 * np.pi) + 1) % 1) * 24
+        r = out.loc[t]
+        assert r.n == n
+        assert r.rbar == pytest.approx(rbar, abs=2e-6)
+        assert r.rayleigh_z == pytest.approx(z, abs=2e-5)
+        assert bool(r.nonuniform) == (z > 2.995732)
+        assert r.mean_hour == pytest.approx(mean_hour, abs=2e-5)
+
+
+def test_roc_auc_vs_sklearn_free_recompute(q, documents):
+    toks = documents.text.str.split()
+    stops = {"the", "a", "of", "and", "to", "value", "fast", "is", "in", "it"}
+    ratio = toks.map(
+        lambda t: sum(1 for w in t if w in stops) / max(len(t), 1)
+    )
+    sq = np.floor(ratio * 1e6 + 0.5).astype(np.int64)
+    pos = (documents.lang == "en").to_numpy()
+    out = q("quality_roc_auc").set_index("threshold_micro")
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    for thr in (50000, 100000, 150000, 200000, 300000):
+        r = out.loc[thr]
+        assert r.n_pos == n_pos and r.n_neg == n_neg
+        assert r.tpr == pytest.approx(
+            (sq[pos] >= thr).sum() / n_pos, abs=2e-6
+        )
+        assert r.fpr == pytest.approx(
+            (sq[~pos] >= thr).sum() / n_neg, abs=2e-6
+        )
+    # exact pairwise AUC: P(score_pos > score_neg) + 0.5 P(tie)
+    sp, sn = sq[pos], sq[~pos]
+    gt = sum((sn < v).sum() for v in sp)
+    eq = sum((sn == v).sum() for v in sp)
+    auc = (gt + 0.5 * eq) / (n_pos * n_neg)
+    assert out.auc.iloc[0] == pytest.approx(auc, abs=2e-6)
+    assert (out.auc == out.auc.iloc[0]).all()

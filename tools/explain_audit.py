@@ -334,6 +334,12 @@ ALLOW_BNLJ = {
     # one-row (bigram-type count, vocab size) scalar broadcast onto
     # the held-out bigram stream — the emb_hubness_skew scalar shape
     "lm_kneser_ney_bigram",
+    # 4-row tolerance dim broadcast-crossed onto the measured-gap
+    # probe grain — a bounded dial dim, the dedup_threshold shape
+    "j1_asof_tolerance_curve",
+    # 5-row threshold dim crossed onto the score value grain plus the
+    # one-row totals scalar — dial dims and scalars, not data
+    "quality_roc_auc",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
