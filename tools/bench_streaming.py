@@ -252,32 +252,65 @@ def main() -> None:
     n_vecs = emb.count()
     index_path = os.path.join(work, "ann_index")
     ivf_index_write(emb, index_path, n_lists=16)
-    q_src = os.path.join(work, "ann_queries")
-    emb.select(F.col("vec_id").alias("query_id"), "embedding").repartition(
-        N_CHUNKS
-    ).write.mode("overwrite").parquet(q_src)
-    q_schema = spark.read.parquet(q_src).schema
-    ann_results = StateTable(spark, os.path.join(work, "ann_results"))
-    ann_sink = ann_enrich_sink(index_path, ann_results, k=5, n_probe=4)
-    t0 = time.time()
-    q5 = (
-        spark.readStream.schema(q_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(q_src)
-        .writeStream.foreachBatch(ann_sink)
-        .option("checkpointLocation", os.path.join(work, "ck5"))
-        .start()
+
+    # Per-row probe flows are dominated by per-trigger FIXED cost at
+    # small batches, so a single rows/s number conflates scheduling
+    # overhead with actual probe work. Run at two granularities and
+    # solve secs = fixed*batches + marginal*rows: the marginal rate is
+    # what scales with data volume; the fixed cost amortizes away as
+    # batches grow (at production batch sizes throughput approaches
+    # 1/marginal).
+    def _ann_run(n_chunks: int, tag: str) -> dict:
+        q_src = os.path.join(work, f"ann_queries_{tag}")
+        emb.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ).repartition(n_chunks).write.mode("overwrite").parquet(q_src)
+        q_schema = spark.read.parquet(q_src).schema
+        res = StateTable(spark, os.path.join(work, f"ann_results_{tag}"))
+        sink = ann_enrich_sink(index_path, res, k=5, n_probe=4)
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(q_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(q_src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, f"ck5{tag}"))
+            .start()
+        )
+        q.processAllAvailable()
+        secs = round(time.time() - t0, 3)
+        n_enriched = res.snapshot().count()
+        q.stop()
+        return {
+            "secs": secs,
+            "micro_batches": len(q.recentProgress),
+            "queries_enriched": int(n_enriched),
+        }
+
+    fine = _ann_run(N_CHUNKS, "a")
+    coarse = _ann_run(2, "b")
+    db = fine["micro_batches"] - coarse["micro_batches"]
+    fixed = (
+        round((fine["secs"] - coarse["secs"]) / db, 3) if db > 0 else None
     )
-    q5.processAllAvailable()
-    secs5 = round(time.time() - t0, 3)
-    n_enriched = ann_results.snapshot().count()
-    q5.stop()
+    marginal = (
+        round(coarse["secs"] - fixed * coarse["micro_batches"], 3)
+        if fixed is not None
+        else None
+    )
     flows["ann_ivf_enrich"] = {
         "rows": int(n_vecs),
-        "secs": secs5,
-        "rows_per_sec": round(n_vecs / secs5, 1),
-        "micro_batches": len(q5.recentProgress),
-        "queries_enriched": int(n_enriched),
+        "secs": fine["secs"],
+        "rows_per_sec": round(n_vecs / fine["secs"], 1),
+        "micro_batches": fine["micro_batches"],
+        "queries_enriched": fine["queries_enriched"],
+        "coarse_secs_2_batches": coarse["secs"],
+        "fixed_secs_per_trigger": fixed,
+        "marginal_rows_per_sec": (
+            round(n_vecs / marginal, 1)
+            if marginal is not None and marginal > 0
+            else None
+        ),
     }
 
     # -- flow 5: incremental NEAR-dup dedup — each micro-batch is
@@ -291,31 +324,57 @@ def main() -> None:
         F.col("doc_id"), F.col("text")
     )
     n_docs = docs_tbl.count()
-    d_src = os.path.join(work, "inc_docs")
-    docs_tbl.repartition(N_CHUNKS).write.mode("overwrite").parquet(d_src)
-    d_schema = spark.read.parquet(d_src).schema
-    inc_corpus = StateTable(spark, os.path.join(work, "inc_corpus"))
-    inc_pairs = StateTable(spark, os.path.join(work, "inc_pairs"))
-    inc_sink = incremental_dedup_sink(inc_corpus, inc_pairs, threshold=0.5)
-    t0 = time.time()
-    q6 = (
-        spark.readStream.schema(d_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d_src)
-        .writeStream.foreachBatch(inc_sink)
-        .option("checkpointLocation", os.path.join(work, "ck6"))
-        .start()
+
+    def _dedup_run(n_chunks: int, tag: str) -> dict:
+        d_src = os.path.join(work, f"inc_docs_{tag}")
+        docs_tbl.repartition(n_chunks).write.mode("overwrite").parquet(d_src)
+        d_schema = spark.read.parquet(d_src).schema
+        corpus = StateTable(spark, os.path.join(work, f"inc_corpus_{tag}"))
+        pairs = StateTable(spark, os.path.join(work, f"inc_pairs_{tag}"))
+        sink = incremental_dedup_sink(corpus, pairs, threshold=0.5)
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(d_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d_src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, f"ck6{tag}"))
+            .start()
+        )
+        q.processAllAvailable()
+        secs = round(time.time() - t0, 3)
+        n_pairs = pairs.snapshot().count()
+        q.stop()
+        return {
+            "secs": secs,
+            "micro_batches": len(q.recentProgress),
+            "pairs_found": int(n_pairs),
+        }
+
+    fine6 = _dedup_run(N_CHUNKS, "a")
+    coarse6 = _dedup_run(2, "b")
+    db6 = fine6["micro_batches"] - coarse6["micro_batches"]
+    fixed6 = (
+        round((fine6["secs"] - coarse6["secs"]) / db6, 3) if db6 > 0 else None
     )
-    q6.processAllAvailable()
-    secs6 = round(time.time() - t0, 3)
-    n_pairs = inc_pairs.snapshot().count()
-    q6.stop()
+    marginal6 = (
+        round(coarse6["secs"] - fixed6 * coarse6["micro_batches"], 3)
+        if fixed6 is not None
+        else None
+    )
     flows["incremental_near_dup"] = {
         "rows": int(n_docs),
-        "secs": secs6,
-        "rows_per_sec": round(n_docs / secs6, 1),
-        "micro_batches": len(q6.recentProgress),
-        "pairs_found": int(n_pairs),
+        "secs": fine6["secs"],
+        "rows_per_sec": round(n_docs / fine6["secs"], 1),
+        "micro_batches": fine6["micro_batches"],
+        "pairs_found": fine6["pairs_found"],
+        "coarse_secs_2_batches": coarse6["secs"],
+        "fixed_secs_per_trigger": fixed6,
+        "marginal_rows_per_sec": (
+            round(n_docs / marginal6, 1)
+            if marginal6 is not None and marginal6 > 0
+            else None
+        ),
     }
 
     payload = {
