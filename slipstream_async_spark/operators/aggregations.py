@@ -364,3 +364,62 @@ def global_running_max(
         .withColumn(out_col, F.greatest(F.col("_lm"), F.col("_off")))
         .drop("_pid", "_lm", "_off")
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key interval-union sweep: merge overlapping/touching closed
+    intervals ``[start, end]`` and report, per key, the merged-island
+    count, total covered units, calendar span, and busy fraction — the
+    capacity/SLA-exposure primitive (booking conflicts, on-call
+    coverage, order lead-time overlap).
+
+    The classic sweep line as two PARTITIONED windows (never a global
+    sort): a running max of interval ends over rows strictly before the
+    current one marks island starts (start > max-end-so-far), and a
+    running sum of those markers numbers the islands; island-grain and
+    key-grain partial aggs finish the job. Start/end must be integers
+    (days, seconds, micros — caller's choice of unit); the only double
+    is the final busy fraction.
+
+    Output: key cols + (n_busy_islands, covered_units, span_units,
+    busy_frac).
+    """
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s, e = F.col(start_col), F.col(end_col)
+    mk = df.withColumn(
+        "_new_island",
+        F.when(s > F.coalesce(F.max(end_col).over(w_prev), s - 1), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_new_island").over(w_run))
+    per = mk.groupBy(*key_cols, "_island").agg(
+        F.min(start_col).alias("_lo"), F.max(end_col).alias("_hi")
+    )
+    return per.groupBy(*key_cols).agg(
+        F.count("*").cast("bigint").alias("n_busy_islands"),
+        F.sum(F.col("_hi") - F.col("_lo") + 1)
+        .cast("bigint")
+        .alias("covered_units"),
+        (F.max("_hi") - F.min("_lo") + 1).cast("bigint").alias("span_units"),
+        (
+            F.floor(
+                F.sum(F.col("_hi") - F.col("_lo") + 1).cast("double")
+                / (F.max("_hi") - F.min("_lo") + 1)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("busy_frac"),
+    )

@@ -21506,8 +21506,6 @@ def supplier_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe per-key sort, never a global one), then island-grain
     and supplier-grain partial aggs. All arithmetic on integer day
     numbers; the only double is the final utilization ratio."""
-    from pyspark.sql import Window
-
     li, orders = _t(spark, sf_dir, "lineitem", "orders")
     iv = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         F.col("l_suppkey").alias("suppkey"),
@@ -21520,40 +21518,12 @@ def supplier_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1992-01-01").cast("date"),
         ).alias("e"),
     )
-    w = (
-        Window.partitionBy("suppkey")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wrun = (
-        Window.partitionBy("suppkey")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    mk = iv.withColumn(
-        "new_island",
-        F.when(
-            F.col("s") > F.coalesce(F.max("e").over(w), F.col("s") - 1), 1
-        ).otherwise(0),
-    ).withColumn("island", F.sum("new_island").over(wrun))
-    per = mk.groupBy("suppkey", "island").agg(
-        F.min("s").alias("lo"), F.max("e").alias("hi")
-    )
-    return per.groupBy("suppkey").agg(
-        F.count("*").cast("bigint").alias("n_busy_islands"),
-        F.sum(F.col("hi") - F.col("lo") + 1)
-        .cast("bigint")
-        .alias("covered_days"),
-        (F.max("hi") - F.min("lo") + 1).cast("bigint").alias("span_days"),
-        (
-            F.floor(
-                F.sum(F.col("hi") - F.col("lo") + 1).cast("double")
-                / (F.max("hi") - F.min("lo") + 1)
-                * 1000000
-                + F.lit(0.5)
-            )
-            / 1000000
-        ).alias("busy_frac"),
+    return AGG.interval_coverage(iv, ["suppkey"], "s", "e").select(
+        "suppkey",
+        "n_busy_islands",
+        F.col("covered_units").alias("covered_days"),
+        F.col("span_units").alias("span_days"),
+        "busy_frac",
     )
 
 

@@ -511,3 +511,54 @@ def test_state_table_matches_dict_model(spark, tmp_path_factory, ops):
             assert t.get(k) == model[k]
     finally:
         t.destroy()
+
+
+# ---------------------------------------------------------------------------
+# interval-union sweep vs exact merge model
+# ---------------------------------------------------------------------------
+
+_interval_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _merge_model(rows):
+    """Exact per-key interval union on (key, start, length) tuples."""
+    out = {}
+    by_key = {}
+    for k, s, ln in rows:
+        by_key.setdefault(k, []).append((s, s + ln))
+    for k, ivs in by_key.items():
+        merged = []
+        for lo, hi in sorted(ivs):
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        covered = sum(hi - lo + 1 for lo, hi in merged)
+        span = max(hi for _, hi in merged) - min(lo for lo, _ in merged) + 1
+        out[k] = (len(merged), covered, span)
+    return out
+
+
+@_prop_settings
+@given(rows=_interval_rows)
+def test_interval_coverage_matches_exact_merge(spark, rows):
+    from slipstream_async_spark.operators.aggregations import (
+        interval_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [(k, s, s + ln) for k, s, ln in rows], "k string, s int, e int"
+    )
+    got = {
+        r["k"]: (r["n_busy_islands"], r["covered_units"], r["span_units"])
+        for r in interval_coverage(df, ["k"], "s", "e").collect()
+    }
+    assert got == _merge_model(rows)
