@@ -22897,3 +22897,212 @@ def quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("np").cast("double") * F.col("nm"))
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (cont.) — tail risk and cluster cohesion: Gumbel block-maxima
+# return levels (what "a 1-in-120-month revenue day" means, from data),
+# and the transitive-chaining audit of the dedup clusters (how much of
+# each cluster is held together only by transitivity — the dial that
+# says whether the CC step over-merges).
+# ---------------------------------------------------------------------------
+
+_GUMBEL = """
+WITH daily AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+),
+mx AS (
+  SELECT mon, CAST(MAX(x) AS BIGINT) AS m FROM daily GROUP BY mon
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(m) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(m AS DECIMAL(38,0)) * m) AS DECIMAL(38,0)) AS q
+  FROM mx
+),
+p AS (
+  SELECT n,
+         s::DOUBLE / n AS mean,
+         sqrt((n * q::DOUBLE - s::DOUBLE * s) / (n::DOUBLE * (n - 1)))
+           AS sd
+  FROM g
+),
+fit AS (
+  SELECT n, mean, sd,
+         sd * sqrt(6.0) / pi() AS beta,
+         mean - 0.5772156649015329 * (sd * sqrt(6.0) / pi()) AS mu
+  FROM p
+)
+SELECT n AS n_months,
+       floor(mean / 100 * 1000000 + 0.5) / 1000000 AS mean_monthly_max,
+       floor(sd / 100 * 1000000 + 0.5) / 1000000 AS sd_monthly_max,
+       floor(mu / 100 * 1000000 + 0.5) / 1000000 AS gumbel_location,
+       floor(beta / 100 * 1000000 + 0.5) / 1000000 AS gumbel_scale,
+       floor((mu - beta * ln(-ln(1 - 1.0 / 12))) / 100 * 1000000 + 0.5)
+         / 1000000 AS return_level_12mo,
+       floor((mu - beta * ln(-ln(1 - 1.0 / 120))) / 100 * 1000000 + 0.5)
+         / 1000000 AS return_level_120mo
+FROM fit
+"""
+
+
+@register("stats_gumbel_return_level", oracle=_GUMBEL)
+def stats_gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value (Gumbel) fit on monthly block maxima of daily
+    revenue, by the method of moments (scale = sd*sqrt(6)/pi, location
+    = mean - gamma*scale), and the 12- and 120-month RETURN LEVELS
+    mu - beta*ln(-ln(1-1/T)) — "the daily revenue a 1-in-T-month
+    month's peak reaches". The EVT companion to stats_grubbs_outlier:
+    Grubbs asks if the worst observed day fits the normal noise
+    model; the Gumbel fit says what worse days to EXPECT — the number
+    capacity planning and fraud-alert thresholds are set by.
+
+    Shape: day-grain then month-grain partial aggs (both calendar-
+    bounded), exact integer moment sums, one fit row out."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+                "mon"
+            ),
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("mon", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    mx = daily.groupBy("mon").agg(F.max("x").cast("bigint").alias("m"))
+    g = mx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("m").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    import math
+
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("n") * F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    beta = sd * math.sqrt(6.0) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+
+    def rl(t: int):
+        return mu - beta * math.log(-math.log(1 - 1.0 / t))
+
+    return g.select(
+        F.col("n").alias("n_months"),
+        q6(mean / 100).alias("mean_monthly_max"),
+        q6(sd / 100).alias("sd_monthly_max"),
+        q6(mu / 100).alias("gumbel_location"),
+        q6(beta / 100).alias("gumbel_scale"),
+        q6(rl(12) / 100).alias("return_level_12mo"),
+        q6(rl(120) / 100).alias("return_level_120mo"),
+    )
+
+
+_CHAINING = f"""
+WITH RECURSIVE
+pairs AS ({{jac}}),
+{_CC_FROM_PAIRS},
+cmap AS (SELECT node, MIN(label) AS cid FROM cc GROUP BY node),
+sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS k FROM cmap GROUP BY cid),
+direct AS (
+  SELECT m.cid, CAST(COUNT(*) AS BIGINT) AS d
+  FROM pairs p JOIN cmap m ON m.node = p.id_a
+  GROUP BY m.cid
+),
+per AS (
+  SELECT s.cid, s.k, COALESCE(direct.d, 0) AS d,
+         s.k * (s.k - 1) / 2 AS possible
+  FROM sizes s LEFT JOIN direct ON direct.cid = s.cid
+  WHERE s.k >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(k) AS BIGINT) AS n_docs_clustered,
+       CAST(MAX(k) AS BIGINT) AS max_cluster_size,
+       CAST(SUM(possible) AS BIGINT) AS n_possible_pairs,
+       CAST(SUM(d) AS BIGINT) AS n_direct_pairs,
+       CAST(SUM(CASE WHEN d < possible THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_chained_clusters,
+       floor(SUM(d)::DOUBLE / SUM(possible) * 1000000 + 0.5) / 1000000
+         AS weighted_cohesion,
+       floor(MIN(d::DOUBLE / possible) * 1000000 + 0.5) / 1000000
+         AS min_cohesion
+FROM per
+"""
+
+
+@register(
+    "dedup_chaining_audit",
+    oracle=_CHAINING.format(jac=_ORACLES["dedup_ngram_jaccard"]),
+)
+def dedup_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-chaining audit of the duplicate clusters: per CC
+    cluster, how many of its k(k-1)/2 member pairs are DIRECT near-dup
+    pairs vs held together only transitively (A~B, B~C, but A!~C —
+    the chaining that makes connected components over-merge). Weighted
+    cohesion near 1 = clusters are cliques (CC is safe); a low minimum
+    or many chained clusters = the threshold is letting template
+    bridges weld unrelated documents, and the fix is a higher cutoff
+    (dedup_threshold_sensitivity prices it) or clique-wise splitting.
+    The audit that decides whether "drop all non-canonicals" was the
+    right call.
+
+    Shape: the PPJoin pair set and its CC labels (both already
+    bucketed/equi-join shapes), one broadcast join of pairs to the
+    cluster map, cluster-grain partial aggs, one summary row."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id", k=3, threshold=0.5)
+    cmap = DD.duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("node"), "cluster_id"
+    )
+    sizes = cmap.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    direct = (
+        pairs.join(cmap, pairs.id_a == cmap.node)
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    per = (
+        sizes.filter(F.col("k") >= 2)
+        .join(direct, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "k",
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("d"),
+            (F.col("k") * (F.col("k") - 1) / 2).cast("bigint").alias(
+                "possible"
+            ),
+        )
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("k").cast("bigint").alias("n_docs_clustered"),
+        F.max("k").cast("bigint").alias("max_cluster_size"),
+        F.sum("possible").cast("bigint").alias("n_possible_pairs"),
+        F.sum("d").cast("bigint").alias("n_direct_pairs"),
+        F.sum(F.when(F.col("d") < F.col("possible"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_chained_clusters"),
+        q6(
+            F.sum("d").cast("double") / F.sum("possible")
+        ).alias("weighted_cohesion"),
+        q6(
+            F.min(F.col("d").cast("double") / F.col("possible"))
+        ).alias("min_cohesion"),
+    )

@@ -557,3 +557,49 @@ def test_roc_auc_vs_sklearn_free_recompute(q, documents):
     auc = (gt + 0.5 * eq) / (n_pos * n_neg)
     assert out.auc.iloc[0] == pytest.approx(auc, abs=2e-6)
     assert (out.auc == out.auc.iloc[0]).all()
+
+
+def test_gumbel_fit_vs_textbook(q, orders):
+    daily = _daily_cents(orders)
+    day = daily.index.to_numpy()
+    months = (
+        orders.o_orderdate.values.astype("datetime64[M]")
+    )
+    df = pd.DataFrame(
+        {
+            "mon": orders.o_orderdate.values.astype("datetime64[M]"),
+            "day": orders.o_orderdate.values.astype("datetime64[D]"),
+            "cents": (orders.o_totalprice * 100)
+            .round()
+            .astype(np.int64)
+            .to_numpy(),
+        }
+    )
+    dd = df.groupby(["mon", "day"]).cents.sum()
+    mx = dd.groupby(level=0).max().to_numpy(float)
+    n = len(mx)
+    mean, sd = mx.mean(), mx.std(ddof=1)
+    beta = sd * np.sqrt(6) / np.pi
+    mu = mean - 0.5772156649015329 * beta
+    out = q("stats_gumbel_return_level").iloc[0]
+    assert out.n_months == n
+    assert out.gumbel_scale == pytest.approx(beta / 100, abs=2e-4)
+    assert out.gumbel_location == pytest.approx(mu / 100, abs=2e-4)
+    for t, col in ((12, "return_level_12mo"), (120, "return_level_120mo")):
+        rl = mu - beta * np.log(-np.log(1 - 1 / t))
+        assert out[col] == pytest.approx(rl / 100, abs=2e-4)
+    # return levels must increase with rarity and exceed the mean
+    assert out.return_level_120mo > out.return_level_12mo > out.mean_monthly_max
+
+
+def test_chaining_audit_identities(q, documents):
+    out = q("dedup_chaining_audit").iloc[0]
+    # clusters come from pairs, so every cluster has >= 2 docs and at
+    # least k-1 direct pairs (a spanning structure); cohesion in (0, 1]
+    assert out.n_docs_clustered >= 2 * out.n_clusters
+    assert out.n_direct_pairs >= out.n_docs_clustered - out.n_clusters
+    assert out.n_direct_pairs <= out.n_possible_pairs
+    assert 0 < out.weighted_cohesion <= 1
+    assert 0 < out.min_cohesion <= 1
+    if out.n_chained_clusters == 0:
+        assert out.weighted_cohesion == 1.0
