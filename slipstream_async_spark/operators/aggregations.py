@@ -423,3 +423,61 @@ def interval_coverage(
             / 1000000
         ).alias("busy_frac"),
     )
+
+
+def exact_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str | None = None,
+    pregrouped: bool = False,
+) -> DataFrame:
+    """Exact tie-corrected ROC AUC of an integer score against a boolean
+    label: AUC = P(score_pos > score_neg) + 0.5 * P(score_pos ==
+    score_neg), the rank-sum (Mann-Whitney) form — computed WITHOUT an
+    n^2 pair join by collapsing pairwise comparisons onto the score
+    VALUE GRAIN: per distinct score, positive/negative counts; the
+    cumulative negatives strictly below each value come from the
+    distributed prefix sum (:func:`global_prefix_sum` — no single-
+    partition sort), and the numerator folds exactly in DECIMAL.
+
+    ``score_col`` must be integer-valued (quantize floats to fixed
+    point first — the house determinism discipline). Returns one row:
+    (n_pos, n_neg, auc_numerator, auc).
+
+    With ``pregrouped=True``, ``df`` is already the value grain with
+    columns (score_col, _p, _m) — callers that also need per-value
+    readouts (ROC points) can build the grain once and share it.
+    """
+    if pregrouped:
+        vg = df
+    else:
+        vg = df.groupBy(score_col).agg(
+            F.sum(F.when(F.col(label_col), 1).otherwise(0))
+            .cast("bigint")
+            .alias("_p"),
+            F.sum(F.when(F.col(label_col), 0).otherwise(1))
+            .cast("bigint")
+            .alias("_m"),
+        )
+    cum = global_prefix_sum(vg, [score_col], "_m", out_col="_cum_m").withColumn(
+        "_neg_below", F.col("_cum_m") - F.col("_m")
+    )
+    return cum.agg(
+        F.sum("_p").cast("bigint").alias("n_pos"),
+        F.sum("_m").cast("bigint").alias("n_neg"),
+        (
+            F.sum(F.col("_p").cast("decimal(38,0)") * F.col("_neg_below"))
+            + F.sum(F.col("_p").cast("decimal(38,0)") * F.col("_m")) / 2
+        )
+        .cast("decimal(38,1)")
+        .alias("auc_numerator"),
+        (
+            (
+                F.sum(F.col("_p").cast("decimal(38,0)") * F.col("_neg_below"))
+                + F.sum(F.col("_p").cast("decimal(38,0)") * F.col("_m")) / 2
+            ).cast("double")
+            / (
+                F.sum("_p").cast("double") * F.sum("_m").cast("double")
+            )
+        ).alias("auc"),
+    )

@@ -22854,22 +22854,17 @@ def quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("pos"), sq.alias("sq")
     )
     vg = s.groupBy("sq").agg(
-        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("p"),
-        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("_p"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("_m"),
     )
-    cum = AGG.global_prefix_sum(vg, ["sq"], "m", out_col="cum_m").withColumn(
-        "neg_below", F.col("cum_m") - F.col("m")
+    # the property-tested distributed AUC primitive, fed the shared
+    # value grain so the corpus is scanned once
+    tot = AGG.exact_auc(vg, "sq", pregrouped=True).select(
+        F.col("n_pos").alias("np"),
+        F.col("n_neg").alias("nm"),
+        F.col("auc_numerator").alias("num"),
     )
-    tot = cum.agg(
-        F.sum("p").cast("bigint").alias("np"),
-        F.sum("m").cast("bigint").alias("nm"),
-        (
-            F.sum(F.col("p").cast("decimal(38,0)") * F.col("neg_below"))
-            + F.sum(F.col("p").cast("decimal(38,0)") * F.col("m")) / 2
-        )
-        .cast("decimal(38,1)")
-        .alias("num"),
-    )
+    vg = vg.select("sq", F.col("_p").alias("p"), F.col("_m").alias("m"))
     thr = spark.createDataFrame(
         [(50000,), (100000,), (150000,), (200000,), (300000,)], "thr long"
     )

@@ -562,3 +562,40 @@ def test_interval_coverage_matches_exact_merge(spark, rows):
         for r in interval_coverage(df, ["k"], "s", "e").collect()
     }
     assert got == _merge_model(rows)
+
+
+# ---------------------------------------------------------------------------
+# exact AUC vs brute-force pairwise model
+# ---------------------------------------------------------------------------
+
+_auc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.booleans(),
+    ),
+    min_size=2,
+    max_size=60,
+).filter(
+    lambda rows: any(lbl for _, lbl in rows) and any(not lbl for _, lbl in rows)
+)
+
+
+@_prop_settings
+@given(rows=_auc_rows)
+def test_exact_auc_matches_pairwise_model(spark, rows):
+    from slipstream_async_spark.operators.aggregations import exact_auc
+
+    df = spark.createDataFrame(rows, "score int, pos boolean")
+    got = exact_auc(df, "score", "pos").collect()[0]
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    num = Fraction(0)
+    for p in pos:
+        for m in neg:
+            if p > m:
+                num += 1
+            elif p == m:
+                num += Fraction(1, 2)
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert Fraction(got["auc_numerator"]) == num
+    assert got["auc"] == pytest.approx(float(num / (len(pos) * len(neg))))
