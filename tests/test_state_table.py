@@ -371,3 +371,57 @@ def test_rebucket_resizes_and_persists(spark, tmp_path):
     )
     assert t2.snapshot().count() == 201
     t.destroy()
+
+
+def test_many_commit_soak_compaction_bounds_chains(spark, tmp_path):
+    """Soak: 30 interleaved upsert/delete commits against a model dict.
+    Invariants after every Nth commit and at the end: (1) snapshot ==
+    model exactly, (2) no bucket's delta chain exceeds max_chain (the
+    read-amplification bound the LSM shape promises), (3) vacuum keeps
+    the CURRENT version readable while dropping unreferenced dirs."""
+    import os
+
+    from slipstream_async_spark.streaming.state import StateTable
+
+    t = StateTable(
+        spark, str(tmp_path / "soak"), n_buckets=8, max_chain=3
+    )
+    model: dict[str, str] = {}
+    for epoch in range(30):
+        if epoch % 7 == 3:
+            # range delete of a rotating key slice
+            lo, hi = f"k{epoch % 10}", f"k{epoch % 10}z"
+            t.delete_range(lo, hi)
+            model = {k: v for k, v in model.items() if not (lo <= k < hi)}
+        else:
+            rows = [
+                (f"k{(epoch * 3 + i) % 25}", f"v{epoch}-{i}")
+                for i in range(6)
+            ]
+            t.upsert(
+                spark.createDataFrame(rows, "key string, value string")
+            )
+            model.update(rows)
+        if epoch % 5 == 4 or epoch == 29:
+            got = {
+                r["key"]: r["value"]
+                for r in t.snapshot().select("key", "value").collect()
+            }
+            assert got == model, f"divergence at epoch {epoch}"
+            chains = t._manifest(t.version)
+            too_long = {
+                b: len(ch) for b, ch in chains.items() if len(ch) > t.max_chain
+            }
+            assert not too_long, (
+                f"epoch {epoch}: chains exceed max_chain: {too_long}"
+            )
+    # vacuum: current state must survive; old unreferenced versions go
+    n_before = len(os.listdir(tmp_path / "soak" / "versions"))
+    t.vacuum(keep_last=2)
+    n_after = len(os.listdir(tmp_path / "soak" / "versions"))
+    assert n_after < n_before
+    got = {
+        r["key"]: r["value"]
+        for r in t.snapshot().select("key", "value").collect()
+    }
+    assert got == model
