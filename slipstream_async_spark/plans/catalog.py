@@ -23101,3 +23101,106 @@ def dedup_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("d").cast("double") / F.col("possible"))
         ).alias("min_cohesion"),
     )
+
+
+_RECLUSTER = f"""
+WITH RECURSIVE
+pairs AS ({{jac}}),
+edges05 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+cc05(node, label) AS (
+  SELECT DISTINCT src, src FROM edges05
+  UNION
+  SELECT e.dst, cc05.label FROM cc05 JOIN edges05 e ON e.src = cc05.node
+),
+m05 AS (SELECT node, MIN(label) AS c05 FROM cc05 GROUP BY node),
+p07 AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.7),
+edges07 AS (SELECT id_a AS src, id_b AS dst FROM p07
+            UNION ALL SELECT id_b, id_a FROM p07),
+cc07(node, label) AS (
+  SELECT DISTINCT src, src FROM edges07
+  UNION
+  SELECT e.dst, cc07.label FROM cc07 JOIN edges07 e ON e.src = cc07.node
+),
+m07 AS (SELECT node, MIN(label) AS c07 FROM cc07 GROUP BY node),
+j AS (
+  SELECT m05.node, m05.c05, COALESCE(m07.c07, m05.node) AS c07
+  FROM m05 LEFT JOIN m07 ON m07.node = m05.node
+),
+per AS (
+  SELECT c05, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT c07) AS BIGINT) AS n07
+  FROM j GROUP BY c05
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per) AS n_clusters_05,
+       (SELECT CAST(SUM(k) AS BIGINT) FROM per) AS n_docs_clustered,
+       (SELECT CAST(COUNT(DISTINCT c07) AS BIGINT) FROM j)
+         AS n_clusters_07,
+       (SELECT CAST(SUM(CASE WHEN n07 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM per) AS n_split_clusters,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM j
+        WHERE j.node != j.c05 AND j.node = j.c07) AS n_docs_freed
+"""
+
+
+@register(
+    "dedup_recluster_tighter",
+    oracle=_RECLUSTER.format(jac=_ORACLES["dedup_ngram_jaccard"]),
+)
+def dedup_recluster_tighter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMEDY the chaining audit points at: re-cluster the 0.5-
+    Jaccard near-dup graph at the tighter 0.7 cutoff (0.7 pairs are a
+    subset of the one PPJoin pass — no second pair generation) and
+    measure what the weld breaks free — how many 0.5 clusters split,
+    the finer cluster count, and the docs that stop being drop
+    candidates (non-canonical at 0.5, their own canonical at 0.7).
+    With dedup_chaining_audit (diagnosis) and
+    dedup_threshold_sensitivity (price curve), this closes the dedup
+    governance loop: detect over-merge, price the cutoffs, measure the
+    recovery.
+
+    Shape: ONE PPJoin pair pass; two min-label CC runs over pair
+    subsets (equi-join label propagation, localCheckpoint-truncated);
+    a doc-grain left join aligns the two labelings (0.7-singletons
+    keep their own id); cluster-grain partial aggs to one row."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id", k=3, threshold=0.5)
+    m05 = DD.duplicate_clusters(pairs.select("id_a", "id_b")).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("c05")
+    )
+    m07 = DD.duplicate_clusters(
+        pairs.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    ).select(F.col("doc_id").alias("node"), F.col("cluster_id").alias("c07"))
+    j = m05.join(m07, "node", "left").select(
+        "node", "c05", F.coalesce("c07", "node").alias("c07")
+    )
+    per = j.groupBy("c05").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.count_distinct("c07").cast("bigint").alias("n07"),
+    )
+    a = per.agg(
+        F.count("*").cast("bigint").alias("n_clusters_05"),
+        F.sum("k").cast("bigint").alias("n_docs_clustered"),
+        F.sum(F.when(F.col("n07") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_split_clusters"),
+    )
+    b = j.agg(
+        F.count_distinct("c07").cast("bigint").alias("n_clusters_07"),
+        F.sum(
+            F.when(
+                (F.col("node") != F.col("c05"))
+                & (F.col("node") == F.col("c07")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_freed"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_clusters_05",
+        "n_docs_clustered",
+        "n_clusters_07",
+        "n_split_clusters",
+        "n_docs_freed",
+    )

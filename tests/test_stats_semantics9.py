@@ -603,3 +603,19 @@ def test_chaining_audit_identities(q, documents):
     assert 0 < out.min_cohesion <= 1
     if out.n_chained_clusters == 0:
         assert out.weighted_cohesion == 1.0
+
+
+def test_recluster_tighter_identities(q):
+    out = q("dedup_recluster_tighter").iloc[0]
+    audit = q("dedup_chaining_audit").iloc[0]
+    # tightening can only split: finer clustering has >= cluster count,
+    # and the 0.5 graph's cluster/doc totals must agree with the audit
+    assert out.n_clusters_05 == audit.n_clusters
+    assert out.n_docs_clustered == audit.n_docs_clustered
+    assert out.n_clusters_07 >= out.n_clusters_05
+    assert out.n_split_clusters <= out.n_clusters_05
+    assert 0 <= out.n_docs_freed <= out.n_docs_clustered
+    # a cluster only splits if some pair was held by chaining or by a
+    # sub-0.7 direct edge; if nothing split, nothing can be freed
+    if out.n_split_clusters == 0:
+        assert out.n_docs_freed == 0

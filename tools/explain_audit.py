@@ -340,6 +340,9 @@ ALLOW_BNLJ = {
     # 5-row threshold dim crossed onto the score value grain plus the
     # one-row totals scalar — dial dims and scalars, not data
     "quality_roc_auc",
+    # two one-row summary frames (cluster-grain aggs) crossed into the
+    # single readout row — scalars, not data
+    "dedup_recluster_tighter",
 }
 PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
 
