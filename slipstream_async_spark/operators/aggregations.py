@@ -451,6 +451,10 @@ def exact_auc(
     if pregrouped:
         vg = df
     else:
+        if label_col is None:
+            raise ValueError(
+                "label_col is required unless pregrouped=True"
+            )
         vg = df.groupBy(score_col).agg(
             F.sum(F.when(F.col(label_col), 1).otherwise(0))
             .cast("bigint")

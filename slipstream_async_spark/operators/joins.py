@@ -61,6 +61,17 @@ def asof_join(
         )
     right_on = right_on or on
     by_cols = [by] if isinstance(by, str) else list(by or [])
+    if not by_cols and (left.isStreaming or right.isStreaming):
+        # on unbounded input the single-partition fallback is not a
+        # parity convenience but an unkillable sequential stage —
+        # refuse outright (batch keeps the documented warn-fallback).
+        # Checked before the union is built: Spark would otherwise
+        # reject a streaming/batch union with a less actionable error.
+        raise ValueError(
+            "asof_join: streaming input requires a partitioning 'by' "
+            "key — the no-key fallback sorts the whole stream in ONE "
+            "task and cannot scale. Pass by=<key column(s)>."
+        )
 
     right_vals = [c for c in right.columns if c not in by_cols and c != right_on]
     # Project both sides onto one schema: by, _t, _side, left cols, right cols.

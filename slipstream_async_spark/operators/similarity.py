@@ -283,6 +283,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     index_path: str | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: probe the ``n_probe`` nearest
     inverted lists per query, exact-rank within.
@@ -294,9 +295,15 @@ def ivf_topk(
     With ``index_path`` (written by ``ivf_index_write``), the index is
     READ instead of rebuilt — ``corpus``/``n_lists`` are ignored — and
     the probe join triggers dynamic partition pruning on ``list_id``:
-    only probed lists' files are scanned.
+    only probed lists' files are scanned. ``index`` — a prebuilt
+    (centroids, assignments) pair from :func:`ivf_index_read` — takes
+    precedence over both; repeated callers (streaming probes, one call
+    per micro-batch) pass it so the index frames are constructed and
+    the (small) centroid side cached ONCE, not per trigger.
     """
-    if index_path is not None:
+    if index is not None:
+        cents, assigned = index
+    elif index_path is not None:
         cents, assigned = ivf_index_read(queries.sparkSession, index_path)
     else:
         if corpus is None:
@@ -317,6 +324,19 @@ def ivf_topk(
             F.col("cent_id").alias("list_id"),
         )
     )
+    return _ivf_score_probes(assigned, probes, k, id_col, vec_col, query_id_col)
+
+
+def _ivf_score_probes(
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Scan the probed lists (broadcast probe set -> dynamic partition
+    pruning on list_id for materialized indexes) and exact-rank within."""
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -327,6 +347,68 @@ def ivf_topk(
         .select(query_id_col, id_col, "cosine")
     )
     return _ranked_topk(scored, k, query_id_col, id_col)
+
+
+def centroid_array_literal(centroid_rows: list[tuple]) -> Column:
+    """Inline a collected centroid table as ONE array-of-struct literal
+    Column. Columns are unbound expressions, so the caller builds this
+    once and reuses it across micro-batches — expression construction
+    crosses py4j per call, and rebuilding n_lists x dim literals every
+    trigger is a measured ~0.7 s/trigger of pure driver overhead.
+    ``F.lit(list)`` keeps it to two py4j calls per centroid."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cent_id"),
+                F.lit([float(x) for x in vec])
+                .cast("array<double>")
+                .alias("cent_vec"),
+            )
+            for cid, vec in centroid_rows
+        ]
+    )
+
+
+def ivf_probes_mapside(
+    queries: DataFrame,
+    centroids: "Column | list[tuple]",
+    n_probe: int,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe selection WITHOUT a shuffle: the centroid table (n_lists
+    rows, collected driver-side ONCE by the caller — e.g. per streaming
+    query, not per trigger) is inlined as an array literal and each
+    query row picks its ``n_probe`` nearest lists inside a single
+    projection (an n_lists-element array sort per row), replacing the
+    generic path's crossJoin + row_number window and its shuffle. Use
+    when n_lists is O(100s) and the same index is probed repeatedly
+    (streaming micro-batches); feed the result to
+    :func:`_ivf_score_probes` / the probe join. Tie-breaks match the
+    generic path: cosine descending, then cent_id ascending (struct
+    array_sort over (-cosine, cent_id)). ``centroids`` is either the
+    collected (cent_id, vector) rows or — for repeated callers — a
+    prebuilt :func:`centroid_array_literal` Column."""
+    cent_arr = (
+        centroids
+        if isinstance(centroids, Column)
+        else centroid_array_literal(centroids)
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (-cosine_similarity(F.col(vec_col), c["cent_vec"])).alias("negc"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    cands = F.slice(F.array_sort(scored), 1, n_probe)
+    return queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.transform(cands, lambda s: s["cent_id"])
+        ).alias("list_id"),
+    )
 
 
 def embedding_near_dup_pairs(

@@ -117,10 +117,12 @@ _DRIVER_VERIFIED: dict[str, int] = _driver_verified()
 # never-checked entries. r8's five pins (emb_intrinsic_dimension,
 # knn_label_vote, stats_welch_ttest, stats_cohens_d,
 # shiplag_anova_by_priority) all re-verified green in CORRECTNESS_r08
-# and are released. r9: dedup_threshold_sensitivity's zero-pair
-# thresholds now left-join from the threshold dim (rows no longer drop
-# when a cutoff has no surviving pairs).
-_FORCE_FIRST: tuple[str, ...] = ("dedup_threshold_sensitivity",)
+# and are released. r9's pin (dedup_threshold_sensitivity, zero-pair
+# left-join semantics) re-verified green in CORRECTNESS_r09 and is
+# released. r10 changes no query semantics (localCheckpoint reuse and
+# a latent-overflow DECIMAL cast only), so no pins — the window goes
+# entirely to re-certifying the stalest greens.
+_FORCE_FIRST: tuple[str, ...] = ()
 
 
 def _rotated(mapping: dict) -> dict:
@@ -22042,7 +22044,8 @@ def emb_effective_rank_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.floor(
                 (
-                    F.col("ni") * F.col("qij") - F.col("si") * F.col("sj")
+                    F.col("ni") * F.col("qij")
+                    - F.col("si").cast("decimal(38,0)") * F.col("sj")
                 ).cast("double")
                 / (F.col("ni").cast("double") * F.col("ni"))
                 / 1e12
@@ -22355,7 +22358,8 @@ fwd AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1dot,
 bwd AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c2 GROUP BY w2),
 tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) AS t,
                (SELECT CAST(COUNT(DISTINCT u.tok) AS BIGINT)
-                FROM toks, UNNEST(t) AS u(tok) WHERE b >= 1000) AS v),
+                FROM toks, UNNEST(t) AS u(tok)
+                WHERE b >= 1000 AND len(t) >= 2) AS v),
 h AS (SELECT source, pair[1] AS w1, pair[2] AS w2
       FROM tp WHERE b < 1000),
 scored AS (
@@ -23061,6 +23065,10 @@ def dedup_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster map, cluster-grain partial aggs, one summary row."""
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id", k=3, threshold=0.5)
+    # Two consumers (duplicate_clusters' edge pass and the `direct`
+    # join) would each re-execute the PPJoin lineage; materialize the
+    # pair set once so the expensive pair generation runs a single time.
+    pairs = pairs.localCheckpoint()
     cmap = DD.duplicate_clusters(pairs).select(
         F.col("doc_id").alias("node"), "cluster_id"
     )
@@ -23165,6 +23173,10 @@ def dedup_recluster_tighter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep their own id); cluster-grain partial aggs to one row."""
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id", k=3, threshold=0.5)
+    # Both CC runs (0.5 and 0.7 subsets) consume the same pair pass;
+    # materialize it once so PPJoin pair generation executes a single
+    # time instead of once per consumer.
+    pairs = pairs.localCheckpoint()
     m05 = DD.duplicate_clusters(pairs.select("id_a", "id_b")).select(
         F.col("doc_id").alias("node"), F.col("cluster_id").alias("c05")
     )
@@ -23203,4 +23215,42 @@ def dedup_recluster_tighter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters_07",
         "n_split_clusters",
         "n_docs_freed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — oracle-pair the streaming probe lane's shuffle-free probe
+# selection (the exact code path ann_enrich_sink drives per micro-batch).
+# ---------------------------------------------------------------------------
+
+
+@register("sim_topk_ivf_mapside", oracle=_IVF_INDEXED_SQL)
+def sim_topk_ivf_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ANN sink's probe lane as a batch query: probe
+    selection runs MAP-SIDE (similarity.ivf_probes_mapside — the
+    centroid table inlined as an array literal, each query row sorting
+    an n_lists-element array in one projection) instead of the generic
+    crossJoin + row_number window, then the probed lists are scored by
+    the shared _ivf_score_probes tail. This is exactly what
+    streaming/ann_flow.ann_enrich_sink executes per micro-batch, so the
+    driver's hash gate certifies the streaming read path, not just the
+    batch one. Same oracle as sim_topk_ivf: probe-selection strategy
+    must not change results (identical tie-breaks: cosine desc,
+    cent_id asc).
+
+    Shape: ONE projection for probe selection (no shuffle), broadcast
+    probe join into the list-assigned corpus, per-query window top-k.
+    The centroid collect is bounded by construction (n_lists=16 rows)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents, assigned = SIM.ivf_index(emb, 16, "vec_id", "embedding")
+    # bounded collect: exactly n_lists=16 centroid rows
+    cent_rows = [
+        (r["cent_id"], list(r["cent_vec"])) for r in cents.collect()
+    ]
+    probes = SIM.ivf_probes_mapside(q, cent_rows, 4)
+    return SIM._ivf_score_probes(
+        assigned, probes, 5, "vec_id", "embedding", "query_id"
     )

@@ -24,7 +24,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from slipstream_async_spark.operators.similarity import ivf_topk
+from slipstream_async_spark.operators.similarity import (
+    _ivf_score_probes,
+    centroid_array_literal,
+    ivf_index_read,
+    ivf_probes_mapside,
+)
 from slipstream_async_spark.streaming.state import StateTable
 
 
@@ -41,21 +46,43 @@ def ann_enrich_sink(
     arriving query vector and upserting ``query_id -> "id:cosine,..."``
     (neighbors in rank order) into ``results``. Use with
     ``foreach_batch_sink`` on a ``Pipeline`` flow.
+
+    Per-trigger fixed cost is held down two ways, both set up ONCE on
+    the first micro-batch and reused across triggers (the index is
+    write-once by contract — ivf_index_write — so reuse cannot go
+    stale): (1) the centroid table (n_lists rows, bounded by
+    construction) is collected driver-side and inlined into a MAP-SIDE
+    probe-selection expression (ivf_probes_mapside) — no per-trigger
+    centroid read, no crossJoin+window shuffle, no centroid broadcast
+    build; (2) the assignments DataFrame (schema already resolved) is
+    reused, so no per-trigger parquet schema-inference pass runs.
     """
+    frames: dict[str, tuple] = {}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if "idx" not in frames:
+            cents, assigned = ivf_index_read(
+                batch_df.sparkSession, index_path
+            )
+            # bounded collect: n_lists centroid rows (16-256 by
+            # construction) — the one-time driver-side copy that makes
+            # every later trigger's probe selection shuffle-free. The
+            # literal Column is built ONCE too: expression construction
+            # crosses py4j and rebuilding it per trigger is a measured
+            # ~0.7 s of pure driver overhead.
+            cent_arr = centroid_array_literal(
+                [(r["cent_id"], list(r["cent_vec"])) for r in cents.collect()]
+            )
+            frames["idx"] = (cent_arr, assigned)
+        cent_arr, assigned = frames["idx"]
         q = batch_df.select(
             F.col(query_id_col), F.col(vec_col)
         ).dropDuplicates([query_id_col])
-        topk = ivf_topk(
-            None,
-            q,
-            k=k,
-            n_probe=n_probe,
-            id_col=id_col,
-            vec_col=vec_col,
-            query_id_col=query_id_col,
-            index_path=index_path,
+        probes = ivf_probes_mapside(
+            q, cent_arr, n_probe, vec_col=vec_col, query_id_col=query_id_col
+        )
+        topk = _ivf_score_probes(
+            assigned, probes, k, id_col, vec_col, query_id_col
         )
         per_q = (
             topk.groupBy(query_id_col)

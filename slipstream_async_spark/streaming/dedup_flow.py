@@ -85,24 +85,35 @@ def incremental_dedup_sink(
             # length-prefixed key: a bare 'id_a|id_b' concat is ambiguous
             # when an id itself contains '|' ('a|b'+'c' == 'a'+'b|c'),
             # which would let two distinct pairs overwrite one row
-            pairs.upsert(
-                found.select(
-                    F.concat(
-                        F.length("id_a").cast("string"),
-                        F.lit("|"),
-                        F.col("id_a"),
-                        F.lit("|"),
-                        F.col("id_b"),
-                    ).alias("key"),
-                    F.col("jaccard").cast("string").alias("value"),
-                )
+            pair_rows = found.select(
+                F.concat(
+                    F.length("id_a").cast("string"),
+                    F.lit("|"),
+                    F.col("id_a"),
+                    F.lit("|"),
+                    F.col("id_b"),
+                ).alias("key"),
+                F.col("jaccard").cast("string").alias("value"),
             )
-            corpus.upsert(
-                batch.select(
-                    F.col(id_col).alias("key"),
-                    F.col(text_col).alias("value"),
-                )
+            doc_rows = batch.select(
+                F.col(id_col).alias("key"),
+                F.col(text_col).alias("value"),
             )
+            # two INDEPENDENT tables: overlap their (driver-coordinated)
+            # commits so the epoch pays max, not sum, of the two commit
+            # latencies — same discipline as the bloom sink below. The
+            # probe (`found`) reads the PREVIOUS corpus snapshot frame,
+            # already fixed above, so commit order cannot leak this
+            # batch's docs into its own pair search.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futs = [
+                    ex.submit(pairs.upsert, pair_rows),
+                    ex.submit(corpus.upsert, doc_rows),
+                ]
+                for f in futs:
+                    f.result()
         finally:
             batch.unpersist()
 

@@ -16,7 +16,8 @@ DataFrames at any scale*:
 - C3 ordered scans   -> ``items(backwards=..., from_key=...)`` =
                         ``orderBy`` + range predicate (sort pushed to scan)
 - C4 prefix scan     -> ``scan(prefix=...)`` = ``startswith`` predicate
-                        (rewritten to a sargable range: [p, p+maxchar))
+                        (rewritten to the sargable range [p, succ(p)),
+                        succ = true code-point prefix successor)
 - C5 wide columns    -> MAP<STRING,STRING> ``attrs`` column
 - C6 delete_range    -> tombstone merge
 - C8 snapshot        -> read any retained version (time travel)
@@ -82,6 +83,20 @@ _LOG_SCHEMA = (
 # like the reference's Cache (slipstream/caching.py:150-159).
 _CODEC_KEY = "__codec"
 _CODEC_JSON = "json"
+
+
+def _prefix_successor(prefix: str) -> str | None:
+    """Smallest string strictly greater than EVERY string having this
+    prefix (code-point order, which is also UTF-8 byte order): strip
+    trailing U+10FFFF code points, then increment the last remaining
+    one. Returns None when the prefix is all U+10FFFF — no finite
+    upper bound exists and ``key >= prefix`` alone is already exact.
+    (The naive ``prefix + '\\uffff'`` bound wrongly excludes keys whose
+    suffix starts at or above U+FFFF.)"""
+    s = prefix.rstrip("\U0010ffff")
+    if not s:
+        return None
+    return s[:-1] + chr(ord(s[-1]) + 1)
 
 
 def _encode(value: Any) -> str:
@@ -309,9 +324,14 @@ class StateTable:
             except OSError:
                 shutil.copy2(s, d)
 
-    def _merge_commit(self, batch: DataFrame) -> None:
+    def _merge_commit(
+        self, batch: DataFrame, fence: tuple[str, int] | None = None
+    ) -> None:
         """Commit one mutation batch (columns key,value,attrs,op; one
-        row per key expected).
+        row per key expected). ``fence`` — an optional (query, epoch)
+        tag recorded in the version manifest, atomically with the
+        commit point itself — lets streaming sinks detect replayed
+        epochs (see :func:`foreach_batch_upsert`).
 
         TWO Spark jobs on the hot path, both batch-sized: (1) the batch
         is written ONCE as per-bucket delta files — that single
@@ -336,8 +356,14 @@ class StateTable:
                 batch.withColumn("_bucket", self._bucket_expr())
                 # group each bucket into one task -> ONE file per bucket
                 # per version (otherwise every input partition writes a
-                # sliver into every bucket dir: tasks x buckets files)
-                .repartition(F.col("_bucket"))
+                # sliver into every bucket dir: tasks x buckets files).
+                # numPartitions=n_buckets: an explicit repartition is
+                # exempt from AQE coalescing, so without it every commit
+                # schedules spark.sql.shuffle.partitions reduce tasks —
+                # mostly empty for small batches; bounding to n_buckets
+                # keeps per-commit latency proportional to buckets
+                # actually written (the streaming-sink hot path).
+                .repartition(self.n_buckets, F.col("_bucket"))
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(tmp_delta)
@@ -374,7 +400,7 @@ class StateTable:
                 (
                     live.withColumn("op", F.lit("put"))
                     .withColumn("_bucket", self._bucket_expr())
-                    .repartition(F.col("_bucket"))
+                    .repartition(self.n_buckets, F.col("_bucket"))
                     .write.mode("overwrite")
                     .partitionBy("_bucket")
                     .parquet(ctmp)
@@ -395,14 +421,14 @@ class StateTable:
                         chains.pop(b, None)
                 else:
                     chains[b] = list(base.get(b, [])) + [new_v]
+            mdoc: dict[str, Any] = {
+                "n_buckets": self.n_buckets,
+                "chains": {str(b): ch for b, ch in chains.items()},
+            }
+            if fence is not None:
+                mdoc["fence"] = {"query": fence[0], "epoch": int(fence[1])}
             with open(os.path.join(vtmp, "manifest.json"), "w") as fh:
-                json.dump(
-                    {
-                        "n_buckets": self.n_buckets,
-                        "chains": {str(b): ch for b, ch in chains.items()},
-                    },
-                    fh,
-                )
+                json.dump(mdoc, fh)
             os.rename(vtmp, self._vpath(new_v))  # the commit point
             # commit accounting from the parquet footers (driver-side
             # metadata read, zero Spark jobs)
@@ -438,12 +464,16 @@ class StateTable:
             shutil.rmtree(ctmp, ignore_errors=True)
             shutil.rmtree(vtmp, ignore_errors=True)
 
-    def upsert(self, updates: DataFrame) -> None:
+    def upsert(
+        self, updates: DataFrame, fence: tuple[str, int] | None = None
+    ) -> None:
         """Merge a (key, value[, attrs]) batch; one row per key
         (duplicate keys within the batch resolve to an arbitrary single
         row). Keys are normalized to strings (the documented contract),
         so numeric-key frames work. Commit cost is O(|batch|) — a
-        per-bucket delta append, never a state rewrite."""
+        per-bucket delta append, never a state rewrite. ``fence``
+        tags the commit's manifest with a (query, epoch) pair for
+        streaming replay detection (:func:`foreach_batch_upsert`)."""
         for c, t in (("value", "string"), ("attrs", "map<string,string>")):
             if c not in updates.columns:
                 updates = updates.withColumn(c, F.lit(None).cast(t))
@@ -454,7 +484,7 @@ class StateTable:
             .dropDuplicates(["key"])
             .withColumn("op", F.lit("put"))
         )
-        self._merge_commit(batch)
+        self._merge_commit(batch, fence=fence)
 
     def delete_where(self, predicate) -> None:
         """Delete all rows where the Column predicate is TRUE
@@ -547,9 +577,10 @@ class StateTable:
         iterator, caching.py:276-300)."""
         df = self.snapshot()
         if prefix is not None:
-            df = df.filter(
-                (F.col("key") >= prefix) & (F.col("key") < prefix + "￿")
-            )
+            df = df.filter(F.col("key") >= prefix)
+            succ = _prefix_successor(prefix)
+            if succ is not None:
+                df = df.filter(F.col("key") < succ)
         if from_key is not None:
             df = df.filter(
                 F.col("key") <= from_key if backwards else F.col("key") >= from_key
@@ -707,7 +738,7 @@ class StateTable:
         tmp = self._vpath(new_v) + ".tmp"
         (
             live.withColumn("_bucket", self._bucket_expr())
-            .repartition(F.col("_bucket"))
+            .repartition(self.n_buckets, F.col("_bucket"))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(tmp)
@@ -747,7 +778,7 @@ class StateTable:
         try:
             (
                 live.withColumn("_bucket", self._bucket_expr())
-                .repartition(F.col("_bucket"))
+                .repartition(self.n_buckets, F.col("_bucket"))
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(tmp)
@@ -772,6 +803,50 @@ class StateTable:
             raise
         # a storage re-arrangement, not a mutation -> no changelog rows
 
+    def committed_epochs(self) -> dict[str, int]:
+        """Highest committed epoch per fence query, read from the
+        retained version manifests (driver-side, no Spark job). The
+        fence record lives IN the manifest, so it is atomic with the
+        commit point — a crash between "commit" and "record fence" is
+        impossible by construction. Vacuumed versions drop their fence
+        rows, but foreachBatch replay only re-delivers the most recent
+        epoch(s), which by recency always live in retained manifests."""
+        out: dict[str, int] = {}
+        for v in self._versions():
+            try:
+                with open(
+                    os.path.join(self._vpath(v), "manifest.json")
+                ) as fh:
+                    fence = json.load(fh).get("fence")
+            except (OSError, ValueError):
+                continue
+            if fence:
+                q, e = fence["query"], int(fence["epoch"])
+                if q not in out or e > out[q]:
+                    out[q] = e
+        return out
+
+    def expire(
+        self, ttl_attr: str, cutoff: str, compact: bool = True
+    ) -> None:
+        """Row-TTL retention — the reference Cache's FIFO-bounded state
+        window (slipstream/caching.py:85,109-133; the 25 MB
+        ``target_table_size`` of docs/source/features.rst:64-66)
+        re-expressed as an explicit policy over the versioned layout:
+        tombstone every row whose ``attrs[ttl_attr]`` sorts strictly
+        below ``cutoff``, then compact the now-chained buckets so the
+        expired rows are physically dropped from the live version.
+        Rows WITHOUT the attribute (NULL predicate) are retained —
+        ``delete_where``'s documented three-valued semantics, so mixed
+        tables with un-stamped rows never lose them to a sweep.
+
+        Run periodically (e.g. from a streaming sink every N epochs)
+        to hold live-row count bounded under continuous ingest; pair
+        with :meth:`vacuum` to bound on-disk versions too."""
+        self.delete_where(F.col("attrs").getItem(ttl_attr) < F.lit(cutoff))
+        if compact:
+            self.compact()
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop version directories not referenced by any of the last
         ``keep_last`` manifests. A directory stays live as long as ANY
@@ -790,11 +865,30 @@ class StateTable:
         shutil.rmtree(self.path, ignore_errors=True)
 
 
-def foreach_batch_upsert(table: StateTable):
-    """Streaming sink: upsert each micro-batch into the state table
-    (exactly-once via the query's checkpoint + idempotent version swap)."""
+def foreach_batch_upsert(table: StateTable, query: str = "default"):
+    """Streaming sink: upsert each micro-batch into the state table.
+
+    Exactly-once — for the STATE and the CHANGELOG — via epoch
+    fencing: every commit records its (query, epoch_id) in the version
+    manifest (atomic with the commit point), and a replayed epoch
+    (foreachBatch re-delivers the in-flight epoch after a crash) is
+    detected against the fence and NO-OPS instead of committing a
+    duplicate version. Without the fence, state still converges
+    (newest-wins merge of identical rows) but the changelog would gain
+    duplicate mutation events for CDC consumers (S8,
+    interfaces.py:105-110). ``query`` namespaces the fence when
+    several streaming queries share one table.
+    """
+    state: dict[str, int | None] = {"last": None}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        table.upsert(batch_df)
+        if state["last"] is None:
+            # first delivery after (re)start: recover the fence from
+            # the manifests the previous incarnation committed
+            state["last"] = table.committed_epochs().get(query, -1)
+        if int(epoch_id) <= state["last"]:
+            return  # replayed epoch — its commit already landed
+        table.upsert(batch_df, fence=(query, int(epoch_id)))
+        state["last"] = int(epoch_id)
 
     return sink

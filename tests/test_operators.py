@@ -1245,3 +1245,32 @@ def test_scd2_build_versions(spark):
         (1, "silver", ts(2.0), ts(2.0), False),
         (2, "basic", ts(5.0), None, True),
     ]
+
+
+def test_asof_join_streaming_without_by_raises(spark):
+    """The no-'by' global-sort fallback is refused outright on
+    unbounded input (a single-task sequential stage on a stream is a
+    scale-killer, not a parity convenience); batch keeps the
+    documented warn-fallback."""
+    import pytest as _pytest
+
+    from slipstream_async_spark.operators.joins import asof_join
+
+    stream = spark.readStream.format("rate").load()  # timestamp, value
+    static = spark.createDataFrame(
+        [(0, "x")], "value long, tag string"
+    ).withColumn("timestamp", F.current_timestamp())
+    with _pytest.raises(ValueError, match="streaming input requires"):
+        asof_join(stream, static, on="timestamp")
+    # keyed streaming construction stays allowed
+    asof_join(stream, static, on="timestamp", by="value")
+
+
+def test_exact_auc_requires_label_col(spark):
+    import pytest as _pytest
+
+    from slipstream_async_spark.operators.aggregations import exact_auc
+
+    df = spark.createDataFrame([(1, True)], "score int, label boolean")
+    with _pytest.raises(ValueError, match="label_col is required"):
+        exact_auc(df, "score")

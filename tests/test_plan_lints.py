@@ -178,3 +178,41 @@ def test_readme_counts_match_catalog():
         f"README claims {sorted(claimed)} but the catalog has {n} "
         "oracle-paired queries — sync README.md"
     )
+
+
+def test_readme_streaming_figures_match_bench_artifact():
+    """Round-9 lesson: the README's streaming throughput claims drifted
+    from the committed BENCH_STREAMING.json (readme said ~3,300 rows/s,
+    artifact said 3,024). Pin every headline '~N rows/s' / '~N ...
+    marginal' claim to the artifact, rounded to the nearest 100 — the
+    README must be re-synced whenever the bench artifact is refreshed."""
+    import json
+
+    with open(os.path.join(REPO, "BENCH_STREAMING.json")) as fh:
+        flows = json.load(fh)["flows"]
+    readme = open(os.path.join(REPO, "README.md")).read()
+
+    def claim(v: float) -> str:
+        return f"~{round(v / 100) * 100:,}"
+
+    expected = {
+        "windowed_agg": claim(flows["windowed_agg"]["rows_per_sec"]),
+        "session_window_agg": claim(
+            flows["session_window_agg"]["rows_per_sec"]
+        ),
+        "bloom_dedup": claim(flows["bloom_dedup"]["rows_per_sec"]),
+        "composed_session_dedup_cdc": claim(
+            flows["composed_session_dedup_cdc"]["rows_per_sec"]
+        ),
+        "ann_marginal": claim(
+            flows["ann_ivf_enrich"]["marginal_rows_per_sec"]
+        ),
+        "neardup_marginal": claim(
+            flows["incremental_near_dup"]["marginal_rows_per_sec"]
+        ),
+    }
+    missing = {k: v for k, v in expected.items() if v not in readme}
+    assert not missing, (
+        f"README streaming figures out of sync with BENCH_STREAMING.json: "
+        f"expected these rounded claims to appear verbatim: {missing}"
+    )

@@ -425,3 +425,118 @@ def test_many_commit_soak_compaction_bounds_chains(spark, tmp_path):
         for r in t.snapshot().select("key", "value").collect()
     }
     assert got == model
+
+
+def test_foreach_batch_upsert_epoch_fenced(spark, tmp_path):
+    """Exactly-once changelog under epoch replay: foreachBatch
+    re-delivers the in-flight epoch after a crash; the fence recorded
+    in the commit's manifest makes the replayed (query, epoch) a no-op
+    — one version, ONE set of changelog rows, both for a same-closure
+    replay and for a fresh sink instance (restart recovery)."""
+    from slipstream_async_spark.streaming.state import foreach_batch_upsert
+
+    t = StateTable(spark, str(tmp_path / "fence"))
+    sink = foreach_batch_upsert(t, query="q")
+    batch = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "key string, value string"
+    )
+    sink(batch, 0)
+    v_after = t.version
+    n_log = t.changelog().count()
+    assert n_log == 2
+
+    sink(batch, 0)  # same-process replay of the same epoch
+    assert t.version == v_after
+    assert t.changelog().count() == n_log
+
+    # restart: a FRESH closure must recover the fence from manifests
+    sink2 = foreach_batch_upsert(t, query="q")
+    sink2(batch, 0)
+    assert t.version == v_after
+    assert t.changelog().count() == n_log
+
+    # the next epoch commits normally
+    sink2(spark.createDataFrame([("c", "3")], "key string, value string"), 1)
+    assert t.version == v_after + 1
+    assert t.changelog().count() == n_log + 1
+    assert t.committed_epochs() == {"q": 1}
+
+    # a different query name is an independent fence
+    other = foreach_batch_upsert(t, query="q2")
+    other(batch, 0)
+    assert t.committed_epochs() == {"q": 1, "q2": 0}
+    t.destroy()
+
+
+def test_expire_ttl_bounds_live_rows(spark, tmp_path):
+    """Row-TTL retention (the reference's FIFO-bounded state window,
+    caching.py:109-133): under continuous ingest with a periodic
+    expire(), the live-row count PLATEAUS instead of growing without
+    bound, un-stamped rows (no ttl attr -> NULL predicate) survive
+    every sweep, and compaction physically reclaims expired rows."""
+    t = StateTable(spark, str(tmp_path / "ttl"), n_buckets=4, max_chain=4)
+    t.upsert(
+        spark.createDataFrame(
+            [("pinned", "keep", None)],
+            "key string, value string, attrs map<string,string>",
+        )
+    )
+    counts = []
+    for i in range(6):
+        rows = [
+            (f"k{i}-{j}", f"v{i}", {"ts": f"{i:04d}"}) for j in range(50)
+        ]
+        t.upsert(
+            spark.createDataFrame(
+                rows, "key string, value string, attrs map<string,string>"
+            )
+        )
+        # retain the current and previous generation only
+        t.expire("ts", f"{i - 1:04d}")
+        counts.append(t.snapshot().count())
+    # plateau: two generations (100) + the un-stamped row
+    assert counts[-3:] == [101, 101, 101], counts
+    assert t.get("pinned") == "keep"
+    # expired rows are physically gone from the live version's files,
+    # not just merged away at read time
+    import os
+
+    import pyarrow.parquet as pq
+
+    base = t._manifest(t.version)
+    on_disk = 0
+    for b, chain in base.items():
+        for p in t._chain_paths(chain, b):
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    on_disk += pq.ParquetFile(
+                        os.path.join(p, f)
+                    ).metadata.num_rows
+    # live 101 rows + at most the newest generation's tombstones/deltas
+    assert on_disk <= 101 + 2 * 50, on_disk
+    t.destroy()
+
+
+def test_scan_prefix_true_successor(spark, tmp_path):
+    """Prefix scans must be EXACT for keys whose suffix starts at or
+    above U+FFFF — the naive 'prefix + U+FFFF' upper bound wrongly
+    excluded them (and keys containing U+FFFF itself)."""
+    t = StateTable(spark, str(tmp_path / "pfx"))
+    keys = ["ab", "ab￿", "ab￿x", "ab\U00010000", "abz", "ac", "a", "b"]
+    t.upsert(
+        spark.createDataFrame([(k, "v") for k in keys], "key string, value string")
+    )
+    got = [r["key"] for r in t.scan(prefix="ab").select("key").collect()]
+    assert got == sorted(k for k in keys if k.startswith("ab"))
+    # all-U+10FFFF prefix: no finite successor, lower bound alone is exact
+    t2 = StateTable(spark, str(tmp_path / "pfx2"))
+    mx = "\U0010ffff"
+    t2.upsert(
+        spark.createDataFrame(
+            [(mx, "v"), (mx + "a", "v"), ("z", "v")], "key string, value string"
+        )
+    )
+    got2 = [r["key"] for r in t2.scan(prefix=mx).select("key").collect()]
+    assert got2 == [mx, mx + "a"]
+    t.destroy()
+    t2.destroy()

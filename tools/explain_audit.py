@@ -102,6 +102,11 @@ ALLOW_BNLJ = {
     # 16-row centroid set broadcast-crossed against the corpus for the
     # coarse assignment — the sim_topk_ivf shape (stored-index variant)
     "sim_topk_ivf_indexed",
+    # same 16-row centroid cross for the list ASSIGNMENT side; probe
+    # selection itself is the shuffle-free inlined-centroid projection
+    # (ivf_probes_mapside), so this is strictly fewer joins than
+    # sim_topk_ivf
+    "sim_topk_ivf_mapside",
     # same 16-row centroid cross for the SemDeDup cluster assignment
     "sim_semdedup",
     # 10-row query set broadcast-crossed against the PQ-encoded corpus —
