@@ -1274,3 +1274,36 @@ def test_exact_auc_requires_label_col(spark):
     df = spark.createDataFrame([(1, True)], "score int, label boolean")
     with _pytest.raises(ValueError, match="label_col is required"):
         exact_auc(df, "score")
+
+
+def test_ivf_mapside_probes_match_generic_path(spark):
+    """Probe selection strategy must not change results: the shuffle-
+    free inlined-centroid projection (ivf_probes_mapside — the
+    streaming ANN sink's per-trigger path) and the generic
+    crossJoin + row_number window inside ivf_topk must produce the
+    SAME top-k (same tie-breaks: cosine desc, cent_id asc)."""
+    from slipstream_async_spark.operators.similarity import (
+        _ivf_score_probes,
+        centroid_array_literal,
+        ivf_index,
+        ivf_probes_mapside,
+        ivf_topk,
+    )
+    from slipstream_async_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents, assigned = ivf_index(emb, 8, "vec_id", "embedding")
+    generic = ivf_topk(None, q, k=4, n_probe=3, index=(cents, assigned))
+    cent_rows = [(r["cent_id"], list(r["cent_vec"])) for r in cents.collect()]
+    for centroids in (cent_rows, centroid_array_literal(cent_rows)):
+        probes = ivf_probes_mapside(q, centroids, 3)
+        mapside = _ivf_score_probes(
+            assigned, probes, 4, "vec_id", "embedding", "query_id"
+        )
+        key = lambda r: (r["query_id"], -r["cosine"], r["vec_id"])  # noqa: E731
+        assert sorted(mapside.collect(), key=key) == sorted(
+            generic.collect(), key=key
+        )

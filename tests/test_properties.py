@@ -599,3 +599,60 @@ def test_exact_auc_matches_pairwise_model(spark, rows):
     assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
     assert Fraction(got["auc_numerator"]) == num
     assert got["auc"] == pytest.approx(float(num / (len(pos) * len(neg))))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-successor scans: scan(prefix=p) must equal the startswith set for
+# ARBITRARY unicode keys and prefixes — including suffixes at or above
+# U+FFFF, the exact class the naive 'p + U+FFFF' upper bound lost.
+# ---------------------------------------------------------------------------
+
+_uni_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=32,
+        max_codepoint=0x10FFFF,
+        blacklist_categories=("Cs",),  # no lone surrogates
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    keys=st.lists(_uni_text.filter(bool), min_size=1, max_size=8, unique=True),
+    prefix=_uni_text.filter(bool),
+    pick_existing=st.booleans(),
+)
+def test_scan_prefix_equals_startswith_model(
+    spark, tmp_path_factory, keys, prefix, pick_existing
+):
+    from slipstream_async_spark.streaming.state import StateTable
+
+    if pick_existing:
+        # probe with a prefix OF an actual key (the interesting case)
+        prefix = keys[0][: max(1, len(keys[0]) - 1)]
+    t = StateTable(
+        spark,
+        str(tmp_path_factory.mktemp("pfx") / "t"),
+        n_buckets=4,
+    )
+    try:
+        t.upsert(
+            spark.createDataFrame(
+                [(k, "v") for k in keys], "key string, value string"
+            )
+        )
+        got = sorted(
+            r["key"] for r in t.scan(prefix=prefix).select("key").collect()
+        )
+        assert got == sorted(k for k in keys if k.startswith(prefix))
+    finally:
+        t.destroy()
