@@ -47,6 +47,26 @@ from slipstream_async_spark.operators.membership import (
 from slipstream_async_spark.streaming.state import StateTable
 
 
+def _fence_gate(tables: dict[str, StateTable], query: str):
+    """Shared epoch-fence bookkeeping for multi-table foreachBatch
+    sinks: per-table last-committed epochs recovered from manifests on
+    first delivery (see StateTable.committed_epochs), so a replayed
+    epoch skips exactly the tables whose commit already landed — the
+    changelog of EVERY table stays exactly-once even when a crash fell
+    between two of the epoch's commits (partial replay)."""
+    state: dict[str, dict[str, int]] = {}
+
+    def last() -> dict[str, int]:
+        if not state:
+            state["last"] = {
+                n: t.committed_epochs().get(query, -1)
+                for n, t in tables.items()
+            }
+        return state["last"]
+
+    return last
+
+
 def incremental_dedup_sink(
     corpus: StateTable,
     pairs: StateTable,
@@ -54,6 +74,7 @@ def incremental_dedup_sink(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    query: str = "incremental_dedup",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function wiring ``dedup_incremental`` between a
     streaming source and two StateTables (standing corpus index + pair
@@ -64,10 +85,16 @@ def incremental_dedup_sink(
 
     Document ids are carried as strings (StateTable keys are strings);
     pair ordering ``id_a < id_b`` is therefore string order within one
-    micro-batch's output — stable across replays.
+    micro-batch's output — stable across replays. Epoch-fenced like
+    foreach_batch_upsert: a replayed epoch no-ops per table (exactly-
+    once pair/corpus changelogs, not merely convergent state).
     """
+    last = _fence_gate({"pairs": pairs, "corpus": corpus}, query)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        if e <= min(last().values()):
+            return  # fully-committed epoch replayed — nothing to do
         batch = (
             batch_df.select(
                 F.col(id_col).cast("string").alias(id_col), F.col(text_col)
@@ -104,16 +131,26 @@ def incremental_dedup_sink(
             # latencies — same discipline as the bloom sink below. The
             # probe (`found`) reads the PREVIOUS corpus snapshot frame,
             # already fixed above, so commit order cannot leak this
-            # batch's docs into its own pair search.
+            # batch's docs into its own pair search. Each commit is
+            # fenced; under partial replay only the table whose commit
+            # was lost re-runs.
             from concurrent.futures import ThreadPoolExecutor
 
+            fences = last()
             with ThreadPoolExecutor(max_workers=2) as ex:
-                futs = [
-                    ex.submit(pairs.upsert, pair_rows),
-                    ex.submit(corpus.upsert, doc_rows),
-                ]
+                futs = []
+                if e > fences["pairs"]:
+                    futs.append(
+                        ex.submit(pairs.upsert, pair_rows, (query, e))
+                    )
+                if e > fences["corpus"]:
+                    futs.append(
+                        ex.submit(corpus.upsert, doc_rows, (query, e))
+                    )
                 for f in futs:
                     f.result()
+            fences["pairs"] = max(fences["pairs"], e)
+            fences["corpus"] = max(fences["corpus"], e)
         finally:
             batch.unpersist()
 
@@ -129,6 +166,7 @@ def bloom_gated_exact_dedup_sink(
     words: int = 16,
     k: int = 4,
     stats: list | None = None,
+    query: str = "bloom_dedup",
 ) -> Callable[[DataFrame, int], None]:
     """Exact-dedup streaming sink with a persistent Bloom gate in front
     of the standing fingerprint table — the reference cache's
@@ -158,11 +196,17 @@ def bloom_gated_exact_dedup_sink(
       ``filter(~hit)``); they are dropped explicitly up front and
       counted in ``stats`` as ``n_null_fp``.
 
-    Replay-safe: every write is an idempotent deterministic upsert,
-    and re-merging a batch's bits into the bitmap is a no-op (bit_or).
-    A replayed batch re-probes an index that now contains itself, so
-    self-matches are filtered on canonical_id != doc_id; the min-id
-    canonical rule makes the dup verdict identical either way.
+    Replay-safe twice over: every write is an idempotent deterministic
+    upsert and re-merging a batch's bits into the bitmap is a no-op
+    (bit_or) — AND each table's commit is epoch-fenced (manifest-
+    recorded (query, epoch), recovered across restarts), so a replayed
+    epoch skips the tables whose commit already landed: the three
+    changelogs are exactly-once, not merely convergent, even when a
+    crash fell between two of an epoch's commits. The convergence
+    argument still matters for the re-probe path: a partially-replayed
+    batch probes an index that may contain itself, so self-matches are
+    filtered on canonical_id != doc_id and the min-id canonical rule
+    makes the dup verdict identical either way.
 
     ``stats``, if given, collects per-epoch gate accounting dicts
     (n_batch / n_maybe / n_dup) — n_maybe is the measured gate
@@ -170,9 +214,17 @@ def bloom_gated_exact_dedup_sink(
     (words) for the standing key count.
     """
 
+    last = _fence_gate(
+        {"dupes": dupes, "fps": fingerprints, "bloom": bloom_state}, query
+    )
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
+        e = int(epoch_id)
+        fences = last()
+        if e <= min(fences.values()):
+            return  # fully-committed epoch replayed — nothing to do
         keyed = (
             batch_df.select(
                 F.col(id_col).cast("string").alias("doc"),
@@ -245,32 +297,33 @@ def bloom_gated_exact_dedup_sink(
             # the three state writes hit three INDEPENDENT tables:
             # overlap their (driver-coordinated, two-job) commits so the
             # epoch pays max not sum of their scheduling latencies
+            writes = [
+                ("dupes", dupes, all_dupes.select(
+                    F.col("doc").alias("key"),
+                    F.col("canonical").alias("value"),
+                )),
+                ("fps", fingerprints, canon.select(
+                    F.col("fp").alias("key"),
+                    F.col("canonical").alias("value"),
+                )),
+                ("bloom", bloom_state, updated.select(
+                    F.col("word").cast("string").alias("key"),
+                    F.col("bm").cast("string").alias("value"),
+                )),
+            ]
             with ThreadPoolExecutor(max_workers=3) as ex:
+                # each commit fenced; under partial replay only the
+                # table(s) whose commit was lost re-run
                 futs = [
-                    ex.submit(
-                        dupes.upsert,
-                        all_dupes.select(
-                            F.col("doc").alias("key"),
-                            F.col("canonical").alias("value"),
-                        ),
-                    ),
-                    ex.submit(
-                        fingerprints.upsert,
-                        canon.select(
-                            F.col("fp").alias("key"),
-                            F.col("canonical").alias("value"),
-                        ),
-                    ),
-                    ex.submit(
-                        bloom_state.upsert,
-                        updated.select(
-                            F.col("word").cast("string").alias("key"),
-                            F.col("bm").cast("string").alias("value"),
-                        ),
-                    ),
+                    ex.submit(t.upsert, rows, (query, e))
+                    for name, t, rows in writes
+                    if e > fences[name]
                 ]
                 for f in futs:
                     f.result()
+            dupes_ran = e > fences["dupes"]
+            for name, _, _ in writes:
+                fences[name] = max(fences[name], e)
             if stats is not None:
                 stats.append(
                     {
@@ -279,8 +332,11 @@ def bloom_gated_exact_dedup_sink(
                         "n_maybe": n_maybe,
                         # all_dupes carries one row per doc, so the dupes
                         # table's committed delta row count IS the dup
-                        # count — parquet-footer accounting, no extra job
-                        "n_dup": dupes.last_commit_rows,
+                        # count — parquet-footer accounting, no extra
+                        # job. None when a partial replay skipped the
+                        # dupes commit (the count belongs to the
+                        # original delivery's stats row).
+                        "n_dup": dupes.last_commit_rows if dupes_ran else None,
                         "n_null_fp": n_keyed - n_batch,
                     }
                 )

@@ -333,13 +333,13 @@ class StateTable:
         commit point itself — lets streaming sinks detect replayed
         epochs (see :func:`foreach_batch_upsert`).
 
-        TWO Spark jobs on the hot path, both batch-sized: (1) the batch
-        is written ONCE as per-bucket delta files — that single
+        ONE Spark job on the hot path, batch-sized: the batch is
+        written ONCE as per-bucket delta files — that single
         materialization is the source of truth for the manifest, the
-        changelog, and any compaction, so a non-deterministic input
+        changelog (hardlinked from the committed delta: zero copy,
+        zero jobs), and any compaction, so a non-deterministic input
         (sample()/rand()/uncached stream frame) cannot diverge between
-        planning and data; (2) the changelog append re-reads those
-        files. Buckets whose chain would exceed ``max_chain`` are
+        planning and data. Buckets whose chain would exceed ``max_chain`` are
         compacted in the same commit (one extra merge job over just
         those buckets — amortized O(|bucket|/max_chain)). Write cost is
         O(|batch|) regardless of state size or key spread."""

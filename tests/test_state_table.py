@@ -540,3 +540,55 @@ def test_scan_prefix_true_successor(spark, tmp_path):
     assert got2 == [mx, mx + "a"]
     t.destroy()
     t2.destroy()
+
+
+def test_multi_table_dedup_sink_epoch_fenced(spark, tmp_path):
+    """Multi-table sinks are fenced PER TABLE: a replayed epoch no-ops
+    entirely when all commits landed, and re-runs ONLY the lost
+    table's commit after a partial failure — both tables' changelogs
+    stay exactly-once."""
+    from slipstream_async_spark.streaming.dedup_flow import (
+        incremental_dedup_sink,
+    )
+
+    corpus = StateTable(spark, str(tmp_path / "corpus"))
+    pairs = StateTable(spark, str(tmp_path / "pairs"))
+    sink = incremental_dedup_sink(corpus, pairs)
+    batch = spark.createDataFrame(
+        [("1", "aaa bbb ccc ddd eee"), ("2", "aaa bbb ccc ddd fff")],
+        "doc_id string, text string",
+    )
+    sink(batch, 0)
+    vs = (corpus.version, pairs.version)
+    logs = (corpus.changelog().count(), pairs.changelog().count())
+
+    sink(batch, 0)  # same-closure replay
+    assert (corpus.version, pairs.version) == vs
+
+    sink2 = incremental_dedup_sink(corpus, pairs)  # restart recovery
+    sink2(batch, 0)
+    assert (corpus.version, pairs.version) == vs
+    assert (corpus.changelog().count(), pairs.changelog().count()) == logs
+
+    # partial replay: epoch 1's corpus commit landed but the pairs
+    # commit was lost (simulated by committing corpus manually under
+    # the sink's fence) — redelivery must re-run ONLY pairs
+    batch2 = spark.createDataFrame(
+        [("3", "qqq www rrr ttt yyy")], "doc_id string, text string"
+    )
+    corpus.upsert(
+        batch2.select(
+            F.col("doc_id").alias("key"), F.col("text").alias("value")
+        ),
+        fence=("incremental_dedup", 1),
+    )
+    vc = corpus.version
+    vp = pairs.version
+    sink3 = incremental_dedup_sink(corpus, pairs)
+    sink3(batch2, 1)
+    assert corpus.version == vc, "fenced corpus commit must not re-run"
+    assert pairs.version == vp + 1, "lost pairs commit must re-run"
+    assert corpus.committed_epochs() == {"incremental_dedup": 1}
+    assert pairs.committed_epochs() == {"incremental_dedup": 1}
+    corpus.destroy()
+    pairs.destroy()
