@@ -421,12 +421,19 @@ class StateTable:
                         chains.pop(b, None)
                 else:
                     chains[b] = list(base.get(b, [])) + [new_v]
+            # cumulative fence map: every manifest carries the max
+            # committed epoch per query, so reading fences is O(1)
+            # (latest manifest only) and survives vacuum()/compact()
+            # dropping the version that originally carried a fence
+            fences = self.committed_epochs()
+            if fence is not None:
+                q, e = fence[0], int(fence[1])
+                fences[q] = max(fences.get(q, e), e)
             mdoc: dict[str, Any] = {
                 "n_buckets": self.n_buckets,
                 "chains": {str(b): ch for b, ch in chains.items()},
+                "fences": fences,
             }
-            if fence is not None:
-                mdoc["fence"] = {"query": fence[0], "epoch": int(fence[1])}
             with open(os.path.join(vtmp, "manifest.json"), "w") as fh:
                 json.dump(mdoc, fh)
             os.rename(vtmp, self._vpath(new_v))  # the commit point
@@ -752,6 +759,9 @@ class StateTable:
                 {
                     "n_buckets": self.n_buckets,
                     "chains": {str(b): ch for b, ch in chains.items()},
+                    # carry the cumulative fence map so epoch fencing
+                    # survives maintenance rewrites + vacuum
+                    "fences": self.committed_epochs(),
                 },
                 fh,
             )
@@ -793,6 +803,7 @@ class StateTable:
                     {
                         "n_buckets": self.n_buckets,
                         "chains": {str(b): ch for b, ch in chains.items()},
+                        "fences": self.committed_epochs(),
                     },
                     fh,
                 )
@@ -804,13 +815,27 @@ class StateTable:
         # a storage re-arrangement, not a mutation -> no changelog rows
 
     def committed_epochs(self) -> dict[str, int]:
-        """Highest committed epoch per fence query, read from the
-        retained version manifests (driver-side, no Spark job). The
-        fence record lives IN the manifest, so it is atomic with the
-        commit point — a crash between "commit" and "record fence" is
-        impossible by construction. Vacuumed versions drop their fence
-        rows, but foreachBatch replay only re-delivers the most recent
-        epoch(s), which by recency always live in retained manifests."""
+        """Highest committed epoch per fence query (driver-side, no
+        Spark job). The fence record lives IN the manifest, so it is
+        atomic with the commit point — a crash between "commit" and
+        "record fence" is impossible by construction. Every commit
+        carries the CUMULATIVE map forward ("fences"), so the latest
+        manifest alone answers in O(1) and the answer survives
+        vacuum()/compact() dropping the version that originally
+        carried a fence; manifests written before the cumulative map
+        fall back to a scan of their per-commit tags."""
+        latest = self.version
+        if latest < 0:
+            return {}
+        try:
+            with open(
+                os.path.join(self._vpath(latest), "manifest.json")
+            ) as fh:
+                raw = json.load(fh)
+        except (OSError, ValueError):
+            raw = {}
+        if isinstance(raw, dict) and isinstance(raw.get("fences"), dict):
+            return {q: int(e) for q, e in raw["fences"].items()}
         out: dict[str, int] = {}
         for v in self._versions():
             try:

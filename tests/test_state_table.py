@@ -592,3 +592,29 @@ def test_multi_table_dedup_sink_epoch_fenced(spark, tmp_path):
     assert pairs.committed_epochs() == {"incremental_dedup": 1}
     corpus.destroy()
     pairs.destroy()
+
+
+def test_fences_survive_compaction_and_vacuum(spark, tmp_path):
+    """The cumulative fence map rides every manifest, so epoch fencing
+    keeps working after maintenance rewrites drop the version that
+    originally carried a fence — a replayed epoch still no-ops."""
+    from slipstream_async_spark.streaming.state import foreach_batch_upsert
+
+    t = StateTable(spark, str(tmp_path / "fv"), n_buckets=2, max_chain=2)
+    sink = foreach_batch_upsert(t, query="q")
+    mk = lambda n: spark.createDataFrame(  # noqa: E731
+        [(f"k{i}", str(n)) for i in range(6)], "key string, value string"
+    )
+    for e in range(4):
+        sink(mk(e), e)
+    t.compact()
+    t.vacuum(keep_last=1)
+    assert t.committed_epochs() == {"q": 3}
+    v = t.version
+    sink2 = foreach_batch_upsert(t, query="q")  # restart after vacuum
+    sink2(mk(99), 3)  # replayed last epoch
+    assert t.version == v, "replay after compact+vacuum must no-op"
+    sink2(mk(4), 4)
+    assert t.committed_epochs() == {"q": 4}
+    assert t.get("k0") == "4"
+    t.destroy()
