@@ -123,6 +123,13 @@ class StateTable:
     is no online rehash). ``max_chain`` is the per-bucket delta-chain
     length that triggers compaction (policy only, safe to change
     between opens).
+
+    Single-writer per table (the reference's Cache is likewise owned
+    by one process): concurrent commits race on the version rename
+    and the loser fails LOUDLY (rename onto an existing version dir)
+    without corrupting state — readers always see a fully-renamed
+    version. Concurrent commits to DIFFERENT tables are fine and the
+    shipped sinks overlap them deliberately.
     """
 
     def __init__(
