@@ -618,3 +618,23 @@ def test_fences_survive_compaction_and_vacuum(spark, tmp_path):
     assert t.committed_epochs() == {"q": 4}
     assert t.get("k0") == "4"
     t.destroy()
+
+
+def test_one_file_per_bucket_per_version(spark, tmp_path):
+    """The commit write contract: each version holds at most ONE file
+    per bucket regardless of the input's partitioning (the bounded
+    repartition groups a bucket into one task; without it every input
+    partition would write a sliver into every bucket dir)."""
+    import glob
+
+    t = StateTable(spark, str(tmp_path / "onef"), n_buckets=4)
+    t.upsert(
+        spark.range(1000)
+        .repartition(13)  # adversarial input partitioning
+        .selectExpr("cast(id as string) as key", "'v' as value")
+    )
+    for b in range(4):
+        files = glob.glob(f"{t._vpath(t.version)}/_bucket={b}/*.parquet")
+        assert len(files) <= 1, (b, files)
+    assert t.snapshot().count() == 1000
+    t.destroy()
