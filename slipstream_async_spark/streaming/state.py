@@ -57,6 +57,7 @@ import json
 import os
 import re
 import shutil
+import warnings
 from collections.abc import Iterator, MutableMapping
 from typing import Any
 
@@ -92,11 +93,20 @@ def _prefix_successor(prefix: str) -> str | None:
     one. Returns None when the prefix is all U+10FFFF — no finite
     upper bound exists and ``key >= prefix`` alone is already exact.
     (The naive ``prefix + '\\uffff'`` bound wrongly excludes keys whose
-    suffix starts at or above U+FFFF.)"""
+    suffix starts at or above U+FFFF.)
+
+    The increment skips the UTF-16 surrogate gap: a prefix ending at
+    U+D7FF would otherwise produce a lone-surrogate bound (U+D800)
+    that cannot cross py4j's UTF-8 boundary — scan would raise instead
+    of scanning. U+E000 is an equally exact bound because valid
+    (UTF-8-representable) keys contain no code point in the gap."""
     s = prefix.rstrip("\U0010ffff")
     if not s:
         return None
-    return s[:-1] + chr(ord(s[-1]) + 1)
+    nxt = ord(s[-1]) + 1
+    if 0xD800 <= nxt <= 0xDFFF:
+        nxt = 0xE000
+    return s[:-1] + chr(nxt)
 
 
 def _encode(value: Any) -> str:
@@ -138,10 +148,31 @@ class StateTable:
         path: str,
         n_buckets: int | None = None,
         max_chain: int = 8,
+        partition_sep: str | None = None,
+        append_only: bool = False,
     ):
         self.spark = spark
         self.path = path
         self.max_chain = max_chain
+        #: Caller contract (a read-path POLICY, not persisted): every
+        #: committed key is unique across the table's lifetime and
+        #: deletes never happen (delete_where raises; full rebuilds go
+        #: through :meth:`replace_all`, which leaves no tombstones). In
+        #: exchange, chained-bucket reads skip the newest-wins max_by
+        #: merge entirely — a delta chain of unique-key puts IS the
+        #: live set, so reads are pure columnar scans. This is the
+        #: difference between O(scan) and O(shuffle) per probe for
+        #: append-only index tables (e.g. NearDupPrefixIndex postings).
+        self.append_only = append_only
+        #: Cassandra-style partition-key/clustering-key split: when set,
+        #: rows hash-bucket on the key's FIRST ``partition_sep``-separated
+        #: segment instead of the whole key, so all keys sharing a
+        #: partition value co-locate in one bucket and
+        #: :meth:`read_buckets` can prune a read to the partitions a
+        #: query actually touches (the persistent-index probe pattern).
+        #: Persisted in the manifest like ``n_buckets`` (the bucket
+        #: function is frozen at first commit; no online rehash).
+        self.partition_sep = partition_sep
         #: rows written by the most recent commit's delta (per-commit
         #: telemetry, read from parquet footers — no Spark job). The
         #: rows-ingested counter every storage engine reports.
@@ -177,32 +208,74 @@ class StateTable:
                         f"n_buckets={n_buckets} (no online rehash)"
                     )
                 self.n_buckets = stored
+                stored_sep = raw.get("partition_sep")
+                if partition_sep is not None and partition_sep != stored_sep:
+                    raise ValueError(
+                        f"StateTable at {path} was written with "
+                        f"partition_sep={stored_sep!r}; cannot reopen "
+                        f"with partition_sep={partition_sep!r} (the "
+                        "bucket function is frozen at first commit)"
+                    )
+                self.partition_sep = stored_sep
             else:
                 # flat bucket->version manifest (r8 layout): bucket
                 # count was ctor-only then, default 16
                 self.n_buckets = 16 if n_buckets is None else n_buckets
         else:
             self.n_buckets = 64 if n_buckets is None else n_buckets
+        # crash-window recovery: only the newest commit can hold an
+        # unpublished changelog segment (publish immediately follows
+        # the commit rename inside the same single-writer call), so a
+        # previous incarnation that died between the two is healed by
+        # re-linking from the committed version dir — the changelog
+        # stays exactly-once under epoch fencing, never at-most-once
+        self._publish_changelog(latest)
 
     # -- bucketing ----------------------------------------------------------
 
-    def _bucket_expr(self):
-        """md5-derived key bucket — engine-version-stable (the house
-        hash discipline), unlike F.hash whose murmur3 seed is a Spark
-        implementation detail."""
+    def bucket_expr_for(self, col) -> "F.Column":
+        """Bucket id of an arbitrary key (or partition-value) Column —
+        md5-derived, engine-version-stable (the house hash discipline),
+        unlike F.hash whose murmur3 seed is a Spark implementation
+        detail. With ``partition_sep`` set, only the key's first
+        segment hashes (a bare partition value — no separator — hashes
+        to the same bucket as every full key under it, which is what
+        lets a probe compute the buckets it must read)."""
+        c = F.col(col) if isinstance(col, str) else col
+        if self.partition_sep is not None:
+            c = F.substring_index(c, self.partition_sep, 1)
         return F.pmod(
-            F.conv(F.substring(F.md5("key"), 1, 8), 16, 10).cast("bigint"),
+            F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint"),
             F.lit(self.n_buckets),
         ).cast("int")
 
+    def _bucket_expr(self):
+        return self.bucket_expr_for("key")
+
     def _bucket_of(self, key: str) -> int:
-        """Driver-side twin of :meth:`_bucket_expr` (same md5-prefix
+        """Driver-side twin of :meth:`bucket_expr_for` (same md5-prefix
         formula), so point lookups prune to ONE bucket's files instead
         of scanning the whole snapshot."""
         import hashlib
 
-        h = hashlib.md5(str(key).encode("utf-8")).hexdigest()[:8]
+        part = str(key)
+        if self.partition_sep is not None:
+            part = part.split(self.partition_sep, 1)[0]
+        h = hashlib.md5(part.encode("utf-8")).hexdigest()[:8]
         return int(h, 16) % self.n_buckets
+
+    def read_buckets(self, buckets) -> DataFrame:
+        """Live rows of JUST the given hash buckets — the pruned read a
+        persistent-index probe needs: compute the buckets the query's
+        partition values hash to (:meth:`bucket_expr_for`), read only
+        those buckets' delta chains, skip the rest of the state
+        entirely. Cost is O(touched buckets' data), independent of the
+        table's total size."""
+        v = self.version
+        if v < 0:
+            return self.spark.createDataFrame([], _SCHEMA)
+        want = sorted({int(b) for b in buckets})
+        return self._read(self._manifest(v), want)
 
     def _key_frame(self, key: str) -> DataFrame:
         """The (at most one-bucket, chain-merged) frame a point op needs."""
@@ -255,18 +328,24 @@ class StateTable:
         buckets with a delta chain pay the newest-wins merge: one
         partial-aggregating ``max_by`` over the chain's files, version
         derived from the file path (each version dir holds at most one
-        row per key, so there are no ties)."""
+        row per key, so there are no ties). ``append_only`` tables skip
+        the merge for chains too — unique keys and no tombstones make
+        the chain's union the live set."""
         want = {
             b: ch
             for b, ch in manifest.items()
             if buckets is None or b in set(buckets)
         }
         simple = sorted(
-            p for b, ch in want.items() if len(ch) == 1
+            p
+            for b, ch in want.items()
+            if self.append_only or len(ch) == 1
             for p in self._chain_paths(ch, b)
         )
         chained = sorted(
-            p for b, ch in want.items() if len(ch) > 1
+            p
+            for b, ch in want.items()
+            if not self.append_only and len(ch) > 1
             for p in self._chain_paths(ch, b)
         )
         parts = []
@@ -330,6 +409,30 @@ class StateTable:
                 os.link(s, d)
             except OSError:
                 shutil.copy2(s, d)
+
+    def _publish_changelog(self, version: int) -> None:
+        """Link a committed version's staged ``_changelog`` files into
+        the public ``changelog/v{n}`` segment. Idempotent (replays and
+        recovery re-link only what is missing); a no-op for versions
+        without a staged segment (empty commits, compact()/rebucket()
+        maintenance versions, and pre-staging legacy versions — legacy
+        versions published eagerly, so they carry at worst the old
+        code's crash window)."""
+        if version < 0:
+            return
+        stage = os.path.join(self._vpath(version), "_changelog")
+        if not os.path.isdir(stage):
+            return
+        seg = os.path.join(self.path, "changelog", f"v{version}")
+        os.makedirs(seg, exist_ok=True)
+        for f in os.listdir(stage):
+            d = os.path.join(seg, f)
+            if os.path.exists(d):
+                continue
+            try:
+                os.link(os.path.join(stage, f), d)
+            except OSError:
+                shutil.copy2(os.path.join(stage, f), d)
 
     def _merge_commit(
         self, batch: DataFrame, fence: tuple[str, int] | None = None
@@ -438,12 +541,38 @@ class StateTable:
                 fences[q] = max(fences.get(q, e), e)
             mdoc: dict[str, Any] = {
                 "n_buckets": self.n_buckets,
+                "partition_sep": self.partition_sep,
                 "chains": {str(b): ch for b, ch in chains.items()},
                 "fences": fences,
             }
+            # changelog: the committed delta files ARE the log segment —
+            # hardlinked (zero-copy, zero-job). The segment is staged
+            # INSIDE the version dir (v{n}/_changelog) BEFORE the commit
+            # rename, so it is atomic with the commit point: a crash
+            # after the rename can at worst leave the segment
+            # unpublished under changelog/v{n}, and reopening the table
+            # re-links it from the committed version (exactly-once, not
+            # at-most-once, even in the rename->publish window). The
+            # staged copy keeps the RAW delta even for buckets the same
+            # commit compacts — the log must carry the mutations, not
+            # the merged bucket contents.
+            if written:
+                stage = os.path.join(vtmp, "_changelog")
+                os.makedirs(stage)
+                for b in sorted(written):
+                    src = os.path.join(tmp_delta, f"_bucket={b}")
+                    for f in os.listdir(src):
+                        if f.endswith(".parquet"):
+                            s = os.path.join(src, f)
+                            d = os.path.join(stage, f"b{b}_{f}")
+                            try:
+                                os.link(s, d)
+                            except OSError:
+                                shutil.copy2(s, d)
             with open(os.path.join(vtmp, "manifest.json"), "w") as fh:
                 json.dump(mdoc, fh)
             os.rename(vtmp, self._vpath(new_v))  # the commit point
+            self._publish_changelog(new_v)
             # commit accounting from the parquet footers (driver-side
             # metadata read, zero Spark jobs)
             import pyarrow.parquet as _pq
@@ -455,24 +584,6 @@ class StateTable:
                 for f in os.listdir(os.path.join(tmp_delta, d))
                 if f.endswith(".parquet")
             )
-            # changelog: the committed delta files ARE the log segment —
-            # hardlinked (zero-copy, zero-job) under changelog/v{n}/;
-            # version and ts are derived at read time from the path and
-            # file mtime, so publishing a mutation event costs no Spark
-            # job and cannot diverge from what was committed
-            if written:
-                seg = os.path.join(self.path, "changelog", f"v{new_v}")
-                os.makedirs(seg, exist_ok=True)
-                for b in sorted(written):
-                    src = os.path.join(tmp_delta, f"_bucket={b}")
-                    for f in os.listdir(src):
-                        if f.endswith(".parquet"):
-                            s = os.path.join(src, f)
-                            d = os.path.join(seg, f"b{b}_{f}")
-                            try:
-                                os.link(s, d)
-                            except OSError:
-                                shutil.copy2(s, d)
         finally:
             shutil.rmtree(tmp_delta, ignore_errors=True)
             shutil.rmtree(ctmp, ignore_errors=True)
@@ -507,6 +618,12 @@ class StateTable:
         tombstone rows in their buckets' delta chains — kept rows are
         never rewritten, so deletion outcome cannot depend on bucket
         co-location. The changelog row carries the removed value/attrs."""
+        if self.append_only:
+            raise RuntimeError(
+                "append-only StateTable: tombstones would break the "
+                "merge-free read contract; rebuild atomically with "
+                "replace_all() instead"
+            )
         victims = (
             self.snapshot()
             .filter(predicate)
@@ -646,15 +763,57 @@ class StateTable:
                 legacy = True
         return segs, legacy
 
-    def changelog(self) -> DataFrame:
+    def _changelog_floor(self) -> int:
+        """First version whose changelog events are still retained (0
+        when no retention sweep has ever run). Written by
+        :meth:`changelog_vacuum` BEFORE segments are deleted, so readers
+        can always distinguish "log starts here by policy" from "log
+        starts here"."""
+        marker = os.path.join(self.path, "changelog", "_retention.json")
+        try:
+            with open(marker) as fh:
+                return int(json.load(fh)["truncated_before"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def changelog(self, since_version: int | None = None) -> DataFrame:
         """All mutation events in version order (the update stream the
         reference publishes via ICache.__aiter__, interfaces.py:105-110).
         Events are the hardlinked commit deltas themselves (zero write
         amplification); version/ts derive from the segment path/mtime.
         Flat parquet files written by the pre-segment layout are read
-        as-is and unioned."""
+        as-is and unioned.
+
+        ``since_version`` bounds the read to events of version >= it.
+        After :meth:`changelog_vacuum` has dropped old segments, asking
+        for events below the retention floor RAISES (the events are
+        gone — silently returning a partial history would corrupt any
+        consumer that replays "from the beginning"), and a floor-less
+        call warns loudly that the history it returns is truncated."""
+        floor = self._changelog_floor()
+        if since_version is not None and since_version < floor:
+            raise ValueError(
+                f"changelog events below v{floor} were dropped by "
+                f"changelog_vacuum (asked for since_version="
+                f"{since_version}); replay from a snapshot() instead"
+            )
+        if since_version is None and floor > 0:
+            warnings.warn(
+                f"changelog history below v{floor} was dropped by "
+                "changelog_vacuum — this read returns the retained tail "
+                "only; pass since_version>=floor to acknowledge, or "
+                "rebuild full state from snapshot()",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         log_dir = os.path.join(self.path, "changelog")
         segs, legacy = self._log_segments()
+        if since_version is not None:
+            segs = [
+                p
+                for p in segs
+                if int(os.path.basename(p)[1:]) >= since_version
+            ]
         parts = []
         if segs:
             parts.append(
@@ -677,6 +836,10 @@ class StateTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if since_version is not None:
+            # segment dirs were pruned above; this bounds legacy flat
+            # rows too (they carry their version in-row)
+            out = out.filter(F.col("version") >= since_version)
         return out
 
     def changelog_stream(self, max_files_per_trigger: int | None = 1) -> DataFrame:
@@ -685,7 +848,24 @@ class StateTable:
         cookbook.rst:522-588. New commit segments match the glob as they
         appear. ``max_files_per_trigger=1`` (default) exercises
         per-commit micro-batch cadence; pass ``None`` to let each
-        trigger drain everything available (catch-up mode)."""
+        trigger drain everything available (catch-up mode).
+
+        Retention interaction (:meth:`changelog_vacuum`): a NEW reader
+        starts from the retained tail (warned loudly below); an
+        EXISTING checkpointed reader whose unread backlog reaches below
+        the retention floor fails on the missing files — size retention
+        above the maximum downstream reader lag (the Delta CDF
+        retention contract)."""
+        floor = self._changelog_floor()
+        if floor > 0:
+            warnings.warn(
+                f"changelog history below v{floor} was dropped by "
+                "changelog_vacuum — a new stream reader sees only the "
+                "retained tail; checkpointed readers lagging below the "
+                "floor will fail on missing segment files",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         reader = self.spark.readStream.schema(_FILE_SCHEMA)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -765,6 +945,7 @@ class StateTable:
             json.dump(
                 {
                     "n_buckets": self.n_buckets,
+                    "partition_sep": self.partition_sep,
                     "chains": {str(b): ch for b, ch in chains.items()},
                     # carry the cumulative fence map so epoch fencing
                     # survives maintenance rewrites + vacuum
@@ -809,6 +990,7 @@ class StateTable:
                 json.dump(
                     {
                         "n_buckets": self.n_buckets,
+                        "partition_sep": self.partition_sep,
                         "chains": {str(b): ch for b, ch in chains.items()},
                         "fences": self.committed_epochs(),
                     },
@@ -820,6 +1002,62 @@ class StateTable:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
         # a storage re-arrangement, not a mutation -> no changelog rows
+
+    def replace_all(self, updates: DataFrame) -> None:
+        """Atomic truncate-and-load: one commit whose manifest points
+        EVERY bucket chain at the new version only — the previous
+        contents vanish from the live view without a single tombstone
+        (old versions stay time-travel readable until vacuum()). The
+        index-rebuild maintenance op: an append-only table cannot
+        delete, and a delete_where(True) + re-upsert pair would leave
+        an O(state) tombstone chain AND a window where readers see an
+        empty table. Not a mutation stream for CDC purposes — like
+        compact()/rebucket() it emits NO changelog rows (consumers of
+        a rebuilt table re-baseline from snapshot()); epoch fences are
+        carried forward."""
+        for c, t in (("value", "string"), ("attrs", "map<string,string>")):
+            if c not in updates.columns:
+                updates = updates.withColumn(c, F.lit(None).cast(t))
+        batch = (
+            updates.select(
+                F.col("key").cast("string").alias("key"), "value", "attrs"
+            )
+            .dropDuplicates(["key"])
+            .withColumn("op", F.lit("put"))
+        )
+        new_v = self.version + 1
+        tmp = self._vpath(new_v) + ".tmp"
+        try:
+            (
+                batch.withColumn("_bucket", self._bucket_expr())
+                .repartition(self.n_buckets, F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(tmp)
+            )
+            chains = {}
+            for d in os.listdir(tmp):
+                m = re.fullmatch(r"_bucket=(\d+)", d)
+                if m:
+                    chains[int(m.group(1))] = [new_v]
+                elif d.startswith("_bucket="):
+                    raise ValueError(
+                        "StateTable keys must be non-NULL strings; "
+                        f"the batch wrote bucket partition {d!r}"
+                    )
+            with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+                json.dump(
+                    {
+                        "n_buckets": self.n_buckets,
+                        "partition_sep": self.partition_sep,
+                        "chains": {str(b): ch for b, ch in chains.items()},
+                        "fences": self.committed_epochs(),
+                    },
+                    fh,
+                )
+            os.rename(tmp, self._vpath(new_v))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def committed_epochs(self) -> dict[str, int]:
         """Highest committed epoch per fence query (driver-side, no
@@ -893,8 +1131,63 @@ class StateTable:
             if v not in live:
                 shutil.rmtree(self._vpath(v), ignore_errors=True)
 
+    def changelog_vacuum(self, keep_segments: int) -> None:
+        """Bound the CDC log under continuous ingest: drop all but the
+        newest ``keep_segments`` changelog segment dirs — the last
+        unbounded artifact once :meth:`expire` bounds live rows and
+        :meth:`vacuum` bounds version dirs (the reference's FIFO cache
+        bounds everything a consumer can replay the same way,
+        caching.py:109-133; the Delta CDF-retention analog).
+
+        The retention floor is recorded in ``changelog/_retention.json``
+        BEFORE any segment is deleted, so readers always fail or warn
+        loudly instead of silently replaying a truncated history (see
+        :meth:`changelog` / :meth:`changelog_stream`). Legacy flat
+        pre-segment files are left untouched. Size retention above the
+        maximum downstream reader lag."""
+        if keep_segments < 0:
+            raise ValueError("keep_segments must be >= 0")
+        segs, _ = self._log_segments()
+        segs.sort(key=lambda p: int(os.path.basename(p)[1:]))
+        drop = segs[: len(segs) - keep_segments] if keep_segments else segs
+        if not drop:
+            return
+        floor = max(
+            self._changelog_floor(),
+            int(os.path.basename(drop[-1])[1:]) + 1,
+        )
+        marker = os.path.join(self.path, "changelog", "_retention.json")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"truncated_before": floor}, fh)
+        os.rename(tmp, marker)
+        for p in drop:
+            shutil.rmtree(p, ignore_errors=True)
+
     def destroy(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def warn_fence_regression(query: str, epoch: int, fence: int) -> None:
+    """Loud diagnostic for the checkpoint-reset failure mode: Spark's
+    foreachBatch replay re-delivers AT MOST the in-flight epoch, which
+    by construction equals the recovered fence — so a delivered epoch
+    STRICTLY below the fence cannot be a replay. It means the streaming
+    query restarted from a NEW checkpoint directory (epoch ids reset to
+    0) while the state table kept its fences, and every delivery will
+    be silently skipped until epoch ids catch up — data loss, not
+    dedup. The contract is Delta's: new checkpoint => new fence
+    ``query`` name (or a fresh state table path)."""
+    warnings.warn(
+        f"epoch {epoch} for fence query {query!r} is below the committed "
+        f"fence {fence}: this looks like a streaming-checkpoint reset "
+        "(replay re-delivers at most the in-flight epoch, never less). "
+        "Deliveries will be SKIPPED until epoch ids exceed the fence — "
+        "restart from a new checkpoint requires a new fence query name "
+        "or a fresh state table path.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def foreach_batch_upsert(table: StateTable, query: str = "default"):
@@ -910,6 +1203,14 @@ def foreach_batch_upsert(table: StateTable, query: str = "default"):
     duplicate mutation events for CDC consumers (S8,
     interfaces.py:105-110). ``query`` namespaces the fence when
     several streaming queries share one table.
+
+    Fence contract (Delta-style): epoch ids must only move forward for
+    a given ``query`` name. Restarting the streaming query from a NEW
+    checkpoint directory resets epoch ids to 0 — pair the new
+    checkpoint with a new ``query`` name (or a fresh table path), or
+    every delivery is skipped until epochs pass the old fence. A
+    delivery strictly below the recovered fence warns loudly
+    (:func:`warn_fence_regression`) since replay can never produce it.
     """
     state: dict[str, int | None] = {"last": None}
 
@@ -919,6 +1220,8 @@ def foreach_batch_upsert(table: StateTable, query: str = "default"):
             # the manifests the previous incarnation committed
             state["last"] = table.committed_epochs().get(query, -1)
         if int(epoch_id) <= state["last"]:
+            if int(epoch_id) < state["last"]:
+                warn_fence_regression(query, int(epoch_id), state["last"])
             return  # replayed epoch — its commit already landed
         table.upsert(batch_df, fence=(query, int(epoch_id)))
         state["last"] = int(epoch_id)

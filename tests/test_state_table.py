@@ -542,6 +542,27 @@ def test_scan_prefix_true_successor(spark, tmp_path):
     t2.destroy()
 
 
+def test_scan_prefix_surrogate_gap_successor(spark, tmp_path):
+    """A prefix ending at U+D7FF must scan, not raise: its naive +1
+    successor is the lone surrogate U+D800, which cannot cross py4j's
+    UTF-8 boundary. The bound skips the surrogate gap to U+E000 —
+    still exact, since valid keys contain no code point in the gap."""
+    t = StateTable(spark, str(tmp_path / "sgap"))
+    d7ff = chr(0xD7FF)
+    keys = ["a" + d7ff, "a" + d7ff + "z", "a" + chr(0xE000), "a", "b"]
+    t.upsert(
+        spark.createDataFrame(
+            [(k, "v") for k in keys], "key string, value string"
+        )
+    )
+    got = [
+        r["key"]
+        for r in t.scan(prefix="a" + d7ff).select("key").collect()
+    ]
+    assert got == sorted(k for k in keys if k.startswith("a" + d7ff))
+    t.destroy()
+
+
 def test_multi_table_dedup_sink_epoch_fenced(spark, tmp_path):
     """Multi-table sinks are fenced PER TABLE: a replayed epoch no-ops
     entirely when all commits landed, and re-runs ONLY the lost
@@ -637,4 +658,210 @@ def test_one_file_per_bucket_per_version(spark, tmp_path):
         files = glob.glob(f"{t._vpath(t.version)}/_bucket={b}/*.parquet")
         assert len(files) <= 1, (b, files)
     assert t.snapshot().count() == 1000
+    t.destroy()
+
+
+def test_partial_replay_with_near_dups_finds_all_pairs(spark, tmp_path):
+    """The lethal partial-replay shape (NOT the no-dup fixture): the
+    corpus commit landed but the pairs commit was lost, and the batch
+    HAS near-dups. The replayed probe must see the PRE-epoch corpus
+    (batch ids anti-joined out of the standing snapshot) — otherwise
+    each batch doc appears twice in the tagged union, its prefix rank
+    spreads over both copies, the PPJoin prefix halves, and pairs are
+    silently missed forever."""
+    from slipstream_async_spark.streaming.dedup_flow import (
+        incremental_dedup_sink,
+    )
+
+    corpus = StateTable(spark, str(tmp_path / "corpus"))
+    pairs = StateTable(spark, str(tmp_path / "pairs"))
+    sink = incremental_dedup_sink(corpus, pairs)
+    # epoch 0 seeds the corpus with one doc, no pairs
+    sink(
+        spark.createDataFrame(
+            [("c1", "p q r s t")], "doc_id string, text string"
+        ),
+        0,
+    )
+    assert pairs.snapshot().count() == 0
+    # epoch 1: b2 is a near-dup of c1 (jaccard 0.5); b3/b4 are
+    # near-dups of each other (in-batch pair)
+    batch1 = spark.createDataFrame(
+        [
+            ("b2", "p q r s u"),
+            ("b3", "m n o v w"),
+            ("b4", "m n o v y"),
+        ],
+        "doc_id string, text string",
+    )
+    # simulate the crash: the corpus commit landed under the sink's
+    # fence, the pairs commit did not
+    corpus.upsert(
+        batch1.select(
+            F.col("doc_id").alias("key"), F.col("text").alias("value")
+        ),
+        fence=("incremental_dedup", 1),
+    )
+    vc = corpus.version
+    sink2 = incremental_dedup_sink(corpus, pairs)  # restart recovery
+    sink2(batch1, 1)
+    assert corpus.version == vc, "fenced corpus commit must not re-run"
+    got = sorted(r["key"] for r in pairs.snapshot().collect())
+    assert got == ["2|b2|c1", "2|b3|b4"], got
+    corpus.destroy()
+    pairs.destroy()
+
+
+def test_changelog_publish_crash_window_recovered(spark, tmp_path):
+    """The changelog segment is staged INSIDE the version dir before
+    the commit rename, so a crash between the rename (commit point)
+    and the publish link cannot lose events: reopening the table heals
+    the unpublished segment — exactly-once, not at-most-once, even
+    with epoch fencing making the replayed epoch a no-op."""
+    import os
+
+    path = str(tmp_path / "clog")
+    t = StateTable(spark, path, n_buckets=2)
+    t.upsert(
+        spark.createDataFrame([("a", "1")], "key string, value string")
+    )
+    assert t.changelog().count() == 1
+    # crash simulation: suppress the publish step for one commit
+    orig = StateTable._publish_changelog
+    StateTable._publish_changelog = lambda self, v: None
+    try:
+        t.upsert(
+            spark.createDataFrame(
+                [("b", "2"), ("c", "3")], "key string, value string"
+            )
+        )
+    finally:
+        StateTable._publish_changelog = orig
+    v = t.version
+    assert not os.path.isdir(os.path.join(path, "changelog", f"v{v}"))
+    assert os.path.isdir(os.path.join(t._vpath(v), "_changelog"))
+    assert t.changelog().count() == 1, "events invisible pre-recovery"
+    # reopen = restart recovery: the staged segment is re-linked
+    t2 = StateTable(spark, path)
+    assert os.path.isdir(os.path.join(path, "changelog", f"v{v}"))
+    assert t2.changelog().count() == 3
+    # idempotent: reopening again neither duplicates nor fails
+    t3 = StateTable(spark, path)
+    assert t3.changelog().count() == 3
+    t3.destroy()
+
+
+def test_changelog_vacuum_retention(spark, tmp_path):
+    """changelog_vacuum bounds the CDC log (the last unbounded
+    artifact): old segments are dropped, the retention floor is
+    recorded BEFORE deletion, and readers below the floor fail or warn
+    LOUDLY instead of silently replaying a truncated history."""
+    import warnings as _w
+
+    t = StateTable(spark, str(tmp_path / "ret"), n_buckets=2)
+    for i in range(5):
+        t.upsert(
+            spark.createDataFrame(
+                [(f"k{i}", str(i))], "key string, value string"
+            )
+        )
+    assert t.changelog().count() == 5
+    t.changelog_vacuum(keep_segments=2)
+    # floor = first retained version (v0..v4 committed; keep v3,v4)
+    assert t._changelog_floor() == 3
+    with pytest.warns(RuntimeWarning, match="dropped by changelog_vacuum"):
+        tail = t.changelog()
+    assert sorted(r["key"] for r in tail.collect()) == ["k3", "k4"]
+    # acknowledging the floor reads clean (no warning)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ok = t.changelog(since_version=3)
+        assert sorted(r["key"] for r in ok.collect()) == ["k3", "k4"]
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)]
+    # asking for history below the floor is an ERROR, not a partial read
+    with pytest.raises(ValueError, match="dropped by changelog_vacuum"):
+        t.changelog(since_version=0)
+    # a new stream reader over the truncated log warns too
+    with pytest.warns(RuntimeWarning, match="retained tail"):
+        t.changelog_stream()
+    # idempotent / monotone: vacuuming again keeps the floor
+    t.changelog_vacuum(keep_segments=2)
+    assert t._changelog_floor() == 3
+    t.destroy()
+
+
+def test_fence_regression_warns_on_checkpoint_reset(spark, tmp_path):
+    """A delivered epoch STRICTLY below the recovered fence cannot be
+    a replay (replay re-delivers at most the in-flight epoch == the
+    fence) — it means the streaming checkpoint was reset while the
+    state table kept its fences. The sink must warn loudly while
+    skipping; the equal-epoch replay stays silent."""
+    import warnings as _w
+
+    from slipstream_async_spark.streaming.state import foreach_batch_upsert
+
+    t = StateTable(spark, str(tmp_path / "reset"))
+    sink = foreach_batch_upsert(t, query="q")
+    batch = spark.createDataFrame(
+        [("a", "1")], "key string, value string"
+    )
+    sink(batch, 5)
+    v = t.version
+    # equal-epoch replay: silent no-op
+    sink2 = foreach_batch_upsert(t, query="q")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        sink2(batch, 5)
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)]
+    # checkpoint reset: epoch restarts at 0 — loud warning, still skipped
+    sink3 = foreach_batch_upsert(t, query="q")
+    with pytest.warns(RuntimeWarning, match="below the committed fence"):
+        sink3(batch, 0)
+    assert t.version == v
+    t.destroy()
+
+
+def test_append_only_reads_and_replace_all(spark, tmp_path):
+    """append_only tables skip the newest-wins merge on chained-bucket
+    reads (unique keys + no tombstones make the chain's union the live
+    set); deletes are refused LOUDLY; replace_all is an atomic
+    truncate-and-load that leaves single-file chains, carries fences,
+    and keeps prior versions time-travel readable."""
+    t = StateTable(
+        spark,
+        str(tmp_path / "ao"),
+        n_buckets=2,
+        max_chain=100,  # let chains grow: the merge-free read is the point
+        append_only=True,
+    )
+    for i in range(4):  # disjoint keys per commit -> growing chains
+        t.upsert(
+            spark.createDataFrame(
+                [(f"k{i}-{j}", f"v{i}") for j in range(10)],
+                "key string, value string",
+            ),
+            fence=("q", i),
+        )
+    assert t.snapshot().count() == 40
+    assert max(len(ch) for ch in t._manifest(t.version).values()) > 1
+    assert t.get("k2-3") == "v2"
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="append-only"):
+        t.delete_where(F.lit(True))
+    v_before = t.version
+    t.replace_all(
+        spark.createDataFrame(
+            [("n1", "x"), ("n2", "y")], "key string, value string"
+        )
+    )
+    assert sorted(r["key"] for r in t.snapshot().collect()) == ["n1", "n2"]
+    assert all(len(ch) == 1 for ch in t._manifest(t.version).values())
+    assert t.committed_epochs() == {"q": 3}, "fences survive replace_all"
+    assert t.snapshot(v_before).count() == 40, "time travel intact"
+    # post-replace appends keep working merge-free
+    t.upsert(
+        spark.createDataFrame([("n3", "z")], "key string, value string")
+    )
+    assert t.get("n3") == "z" and t.snapshot().count() == 3
     t.destroy()
