@@ -747,9 +747,13 @@ def dedup_incremental(
     positional bound, exact-Jaccard verification); returns
     (id_a < id_b, jaccard) where at least one side is a batch document.
 
-    In production the corpus-side prefix index is a persisted table that
-    each ingest appends to; here it is rebuilt because the fixture is
-    bounded.
+    This form rebuilds the corpus-side prefix index per call — O(corpus)
+    — which is fine for a batch nightly job but the wrong asymptote per
+    streaming trigger. The production streaming shape persists the index
+    (streaming/neardup_index.py: shingle-bucketed postings StateTable
+    under a FROZEN order, probed bucket-pruned) — see
+    :func:`dedup_incremental_frozen` for the oracle-certified batch twin
+    of that lane.
     """
     tagged = corpus.select(
         F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
@@ -812,6 +816,149 @@ def dedup_incremental(
     return _verified_pairs(
         cand, sets.select(id_col, "sh"), id_col, threshold, broadcast_sets=small
     )
+
+
+def frozen_order_prefix_rows(
+    sets: DataFrame,
+    id_col: str,
+    threshold: float,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """PPJoin prefix rows under a FROZEN total order — the order that
+    makes a PERSISTENT prefix index possible (the streaming incremental
+    near-dup sink's standing index, streaming/neardup_index.py).
+
+    The order is ``(hot-frequency, md5(s), s)`` ascending with non-hot
+    shingles first: ``hot`` is a small frozen table of the corpus's
+    most frequent shingles (``s``, ``freq``) — broadcast, bounded, and
+    refreshed only at an explicit maintenance cadence — so frequent
+    shingles sort LAST and fall out of prefixes (the Zipf mass that
+    rarest-first frequency order exists to exclude), while the md5
+    tail spreads the rare majority uniformly. Unlike per-snapshot
+    frequency order, this order does not shift as documents arrive, so
+    prefix rows computed at ingest time stay valid forever.
+
+    ``sets`` is ``(id_col, sh array<string>)``; returns
+    ``(id_col, n, s, pos)`` — one row per prefix shingle, ``pos`` the
+    shingle's rank within the doc under the frozen order, prefix length
+    ``n - ceil(threshold*n) + 1``."""
+    inv = sets.select(
+        F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    if hot is not None:
+        inv = inv.join(
+            F.broadcast(hot.select("s", F.col("freq").alias("_hf"))),
+            "s",
+            "left",
+        )
+    else:
+        inv = inv.withColumn("_hf", F.lit(None).cast("long"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.asc_nulls_first("_hf"), F.md5("s").asc(), F.col("s").asc()
+    )
+    return (
+        inv.withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select(F.col(id_col), "n", "s", "pos")
+    )
+
+
+def ppjoin_probe_candidates(
+    probe_prefix: DataFrame,
+    index_prefix: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Candidate ``(id_a < id_b)`` pairs from prefix-row frames that
+    were computed under the SAME total order: equi-join on shingle plus
+    the PPJoin length and positional filters. The prefix-filter
+    completeness lemma needs only a CONSISTENT order on both sides —
+    any fixed total order works (Chaudhuri et al. ICDE 2006; Bayardo
+    et al. WWW 2007); frequency order is merely the candidate-count
+    heuristic. That is exactly what lets the index side be PERSISTED:
+    rows written under the frozen order remain a complete index for
+    every later probe computed under the same order."""
+    probe = probe_prefix.select(
+        "s",
+        F.col(id_col).alias("_i1"),
+        F.col("n").alias("_n1"),
+        F.col("pos").alias("_p1"),
+    )
+    index = index_prefix.select(
+        "s",
+        F.col(id_col).alias("_i2"),
+        F.col("n").alias("_n2"),
+        F.col("pos").alias("_p2"),
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_n1") + F.col("_n2"))
+        - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(
+        F.col("_n1") - F.col("_p1"), F.col("_n2") - F.col("_p2")
+    )
+    return (
+        probe.join(index, "s")
+        .filter(F.col("_i1") != F.col("_i2"))
+        .filter(
+            (
+                F.least("_n1", "_n2").cast("double")
+                >= F.lit(threshold) * F.greatest("_n1", "_n2")
+            )
+            & (ubound >= alpha)
+        )
+        .select(
+            F.least("_i1", "_i2").alias("id_a"),
+            F.greatest("_i1", "_i2").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def dedup_incremental_frozen(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Same RESULT SET as :func:`dedup_incremental` — exact near-dup
+    pairs of batch x (corpus ∪ batch), never corpus x corpus — via the
+    frozen-order probe lane the persistent streaming index uses
+    (streaming/neardup_index.py). Output equality holds because prefix
+    filtering is complete under ANY consistent total order and the
+    Jaccard verification is exact: the order changes candidate COUNT,
+    never the verified pair set. This batch form exists so the driver's
+    oracle gate hash-certifies the probe lane itself (the streaming
+    class composes the same two helpers against persisted prefix rows).
+
+    ``corpus`` and ``batch`` must be id-disjoint (the streaming sink
+    anti-joins the batch's ids out of the standing side — the partial-
+    replay guarantee)."""
+    corpus_sets = corpus.select(
+        F.col(id_col),
+        shingles_of_tokens(tokens(text_col), k).alias("sh"),
+    )
+    batch_sets = batch.select(
+        F.col(id_col),
+        shingles_of_tokens(tokens(text_col), k).alias("sh"),
+    )
+    sets = corpus_sets.unionByName(batch_sets).cache()
+    n_docs, total_sh = sets.agg(
+        F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
+    ).first()
+    small = n_docs <= _BC_MAX_DOCS and total_sh <= _BC_MAX_VOCAB
+    bp = frozen_order_prefix_rows(batch_sets, id_col, threshold, hot=hot)
+    ip = frozen_order_prefix_rows(corpus_sets, id_col, threshold, hot=hot)
+    cand = ppjoin_probe_candidates(
+        bp, ip.unionByName(bp), id_col, threshold
+    )
+    return _verified_pairs(cand, sets, id_col, threshold, broadcast_sets=small)
 
 
 def remove_boilerplate_chunks(

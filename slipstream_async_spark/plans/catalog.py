@@ -121,8 +121,16 @@ _DRIVER_VERIFIED: dict[str, int] = _driver_verified()
 # left-join semantics) re-verified green in CORRECTNESS_r09 and is
 # released. r10 changes no query semantics (localCheckpoint reuse and
 # a latent-overflow DECIMAL cast only), so no pins — the window goes
-# entirely to re-certifying the stalest greens.
-_FORCE_FIRST: tuple[str, ...] = ()
+# entirely to re-certifying the stalest greens. r11 pins the two
+# r10-ADVICE-fixed queries whose oracle/engine arithmetic changed
+# (lm_kneser_ney_bigram's oracle vocab-universe subquery text changed;
+# emb_effective_rank_pr's si*sj gained a DECIMAL cast) — both are
+# output-identical at tested SFs and locally green, but the driver's
+# hash gate is the certification of record.
+_FORCE_FIRST: tuple[str, ...] = (
+    "lm_kneser_ney_bigram",
+    "emb_effective_rank_pr",
+)
 
 
 def _rotated(mapping: dict) -> dict:
@@ -3433,6 +3441,39 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_incremental(
         docs.filter(~is_new), docs.filter(is_new), "text", "doc_id",
         k=3, threshold=0.5,
+    )
+
+
+@register("dedup_incremental_frozen", oracle=_INCR)
+def dedup_incremental_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTENT-index probe lane of incremental near-dup, as a
+    batch query the driver can hash-certify (operators.dedup.
+    dedup_incremental_frozen — the exact composition the streaming
+    NearDupPrefixIndex runs against persisted postings): prefixes on
+    BOTH sides under the frozen (hot-frequency, md5, shingle) order,
+    with the hot table frozen from the standing-corpus side like a
+    refresh() would. Same oracle as dedup_incremental — prefix
+    filtering is complete under ANY consistent total order, so the
+    verified pair set is identical; only candidate counts differ."""
+    from slipstream_async_spark.operators.sampling import hash_bucket
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id", salt="ingest") < 2000
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+    hot = (
+        corpus.select(
+            F.explode(
+                DD.shingles_of_tokens(TXT.tokens("text"), 3)
+            ).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 2)
+        .orderBy(F.desc("freq"), F.asc("s"))
+        .limit(4096)
+    )
+    return DD.dedup_incremental_frozen(
+        corpus, batch, "text", "doc_id", k=3, threshold=0.5, hot=hot
     )
 
 

@@ -314,10 +314,16 @@ def main() -> None:
     }
 
     # -- flow 5: incremental NEAR-dup dedup — each micro-batch is
-    # prefix-index probed against the standing corpus StateTable, then
-    # folded into it (batch x corpus pairs only, never corpus^2) --
+    # probed against the PERSISTENT standing prefix index
+    # (NearDupPrefixIndex postings StateTable, bucket-pruned reads) and
+    # appended to it: per-trigger work is O(|batch| + candidates),
+    # independent of standing-corpus size (r10's rebuild-per-trigger
+    # sink was O(|corpus|)/trigger — the named scale-killer) --
     from slipstream_async_spark.streaming.dedup_flow import (
-        incremental_dedup_sink,
+        indexed_incremental_dedup_sink,
+    )
+    from slipstream_async_spark.streaming.neardup_index import (
+        NearDupPrefixIndex,
     )
 
     docs_tbl = _lt(spark, sf_dir, "documents").select(
@@ -331,7 +337,10 @@ def main() -> None:
         d_schema = spark.read.parquet(d_src).schema
         corpus = StateTable(spark, os.path.join(work, f"inc_corpus_{tag}"))
         pairs = StateTable(spark, os.path.join(work, f"inc_pairs_{tag}"))
-        sink = incremental_dedup_sink(corpus, pairs, threshold=0.5)
+        index = NearDupPrefixIndex(
+            spark, os.path.join(work, f"inc_index_{tag}"), threshold=0.5
+        )
+        sink = indexed_incremental_dedup_sink(corpus, pairs, index)
         t0 = time.time()
         q = (
             spark.readStream.schema(d_schema)
@@ -362,6 +371,69 @@ def main() -> None:
         if fixed6 is not None
         else None
     )
+    # grown-corpus flatness, indexed vs rebuild: identical-shaped probe
+    # epochs against the sf corpus and against a 10x corpus (the extra
+    # 9x lives in a DISJOINT shingle space — every token salted — so
+    # candidate mass stays constant and the measurement isolates what
+    # standing-state SIZE does to a trigger). The persistent index must
+    # stay flat; the legacy rebuild sink re-shingles and re-ranks the
+    # whole standing corpus per trigger and grows.
+    from slipstream_async_spark.streaming.dedup_flow import (
+        incremental_dedup_sink,
+    )
+
+    def _salted(c: int) -> DataFrame:
+        return docs_tbl.select(
+            F.concat(F.lit(f"c{c}-"), F.col("doc_id")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(F.lit(f"x{c}"), t),
+                ),
+                " ",
+            ).alias("text"),
+        )
+
+    def _flatness(tag: str, use_index: bool) -> dict:
+        rows = docs_tbl.collect()
+        probe_n = min(200, max(len(rows) // 8, 1))
+        seed = rows[: len(rows) - 2 * probe_n]
+        p1 = rows[len(rows) - 2 * probe_n : len(rows) - probe_n]
+        p2 = rows[len(rows) - probe_n :]
+        grow = _salted(1)
+        for c in range(2, 10):
+            grow = grow.unionByName(_salted(c))
+        corpus = StateTable(spark, os.path.join(work, f"flat_c_{tag}"))
+        pairs = StateTable(spark, os.path.join(work, f"flat_p_{tag}"))
+        if use_index:
+            index = NearDupPrefixIndex(
+                spark, os.path.join(work, f"flat_i_{tag}"), threshold=0.5
+            )
+            sink = indexed_incremental_dedup_sink(corpus, pairs, index)
+        else:
+            sink = incremental_dedup_sink(corpus, pairs, threshold=0.5)
+        mk = lambda r: spark.createDataFrame(r, docs_tbl.schema)  # noqa: E731
+        sink(mk(seed), 0)
+        t0 = time.time()
+        sink(mk(p1), 1)
+        small = round(time.time() - t0, 3)
+        sink(grow, 2)  # grow the standing corpus ~10x
+        t0 = time.time()
+        sink(mk(p2), 3)
+        large = round(time.time() - t0, 3)
+        return {
+            "probe_batch_rows": probe_n,
+            "probe_secs_small_corpus": small,
+            "probe_secs_10x_corpus": large,
+            "grown_corpus_ratio": (
+                round(large / small, 3) if small > 0 else None
+            ),
+            "pairs_found": int(pairs.snapshot().count()),
+        }
+
+    flat_indexed = _flatness("idx", True)
+    flat_legacy = _flatness("leg", False)
+
     flows["incremental_near_dup"] = {
         "rows": int(n_docs),
         "secs": fine6["secs"],
@@ -375,6 +447,8 @@ def main() -> None:
             if marginal6 is not None and marginal6 > 0
             else None
         ),
+        "flatness_indexed": flat_indexed,
+        "flatness_legacy_rebuild": flat_legacy,
     }
 
     payload = {
