@@ -104,6 +104,22 @@ def _run() -> tuple[
         .mode("overwrite")
         .save()
     )
+    # Warm the Arrow Python-worker lane too (r10: mm_decode_features —
+    # the pass's first mapInArrow query — was requeued as an
+    # interference suspect because its FIRST run carried the python
+    # worker spawn + Arrow IPC setup, tripping the >3x run-spread
+    # heuristic). One tiny round trip pays that once, outside any
+    # query's measurement.
+    try:
+        import pyarrow  # noqa: F401
+
+        spark.range(8).toPandas()
+        df1 = spark.range(8)
+        df1.mapInArrow(lambda it: it, df1.schema).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warmup is best-effort
+        pass
 
     # Per-query fault isolation: one broken plan must not zero out the
     # other ~100 measurements (round-2 lesson — a single plan-time

@@ -309,13 +309,29 @@ def ivf_topk(
         if corpus is None:
             raise ValueError("ivf_topk needs either corpus or index_path")
         cents, assigned = ivf_index(corpus, n_lists, id_col, vec_col)
+    probes = _probes_generic(queries, cents, n_probe, vec_col, query_id_col)
+    return _ivf_score_probes(assigned, probes, k, id_col, vec_col, query_id_col)
+
+
+def _probes_generic(
+    queries: DataFrame,
+    cents: DataFrame,
+    n_probe: int,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Generic probe selection: broadcast crossJoin against the centroid
+    DataFrame + per-query rank window. Scales to any n_lists (the
+    centroid side stays a distributed frame); the map-side inlined lane
+    (:func:`ivf_probes_mapside`) beats it only while the centroid table
+    is small enough to inline as a plan literal."""
     qc = queries.crossJoin(F.broadcast(cents)).withColumn(
         "_qc", cosine_similarity(F.col(vec_col), F.col("cent_vec"))
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("_qc").desc(), F.col("cent_id").asc()
     )
-    probes = (
+    return (
         qc.withColumn("_rk", F.row_number().over(wq))
         .filter(F.col("_rk") <= n_probe)
         .select(
@@ -324,7 +340,6 @@ def ivf_topk(
             F.col("cent_id").alias("list_id"),
         )
     )
-    return _ivf_score_probes(assigned, probes, k, id_col, vec_col, query_id_col)
 
 
 def _ivf_score_probes(
@@ -349,13 +364,33 @@ def _ivf_score_probes(
     return _ranked_topk(scored, k, query_id_col, id_col)
 
 
+# Above this many lists, inlining the centroid table as a plan literal
+# stops paying: the serialized plan carries n_lists x dim doubles into
+# every task, analysis cost grows with the literal, and at the 4k-64k
+# lists a 100 TB corpus wants the "literal" would be megabytes of plan.
+# ivf_probes_mapside dispatches to the generic crossJoin+window lane
+# beyond it, and centroid_array_literal refuses to build the literal.
+MAPSIDE_MAX_LISTS = 256
+
+
 def centroid_array_literal(centroid_rows: list[tuple]) -> Column:
     """Inline a collected centroid table as ONE array-of-struct literal
     Column. Columns are unbound expressions, so the caller builds this
     once and reuses it across micro-batches — expression construction
     crosses py4j per call, and rebuilding n_lists x dim literals every
     trigger is a measured ~0.7 s/trigger of pure driver overhead.
-    ``F.lit(list)`` keeps it to two py4j calls per centroid."""
+    ``F.lit(list)`` keeps it to two py4j calls per centroid.
+
+    Bounded by construction: raises above ``MAPSIDE_MAX_LISTS`` — an
+    unbounded inlined literal bloats every serialized plan; use
+    :func:`ivf_probes_mapside` with the collected rows (it dispatches
+    to the generic lane) or :func:`_probes_generic` directly."""
+    if len(centroid_rows) > MAPSIDE_MAX_LISTS:
+        raise ValueError(
+            f"refusing to inline {len(centroid_rows)} centroids as a plan "
+            f"literal (cutover {MAPSIDE_MAX_LISTS}): use the generic "
+            "crossJoin+window probe lane for large list counts"
+        )
     return F.array(
         *[
             F.struct(
@@ -388,7 +423,21 @@ def ivf_probes_mapside(
     generic path: cosine descending, then cent_id ascending (struct
     array_sort over (-cosine, cent_id)). ``centroids`` is either the
     collected (cent_id, vector) rows or — for repeated callers — a
-    prebuilt :func:`centroid_array_literal` Column."""
+    prebuilt :func:`centroid_array_literal` Column.
+
+    Size cutover: above ``MAPSIDE_MAX_LISTS`` rows the call DISPATCHES
+    to the generic crossJoin+window lane (identical results — the two
+    lanes are parity-tested) instead of inlining a plan literal that
+    would bloat every serialized stage: at 100 TB you run 4k-64k lists,
+    where the literal is megabytes of plan per task. A prebuilt Column
+    is bounded by construction (centroid_array_literal raises beyond
+    the cutover)."""
+    if not isinstance(centroids, Column) and len(centroids) > MAPSIDE_MAX_LISTS:
+        cents = queries.sparkSession.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+            "cent_id int, cent_vec array<double>",
+        )
+        return _probes_generic(queries, cents, n_probe, vec_col, query_id_col)
     cent_arr = (
         centroids
         if isinstance(centroids, Column)

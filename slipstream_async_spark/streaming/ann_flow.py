@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from slipstream_async_spark.operators.similarity import (
+    MAPSIDE_MAX_LISTS,
     _ivf_score_probes,
+    _probes_generic,
     centroid_array_literal,
     ivf_index_read,
     ivf_probes_mapside,
@@ -64,23 +66,38 @@ def ann_enrich_sink(
             cents, assigned = ivf_index_read(
                 batch_df.sparkSession, index_path
             )
-            # bounded collect: n_lists centroid rows (16-256 by
-            # construction) — the one-time driver-side copy that makes
-            # every later trigger's probe selection shuffle-free. The
-            # literal Column is built ONCE too: expression construction
-            # crosses py4j and rebuilding it per trigger is a measured
-            # ~0.7 s of pure driver overhead.
-            cent_arr = centroid_array_literal(
-                [(r["cent_id"], list(r["cent_vec"])) for r in cents.collect()]
-            )
-            frames["idx"] = (cent_arr, assigned)
-        cent_arr, assigned = frames["idx"]
+            rows = [
+                (r["cent_id"], list(r["cent_vec"])) for r in cents.collect()
+            ]
+            # size cutover (similarity.MAPSIDE_MAX_LISTS): up to the
+            # cutover, the bounded collect + ONE literal Column build
+            # makes every later trigger's probe selection shuffle-free
+            # (expression construction crosses py4j; rebuilding n_lists
+            # x dim literals per trigger is a measured ~0.7 s of pure
+            # driver overhead). Beyond it — the 4k-64k lists a 100 TB
+            # corpus wants — the literal would bloat every serialized
+            # plan, so the cached centroid FRAME feeds the generic
+            # crossJoin+window lane instead (parity-tested identical).
+            if len(rows) <= MAPSIDE_MAX_LISTS:
+                frames["idx"] = (centroid_array_literal(rows), assigned)
+            else:
+                frames["idx"] = (cents.cache(), assigned)
+        cent_side, assigned = frames["idx"]
         q = batch_df.select(
             F.col(query_id_col), F.col(vec_col)
         ).dropDuplicates([query_id_col])
-        probes = ivf_probes_mapside(
-            q, cent_arr, n_probe, vec_col=vec_col, query_id_col=query_id_col
-        )
+        if isinstance(cent_side, DataFrame):
+            probes = _probes_generic(
+                q, cent_side, n_probe, vec_col, query_id_col
+            )
+        else:
+            probes = ivf_probes_mapside(
+                q,
+                cent_side,
+                n_probe,
+                vec_col=vec_col,
+                query_id_col=query_id_col,
+            )
         topk = _ivf_score_probes(
             assigned, probes, k, id_col, vec_col, query_id_col
         )

@@ -1307,3 +1307,44 @@ def test_ivf_mapside_probes_match_generic_path(spark):
         assert sorted(mapside.collect(), key=key) == sorted(
             generic.collect(), key=key
         )
+
+
+def test_ivf_mapside_cutover_dispatches_to_generic(spark):
+    """Above MAPSIDE_MAX_LISTS the map-side entry point must NOT inline
+    a plan literal (at 100 TB you run 4k-64k lists — megabytes of plan
+    per task): it dispatches to the generic crossJoin+window lane with
+    identical results, and centroid_array_literal refuses outright."""
+    import pytest as _pytest
+
+    from slipstream_async_spark.operators.similarity import (
+        MAPSIDE_MAX_LISTS,
+        _probes_generic,
+        centroid_array_literal,
+        ivf_probes_mapside,
+    )
+
+    n_lists = MAPSIDE_MAX_LISTS + 44
+    rng_rows = [
+        (i, [float((i * 7 + d * 13) % 17) - 8.0 for d in range(8)])
+        for i in range(n_lists)
+    ]
+    q = spark.createDataFrame(
+        [(j, [float((j * 11 + d * 3) % 19) - 9.0 for d in range(8)])
+         for j in range(5)],
+        "query_id int, embedding array<double>",
+    )
+    probes = ivf_probes_mapside(q, rng_rows, 4)
+    # the generic lane was chosen: a per-query rank window is in the
+    # plan, and no array literal the size of the centroid table is
+    plan = probes._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan.lower()
+    cents = spark.createDataFrame(
+        rng_rows, "cent_id int, cent_vec array<double>"
+    )
+    expect = _probes_generic(q, cents, 4, "embedding", "query_id")
+    key = lambda r: (r["query_id"], r["list_id"])  # noqa: E731
+    got = sorted(probes.select("query_id", "list_id").collect(), key=key)
+    want = sorted(expect.select("query_id", "list_id").collect(), key=key)
+    assert got == want and len(got) == 5 * 4
+    with _pytest.raises(ValueError, match="refusing to inline"):
+        centroid_array_literal(rng_rows)
