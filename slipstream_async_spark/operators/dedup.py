@@ -178,12 +178,38 @@ def _verified_pairs(cand: DataFrame, sets: DataFrame, id_col: str,
     (cost-based stats through cache + transform lineage underestimate
     nothing/overestimate wildly, so AQE alone won't pick this up).
     """
-    hsh = F.transform("sh", lambda s: F.xxhash64(s))
-    a = sets.select(
-        F.col(id_col).alias("id_a"), hsh.alias("_ha"), F.size("sh").alias("_na")
+    hsets = sets.select(
+        F.col(id_col),
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("_h"),
+        F.size("sh").alias("_n"),
     )
-    b = sets.select(
-        F.col(id_col).alias("id_b"), hsh.alias("_hb"), F.size("sh").alias("_nb")
+    return _verified_pairs_hashed(
+        cand, hsets, id_col, threshold, broadcast_sets=broadcast_sets
+    )
+
+
+def _verified_pairs_hashed(
+    cand: DataFrame,
+    hsets: DataFrame,
+    id_col: str,
+    threshold: float,
+    broadcast_sets: bool = False,
+) -> DataFrame:
+    """:func:`_verified_pairs` core over PRE-HASHED sets — ``hsets`` is
+    ``(id_col, _h array<bigint>, _n int)``. The persistent near-dup
+    index stores exactly this shape per document (xxhash64 of each
+    shingle), so streaming verification never re-reads document text or
+    re-shingles anything — it joins candidates against stored hash
+    arrays."""
+    a = hsets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_h").alias("_ha"),
+        F.col("_n").alias("_na"),
+    )
+    b = hsets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_h").alias("_hb"),
+        F.col("_n").alias("_nb"),
     )
     if broadcast_sets:
         a, b = F.broadcast(a), F.broadcast(b)

@@ -193,6 +193,7 @@ def indexed_incremental_dedup_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     query: str = "incremental_dedup",
+    refresh_factor: float | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The O(|batch|)-per-trigger form of :func:`incremental_dedup_sink`:
     the corpus-side prefix index is PERSISTED (a
@@ -204,15 +205,20 @@ def indexed_incremental_dedup_sink(
     scale-killer, fixed). ``k``/``threshold`` come from the index (they
     parameterize the persisted prefix rows).
 
-    Three fenced tables per epoch — pairs, corpus docs, and the index
-    postings — committed concurrently (the epoch pays max, not sum, of
-    the commit latencies); under partial replay only the table whose
-    commit was lost re-runs, and the probe anti-joins the batch's ids
-    out of BOTH standing sides (postings and corpus), so a replayed
-    epoch probes exactly the pre-epoch corpus and no pair is silently
-    lost."""
+    Four fenced tables per epoch — pairs, corpus docs, the index
+    postings, and the index verification sets — committed concurrently
+    (the epoch pays max, not sum, of the commit latencies); under
+    partial replay only the table whose commit was lost re-runs, and
+    the probe anti-joins the batch's ids out of EVERY standing side
+    (postings and stored sets), so a replayed epoch probes exactly the
+    pre-epoch corpus and no pair is silently lost."""
     last = _fence_gate(
-        {"pairs": pairs, "corpus": corpus, "postings": index.postings},
+        {
+            "pairs": pairs,
+            "corpus": corpus,
+            "postings": index.postings,
+            "sets": index.sets,
+        },
         query,
     )
 
@@ -248,19 +254,41 @@ def indexed_incremental_dedup_sink(
                 # Zipf-head shingles into prefixes and candidates
                 # explode — see NearDupPrefixIndex.freeze_order_from.
                 index.freeze_order_from(batch_sets)
+            elif refresh_factor is not None:
+                # opt-in geometric-cadence auto-refresh: re-freeze the
+                # order and rebuild the index when the standing corpus
+                # has grown refresh_factor-fold since the last freeze.
+                # A stale order stays CORRECT at any staleness (prefix
+                # completeness needs only consistency — tested), it
+                # just bloats candidates when the corpus VOCABULARY
+                # drifts away from the frozen head; for stationary
+                # corpora the first-batch bootstrap already captures
+                # the Zipf head and rebuilds are pure cost (measured),
+                # hence opt-in. The no-op check is a driver-side footer
+                # read; a refresh is O(|corpus|), amortized O(1) per
+                # ingested doc by the geometric cadence.
+                index.maybe_refresh(
+                    corpus.snapshot().select(
+                        F.col("key").alias(id_col),
+                        F.col("value").alias(text_col),
+                    ),
+                    text_col=text_col,
+                    id_col=id_col,
+                    factor=refresh_factor,
+                )
             bp = index.prefix_rows(batch_sets, id_col).localCheckpoint()
             doc_rows = batch.select(
                 F.col(id_col).alias("key"),
                 F.col(text_col).alias("value"),
             )
-            # the corpus and postings commits depend only on the batch,
-            # not on the probe result — launch them CONCURRENTLY with
-            # the probe (the epoch pays max, not sum). This overlap is
-            # safe precisely because the probe anti-joins the batch's
-            # ids out of BOTH standing sides: whether a commit lands
-            # before or after the probe's read resolves its manifest,
-            # the probe sees the same pre-epoch frame.
-            with ThreadPoolExecutor(max_workers=2) as ex:
+            # the corpus/postings/sets commits depend only on the
+            # batch, not on the probe result — launch them CONCURRENTLY
+            # with the probe (the epoch pays max, not sum). This
+            # overlap is safe precisely because the probe anti-joins
+            # the batch's ids out of EVERY standing side: whether a
+            # commit lands before or after the probe's read resolves
+            # its manifest, the probe sees the same pre-epoch frame.
+            with ThreadPoolExecutor(max_workers=3) as ex:
                 futs = []
                 if e > fences["corpus"]:
                     futs.append(
@@ -270,8 +298,14 @@ def indexed_incremental_dedup_sink(
                     futs.append(
                         ex.submit(index.append, bp, id_col, (query, e))
                     )
+                if e > fences["sets"]:
+                    futs.append(
+                        ex.submit(
+                            index.append_sets, batch_sets, id_col, (query, e)
+                        )
+                    )
                 found = index.probe(
-                    bp, batch_sets, corpus, text_col, id_col
+                    bp, batch_sets, id_col
                 ).localCheckpoint()  # verify once; the commit below
                 # must not re-run candidate generation + verification
                 for f in futs:

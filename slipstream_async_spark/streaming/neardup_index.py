@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from slipstream_async_spark.functions.text import shingles_of_tokens, tokens
 from slipstream_async_spark.operators.dedup import (
-    _verified_pairs,
+    _verified_pairs_hashed,
     frozen_order_prefix_rows,
     ppjoin_probe_candidates,
 )
@@ -60,20 +60,33 @@ from slipstream_async_spark.streaming.state import StateTable
 
 class NearDupPrefixIndex:
     """Durable prefix index over a document corpus (see module
-    docstring). One instance owns two StateTables under ``path``:
+    docstring). One instance owns three StateTables under ``path``:
 
     - ``postings`` — prefix rows, shingle-bucketed (``partition_sep``)
       for pruned probe reads;
+    - ``sets`` — one row per document holding its xxhash64 shingle-hash
+      array (``n|h1,h2,...``), bucketed by doc id: exact-Jaccard
+      verification is a bucket-pruned read of the CANDIDATE docs' hash
+      arrays — no document text is ever re-read or re-shingled on the
+      probe path (the classic index space-for-time trade: ~doc-sized
+      extra storage buys verification that is O(candidates));
     - ``order`` — the frozen hot-shingle table ``(shingle -> freq)``,
-      bounded by ``hot_k``, read ONCE per instance (the order must not
-      shift between a sink's triggers; after :meth:`refresh`, restart
-      the sink so it picks up the new order with the rebuilt postings).
+      bounded by ``hot_k``, cached per instance. The order only ever
+      changes through :meth:`refresh`/:meth:`maybe_refresh`, which
+      atomically rebuild the postings and sets under the new order and
+      invalidate the cache — safe mid-run from the single writer (the
+      sink) between probes; an EXTERNAL refresh while a sink is live
+      requires restarting the sink so its instance re-reads the order.
 
     ``k`` and ``threshold`` parameterize the persisted rows (prefix
     length depends on both), so they are fixed per index, not per call.
     """
 
     SEP = "\x1f"  # shingle|doc separator; shingles are sanitized below
+    #: order-table meta key holding the sets-table row count at the
+    #: last (re)freeze — contains SEP, which sanitized shingles never
+    #: do, so it cannot collide with a hot-shingle row
+    META_ROWS = "\x00meta\x1frows"
 
     def __init__(
         self,
@@ -88,9 +101,9 @@ class NearDupPrefixIndex:
         self.k = k
         self.threshold = threshold
         self.hot_k = hot_k
-        # append_only: posting keys are unique per (shingle, doc) and
-        # refresh() rebuilds via replace_all — so probe reads are pure
-        # columnar scans (no newest-wins merge shuffle, ever)
+        # append_only: posting/sets keys are unique per (shingle, doc) /
+        # doc, and refresh() rebuilds via replace_all — so probe reads
+        # are pure columnar scans (no newest-wins merge shuffle, ever)
         self.postings = StateTable(
             spark,
             os.path.join(path, "postings"),
@@ -98,8 +111,15 @@ class NearDupPrefixIndex:
             partition_sep=self.SEP,
             append_only=True,
         )
+        self.sets = StateTable(
+            spark,
+            os.path.join(path, "sets"),
+            n_buckets=n_buckets,
+            append_only=True,
+        )
         self.order = StateTable(spark, os.path.join(path, "order"), n_buckets=4)
         self._hot: DataFrame | None = None
+        self._rows_at_freeze: int | None = None
 
     # -- frozen order ---------------------------------------------------
 
@@ -110,9 +130,13 @@ class NearDupPrefixIndex:
         valid total order, so the index is correct from the first
         commit and refresh is purely a candidate-count optimization."""
         if self._hot is None and self.order.version >= 0:
-            df = self.order.snapshot().select(
-                F.col("key").alias("s"),
-                F.col("value").cast("long").alias("freq"),
+            df = (
+                self.order.snapshot()
+                .filter(F.col("key") != self.META_ROWS)
+                .select(
+                    F.col("key").alias("s"),
+                    F.col("value").cast("long").alias("freq"),
+                )
             )
             self._hot = df.cache()
         return self._hot
@@ -135,14 +159,49 @@ class NearDupPrefixIndex:
             sets, id_col, self.threshold, hot=self.hot()
         )
 
+    def _hset_rows(self, sets: DataFrame, id_col: str) -> DataFrame:
+        """``(key=doc, value="n|h1,h2,...")`` rows for the sets table —
+        the stored verification payload (xxhash64 per shingle; exact
+        within one pair's union at ~|u|^2/2^64, the _verified_pairs
+        argument)."""
+        return sets.select(
+            F.col(id_col).alias("key"),
+            F.concat_ws(
+                "|",
+                F.size("sh"),
+                F.array_join(
+                    F.transform(
+                        "sh", lambda s: F.xxhash64(s).cast("string")
+                    ),
+                    ",",
+                ),
+            ).alias("value"),
+        )
+
+    def _hsets_decode(self, raw: DataFrame, id_col: str) -> DataFrame:
+        """Stored sets rows back to ``(id, _h array<bigint>, _n)``."""
+        parts = F.split(F.col("value"), r"\|", 2)
+        return raw.select(
+            F.col("key").alias(id_col),
+            F.when(
+                parts.getItem(1) == "", F.array().cast("array<bigint>")
+            )
+            .otherwise(
+                F.transform(
+                    F.split(parts.getItem(1), ","),
+                    lambda x: x.cast("bigint"),
+                )
+            )
+            .alias("_h"),
+            parts.getItem(0).cast("int").alias("_n"),
+        )
+
     # -- the per-trigger hot path ----------------------------------------
 
     def probe(
         self,
         batch_prefix: DataFrame,
         batch_sets: DataFrame,
-        corpus: StateTable,
-        text_col: str,
         id_col: str,
     ) -> DataFrame:
         """Verified near-dup pairs of batch x (standing ∪ batch), where
@@ -156,9 +215,10 @@ class NearDupPrefixIndex:
           commit lost) the re-probe sees the PRE-epoch corpus, so each
           doc's prefix is never split across duplicate copies and no
           pair is silently lost (the r10-ADVICE failure mode);
-        - only CANDIDATE corpus docs are fetched for exact
-          verification, via a bucket-pruned read of the corpus table
-          (candidate-id collect, bounded by the candidate count).
+        - verification joins candidates against STORED shingle-hash
+          arrays (the sets table), read bucket-pruned by candidate id
+          (candidate-id collect, bounded by the candidate count) — no
+          document text is re-read, nothing is re-shingled.
         """
         buckets = [
             r[0]
@@ -191,23 +251,22 @@ class NearDupPrefixIndex:
             .join(F.broadcast(batch_ids), id_col, "left_anti")
             .collect()
         ]
-        sets = batch_sets
+        hsets = batch_sets.select(
+            F.col(id_col),
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("_h"),
+            F.size("sh").alias("_n"),
+        )
         if corpus_ids:
-            cbuckets = sorted({corpus._bucket_of(i) for i in corpus_ids})
+            cbuckets = sorted({self.sets._bucket_of(i) for i in corpus_ids})
             ids_df = self.spark.createDataFrame(
-                [(i,) for i in corpus_ids], f"{id_col} string"
+                [(i,) for i in corpus_ids], "key string"
             )
-            ctexts = (
-                corpus.read_buckets(cbuckets)
-                .select(
-                    F.col("key").alias(id_col),
-                    F.col("value").alias(text_col),
-                )
-                .join(F.broadcast(ids_df), id_col)
+            stored = self.sets.read_buckets(cbuckets).join(
+                F.broadcast(ids_df), "key"
             )
-            sets = sets.unionByName(self.sets_of(ctexts, text_col, id_col))
-        return _verified_pairs(
-            cand, sets, id_col, self.threshold, broadcast_sets=True
+            hsets = hsets.unionByName(self._hsets_decode(stored, id_col))
+        return _verified_pairs_hashed(
+            cand, hsets, id_col, self.threshold, broadcast_sets=True
         )
 
     def append(
@@ -226,6 +285,16 @@ class NearDupPrefixIndex:
             ),
         )
         self.postings.upsert(rows, fence=fence)
+
+    def append_sets(
+        self,
+        batch_sets: DataFrame,
+        id_col: str,
+        fence: tuple[str, int] | None = None,
+    ) -> None:
+        """Persist a batch's verification hash arrays — O(|batch|),
+        epoch-fenced; one row per document."""
+        self.sets.upsert(self._hset_rows(batch_sets, id_col), fence=fence)
 
     def committed_epochs(self) -> dict[str, int]:
         return self.postings.committed_epochs()
@@ -264,12 +333,12 @@ class NearDupPrefixIndex:
         self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> None:
         """Re-freeze the hot-shingle order from the CURRENT corpus and
-        rebuild the postings under it — the explicit O(|corpus|)
-        maintenance op (run it when the corpus has roughly doubled
-        since the last refresh: the rebuilds then amortize to O(1) per
-        ingested document). Run while the sink is STOPPED: the order
-        must not shift under a live probe, and a fresh sink/index
-        instance re-reads the new order on start.
+        rebuild the postings + sets under it — the O(|corpus|)
+        maintenance op, normally driven by :meth:`maybe_refresh` at a
+        doubling cadence (amortized O(1) per ingested document). Safe
+        between probes from the single writer; an external caller must
+        restart any live sink afterwards (its index instance caches the
+        order).
 
         A STALE hot set between refreshes costs candidate count only —
         prefix-filter completeness needs just a consistent order, so
@@ -293,7 +362,49 @@ class NearDupPrefixIndex:
                 ).alias("value"),
             )
         )
+        # sets content is order-independent, but refresh() doubles as
+        # "build an index from an existing corpus" — rebuild them too
+        # (idempotent when they already match)
+        self.sets.replace_all(self._hset_rows(sets, id_col))
+        # record the corpus size this freeze saw (footer read, no job)
+        # so maybe_refresh can fire at a doubling cadence
+        n = self.sets.footer_rows()
+        self.order.upsert(
+            self.spark.createDataFrame(
+                [(self.META_ROWS, str(n))], "key string, value string"
+            )
+        )
+        self._rows_at_freeze = n
+
+    def maybe_refresh(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        factor: float = 2.0,
+    ) -> bool:
+        """Doubling-cadence auto-refresh: re-freeze the order and
+        rebuild the index when the standing corpus has grown by
+        ``factor`` since the last freeze — each rebuild is O(|corpus|),
+        so the geometric cadence amortizes to O(1) per ingested
+        document while keeping the frozen order's candidate counts near
+        the exact-frequency optimum (a stale order is always CORRECT —
+        completeness needs only consistency — but lets mid-frequency
+        shingles into prefixes, which is pure candidate bloat). The
+        growth signal is a driver-side parquet-footer read; a no-op
+        trigger costs no Spark job. Returns True when a refresh ran."""
+        if self.order.version < 0:
+            return False  # bootstrap (first batch) handles the freeze
+        if self._rows_at_freeze is None:
+            raw = self.order.get(self.META_ROWS)
+            self._rows_at_freeze = int(raw) if raw is not None else 0
+        cur = self.sets.footer_rows()
+        if cur < factor * max(self._rows_at_freeze, 1):
+            return False
+        self.refresh(docs, text_col=text_col, id_col=id_col)
+        return True
 
     def destroy(self) -> None:
         self.postings.destroy()
+        self.sets.destroy()
         self.order.destroy()

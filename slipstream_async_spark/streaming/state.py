@@ -386,6 +386,30 @@ class StateTable:
                     F.col("_r.attrs").alias("attrs"))
         )
 
+    def footer_rows(self) -> int:
+        """Physical row count of the live version's chain files, read
+        from parquet footers — driver-side, NO Spark job. Exact live
+        rows for ``append_only`` tables (unique keys, no tombstones);
+        an upper bound otherwise (shadowed keys and tombstones count
+        too). The cheap growth signal maintenance cadences key off
+        (e.g. NearDupPrefixIndex's doubling-cadence auto-refresh)."""
+        v = self.version
+        if v < 0:
+            return 0
+        import pyarrow.parquet as pq
+
+        total = 0
+        for b, ch in self._manifest(v).items():
+            for p in self._chain_paths(ch, b):
+                if not os.path.isdir(p):
+                    continue
+                for f in os.listdir(p):
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(p, f)
+                        ).metadata.num_rows
+        return total
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Current state (or any retained version — C8 time travel)."""
         v = self.version if version is None else version

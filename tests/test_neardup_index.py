@@ -309,3 +309,55 @@ def test_partition_sep_bucketing_and_pruned_reads(spark, tmp_path):
     with pytest.raises(ValueError, match="partition_sep"):
         StateTable(spark, path, partition_sep="|")
     t.destroy()
+
+
+def test_maybe_refresh_doubling_cadence(spark, tmp_path):
+    """maybe_refresh fires only when the standing corpus grew by
+    `factor` since the last freeze (driver-side footer check, no Spark
+    job on the no-op path), persists the freeze watermark across
+    instances, and never changes results — a stale order is correct,
+    refresh is a candidate-count dial."""
+    corpus = StateTable(spark, str(tmp_path / "corpus"), n_buckets=8)
+    pairs = StateTable(spark, str(tmp_path / "pairs"), n_buckets=4)
+    path = str(tmp_path / "idx")
+    index = NearDupPrefixIndex(spark, path, k=3, threshold=0.5, n_buckets=16)
+    sink = indexed_incremental_dedup_sink(
+        corpus, pairs, index, refresh_factor=2.0
+    )
+    docs = _fixture_docs()
+    sink(_mk(spark, docs[0:10]), 0)  # bootstrap freeze (no watermark yet)
+    corpus_docs = lambda: corpus.snapshot().selectExpr(  # noqa: E731
+        "key as doc_id", "value as text"
+    )
+    # watermark is 0 until the first real refresh -> fires immediately
+    assert index.maybe_refresh(corpus_docs()) is True
+    assert index._rows_at_freeze == 10
+    # no growth -> no-op, including from a FRESH instance (watermark is
+    # persisted in the order table's meta row)
+    assert index.maybe_refresh(corpus_docs()) is False
+    index2 = NearDupPrefixIndex(spark, path, k=3, threshold=0.5)
+    assert index2.maybe_refresh(corpus_docs()) is False
+    # sink-driven: epochs 1-2 double the corpus; the sink refreshes
+    # in-line and the final pair set still matches the rebuild operator
+    sink2 = indexed_incremental_dedup_sink(
+        corpus, pairs, index2, refresh_factor=2.0
+    )
+    sink2(_mk(spark, docs[10:20]), 1)
+    sink2(_mk(spark, docs[20:30]), 2)
+    sink2(_mk(spark, [("d99", "p q r s t x")]), 3)
+    assert index2._rows_at_freeze >= 20, "doubling refresh must have run"
+    got = sorted(r["key"] for r in pairs.snapshot().collect())
+    legacy = set()
+    seen: list = []
+    for rows in [docs[0:10], docs[10:20], docs[20:30],
+                 [("d99", "p q r s t x")]]:
+        cdf = _mk(spark, seen) if seen else _mk(spark, [])
+        for r in dedup_incremental(
+            cdf, _mk(spark, rows), "text", "doc_id", k=3, threshold=0.5
+        ).collect():
+            legacy.add(f"{len(r['id_a'])}|{r['id_a']}|{r['id_b']}")
+        seen.extend(rows)
+    assert got == sorted(legacy), set(got) ^ legacy
+    corpus.destroy()
+    pairs.destroy()
+    index.destroy()
