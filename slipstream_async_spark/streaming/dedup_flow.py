@@ -194,6 +194,7 @@ def indexed_incremental_dedup_sink(
     id_col: str = "doc_id",
     query: str = "incremental_dedup",
     refresh_factor: float | None = None,
+    stats: list | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The O(|batch|)-per-trigger form of :func:`incremental_dedup_sink`:
     the corpus-side prefix index is PERSISTED (a
@@ -211,7 +212,14 @@ def indexed_incremental_dedup_sink(
     partial replay only the table whose commit was lost re-runs, and
     the probe anti-joins the batch's ids out of EVERY standing side
     (postings and stored sets), so a replayed epoch probes exactly the
-    pre-epoch corpus and no pair is silently lost."""
+    pre-epoch corpus and no pair is silently lost.
+
+    ``stats``, if given, collects per-epoch accounting dicts (n_batch /
+    n_prefix_rows / buckets_read / n_candidates / n_corpus_candidates /
+    n_pairs) — the candidate-count numbers that say whether the frozen
+    order is still tight for this corpus (the refresh dial). All but
+    n_candidates come free from commit footers; skipped entirely on the
+    production hot path when ``stats`` is None."""
     last = _fence_gate(
         {
             "pairs": pairs,
@@ -304,13 +312,15 @@ def indexed_incremental_dedup_sink(
                             index.append_sets, batch_sets, id_col, (query, e)
                         )
                     )
+                probe_stats: dict | None = {} if stats is not None else None
                 found = index.probe(
-                    bp, batch_sets, id_col
+                    bp, batch_sets, id_col, stats=probe_stats
                 ).localCheckpoint()  # verify once; the commit below
                 # must not re-run candidate generation + verification
                 for f in futs:
                     f.result()
-            if e > fences["pairs"]:
+            pairs_ran = e > fences["pairs"]
+            if pairs_ran:
                 pair_rows = found.select(
                     F.concat(
                         F.length("id_a").cast("string"),
@@ -322,6 +332,29 @@ def indexed_incremental_dedup_sink(
                     F.col("jaccard").cast("string").alias("value"),
                 )
                 pairs.upsert(pair_rows, (query, e))
+            if stats is not None:
+                # footer-based accounting (no extra jobs beyond the
+                # candidate count inside probe); None where a partial
+                # replay skipped that table's commit
+                stats.append(
+                    {
+                        "epoch": epoch_id,
+                        "n_batch": (
+                            corpus.last_commit_rows
+                            if e > fences["corpus"]
+                            else None
+                        ),
+                        "n_prefix_rows": (
+                            index.postings.last_commit_rows
+                            if e > fences["postings"]
+                            else None
+                        ),
+                        "n_pairs": (
+                            pairs.last_commit_rows if pairs_ran else None
+                        ),
+                        **(probe_stats or {}),
+                    }
+                )
             for name in fences:
                 fences[name] = max(fences[name], e)
         finally:

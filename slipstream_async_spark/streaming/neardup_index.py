@@ -203,6 +203,7 @@ class NearDupPrefixIndex:
         batch_prefix: DataFrame,
         batch_sets: DataFrame,
         id_col: str,
+        stats: dict | None = None,
     ) -> DataFrame:
         """Verified near-dup pairs of batch x (standing ∪ batch), where
         at least one side is a batch document. Per-trigger cost is
@@ -251,6 +252,13 @@ class NearDupPrefixIndex:
             .join(F.broadcast(batch_ids), id_col, "left_anti")
             .collect()
         ]
+        if stats is not None:
+            # candidate accounting (one count over the checkpointed
+            # frame) — the number that says whether the frozen order is
+            # still tight for this corpus; skipped on the hot path
+            stats["buckets_read"] = len(buckets)
+            stats["n_candidates"] = cand.count()
+            stats["n_corpus_candidates"] = len(corpus_ids)
         hsets = batch_sets.select(
             F.col(id_col),
             F.transform("sh", lambda s: F.xxhash64(s)).alias("_h"),

@@ -361,3 +361,33 @@ def test_maybe_refresh_doubling_cadence(spark, tmp_path):
     corpus.destroy()
     pairs.destroy()
     index.destroy()
+
+
+def test_indexed_sink_stats_accounting(spark, tmp_path):
+    """Per-epoch stats come from commit footers + one candidate count:
+    batch size, appended prefix rows, buckets read, candidate counts,
+    and committed pair rows — the observability that says whether the
+    frozen order is still tight (the refresh dial)."""
+    corpus = StateTable(spark, str(tmp_path / "corpus"), n_buckets=8)
+    pairs = StateTable(spark, str(tmp_path / "pairs"), n_buckets=4)
+    index = NearDupPrefixIndex(
+        spark, str(tmp_path / "idx"), k=3, threshold=0.5, n_buckets=16
+    )
+    stats: list = []
+    sink = indexed_incremental_dedup_sink(corpus, pairs, index, stats=stats)
+    docs = _fixture_docs()
+    sink(_mk(spark, docs[0:10]), 0)
+    sink(_mk(spark, docs[10:20]), 1)
+    assert len(stats) == 2
+    s1 = stats[1]
+    assert s1["epoch"] == 1 and s1["n_batch"] == 10
+    assert s1["n_prefix_rows"] > 0
+    assert s1["buckets_read"] >= 1
+    assert s1["n_candidates"] >= s1["n_pairs"] >= 1  # d5/d17 pair
+    assert s1["n_corpus_candidates"] >= 1
+    # replayed epoch: no stats row is appended (nothing committed)
+    sink(_mk(spark, docs[10:20]), 1)
+    assert len(stats) == 2
+    corpus.destroy()
+    pairs.destroy()
+    index.destroy()

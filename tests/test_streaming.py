@@ -1257,3 +1257,43 @@ def test_composed_session_dedup_cdc_pipeline(spark, stream_dir):
         q.stop()
         for t in (fps, bloom, dupes):
             t.destroy()
+
+
+def test_ann_enrich_sink_large_list_generic_lane(spark, stream_dir):
+    """Above MAPSIDE_MAX_LISTS the streaming ANN sink must pick the
+    generic crossJoin+window probe lane at setup (a plan-literal of
+    thousands of centroids would bloat every serialized stage) — and
+    the enriched results must equal the direct batch probe, exactly as
+    they do on the literal lane."""
+    from slipstream_async_spark.operators.similarity import (
+        MAPSIDE_MAX_LISTS,
+        ivf_index_write,
+        ivf_topk,
+    )
+    from slipstream_async_spark.sources.readers import load_table
+    from slipstream_async_spark.streaming.ann_flow import ann_enrich_sink
+    from slipstream_async_spark.streaming.state import StateTable
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index_path = os.path.join(stream_dir, "ann_index_big")
+    n_lists = MAPSIDE_MAX_LISTS + 14
+    ivf_index_write(corpus, index_path, n_lists=n_lists)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    results = StateTable(spark, os.path.join(stream_dir, "ann_big_res"))
+    sink = ann_enrich_sink(index_path, results, k=3, n_probe=4)
+    sink(queries, 0)
+    got = {r["key"]: r["value"] for r in results.snapshot().collect()}
+    exp = {}
+    for r in sorted(
+        ivf_topk(
+            None, queries, k=3, n_probe=4, index_path=index_path
+        ).collect(),
+        key=lambda r: (r["query_id"], -r["cosine"], r["vec_id"]),
+    ):
+        exp.setdefault(str(r["query_id"]), []).append(
+            f"{r['vec_id']}:{r['cosine']:.6f}"
+        )
+    assert got == {q: ",".join(v) for q, v in exp.items()}
+    results.destroy()
