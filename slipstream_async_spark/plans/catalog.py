@@ -127,9 +127,16 @@ _DRIVER_VERIFIED: dict[str, int] = _driver_verified()
 # emb_effective_rank_pr's si*sj gained a DECIMAL cast) — both are
 # output-identical at tested SFs and locally green, but the driver's
 # hash gate is the certification of record.
+# r11 additionally pins the two distribution-window queries whose
+# rounding was rewritten to the exact-rational half-up form after the
+# sf0.1 gate exposed a cross-engine 6th-decimal half-tie divergence in
+# round(cume_dist(), 6) (82/1280 = .0640625: Spark HALF_UPs the
+# shortest decimal repr, DuckDB rounds the binary double down).
 _FORCE_FIRST: tuple[str, ...] = (
     "lm_kneser_ney_bigram",
     "emb_effective_rank_pr",
+    "win_balance_percent_rank",
+    "win_cume_dist_nth",
 )
 
 
@@ -3195,13 +3202,20 @@ def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRANK = """
+WITH t AS (
+  SELECT c_custkey, c_nationkey,
+         rank()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rnk,
+         count(*)  OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS k,
+         count(*)  OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+)
 SELECT c_custkey,
        CAST(c_nationkey AS BIGINT) AS nationkey,
-       round(percent_rank() OVER (PARTITION BY c_nationkey
-                                  ORDER BY c_acctbal), 6) AS balance_pr,
-       round(cume_dist() OVER (PARTITION BY c_nationkey
-                               ORDER BY c_acctbal), 6) AS balance_cd
-FROM customer
+       CASE WHEN n = 1 THEN 0.0
+            ELSE floor(((rnk - 1) * 2000000.0 + (n - 1)) / (2 * (n - 1)))
+                 / 1000000.0 END AS balance_pr,
+       floor((k * 2000000.0 + n) / (2 * n)) / 1000000.0 AS balance_cd
+FROM t
 """
 
 
@@ -3211,16 +3225,38 @@ def win_balance_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     of each customer's balance within their nation — tie rows share
     values by definition, so no tie-break is needed for determinism.
     Both frames share one (partition, ordering): one sort, one window
-    operator."""
+    operator.
+
+    Rounding is EXACT-RATIONAL half-up via integer window counts
+    (floor((k*2e6 + n) / 2n) / 1e6; all intermediates < 2^53 so the
+    double arithmetic is exact): round(cume_dist(), 6) diverges across
+    engines when k/n lands on a 6th-decimal half-tie — e.g. 82/1280 =
+    0.0640625, where Spark HALF_UPs the shortest decimal repr to
+    .064063 but DuckDB rounds the binary double (a hair below the tie)
+    down to .064062. Found at sf0.1; the integer form is the
+    engine-independent ground truth."""
     from pyspark.sql import Window
 
     (cust,) = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    wp = Window.partitionBy("c_nationkey")
+    rnk = F.rank().over(w)
+    k = F.count("*").over(w)  # RANGE frame to current row incl. peers
+    n = F.count("*").over(wp)
     return cust.select(
         "c_custkey",
         F.col("c_nationkey").cast("bigint").alias("nationkey"),
-        F.round(F.percent_rank().over(w), 6).alias("balance_pr"),
-        F.round(F.cume_dist().over(w), 6).alias("balance_cd"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                ((rnk - 1) * F.lit(2000000.0) + (n - 1)) / ((n - 1) * 2)
+            )
+            / F.lit(1000000.0)
+        )
+        .alias("balance_pr"),
+        (
+            F.floor((k * F.lit(2000000.0) + n) / (n * 2)) / F.lit(1000000.0)
+        ).alias("balance_cd"),
     )
 
 
@@ -8098,12 +8134,14 @@ def discount_quantity_lift_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUME_NTH = """
 SELECT c_custkey, c_nationkey,
-       round(cume_dist() OVER w, 6) AS balance_cume_dist,
+       floor((count(*) OVER w * 2000000.0 + count(*) OVER wp)
+             / (2 * count(*) OVER wp)) / 1000000.0 AS balance_cume_dist,
        first_value(c_acctbal) OVER wf AS nation_min_bal,
        nth_value(c_acctbal, 2) OVER wf AS nation_2nd_bal,
        last_value(c_acctbal) OVER wf AS nation_max_bal
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+       wp AS (PARTITION BY c_nationkey),
        wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
@@ -8119,16 +8157,25 @@ def win_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one shuffle on c_nationkey serves all four windows (same
     partition key, same sort); ties are impossible because c_custkey
     completes the ordering key — the determinism rule every ranking
-    query here follows."""
+    query here follows. The CDF value uses the exact-rational half-up
+    form (floor((k*2e6 + n)/2n)/1e6 over integer window counts; exact
+    in doubles below 2^53) because round(cume_dist(), 6) diverges
+    across engines on 6th-decimal half-ties like 82/1280 — see
+    win_balance_percent_rank."""
     from pyspark.sql import Window
 
     (customer,) = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("c_nationkey")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    k = F.count("*").over(w)
+    n = F.count("*").over(wp)
     return customer.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.cume_dist().over(w), 6).alias("balance_cume_dist"),
+        (
+            F.floor((k * F.lit(2000000.0) + n) / (n * 2)) / F.lit(1000000.0)
+        ).alias("balance_cume_dist"),
         F.first("c_acctbal").over(wf).alias("nation_min_bal"),
         F.nth_value("c_acctbal", 2).over(wf).alias("nation_2nd_bal"),
         F.last("c_acctbal").over(wf).alias("nation_max_bal"),
