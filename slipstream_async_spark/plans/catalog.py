@@ -132,11 +132,16 @@ _DRIVER_VERIFIED: dict[str, int] = _driver_verified()
 # sf0.1 gate exposed a cross-engine 6th-decimal half-tie divergence in
 # round(cume_dist(), 6) (82/1280 = .0640625: Spark HALF_UPs the
 # shortest decimal repr, DuckDB rounds the binary double down).
+# ...and events_session_gap_sensitivity, whose gap comparison moved to
+# integer microseconds on both engines (the whole-second
+# unix_timestamp() vs fractional epoch() pair split one sf0.1 session
+# exactly on the 15-minute edge).
 _FORCE_FIRST: tuple[str, ...] = (
     "lm_kneser_ney_bigram",
     "emb_effective_rank_pr",
     "win_balance_percent_rank",
     "win_cume_dist_nth",
+    "events_session_gap_sensitivity",
 )
 
 
@@ -20062,11 +20067,13 @@ WITH e AS (
 g AS (SELECT unnest([15, 30, 60]) AS gap_min)
 SELECT CAST(g.gap_min AS BIGINT) AS gap_minutes,
        CAST(SUM(CASE WHEN prev_ts IS NULL
-                       OR epoch(ts) - epoch(prev_ts) > g.gap_min * 60
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          > g.gap_min * 60000000::BIGINT
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        round(COUNT(*) * 1.0
              / SUM(CASE WHEN prev_ts IS NULL
-                          OR epoch(ts) - epoch(prev_ts) > g.gap_min * 60
+                          OR epoch_us(ts) - epoch_us(prev_ts)
+                             > g.gap_min * 60000000::BIGINT
                         THEN 1 ELSE 0 END), 6) AS avg_events_per_session
 FROM e CROSS JOIN g
 GROUP BY g.gap_min
@@ -20087,7 +20094,14 @@ def events_session_gap_sensitivity(
 
     Shape: ONE per-user lag window (keyed — distributes), session
     starts counted per gap against a 3-row broadcast dim; no
-    re-sessionization per candidate."""
+    re-sessionization per candidate.
+
+    The gap compares INTEGER MICROSECONDS on both engines (unix_micros
+    == epoch_us; the loaded timestamp precision): the earlier
+    whole-second unix_timestamp() vs fractional epoch() pair silently
+    disagreed on sub-second boundary gaps — at sf0.1 one 900.x-second
+    gap sat exactly on the 15-minute edge and split the session count
+    across engines."""
     (ev,) = _t(spark, sf_dir, "events")
     from pyspark.sql import Window
 
@@ -20098,12 +20112,13 @@ def events_session_gap_sensitivity(
         F.lag("ts").over(w).alias("prev_ts"),
     )
     g = spark.createDataFrame([(15,), (30,), (60,)], "gap_min long")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (tz-diff safe:
+    # both sides shift identically, the difference cancels)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.col("prev_ts").cast("timestamp"))
     new_s = F.when(
         F.col("prev_ts").isNull()
-        | (
-            F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
-            > F.col("gap_min") * 60
-        ),
+        | (us - prev_us > F.col("gap_min") * 60_000_000),
         1,
     ).otherwise(0)
     return (
