@@ -136,13 +136,13 @@ _DRIVER_VERIFIED: dict[str, int] = _driver_verified()
 # integer microseconds on both engines (the whole-second
 # unix_timestamp() vs fractional epoch() pair split one sf0.1 session
 # exactly on the 15-minute edge).
-_FORCE_FIRST: tuple[str, ...] = (
-    "lm_kneser_ney_bigram",
-    "emb_effective_rank_pr",
-    "win_balance_percent_rank",
-    "win_cume_dist_nth",
-    "events_session_gap_sensitivity",
-)
+# All five r11 pins (lm_kneser_ney_bigram, emb_effective_rank_pr,
+# win_balance_percent_rank, win_cume_dist_nth,
+# events_session_gap_sensitivity) re-verified green in CORRECTNESS_r11
+# and are released — the r12 window goes entirely to the stale tail
+# (oldest cohort r4). r12 changes no batch-query semantics (streaming
+# index/sink work only), so no new pins.
+_FORCE_FIRST: tuple[str, ...] = ()
 
 
 def _rotated(mapping: dict) -> dict:
