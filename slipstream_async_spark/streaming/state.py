@@ -1173,7 +1173,11 @@ class StateTable:
             raise ValueError("keep_segments must be >= 0")
         segs, _ = self._log_segments()
         segs.sort(key=lambda p: int(os.path.basename(p)[1:]))
-        drop = segs[: len(segs) - keep_segments] if keep_segments else segs
+        # max(0, ...): retention above the current log length keeps
+        # EVERYTHING — a negative slice bound would silently drop the
+        # oldest segments instead (len=6, keep=7 -> segs[:-1] drops 5),
+        # the exact 'periodic vacuum with generous retention' pattern.
+        drop = segs[: max(0, len(segs) - keep_segments)] if keep_segments else segs
         if not drop:
             return
         floor = max(

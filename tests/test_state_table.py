@@ -790,6 +790,35 @@ def test_changelog_vacuum_retention(spark, tmp_path):
     t.destroy()
 
 
+def test_changelog_vacuum_retention_above_log_length_keeps_all(
+    spark, tmp_path
+):
+    """Retention ABOVE the current segment count must be a no-op, not
+    a deletion: ``segs[: len - keep]`` with a negative bound would drop
+    the OLDEST segments (len=2, keep=7 -> segs[:-5]) — the routine
+    'periodic vacuum with generous retention' pattern turned into
+    permanent CDC loss. The floor must also stay untouched so existing
+    readers keep replaying the full history."""
+    t = StateTable(spark, str(tmp_path / "gen"), n_buckets=2)
+    for i in range(2):
+        t.upsert(
+            spark.createDataFrame(
+                [(f"k{i}", str(i))], "key string, value string"
+            )
+        )
+    t.changelog_vacuum(keep_segments=7)
+    assert t._changelog_floor() == 0
+    assert sorted(r["key"] for r in t.changelog().collect()) == ["k0", "k1"]
+    # boundary: keep == len is likewise a full keep
+    t.changelog_vacuum(keep_segments=2)
+    assert t._changelog_floor() == 0
+    assert t.changelog().count() == 2
+    # and keep_segments=0 still truncates everything (explicit opt-in)
+    t.changelog_vacuum(keep_segments=0)
+    assert t._changelog_floor() == 2
+    t.destroy()
+
+
 def test_fence_regression_warns_on_checkpoint_reset(spark, tmp_path):
     """A delivered epoch STRICTLY below the recovered fence cannot be
     a replay (replay re-delivers at most the in-flight epoch == the
