@@ -284,7 +284,13 @@ def indexed_incremental_dedup_sink(
                     id_col=id_col,
                     factor=refresh_factor,
                 )
-            bp = index.prefix_rows(batch_sets, id_col).localCheckpoint()
+            # persist, not localCheckpoint: the first consumer (the
+            # probe's bucket-id collect, or a concurrent commit's write
+            # job) materializes the cache — one fewer SERIAL driver
+            # action on the trigger's critical path, and every reuse
+            # (probe side, self-index union, postings append) reads the
+            # same cached rows
+            bp = index.prefix_rows(batch_sets, id_col).persist()
             doc_rows = batch.select(
                 F.col(id_col).alias("key"),
                 F.col(text_col).alias("value"),
@@ -313,10 +319,10 @@ def indexed_incremental_dedup_sink(
                         )
                     )
                 probe_stats: dict | None = {} if stats is not None else None
-                found = index.probe(
-                    bp, batch_sets, id_col, stats=probe_stats
-                ).localCheckpoint()  # verify once; the commit below
-                # must not re-run candidate generation + verification
+                # probe() returns MATERIALIZED (localCheckpoint'd) pairs
+                # — the commit below re-reads checkpoint blocks, never
+                # re-runs candidate generation + verification
+                found = index.probe(bp, batch_sets, id_col, stats=probe_stats)
                 for f in futs:
                     f.result()
             pairs_ran = e > fences["pairs"]
@@ -357,6 +363,7 @@ def indexed_incremental_dedup_sink(
                 )
             for name in fences:
                 fences[name] = max(fences[name], e)
+            bp.unpersist()
         finally:
             batch.unpersist()
 

@@ -386,20 +386,26 @@ class StateTable:
                     F.col("_r.attrs").alias("attrs"))
         )
 
-    def footer_rows(self) -> int:
+    def footer_rows(self, buckets=None) -> int:
         """Physical row count of the live version's chain files, read
         from parquet footers — driver-side, NO Spark job. Exact live
         rows for ``append_only`` tables (unique keys, no tombstones);
         an upper bound otherwise (shadowed keys and tombstones count
         too). The cheap growth signal maintenance cadences key off
-        (e.g. NearDupPrefixIndex's doubling-cadence auto-refresh)."""
+        (e.g. NearDupPrefixIndex's doubling-cadence auto-refresh).
+        ``buckets``, if given, restricts the count to those hash
+        buckets' chains — the rows a bucket-pruned :meth:`read_buckets`
+        of the same set would scan (probe-volume accounting)."""
         v = self.version
         if v < 0:
             return 0
         import pyarrow.parquet as pq
 
+        want = None if buckets is None else {int(b) for b in buckets}
         total = 0
         for b, ch in self._manifest(v).items():
+            if want is not None and b not in want:
+                continue
             for p in self._chain_paths(ch, b):
                 if not os.path.isdir(p):
                     continue

@@ -133,6 +133,71 @@ def test_probe_reads_do_not_scale_with_corpus(spark, tmp_path):
     index.destroy()
 
 
+def test_probe_collects_stay_bucket_bounded(spark, tmp_path):
+    """The probe's driver-side collects are bounded by n_buckets EVEN
+    when the candidate count dwarfs the batch (the r11-VERDICT weak
+    item: collecting candidate IDS is O(candidates) driver memory,
+    unbounded when the frozen order degrades). Candidates here ≫ batch:
+    200 standing docs share the probe's shingle space, so a 2-doc probe
+    generates hundreds of candidates — every row set pulled to the
+    driver during probe() must still be <= max(n_buckets) rows."""
+    corpus = StateTable(spark, str(tmp_path / "corpus"), n_buckets=8)
+    pairs = StateTable(spark, str(tmp_path / "pairs"), n_buckets=4)
+    index = NearDupPrefixIndex(
+        spark, str(tmp_path / "idx"), k=3, threshold=0.5, n_buckets=16
+    )
+    sink = indexed_incremental_dedup_sink(corpus, pairs, index)
+    # DEGRADED-ORDER scenario (the unbounded-candidates shape): the
+    # bootstrap freeze sees an unrelated first batch (empty hot set),
+    # then the corpus floods with docs sharing one stem — the stale
+    # order lets the stem shingles into every prefix, so a tiny probe
+    # sharing the stem generates candidates ≫ batch
+    sink(_mk(spark, [(f"z{i}", f"za{i} zb{i} zc{i} zd{i}") for i in range(5)]), 0)
+    standing = [(f"s{i}", f"p q r s t u{i} v{i} w{i}") for i in range(200)]
+    sink(_mk(spark, standing), 1)
+
+    probe_batch = _mk(
+        spark, [("B1", "p q r s t x y z"), ("B2", "p q r s t x y q")]
+    )
+    bsets = index.sets_of(probe_batch, "text", "doc_id")
+    bp = index.prefix_rows(bsets, "doc_id").localCheckpoint()
+
+    cap = max(index.postings.n_buckets, index.sets.n_buckets)
+    collected: list[int] = []
+    # patch the RUNTIME DataFrame class (pyspark 4's classic subclass
+    # overrides the pyspark.sql.DataFrame facade's methods)
+    dfcls = type(bp)
+    orig = dfcls.collect
+
+    def spying_collect(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    stats: dict = {}
+    dfcls.collect = spying_collect
+    try:
+        found = index.probe(bp, bsets, "doc_id", stats=stats)
+    finally:
+        dfcls.collect = orig
+    assert stats["n_candidates"] > 50, "fixture must swamp the batch"
+    assert stats["n_corpus_candidates"] > 50
+    assert collected, "probe must have made its bucket-id collects"
+    assert max(collected) <= cap, (
+        f"a probe collect pulled {max(collected)} rows to the driver "
+        f"(cap {cap}): candidate ids must stay distributed"
+    )
+    # footer-based scan accounting is present and sane
+    assert stats["postings_rows_scanned"] >= stats["buckets_read"]
+    assert stats["sets_rows_scanned"] >= 0
+    # and the probe still verifies correctly against the stored sets
+    got = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    assert ("B1", "B2") in got  # the in-batch near-dup pair survives
+    corpus.destroy()
+    pairs.destroy()
+    index.destroy()
+
+
 def test_indexed_partial_replay_finds_pairs(spark, tmp_path):
     """Partial replay with near-dups present: corpus AND postings
     commits landed, pairs commit lost. The replayed probe anti-joins
