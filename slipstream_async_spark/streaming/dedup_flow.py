@@ -46,6 +46,7 @@ from slipstream_async_spark.operators.membership import (
 )
 from slipstream_async_spark.streaming.state import (
     StateTable,
+    upsert_group,
     warn_fence_regression,
 )
 
@@ -207,12 +208,16 @@ def indexed_incremental_dedup_sink(
     parameterize the persisted prefix rows).
 
     Four fenced tables per epoch — pairs, corpus docs, the index
-    postings, and the index verification sets — committed concurrently
-    (the epoch pays max, not sum, of the commit latencies); under
-    partial replay only the table whose commit was lost re-runs, and
-    the probe anti-joins the batch's ids out of EVERY standing side
-    (postings and stored sets), so a replayed epoch probes exactly the
-    pre-epoch corpus and no pair is silently lost.
+    postings, and the index verification sets. The postings + sets
+    appends fold into ONE write job (:func:`~slipstream_async_spark.
+    streaming.state.upsert_group` — both are pure O(|batch|) appends
+    under the same epoch), and that group runs concurrently with the
+    corpus commit and the probe (the epoch pays max, not sum, of the
+    latencies); under partial replay only the table whose commit was
+    lost re-runs, and the probe anti-joins the batch's ids out of
+    EVERY standing side (postings and stored sets), so a replayed
+    epoch probes exactly the pre-epoch corpus and no pair is silently
+    lost.
 
     ``stats``, if given, collects per-epoch accounting dicts (n_batch /
     n_prefix_rows / buckets_read / n_candidates / n_corpus_candidates /
@@ -302,22 +307,29 @@ def indexed_incremental_dedup_sink(
             # the batch's ids out of EVERY standing side: whether a
             # commit lands before or after the probe's read resolves
             # its manifest, the probe sees the same pre-epoch frame.
-            with ThreadPoolExecutor(max_workers=3) as ex:
+            # The postings + sets appends — both pure O(|batch|) rows
+            # under the same epoch — FOLD into one upsert_group write
+            # job (per-trigger fixed cost is dominated by the number of
+            # driver actions, and two commits here bought nothing over
+            # one); under partial replay the group contains only the
+            # tables whose commit was lost.
+            group = []
+            if e > fences["postings"]:
+                group.append(
+                    (index.postings, index.posting_rows(bp, id_col))
+                )
+            if e > fences["sets"]:
+                group.append(
+                    (index.sets, index._hset_rows(batch_sets, id_col))
+                )
+            with ThreadPoolExecutor(max_workers=2) as ex:
                 futs = []
                 if e > fences["corpus"]:
                     futs.append(
                         ex.submit(corpus.upsert, doc_rows, (query, e))
                     )
-                if e > fences["postings"]:
-                    futs.append(
-                        ex.submit(index.append, bp, id_col, (query, e))
-                    )
-                if e > fences["sets"]:
-                    futs.append(
-                        ex.submit(
-                            index.append_sets, batch_sets, id_col, (query, e)
-                        )
-                    )
+                if group:
+                    futs.append(ex.submit(upsert_group, group, (query, e)))
                 probe_stats: dict | None = {} if stats is not None else None
                 # probe() returns MATERIALIZED (localCheckpoint'd) pairs
                 # — the commit below re-reads checkpoint blocks, never

@@ -307,6 +307,18 @@ class NearDupPrefixIndex:
         finally:
             cand.unpersist()
 
+    def posting_rows(self, batch_prefix: DataFrame, id_col: str) -> DataFrame:
+        """``(key={shingle}SEP{doc}, value="n|pos|doc")`` rows for the
+        postings table — exposed so a multi-table sink can fold this
+        append into one :func:`~slipstream_async_spark.streaming.state.
+        upsert_group` commit with the sets rows."""
+        return batch_prefix.select(
+            F.concat(F.col("s"), F.lit(self.SEP), F.col(id_col)).alias("key"),
+            F.concat_ws("|", F.col("n"), F.col("pos"), F.col(id_col)).alias(
+                "value"
+            ),
+        )
+
     def append(
         self,
         batch_prefix: DataFrame,
@@ -316,13 +328,8 @@ class NearDupPrefixIndex:
         """Persist a batch's prefix rows — a pure O(|batch|) delta
         commit (posting keys are unique per (shingle, doc)), epoch-
         fenced like every StateTable sink commit."""
-        rows = batch_prefix.select(
-            F.concat(F.col("s"), F.lit(self.SEP), F.col(id_col)).alias("key"),
-            F.concat_ws("|", F.col("n"), F.col("pos"), F.col(id_col)).alias(
-                "value"
-            ),
-        )
-        self.postings.upsert(rows, fence=fence)
+        self.postings.upsert(self.posting_rows(batch_prefix, id_col),
+                             fence=fence)
 
     def append_sets(
         self,

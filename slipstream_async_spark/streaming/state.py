@@ -483,14 +483,10 @@ class StateTable:
         compacted in the same commit (one extra merge job over just
         those buckets — amortized O(|bucket|/max_chain)). Write cost is
         O(|batch|) regardless of state size or key spread."""
-        base = self._manifest(self.version)
-        new_v = self.version + 1
         vdir = os.path.join(self.path, "versions")
         # names deliberately NOT matching v\d+ so torn commits are
         # invisible to _versions()
-        tmp_delta = os.path.join(vdir, f"delta-{new_v}.tmp")
-        vtmp = self._vpath(new_v) + ".tmp"
-        ctmp = os.path.join(vdir, f"compact-{new_v}.tmp")
+        tmp_delta = os.path.join(vdir, f"delta-{self.version + 1}.tmp")
         try:
             (
                 batch.withColumn("_bucket", self._bucket_expr())
@@ -508,8 +504,33 @@ class StateTable:
                 .partitionBy("_bucket")
                 .parquet(tmp_delta)
             )
+            self._commit_delta(tmp_delta, fence=fence)
+        finally:
+            shutil.rmtree(tmp_delta, ignore_errors=True)
+
+    def _commit_delta(
+        self, tmp_delta: str, fence: tuple[str, int] | None = None
+    ) -> None:
+        """Assemble and publish a new version from ALREADY-WRITTEN
+        per-bucket delta files (``tmp_delta/_bucket=N/*.parquet``) —
+        the driver-side half of a commit, split out so
+        :func:`upsert_group` can write SEVERAL tables' deltas in one
+        Spark job and then run each table's (pure file-op) assembly. A
+        missing/empty ``tmp_delta`` commits an empty delta: the version
+        and its fence still advance (an empty micro-batch must still
+        fence its epoch). The delta dir must live under this table's
+        ``versions/`` with the ``delta-{v}.tmp`` name so compaction's
+        path-derived version ordering sees the new rows as newest."""
+        base = self._manifest(self.version)
+        new_v = self.version + 1
+        vdir = os.path.join(self.path, "versions")
+        vtmp = self._vpath(new_v) + ".tmp"
+        ctmp = os.path.join(vdir, f"compact-{new_v}.tmp")
+        try:
             written = set()
-            for d in os.listdir(tmp_delta):
+            if not os.path.isdir(tmp_delta):
+                tmp_delta = None  # empty batch: no delta files at all
+            for d in os.listdir(tmp_delta) if tmp_delta else ():
                 if d.startswith("_bucket="):
                     m = re.fullmatch(r"_bucket=(\d+)", d)
                     if not m:
@@ -609,13 +630,14 @@ class StateTable:
 
             self.last_commit_rows = sum(
                 _pq.ParquetFile(os.path.join(tmp_delta, d, f)).metadata.num_rows
-                for d in os.listdir(tmp_delta)
+                for d in (os.listdir(tmp_delta) if tmp_delta else ())
                 if d.startswith("_bucket=")
                 for f in os.listdir(os.path.join(tmp_delta, d))
                 if f.endswith(".parquet")
             )
         finally:
-            shutil.rmtree(tmp_delta, ignore_errors=True)
+            # the caller owns tmp_delta's lifetime (upsert_group reuses
+            # one shared write for several tables)
             shutil.rmtree(ctmp, ignore_errors=True)
             shutil.rmtree(vtmp, ignore_errors=True)
 
@@ -629,16 +651,7 @@ class StateTable:
         per-bucket delta append, never a state rewrite. ``fence``
         tags the commit's manifest with a (query, epoch) pair for
         streaming replay detection (:func:`foreach_batch_upsert`)."""
-        for c, t in (("value", "string"), ("attrs", "map<string,string>")):
-            if c not in updates.columns:
-                updates = updates.withColumn(c, F.lit(None).cast(t))
-        batch = (
-            updates.select(
-                F.col("key").cast("string").alias("key"), "value", "attrs"
-            )
-            .dropDuplicates(["key"])
-            .withColumn("op", F.lit("put"))
-        )
+        batch = _normalize_put_batch(updates)
         self._merge_commit(batch, fence=fence)
 
     def delete_where(self, predicate) -> None:
@@ -1200,6 +1213,100 @@ class StateTable:
 
     def destroy(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def _normalize_put_batch(updates: DataFrame) -> DataFrame:
+    """The upsert input contract as a frame: key cast to string,
+    value/attrs defaulted, one row per key, op='put'."""
+    for c, t in (("value", "string"), ("attrs", "map<string,string>")):
+        if c not in updates.columns:
+            updates = updates.withColumn(c, F.lit(None).cast(t))
+    return (
+        updates.select(
+            F.col("key").cast("string").alias("key"), "value", "attrs"
+        )
+        .dropDuplicates(["key"])
+        .withColumn("op", F.lit("put"))
+    )
+
+
+def _adopt_dir(src: str, dst: str) -> None:
+    """Move a written delta dir into a table's versions/ — rename when
+    same-filesystem, hardlink-or-copy fallback otherwise."""
+    try:
+        os.rename(src, dst)
+    except OSError:
+        StateTable._link_dir(src, dst)
+
+
+def upsert_group(
+    writes: list[tuple[StateTable, DataFrame]],
+    fence: tuple[str, int] | None = None,
+) -> None:
+    """Upsert N batches into N DIFFERENT StateTables with ONE Spark job
+    — the multi-table streaming sink's commit fold. A sink that
+    maintains several tables per epoch (e.g. the persistent near-dup
+    index: postings + verification sets, both pure O(|batch|) appends
+    under the same epoch) otherwise pays one write job's scheduling
+    latency PER table; per-trigger fixed cost is dominated by the
+    number of serial driver actions, so folding the writes is the
+    direct lever (r11 VERDICT #2).
+
+    Mechanics: each batch is normalized exactly like :meth:`StateTable.
+    upsert`, tagged with its table's OWN bucket expression (tables may
+    differ in n_buckets and partition_sep) and a group ordinal, and the
+    union is written once via ``partitionBy("_grp", "_bucket")``. Each
+    ``_grp=i`` subtree is then adopted (renamed) into table i's
+    ``versions/delta-{v}.tmp`` and committed with the table's normal
+    driver-side assembly (:meth:`StateTable._commit_delta`) — manifest,
+    changelog staging, fence, compaction all identical to a standalone
+    upsert. A table whose batch wrote no rows still commits (its fence
+    must advance on an empty micro-batch).
+
+    Atomicity is PER TABLE, exactly like concurrent single-table
+    upserts: a crash between two adoptions leaves earlier tables
+    committed and later ones not — the per-table epoch fences already
+    make that partial landing replay-correct, so the group needs no
+    cross-table commit point."""
+    if not writes:
+        return
+    spark = writes[0][0].spark
+    tagged = [
+        _normalize_put_batch(df)
+        .withColumn("_bucket", t._bucket_expr())
+        .withColumn("_grp", F.lit(i))
+        for i, (t, df) in enumerate(writes)
+    ]
+    union = tagged[0]
+    for part in tagged[1:]:
+        union = union.unionByName(part)
+    total_buckets = sum(t.n_buckets for t, _ in writes)
+    # the shared write stages under the FIRST table's versions/ (any
+    # non-v\d+ name is invisible to _versions); per-table deltas are
+    # renamed out before each commit
+    gtmp = os.path.join(
+        writes[0][0].path, "versions", f"group-{os.getpid()}.tmp"
+    )
+    try:
+        (
+            union.repartition(total_buckets, F.col("_grp"), F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_grp", "_bucket")
+            .parquet(gtmp)
+        )
+        for i, (t, _) in enumerate(writes):
+            src = os.path.join(gtmp, f"_grp={i}")
+            dst = os.path.join(
+                t.path, "versions", f"delta-{t.version + 1}.tmp"
+            )
+            try:
+                if os.path.isdir(src):
+                    _adopt_dir(src, dst)
+                t._commit_delta(dst, fence=fence)
+            finally:
+                shutil.rmtree(dst, ignore_errors=True)
+    finally:
+        shutil.rmtree(gtmp, ignore_errors=True)
 
 
 def warn_fence_regression(query: str, epoch: int, fence: int) -> None:

@@ -850,6 +850,102 @@ def test_fence_regression_warns_on_checkpoint_reset(spark, tmp_path):
     t.destroy()
 
 
+def test_upsert_group_one_job_many_tables(spark, tmp_path):
+    """upsert_group commits N tables' batches from ONE Spark write job
+    (the multi-table sink's fixed-cost fold): results, fences,
+    changelogs, and commit accounting are identical to N standalone
+    upserts — across tables with different n_buckets, partition_sep,
+    and append_only settings — and an empty batch still advances its
+    table's fence."""
+    from slipstream_async_spark.streaming.state import upsert_group
+
+    sep = "\x1f"
+    a = StateTable(spark, str(tmp_path / "a"), n_buckets=4)
+    b = StateTable(
+        spark, str(tmp_path / "b"), n_buckets=8, partition_sep=sep,
+        append_only=True,
+    )
+    rows_a = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v2")], "key string, value string"
+    )
+    rows_b = spark.createDataFrame(
+        [(f"s{i}{sep}d{i}", f"p{i}") for i in range(5)],
+        "key string, value string",
+    )
+    # count WRITE actions (job counts are AQE-stage-split and fragile):
+    # the fold's claim is one parquet write for N tables, not N
+    wcls = type(rows_a.write)
+    orig, writes = wcls.parquet, []
+    wcls.parquet = lambda self, path, **kw: (writes.append(path),
+                                             orig(self, path, **kw))[1]
+    try:
+        upsert_group([(a, rows_a), (b, rows_b)], fence=("q", 3))
+    finally:
+        wcls.parquet = orig
+    assert len(writes) == 1, f"the group must make ONE write, got {writes}"
+    assert a.get("k1") == "v1" and a.get("k2") == "v2"
+    assert b.get(f"s2{sep}d2") == "p2"
+    assert a.committed_epochs() == {"q": 3}
+    assert b.committed_epochs() == {"q": 3}
+    assert a.last_commit_rows == 2 and b.last_commit_rows == 5
+    # bucket pruning still works on the group-committed append_only side
+    bucket = b._bucket_of("s3")
+    keys = {r["key"] for r in b.read_buckets([bucket]).collect()}
+    assert f"s3{sep}d3" in keys
+    # changelog segments carry the group-committed rows
+    assert sorted(r["key"] for r in a.changelog().collect()) == ["k1", "k2"]
+    # second group: one table updates, the other's batch is EMPTY —
+    # the empty side's version and fence must still advance
+    va, vb = a.version, b.version
+    empty = spark.createDataFrame([], "key string, value string")
+    upsert_group(
+        [(a, spark.createDataFrame([("k1", "v9")], "key string, value string")),
+         (b, empty)],
+        fence=("q", 4),
+    )
+    assert a.get("k1") == "v9"
+    assert a.version == va + 1 and b.version == vb + 1
+    assert b.committed_epochs() == {"q": 4} and b.last_commit_rows == 0
+    # NULL keys are a loud contract violation, same as plain upsert
+    with pytest.raises(Exception, match="non-NULL"):
+        upsert_group(
+            [(a, spark.createDataFrame([(None, "x")],
+                                       "key string, value string"))]
+        )
+    # reopened tables see the group-committed state (manifest-complete)
+    a2 = StateTable(spark, str(tmp_path / "a"))
+    assert a2.get("k2") == "v2"
+    a.destroy()
+    b.destroy()
+
+
+def test_upsert_group_triggers_compaction(spark, tmp_path):
+    """A group-adopted delta participates in chain compaction exactly
+    like a standalone commit: when a bucket's chain exceeds max_chain,
+    the same commit compacts it and newest-wins ordering holds (the
+    path-derived version regex must see the adopted delta as the
+    newest version)."""
+    from slipstream_async_spark.streaming.state import upsert_group
+
+    t = StateTable(spark, str(tmp_path / "c"), n_buckets=1, max_chain=2)
+    u = StateTable(spark, str(tmp_path / "d"), n_buckets=1)
+    for i in range(2):
+        t.upsert(
+            spark.createDataFrame([("k", f"v{i}")], "key string, value string")
+        )
+    # third commit for the same bucket -> chain would be 3 > max_chain=2
+    upsert_group(
+        [(t, spark.createDataFrame([("k", "v2")], "key string, value string")),
+         (u, spark.createDataFrame([("x", "y")], "key string, value string"))]
+    )
+    assert t.get("k") == "v2", "the adopted delta must win the merge"
+    # compacted: single-version chain for the bucket
+    assert list(t._manifest(t.version).values()) == [[t.version]]
+    assert u.get("x") == "y"
+    t.destroy()
+    u.destroy()
+
+
 def test_append_only_reads_and_replace_all(spark, tmp_path):
     """append_only tables skip the newest-wins merge on chained-bucket
     reads (unique keys + no tombstones make the chain's union the live
