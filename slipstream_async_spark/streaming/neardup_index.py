@@ -442,7 +442,24 @@ class NearDupPrefixIndex:
             return False  # bootstrap (first batch) handles the freeze
         if self._rows_at_freeze is None:
             raw = self.order.get(self.META_ROWS)
-            self._rows_at_freeze = int(raw) if raw is not None else 0
+            if raw is None:
+                # the bootstrap freeze (freeze_order_from) predates the
+                # marker: adopt the CURRENT corpus size as the baseline
+                # and record it (one tiny commit, once) — a missing
+                # marker must not read as baseline 0, which would force
+                # an unconditional O(|corpus|) refresh at the very next
+                # check regardless of factor (the documented doubling
+                # cadence starts from the bootstrap corpus, not zero)
+                cur0 = self.sets.footer_rows()
+                self.order.upsert(
+                    self.spark.createDataFrame(
+                        [(self.META_ROWS, str(cur0))],
+                        "key string, value string",
+                    )
+                )
+                self._rows_at_freeze = cur0
+                return False
+            self._rows_at_freeze = int(raw)
         cur = self.sets.footer_rows()
         if cur < factor * max(self._rows_at_freeze, 1):
             return False

@@ -394,9 +394,13 @@ def test_maybe_refresh_doubling_cadence(spark, tmp_path):
     corpus_docs = lambda: corpus.snapshot().selectExpr(  # noqa: E731
         "key as doc_id", "value as text"
     )
-    # watermark is 0 until the first real refresh -> fires immediately
-    assert index.maybe_refresh(corpus_docs()) is True
+    # a bootstrap freeze without a watermark ADOPTS the current corpus
+    # size as the baseline instead of refreshing unconditionally (a
+    # missing marker is not baseline 0 — that would deviate from the
+    # doubling cadence with a spurious full O(|corpus|) refresh here)
+    assert index.maybe_refresh(corpus_docs()) is False
     assert index._rows_at_freeze == 10
+    assert index.order.get(index.META_ROWS) == "10"  # marker persisted
     # no growth -> no-op, including from a FRESH instance (watermark is
     # persisted in the order table's meta row)
     assert index.maybe_refresh(corpus_docs()) is False
