@@ -111,6 +111,90 @@ def bloom_probe(
     return df.withColumn("bloom_hit", hit)
 
 
+def bloom_hit_keys(
+    df: DataFrame, key: str, bloom: DataFrame, *, words: int = 16, k: int = 4
+) -> DataFrame:
+    """DISTINCT ``df[key]`` values that MAY be members (all k probed
+    bits set) — the join-based twin of :func:`bloom_probe` for LARGE
+    bitmaps. :func:`bloom_probe` inlines the bitmap as ``words`` plan
+    literals (the right call at a few dozen words: pure projection, no
+    join), but literal Columns cost py4j build time linear in ``words``
+    — at the thousands of words a persistent seen-keys gate needs, the
+    driver would pay ~0.7 s per 1k literals EVERY probe. Here the
+    bitmap stays a DataFrame broadcast on the word index (<= ``words``
+    rows), so plan size is O(1) in ``words``: explode the k probe
+    positions, left-join the bitmap rows, and keep keys whose k bits
+    are all set (min over booleans = AND). Missing words read as 0 —
+    no false negatives, same contract as bloom_probe.
+
+    Returns one column named ``key`` (distinct by construction: the
+    group-by collapses duplicate input rows — use bloom_probe when you
+    need a per-row verdict)."""
+    m_bits = words * BITS_PER_WORD
+    pos = df.select(
+        F.col(key),
+        F.explode(_positions(F.col(key), k, m_bits)).alias("idx"),
+    )
+    return (
+        pos.withColumn("word", (F.col("idx") / BITS_PER_WORD).cast("int"))
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "_set",
+            F.call_function(
+                "shiftright",
+                F.coalesce(F.col("bm"), F.lit(0).cast("bigint")),
+                (F.col("idx") % BITS_PER_WORD).cast("int"),
+            ).bitwiseAND(F.lit(1))
+            == 1,
+        )
+        .groupBy(key)
+        .agg(F.min("_set").alias("_all"))
+        .filter(F.col("_all"))
+        .select(key)
+    )
+
+
+def bloom_fpr(n_keys: int, *, words: int = 16, k: int = 4) -> float:
+    """Expected false-positive rate of a bloom built from ``n_keys``
+    distinct keys at this (words, k): the standard
+    ``(1 - e^{-k*n/m})^k``. The saturation dial for sizing ``words``
+    — a gate whose FPR approaches 1 silently degrades to the ungated
+    join it exists to avoid, so sinks warn when this crosses ~0.5
+    (~0.75 * words keys at k=4). Size m ~ 10-15 bits/key for ~1% FPR:
+    ``words >= n_keys / 5``."""
+    import math
+
+    m_bits = words * BITS_PER_WORD
+    if n_keys <= 0:
+        return 0.0
+    return (1.0 - math.exp(-k * n_keys / m_bits)) ** k
+
+
+def warn_bloom_saturation(
+    n_keys: int, *, words: int, k: int, context: str
+) -> float:
+    """Loud saturation diagnostic: warn when the estimated FPR for
+    ``n_keys`` standing keys exceeds 0.5 (the gate is no longer
+    filtering — most absent keys probe as hits). Returns the estimate
+    so callers can record it in stats. ``n_keys`` should come from a
+    driver-side footer count (no Spark job)."""
+    import warnings
+
+    fpr = bloom_fpr(n_keys, words=words, k=k)
+    if fpr > 0.5:
+        warnings.warn(
+            f"{context}: bloom gate is saturated — ~{n_keys} standing "
+            f"keys in {words * BITS_PER_WORD} bits gives an estimated "
+            f"FPR of {fpr:.2f}; most probes now pass the gate and pay "
+            "the exact check it exists to avoid. Rebuild the gate with "
+            f"words >= {max(words * 2, (n_keys + 4) // 5)} "
+            "(~10-15 bits/key for ~1% FPR).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return fpr
+
+
 def count_min_table(
     df: DataFrame,
     key_col: str,

@@ -196,6 +196,7 @@ def indexed_incremental_dedup_sink(
     query: str = "incremental_dedup",
     refresh_factor: float | None = None,
     stats: list | None = None,
+    redelivery_check: bool = True,
 ) -> Callable[[DataFrame, int], None]:
     """The O(|batch|)-per-trigger form of :func:`incremental_dedup_sink`:
     the corpus-side prefix index is PERSISTED (a
@@ -219,18 +220,40 @@ def indexed_incremental_dedup_sink(
     epoch probes exactly the pre-epoch corpus and no pair is silently
     lost.
 
+    **Cross-epoch redelivery** (``redelivery_check``, default on): the
+    postings/sets tables are append-only with unique keys, so a doc_id
+    re-delivered in a LATER epoch (e.g. updated text) must not append
+    again — the old rows would never be superseded and probes would
+    verify against stale hash arrays forever. The guard is
+    FIRST-WRITE-WINS: redelivered ids are dropped from the batch (the
+    standing version keeps producing pairs; the new text is ignored),
+    counted in stats as ``n_redelivered``. Cost shape at scale: a
+    persistent per-id bloom (``index.seen``) gates the check — bloom
+    misses (the unique-id common case) cost one small job over the
+    batch; only bloom hits pay a bucket-pruned exact read of the
+    corpus, filtered to rows committed in STRICTLY EARLIER epochs (the
+    corpus rows carry their commit epoch in attrs), which keeps the
+    drop decision deterministic under partial replay — this epoch's
+    own landed corpus commit never reads as a redelivery. The sink
+    warns loudly when the bloom saturates (``seen_words`` too small
+    for the corpus — see membership.warn_bloom_saturation); a refresh
+    rebuilds the bloom at the instance's current ``seen_words``.
+    Disable only for streams whose doc ids are guaranteed unique over
+    the stream's lifetime (saves the gate job per trigger).
+
     ``stats``, if given, collects per-epoch accounting dicts (n_batch /
     n_prefix_rows / buckets_read / n_candidates / n_corpus_candidates /
-    n_pairs) — the candidate-count numbers that say whether the frozen
-    order is still tight for this corpus (the refresh dial). All but
-    n_candidates come free from commit footers; skipped entirely on the
-    production hot path when ``stats`` is None."""
+    n_pairs / n_redelivered / seen_fpr) — the candidate-count numbers
+    that say whether the frozen order is still tight for this corpus
+    (the refresh dial). Most come free from commit footers; skipped
+    entirely on the production hot path when ``stats`` is None."""
     last = _fence_gate(
         {
             "pairs": pairs,
             "corpus": corpus,
             "postings": index.postings,
             "sets": index.sets,
+            "seen": index.seen,
         },
         query,
     )
@@ -245,14 +268,73 @@ def indexed_incremental_dedup_sink(
             if e < lo:
                 warn_fence_regression(query, e, lo)
             return  # fully-committed epoch replayed — nothing to do
-        batch = (
+        raw = (
             batch_df.select(
                 F.col(id_col).cast("string").alias(id_col), F.col(text_col)
             )
             .dropDuplicates([id_col])
             .cache()
         )
+        batch = raw
+        n_redelivered = 0
         try:
+            if redelivery_check and index.seen.version >= 0:
+                # cross-epoch redelivery guard (see docstring): bloom
+                # misses are definitely-new; only hits pay the exact
+                # bucket-pruned corpus read. The hit-bucket collect is
+                # bounded by the corpus table's n_buckets AND doubles as
+                # the batch-cache materializer (the job the first batch
+                # consumer would otherwise pay).
+                from slipstream_async_spark.operators.membership import (
+                    bloom_hit_keys,
+                    warn_bloom_saturation,
+                )
+
+                hits = bloom_hit_keys(
+                    raw.select(F.col(id_col).alias("key")),
+                    "key",
+                    index.seen_bloom(),
+                    words=index.seen_words,
+                )
+                hit_buckets = [
+                    r[0]
+                    for r in hits.select(
+                        corpus.bucket_expr_for("key").alias("_b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                warn_bloom_saturation(
+                    index.sets.footer_rows(),
+                    words=index.seen_words,
+                    k=4,
+                    context=f"indexed_incremental_dedup_sink({query!r})",
+                )
+                if hit_buckets:
+                    # rows committed in STRICTLY EARLIER epochs only:
+                    # this epoch's own landed corpus commit (partial
+                    # replay) must not read as a redelivery, or the
+                    # replayed postings/sets appends would drop the
+                    # whole batch and lose it forever
+                    prior = corpus.read_buckets(hit_buckets).filter(
+                        F.coalesce(
+                            F.col("attrs").getItem("e").cast("long"),
+                            F.lit(-1),
+                        )
+                        < F.lit(e)
+                    )
+                    redelivered = prior.select(
+                        F.col("key").alias(id_col)
+                    ).join(
+                        F.broadcast(
+                            hits.withColumnRenamed("key", id_col)
+                        ),
+                        id_col,
+                        "left_semi",
+                    )
+                    batch = raw.join(
+                        F.broadcast(redelivered), id_col, "left_anti"
+                    ).cache()
             # batch_sets is a narrow projection over the CACHED batch —
             # recomputing it per use is cheaper than materializing it;
             # bp is reused three ways (probe side, self-index union,
@@ -296,9 +378,17 @@ def indexed_incremental_dedup_sink(
             # (probe side, self-index union, postings append) reads the
             # same cached rows
             bp = index.prefix_rows(batch_sets, id_col).persist()
+            # corpus rows carry their commit epoch: the redelivery
+            # guard's "strictly earlier epoch" predicate reads it, so a
+            # partially-replayed epoch never mistakes its OWN landed
+            # corpus commit for a redelivery (rows without the attr —
+            # legacy / other sinks — read as earlier, which they are)
             doc_rows = batch.select(
                 F.col(id_col).alias("key"),
                 F.col(text_col).alias("value"),
+                F.create_map(
+                    F.lit("e"), F.lit(str(e))
+                ).alias("attrs"),
             )
             # the corpus/postings/sets commits depend only on the
             # batch, not on the probe result — launch them CONCURRENTLY
@@ -322,6 +412,8 @@ def indexed_incremental_dedup_sink(
                 group.append(
                     (index.sets, index._hset_rows(batch_sets, id_col))
                 )
+            if e > fences["seen"]:
+                group.append((index.seen, index.seen_rows(batch, id_col)))
             with ThreadPoolExecutor(max_workers=2) as ex:
                 futs = []
                 if e > fences["corpus"]:
@@ -352,11 +444,20 @@ def indexed_incremental_dedup_sink(
                 pairs.upsert(pair_rows, (query, e))
             if stats is not None:
                 # footer-based accounting (no extra jobs beyond the
-                # candidate count inside probe); None where a partial
+                # candidate count inside probe and the redelivery
+                # delta, both over cached frames); None where a partial
                 # replay skipped that table's commit
+                if batch is not raw:
+                    n_redelivered = raw.count() - batch.count()
                 stats.append(
                     {
                         "epoch": epoch_id,
+                        "n_redelivered": n_redelivered,
+                        "seen_fpr": (
+                            round(index.seen_fpr(), 6)
+                            if redelivery_check
+                            else None
+                        ),
                         "n_batch": (
                             corpus.last_commit_rows
                             if e > fences["corpus"]
@@ -377,7 +478,9 @@ def indexed_incremental_dedup_sink(
                 fences[name] = max(fences[name], e)
             bp.unpersist()
         finally:
-            batch.unpersist()
+            if batch is not raw:
+                batch.unpersist()
+            raw.unpersist()
 
     return sink
 
@@ -434,10 +537,18 @@ def bloom_gated_exact_dedup_sink(
     makes the dup verdict identical either way.
 
     ``stats``, if given, collects per-epoch gate accounting dicts
-    (n_batch / n_maybe / n_dup) — n_maybe is the measured gate
-    selectivity, the number that says whether the bloom is sized right
-    (words) for the standing key count.
-    """
+    (n_batch / n_maybe / n_dup / gate_fpr_est) — n_maybe is the
+    measured gate selectivity, the number that says whether the bloom
+    is sized right (words) for the standing key count.
+
+    **Sizing ``words``:** the bitmap holds ``words * 62`` bits; at
+    k=4, ~10-15 bits per standing fingerprint keeps FPR near 1%
+    (``words >= n_keys / 5``). The default words=16 (992 bits) fits
+    ~100 standing keys and SATURATES near ~1k — the sink estimates the
+    FPR each epoch from the fingerprint table's footer row count (no
+    Spark job) and warns loudly past 0.5 (the gate has silently
+    degraded to the ungated join it exists to avoid; rebuild with a
+    bigger ``words``)."""
 
     last = _fence_gate(
         {"dupes": dupes, "fps": fingerprints, "bloom": bloom_state}, query
@@ -475,6 +586,19 @@ def bloom_gated_exact_dedup_sink(
         batch = keyed.filter(F.col("fp").isNotNull())
         probed = None
         try:
+            # saturation watchdog: estimated FPR from the standing
+            # fingerprint count (parquet-footer read, no Spark job) —
+            # warns past 0.5, where the gate passes most absent keys
+            from slipstream_async_spark.operators.membership import (
+                warn_bloom_saturation,
+            )
+
+            gate_fpr = warn_bloom_saturation(
+                fingerprints.footer_rows(),
+                words=words,
+                k=k,
+                context=f"bloom_gated_exact_dedup_sink({query!r})",
+            )
             standing_bloom = bloom_state.snapshot().select(
                 F.col("key").cast("int").alias("word"),
                 F.col("value").cast("bigint").alias("bm"),
@@ -566,6 +690,7 @@ def bloom_gated_exact_dedup_sink(
                         # original delivery's stats row).
                         "n_dup": dupes.last_commit_rows if dupes_ran else None,
                         "n_null_fp": n_keyed - n_batch,
+                        "gate_fpr_est": round(gate_fpr, 6),
                     }
                 )
         finally:

@@ -60,7 +60,8 @@ from slipstream_async_spark.streaming.state import StateTable
 
 class NearDupPrefixIndex:
     """Durable prefix index over a document corpus (see module
-    docstring). One instance owns three StateTables under ``path``:
+    docstring). One instance owns four StateTables under ``path``
+    (postings/sets/order plus a ``seen`` doc-id bloom gate):
 
     - ``postings`` — prefix rows, shingle-bucketed (``partition_sep``)
       for pruned probe reads;
@@ -96,11 +97,13 @@ class NearDupPrefixIndex:
         threshold: float = 0.5,
         n_buckets: int | None = None,
         hot_k: int = 65536,
+        seen_words: int = 4096,
     ):
         self.spark = spark
         self.k = k
         self.threshold = threshold
         self.hot_k = hot_k
+        self.seen_words = seen_words
         # append_only: posting/sets keys are unique per (shingle, doc) /
         # doc, and refresh() rebuilds via replace_all — so probe reads
         # are pure columnar scans (no newest-wins merge shuffle, ever)
@@ -118,6 +121,13 @@ class NearDupPrefixIndex:
             append_only=True,
         )
         self.order = StateTable(spark, os.path.join(path, "order"), n_buckets=4)
+        # persistent "have we indexed this doc id" bloom (one row per
+        # bitmap word, <= seen_words rows): the O(|batch|) gate in front
+        # of the exact cross-epoch-redelivery check — a redelivered id
+        # appended again would violate the postings/sets tables'
+        # append-only unique-key contract and leave stale verification
+        # rows probing forever (the r11 ADVICE-medium failure mode)
+        self.seen = StateTable(spark, os.path.join(path, "seen"), n_buckets=1)
         self._hot: DataFrame | None = None
         self._rows_at_freeze: int | None = None
 
@@ -341,6 +351,43 @@ class NearDupPrefixIndex:
         epoch-fenced; one row per document."""
         self.sets.upsert(self._hset_rows(batch_sets, id_col), fence=fence)
 
+    def seen_bloom(self) -> DataFrame:
+        """The standing seen-ids bitmap as ``(word int, bm bigint)``
+        rows (<= seen_words, tiny read; empty frame before the first
+        commit) — probe with :func:`~slipstream_async_spark.operators.
+        membership.bloom_hit_keys` (join-based: no per-word plan
+        literals at large ``seen_words``)."""
+        return self.seen.snapshot().select(
+            F.col("key").cast("int").alias("word"),
+            F.col("value").cast("bigint").alias("bm"),
+        )
+
+    def seen_rows(self, ids: DataFrame, id_col: str) -> DataFrame:
+        """``(key=word, value=bitmap-word)`` rows folding a batch's ids
+        into the standing seen bloom (bit_or merge — idempotent under
+        replay), shaped for the sink's :func:`upsert_group` commit."""
+        from slipstream_async_spark.operators.membership import (
+            bloom_build,
+            bloom_merge,
+        )
+
+        merged = bloom_merge(
+            self.seen_bloom(),
+            bloom_build(ids.select(id_col), id_col, words=self.seen_words),
+        )
+        return merged.select(
+            F.col("word").cast("string").alias("key"),
+            F.col("bm").cast("string").alias("value"),
+        )
+
+    def seen_fpr(self) -> float:
+        """Estimated FPR of the seen gate at the current corpus size
+        (sets footer count — driver-side, no job); the saturation
+        number behind the sink's loud warning."""
+        from slipstream_async_spark.operators.membership import bloom_fpr
+
+        return bloom_fpr(self.sets.footer_rows(), words=self.seen_words)
+
     def committed_epochs(self) -> dict[str, int]:
         return self.postings.committed_epochs()
 
@@ -411,6 +458,19 @@ class NearDupPrefixIndex:
         # "build an index from an existing corpus" — rebuild them too
         # (idempotent when they already match)
         self.sets.replace_all(self._hset_rows(sets, id_col))
+        # rebuild the seen bloom exactly from the corpus ids (also the
+        # re-size path: a refresh after raising seen_words de-saturates
+        # the gate)
+        from slipstream_async_spark.operators.membership import bloom_build
+
+        self.seen.replace_all(
+            bloom_build(
+                sets.select(id_col), id_col, words=self.seen_words
+            ).select(
+                F.col("word").cast("string").alias("key"),
+                F.col("bm").cast("string").alias("value"),
+            )
+        )
         # record the corpus size this freeze saw (footer read, no job)
         # so maybe_refresh can fire at a doubling cadence
         n = self.sets.footer_rows()
@@ -470,3 +530,4 @@ class NearDupPrefixIndex:
         self.postings.destroy()
         self.sets.destroy()
         self.order.destroy()
+        self.seen.destroy()

@@ -62,3 +62,63 @@ def test_probe_preserves_columns_and_rowcount(spark):
     out = bloom_probe(df, "k", bloom)
     assert set(out.columns) == {"k", "payload", "bloom_hit"}
     assert out.count() == 30
+
+
+def test_hit_keys_matches_probe_verdicts(spark):
+    """bloom_hit_keys (the join-based large-bitmap probe) returns
+    exactly the distinct keys bloom_probe marks as hits — same hash
+    scheme, same no-false-negative contract, no per-word plan
+    literals."""
+    from slipstream_async_spark.operators.membership import bloom_hit_keys
+
+    members = _keys(spark, 0, 120)
+    bloom = bloom_build(members, "k", words=32)
+    queries = _keys(spark, 60, 400)
+    via_probe = {
+        r["k"]
+        for r in bloom_probe(queries, "k", bloom, words=32)
+        .filter(F.col("bloom_hit"))
+        .collect()
+    }
+    via_keys = {
+        r["k"]
+        for r in bloom_hit_keys(queries, "k", bloom, words=32).collect()
+    }
+    assert via_keys == via_probe
+    # every true member queried is in the hit set (no false negatives)
+    assert {f"key-{i}" for i in range(60, 120)} <= via_keys
+    # empty bloom: nothing hits
+    empty = bloom_build(_keys(spark, 0, 0), "k", words=32)
+    assert bloom_hit_keys(queries, "k", empty, words=32).count() == 0
+    # duplicate input rows collapse to one hit key (distinct contract)
+    dup = queries.unionByName(queries)
+    assert (
+        bloom_hit_keys(dup, "k", bloom, words=32).count() == len(via_keys)
+    )
+
+
+def test_bloom_fpr_and_saturation_warning():
+    """bloom_fpr is the standard (1-e^{-kn/m})^k — ~0 when empty,
+    monotone in n, -> 1 at saturation; warn_bloom_saturation fires
+    past FPR 0.5 and stays quiet below."""
+    import warnings as _w
+
+    import pytest as _pytest
+
+    from slipstream_async_spark.operators.membership import (
+        bloom_fpr,
+        warn_bloom_saturation,
+    )
+
+    assert bloom_fpr(0, words=16) == 0.0
+    assert bloom_fpr(100, words=16) < bloom_fpr(1000, words=16) < 1.0
+    assert bloom_fpr(100_000, words=16) > 0.99
+    # default 16 words (992 bits) saturates near ~1k standing keys —
+    # the documented-but-silent dial VERDICT r11 flagged
+    assert bloom_fpr(1000, words=16) > 0.5
+    with _pytest.warns(RuntimeWarning, match="saturated"):
+        warn_bloom_saturation(1000, words=16, k=4, context="t")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        fpr = warn_bloom_saturation(100, words=16, k=4, context="t")
+    assert not rec and 0 < fpr < 0.5

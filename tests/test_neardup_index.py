@@ -247,6 +247,103 @@ def test_indexed_partial_replay_finds_pairs(spark, tmp_path):
     index.destroy()
 
 
+def test_cross_epoch_redelivery_first_write_wins(spark, tmp_path):
+    """A doc_id re-delivered in a LATER epoch (e.g. updated text) must
+    not append again — the postings/sets tables are append-only with
+    unique keys, so a second copy would leave stale verification rows
+    probing forever (r11 ADVICE-medium). The guard is first-write-wins:
+    the redelivered id is dropped from the batch, the standing (old)
+    text keeps producing pairs, and in-batch novel docs still dedup."""
+    corpus = StateTable(spark, str(tmp_path / "corpus"), n_buckets=8)
+    pairs = StateTable(spark, str(tmp_path / "pairs"), n_buckets=4)
+    index = NearDupPrefixIndex(
+        spark, str(tmp_path / "idx"), k=3, threshold=0.5, n_buckets=16
+    )
+    stats: list = []
+    sink = indexed_incremental_dedup_sink(corpus, pairs, index, stats=stats)
+    sink(_mk(spark, [("X", "p q r s t"), ("z0", "a b c d e")]), 0)
+    sets_rows0 = index.sets.footer_rows()
+    postings_rows0 = index.postings.footer_rows()
+
+    # epoch 1: X re-delivered with COMPLETELY different text, plus a
+    # new near-dup partner of X's ORIGINAL text
+    sink(_mk(spark, [("X", "m n o v w"), ("Y", "p q r s u")]), 1)
+    assert stats[1]["n_redelivered"] == 1
+    # first-write-wins everywhere: one sets row and the ORIGINAL
+    # postings for X; the corpus keeps the original text
+    assert index.sets.footer_rows() == sets_rows0 + 1  # only Y appended
+    assert (
+        index.sets.snapshot().filter(F.col("key") == "X").count() == 1
+    )
+    assert corpus.get("X") == "p q r s t"
+    # the pair is found against X's STANDING text (jaccard("pqrst",
+    # "pqrsu") = 4/6 >= 0.5); X's new text would NOT have paired
+    got = sorted(r["key"] for r in pairs.snapshot().collect())
+    assert got == ["1|X|Y"], got
+    # epoch 2: re-deliver X AND Y together with fresh texts — both drop,
+    # nothing appends, no new pairs
+    sink(_mk(spark, [("X", "k1 k2 k3 k4 k5"), ("Y", "k1 k2 k3 k4 k6")]), 2)
+    assert stats[2]["n_redelivered"] == 2
+    assert index.sets.footer_rows() == sets_rows0 + 1
+    assert index.postings.footer_rows() >= postings_rows0
+    assert sorted(r["key"] for r in pairs.snapshot().collect()) == ["1|X|Y"]
+    corpus.destroy()
+    pairs.destroy()
+    index.destroy()
+
+
+def test_redelivery_guard_safe_under_partial_replay(spark, tmp_path):
+    """Partial replay where the corpus AND seen-bloom commits landed
+    but the postings/sets group was lost: the replayed batch's ids hit
+    the bloom and ARE in the corpus — but with this epoch's own commit
+    tag, so the strictly-earlier-epoch predicate keeps them and the
+    postings/sets appends still run (dropping them would lose the
+    batch from the index forever)."""
+    corpus = StateTable(spark, str(tmp_path / "corpus"), n_buckets=8)
+    pairs = StateTable(spark, str(tmp_path / "pairs"), n_buckets=4)
+    index = NearDupPrefixIndex(
+        spark, str(tmp_path / "idx"), k=3, threshold=0.5, n_buckets=16
+    )
+    sink = indexed_incremental_dedup_sink(corpus, pairs, index)
+    sink(_mk(spark, [("c1", "p q r s t")]), 0)
+
+    batch1 = _mk(spark, [("b2", "p q r s u"), ("b3", "x y z w v")])
+    # crash simulation: corpus (with the sink's epoch attr) and seen
+    # committed under the fence; postings/sets/pairs lost
+    corpus.upsert(
+        batch1.select(
+            F.col("doc_id").alias("key"),
+            F.col("text").alias("value"),
+            F.create_map(F.lit("e"), F.lit("1")).alias("attrs"),
+        ),
+        fence=("incremental_dedup", 1),
+    )
+    index.seen.upsert(
+        index.seen_rows(batch1, "doc_id"), fence=("incremental_dedup", 1)
+    )
+    vx = index.postings.version
+    stats: list = []
+    sink2 = indexed_incremental_dedup_sink(corpus, pairs, index, stats=stats)
+    sink2(batch1, 1)
+    assert stats[0]["n_redelivered"] == 0, (
+        "this epoch's own landed corpus commit must not read as a "
+        "redelivery"
+    )
+    assert index.postings.version > vx, "postings append must re-run"
+    assert (
+        index.sets.snapshot().filter(F.col("key") == "b2").count() == 1
+    )
+    got = sorted(r["key"] for r in pairs.snapshot().collect())
+    assert got == ["2|b2|c1"], got
+    # ...and a GENUINE redelivery in a later epoch is still caught
+    sink2(_mk(spark, [("b2", "totally different text")]), 2)
+    assert stats[1]["n_redelivered"] == 1
+    assert corpus.get("b2") == "p q r s u"
+    corpus.destroy()
+    pairs.destroy()
+    index.destroy()
+
+
 def test_refresh_and_stale_hot_order_stay_exact(spark, tmp_path):
     """refresh() re-freezes the hot-shingle order and rebuilds the
     postings; ingesting MORE docs without refreshing (a stale hot set)

@@ -1074,6 +1074,54 @@ def test_streaming_bloom_gated_exact_dedup(spark, stream_dir):
         dupes.destroy()
 
 
+def test_bloom_gate_saturation_warns(spark, stream_dir):
+    """The gate's words dial was documented but SILENT: once the
+    standing fingerprint count implies FPR > 0.5, the bloom passes most
+    absent keys and the sink has degraded to the ungated join. The sink
+    must estimate the FPR each epoch from the fingerprint table's
+    parquet footers (no Spark job) and warn loudly — and record the
+    estimate in stats."""
+    import warnings as _w
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from slipstream_async_spark.streaming.dedup_flow import (
+        bloom_gated_exact_dedup_sink,
+    )
+    from slipstream_async_spark.streaming.state import StateTable
+
+    fps = StateTable(spark, os.path.join(stream_dir, "sat_fps"))
+    bloom = StateTable(spark, os.path.join(stream_dir, "sat_bloom"))
+    dupes = StateTable(spark, os.path.join(stream_dir, "sat_dupes"))
+    stats: list = []
+    # words=2 -> 124 bits: saturates after a few dozen keys
+    sink = bloom_gated_exact_dedup_sink(
+        fps, bloom, dupes, words=2, stats=stats
+    )
+    docs = spark.range(200).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("unique text "), F.col("id")).alias("text"),
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        sink(docs, 0)  # standing table empty: no warning yet
+    assert not [w for w in rec if "saturated" in str(w.message)]
+    assert stats[0]["gate_fpr_est"] == 0.0
+    # epoch 1 sees ~200 standing fingerprints in 124 bits -> FPR ~ 1
+    more = spark.range(200, 220).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("unique text "), F.col("id")).alias("text"),
+    )
+    with _pytest.warns(RuntimeWarning, match="saturated"):
+        sink(more, 1)
+    assert stats[1]["gate_fpr_est"] > 0.5
+    fps.destroy()
+    bloom.destroy()
+    dupes.destroy()
+
+
 def test_streaming_ann_enrichment_from_materialized_index(spark, stream_dir):
     """The write-once/probe-many index read path as a streaming query:
     an IVF index is materialized offline, then two micro-batches of
