@@ -112,45 +112,94 @@ def bloom_probe(
 
 
 def bloom_hit_keys(
-    df: DataFrame, key: str, bloom: DataFrame, *, words: int = 16, k: int = 4
+    df: DataFrame,
+    key: str,
+    bloom: DataFrame,
+    *,
+    words: int = 16,
+    k: int = 4,
+    distinct: bool = True,
 ) -> DataFrame:
-    """DISTINCT ``df[key]`` values that MAY be members (all k probed
-    bits set) — the join-based twin of :func:`bloom_probe` for LARGE
-    bitmaps. :func:`bloom_probe` inlines the bitmap as ``words`` plan
-    literals (the right call at a few dozen words: pure projection, no
-    join), but literal Columns cost py4j build time linear in ``words``
-    — at the thousands of words a persistent seen-keys gate needs, the
-    driver would pay ~0.7 s per 1k literals EVERY probe. Here the
-    bitmap stays a DataFrame broadcast on the word index (<= ``words``
-    rows), so plan size is O(1) in ``words``: explode the k probe
-    positions, left-join the bitmap rows, and keep keys whose k bits
-    are all set (min over booleans = AND). Missing words read as 0 —
-    no false negatives, same contract as bloom_probe.
+    """``df[key]`` values that MAY be members (all k probed bits set)
+    — the join-based twin of :func:`bloom_probe` for LARGE bitmaps.
+    :func:`bloom_probe` inlines the bitmap as ``words`` plan literals
+    (the right call at a few dozen words), but literal Columns cost
+    py4j build time linear in ``words`` — and at thousands of words
+    the inlined constants bloat whole-stage codegen, recompiled every
+    probe. Here the bitmap stays a DataFrame: k broadcast equi-joins
+    on the word index (<= ``words`` rows each; the repeated exchange
+    is reused), one per probe position — NARROW ops only, no shuffle,
+    no groupBy, so the probe fuses into the consuming stage and plan
+    size is O(1) in ``words``. Missing words read as 0 — no false
+    negatives, same hash scheme as the build.
 
-    Returns one column named ``key`` (distinct by construction: the
-    group-by collapses duplicate input rows — use bloom_probe when you
-    need a per-row verdict)."""
+    Returns one column named ``key``. ``distinct=True`` (default)
+    collapses duplicate inputs (one shuffle); pass ``distinct=False``
+    when the input keys are already unique and the consumer wants the
+    fully-fused narrow plan."""
     m_bits = words * BITS_PER_WORD
-    pos = df.select(
-        F.col(key),
-        F.explode(_positions(F.col(key), k, m_bits)).alias("idx"),
-    )
-    return (
-        pos.withColumn("word", (F.col("idx") / BITS_PER_WORD).cast("int"))
-        .join(F.broadcast(bloom), "word", "left")
-        .withColumn(
-            "_set",
+    pos_arr = _positions(F.col(key), k, m_bits)
+    out = df.select(key)
+    hit = F.lit(True)
+    for i in range(k):
+        idx = F.element_at(pos_arr, i + 1)
+        side = bloom.select(
+            F.col("word").alias(f"_w{i}"), F.col("bm").alias(f"_bm{i}")
+        )
+        out = out.join(
+            F.broadcast(side),
+            (idx / BITS_PER_WORD).cast("int") == F.col(f"_w{i}"),
+            "left",
+        )
+        hit = hit & (
             F.call_function(
                 "shiftright",
-                F.coalesce(F.col("bm"), F.lit(0).cast("bigint")),
-                (F.col("idx") % BITS_PER_WORD).cast("int"),
+                F.coalesce(F.col(f"_bm{i}"), F.lit(0).cast("bigint")),
+                (idx % BITS_PER_WORD).cast("int"),
             ).bitwiseAND(F.lit(1))
-            == 1,
+            == 1
         )
-        .groupBy(key)
-        .agg(F.min("_set").alias("_all"))
-        .filter(F.col("_all"))
-        .select(key)
+    out = out.filter(hit).select(key)
+    return out.distinct() if distinct else out
+
+
+def bloom_probe_array(
+    df: DataFrame, key: str, words_arr: list[int], *, k: int = 4
+) -> DataFrame:
+    """Append boolean ``bloom_hit`` to ``df`` probing a DRIVER-HELD
+    bitmap (``words_arr[i]`` = word i's 62-bit mask) — the probe form
+    for a persistent gate whose bitmap was read driver-side (e.g. from
+    a state table's newest file, no Spark job). The bitmap ships as
+    DATA in a one-row broadcast (``crossJoin(broadcast(...))`` — a
+    BroadcastNestedLoopJoin whose build side is ONE constant-sized
+    row, never corpus-shaped), so unlike :func:`bloom_probe`'s
+    literals there is no py4j build cost and no whole-stage-codegen
+    constant to recompile per probe, at any ``words``. The probe
+    itself is narrow (element_at + bit arithmetic) and fuses into the
+    consuming stage. Same hash scheme as the build — no false
+    negatives."""
+    words = len(words_arr)
+    m_bits = words * BITS_PER_WORD
+    bm_df = df.sparkSession.createDataFrame(
+        [(words_arr,)], "_bmarr array<bigint>"
+    )
+    pos_arr = _positions(F.col(key), k, m_bits)
+    hit = F.lit(True)
+    for i in range(k):
+        idx = F.element_at(pos_arr, i + 1)
+        elem = F.element_at(
+            F.col("_bmarr"), (idx / BITS_PER_WORD).cast("int") + 1
+        )
+        hit = hit & (
+            F.call_function(
+                "shiftright", elem, (idx % BITS_PER_WORD).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+    return (
+        df.crossJoin(F.broadcast(bm_df))
+        .withColumn("bloom_hit", hit)
+        .drop("_bmarr")
     )
 
 

@@ -247,16 +247,22 @@ def indexed_incremental_dedup_sink(
     that say whether the frozen order is still tight for this corpus
     (the refresh dial). Most come free from commit footers; skipped
     entirely on the production hot path when ``stats`` is None."""
-    last = _fence_gate(
-        {
-            "pairs": pairs,
-            "corpus": corpus,
-            "postings": index.postings,
-            "sets": index.sets,
-            "seen": index.seen,
-        },
-        query,
-    )
+    tables = {
+        "pairs": pairs,
+        "corpus": corpus,
+        "postings": index.postings,
+        "sets": index.sets,
+    }
+    if redelivery_check:
+        # the seen bitmap only exists to serve the guard — a sink run
+        # with the check disabled neither reads nor maintains it
+        # (re-enabling later requires index.refresh() to rebuild it)
+        tables["seen"] = index.seen
+    last = _fence_gate(tables, query)
+    # standing-key estimate for the saturation warning: one parquet-
+    # footer walk at start, then incremented from commit accounting —
+    # footer_rows every epoch would re-open O(buckets x chain) files
+    sat = {}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
@@ -277,64 +283,34 @@ def indexed_incremental_dedup_sink(
         )
         batch = raw
         n_redelivered = 0
-        try:
-            if redelivery_check and index.seen.version >= 0:
-                # cross-epoch redelivery guard (see docstring): bloom
-                # misses are definitely-new; only hits pay the exact
-                # bucket-pruned corpus read. The hit-bucket collect is
-                # bounded by the corpus table's n_buckets AND doubles as
-                # the batch-cache materializer (the job the first batch
-                # consumer would otherwise pay).
-                from slipstream_async_spark.operators.membership import (
-                    bloom_hit_keys,
-                    warn_bloom_saturation,
-                )
 
-                hits = bloom_hit_keys(
-                    raw.select(F.col(id_col).alias("key")),
-                    "key",
-                    index.seen_bloom(),
-                    words=index.seen_words,
+        def find_redelivered(hits, hit_buckets):
+            """Cross-epoch redelivery guard, rare path (see docstring):
+            bloom hits pay a bucket-pruned exact corpus read filtered
+            to rows committed in STRICTLY EARLIER epochs — this epoch's
+            own landed corpus commit (partial replay) must never read
+            as a redelivery, or the replayed postings/sets appends
+            would drop the whole batch and lose it forever. Returns
+            the redelivered-ids frame, or None (bloom false positives
+            resolve here: one more small job, whose count doubles as
+            the cache materializer)."""
+            prior = corpus.read_buckets(hit_buckets).filter(
+                F.coalesce(
+                    F.col("attrs").getItem("e").cast("long"), F.lit(-1)
                 )
-                hit_buckets = [
-                    r[0]
-                    for r in hits.select(
-                        corpus.bucket_expr_for("key").alias("_b")
-                    )
-                    .distinct()
-                    .collect()
-                ]
-                warn_bloom_saturation(
-                    index.sets.footer_rows(),
-                    words=index.seen_words,
-                    k=4,
-                    context=f"indexed_incremental_dedup_sink({query!r})",
-                )
-                if hit_buckets:
-                    # rows committed in STRICTLY EARLIER epochs only:
-                    # this epoch's own landed corpus commit (partial
-                    # replay) must not read as a redelivery, or the
-                    # replayed postings/sets appends would drop the
-                    # whole batch and lose it forever
-                    prior = corpus.read_buckets(hit_buckets).filter(
-                        F.coalesce(
-                            F.col("attrs").getItem("e").cast("long"),
-                            F.lit(-1),
-                        )
-                        < F.lit(e)
-                    )
-                    redelivered = prior.select(
-                        F.col("key").alias(id_col)
-                    ).join(
-                        F.broadcast(
-                            hits.withColumnRenamed("key", id_col)
-                        ),
-                        id_col,
-                        "left_semi",
-                    )
-                    batch = raw.join(
-                        F.broadcast(redelivered), id_col, "left_anti"
-                    ).cache()
+                < F.lit(e)
+            )
+            redelivered = (
+                prior.select(F.col("key").alias(id_col))
+                .join(F.broadcast(hits), id_col, "left_semi")
+                .persist()
+            )
+            if redelivered.count() == 0:
+                redelivered.unpersist()
+                return None
+            return redelivered
+
+        try:
             # batch_sets is a narrow projection over the CACHED batch —
             # recomputing it per use is cheaper than materializing it;
             # bp is reused three ways (probe side, self-index union,
@@ -371,13 +347,75 @@ def indexed_incremental_dedup_sink(
                     id_col=id_col,
                     factor=refresh_factor,
                 )
-            # persist, not localCheckpoint: the first consumer (the
-            # probe's bucket-id collect, or a concurrent commit's write
-            # job) materializes the cache — one fewer SERIAL driver
-            # action on the trigger's critical path, and every reuse
-            # (probe side, self-index union, postings append) reads the
-            # same cached rows
+            # persist, not localCheckpoint: the combined bucket collect
+            # below materializes the cache BEFORE the concurrent
+            # consumers fork (or each would race to compute the same
+            # window), and every reuse (probe side, self-index union,
+            # postings append) reads the same cached rows.
             bp = index.prefix_rows(batch_sets, id_col).persist()
+            # ONE bounded collect serves both the probe's postings
+            # buckets AND the redelivery guard's bloom-hit corpus
+            # buckets (the join-based bitmap probe unioned into the
+            # same distinct — the bitmap moves as broadcast data, not
+            # plan literals) — on the unique-id common path the guard
+            # costs zero extra jobs. Result size <= postings.n_buckets
+            # + corpus.n_buckets.
+            bm_words = (
+                index.seen_bitmap_words() if redelivery_check else None
+            )
+            pb = bp.select(
+                F.lit("p").alias("_t"),
+                index.postings.bucket_expr_for("s").alias("_b"),
+            )
+            if bm_words is not None:
+                from slipstream_async_spark.operators.membership import (
+                    bloom_probe_array,
+                    warn_bloom_saturation,
+                )
+
+                # the bitmap was read driver-side (no job) and ships
+                # as one-row broadcast data; the probe is narrow and
+                # fuses into the combined collect's scan stage. raw
+                # ids are already unique (dropDuplicates above), so
+                # the per-row verdict IS the hit-key set.
+                hits = (
+                    bloom_probe_array(raw.select(id_col), id_col, bm_words)
+                    .filter(F.col("bloom_hit"))
+                    .select(id_col)
+                )
+                pb = pb.unionByName(
+                    hits.select(
+                        F.lit("c").alias("_t"),
+                        corpus.bucket_expr_for(id_col).alias("_b"),
+                    )
+                )
+            tagged = pb.distinct().collect()
+            buckets = [r["_b"] for r in tagged if r["_t"] == "p"]
+            hit_buckets = [r["_b"] for r in tagged if r["_t"] == "c"]
+            redelivered = None
+            if bm_words is not None:
+                if "keys" not in sat:
+                    sat["keys"] = index.sets.footer_rows()
+                warn_bloom_saturation(
+                    sat["keys"],
+                    words=index.seen_words,
+                    k=4,
+                    context=f"indexed_incremental_dedup_sink({query!r})",
+                )
+                if hit_buckets:
+                    redelivered = find_redelivered(hits, hit_buckets)
+            if redelivered is not None:
+                # rare path: rebuild the batch-side frames without the
+                # redelivered ids (first-write-wins — see docstring)
+                n_redelivered = redelivered.count()  # cached: no job
+                bp.unpersist()
+                batch = raw.join(
+                    F.broadcast(redelivered), id_col, "left_anti"
+                ).cache()
+                batch_sets = index.sets_of(batch, text_col, id_col)
+                bp = index.prefix_rows(batch_sets, id_col).persist()
+                buckets = index.probe_buckets(bp)
+                redelivered.unpersist()
             # corpus rows carry their commit epoch: the redelivery
             # guard's "strictly earlier epoch" predicate reads it, so a
             # partially-replayed epoch never mistakes its OWN landed
@@ -412,8 +450,9 @@ def indexed_incremental_dedup_sink(
                 group.append(
                     (index.sets, index._hset_rows(batch_sets, id_col))
                 )
-            if e > fences["seen"]:
+            if redelivery_check and e > fences["seen"]:
                 group.append((index.seen, index.seen_rows(batch, id_col)))
+            pairs_ran = e > fences["pairs"]
             with ThreadPoolExecutor(max_workers=2) as ex:
                 futs = []
                 if e > fences["corpus"]:
@@ -423,38 +462,54 @@ def indexed_incremental_dedup_sink(
                 if group:
                     futs.append(ex.submit(upsert_group, group, (query, e)))
                 probe_stats: dict | None = {} if stats is not None else None
-                # probe() returns MATERIALIZED (localCheckpoint'd) pairs
-                # — the commit below re-reads checkpoint blocks, never
-                # re-runs candidate generation + verification
-                found = index.probe(bp, batch_sets, id_col, stats=probe_stats)
+                # probe(materialize=False) returns the verification
+                # plan LAZY over persisted candidate frames: the pairs
+                # commit's write job below materializes it — one fewer
+                # scheduling round than checkpoint-then-commit, and a
+                # fenced replay that skips the pairs commit skips
+                # verification entirely
+                found = index.probe(
+                    bp, batch_sets, id_col, stats=probe_stats,
+                    buckets=buckets, materialize=False,
+                )
+                if pairs_ran:
+                    pair_rows = found.select(
+                        F.concat(
+                            F.length("id_a").cast("string"),
+                            F.lit("|"),
+                            F.col("id_a"),
+                            F.lit("|"),
+                            F.col("id_b"),
+                        ).alias("key"),
+                        F.col("jaccard").cast("string").alias("value"),
+                    )
+                    pairs.upsert(pair_rows, (query, e))
                 for f in futs:
                     f.result()
-            pairs_ran = e > fences["pairs"]
-            if pairs_ran:
-                pair_rows = found.select(
-                    F.concat(
-                        F.length("id_a").cast("string"),
-                        F.lit("|"),
-                        F.col("id_a"),
-                        F.lit("|"),
-                        F.col("id_b"),
-                    ).alias("key"),
-                    F.col("jaccard").cast("string").alias("value"),
-                )
-                pairs.upsert(pair_rows, (query, e))
+            index.finish_probe()
+            if "keys" in sat and e > fences["sets"]:
+                sat["keys"] += index.sets.last_commit_rows
             if stats is not None:
                 # footer-based accounting (no extra jobs beyond the
-                # candidate count inside probe and the redelivery
-                # delta, both over cached frames); None where a partial
-                # replay skipped that table's commit
-                if batch is not raw:
-                    n_redelivered = raw.count() - batch.count()
+                # candidate counts inside probe, over cached frames);
+                # None where a partial replay skipped that table's
+                # commit
+                from slipstream_async_spark.operators.membership import (
+                    bloom_fpr,
+                )
+
                 stats.append(
                     {
                         "epoch": epoch_id,
                         "n_redelivered": n_redelivered,
                         "seen_fpr": (
-                            round(index.seen_fpr(), 6)
+                            round(
+                                bloom_fpr(
+                                    sat.get("keys", 0),
+                                    words=index.seen_words,
+                                ),
+                                6,
+                            )
                             if redelivery_check
                             else None
                         ),

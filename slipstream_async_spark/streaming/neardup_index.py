@@ -130,6 +130,7 @@ class NearDupPrefixIndex:
         self.seen = StateTable(spark, os.path.join(path, "seen"), n_buckets=1)
         self._hot: DataFrame | None = None
         self._rows_at_freeze: int | None = None
+        self._probe_cached: list[DataFrame] = []
 
     # -- frozen order ---------------------------------------------------
 
@@ -208,17 +209,49 @@ class NearDupPrefixIndex:
 
     # -- the per-trigger hot path ----------------------------------------
 
+    def probe_buckets(self, batch_prefix: DataFrame) -> list[int]:
+        """The postings buckets this batch's prefix shingles hash to —
+        a bounded collect (<= n_buckets ints) whose job doubles as the
+        materializer of a persisted ``batch_prefix`` (run it BEFORE
+        forking concurrent consumers of the same frame, or each one
+        races to compute it)."""
+        return [
+            r[0]
+            for r in batch_prefix.select(
+                self.postings.bucket_expr_for("s").alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
+
+    def finish_probe(self) -> None:
+        """Release the candidate frames a ``materialize=False`` probe
+        left persisted for its consumer (call after the pairs commit —
+        or instead of it on a fenced replay that skips the commit)."""
+        for df in self._probe_cached:
+            df.unpersist()
+        self._probe_cached = []
+
     def probe(
         self,
         batch_prefix: DataFrame,
         batch_sets: DataFrame,
         id_col: str,
         stats: dict | None = None,
+        buckets: list[int] | None = None,
+        materialize: bool = True,
     ) -> DataFrame:
         """Verified near-dup pairs of batch x (standing ∪ batch), where
-        at least one side is a batch document, MATERIALIZED
-        (localCheckpoint) before returning — callers reuse the result
-        without re-running candidate generation or verification.
+        at least one side is a batch document. With ``materialize=True``
+        (default) the result is localCheckpoint'd before returning —
+        callers reuse it without re-running candidate generation or
+        verification. With ``materialize=False`` the verification plan
+        is returned LAZY over persisted candidate frames, so a sink can
+        fold verification into its pairs-commit write job (one fewer
+        scheduling round per trigger; a fenced replay that skips the
+        commit then skips verification entirely) — call
+        :meth:`finish_probe` once the result is consumed. ``buckets``
+        accepts a precomputed :meth:`probe_buckets` result.
         Per-trigger cost is O(|batch| + candidates), and every
         driver-side collect is bounded by ``n_buckets`` ints — candidate
         ids themselves never leave the cluster (the r11-VERDICT weak
@@ -241,14 +274,8 @@ class NearDupPrefixIndex:
           re-read, nothing is re-shingled, no candidate list is ever
           built on the driver.
         """
-        buckets = [
-            r[0]
-            for r in batch_prefix.select(
-                self.postings.bucket_expr_for("s").alias("_b")
-            )
-            .distinct()
-            .collect()
-        ]
+        if buckets is None:
+            buckets = self.probe_buckets(batch_prefix)
         parts = F.split(F.col("value"), r"\|", 3)
         idx = self.postings.read_buckets(buckets).select(
             F.substring_index("key", self.SEP, 1).alias("s"),
@@ -268,7 +295,12 @@ class NearDupPrefixIndex:
             id_col,
             self.threshold,
         ).persist()
+        corpus_cand = None
         try:
+            # corpus_cand persists too: the bucket-id collect below
+            # materializes BOTH caches in one job, and the verification
+            # job's semi-join then reads it back instead of re-running
+            # the distinct + anti-join shuffles
             corpus_cand = (
                 cand.select(F.col("id_a").alias("key"))
                 .unionByName(cand.select(F.col("id_b").alias("key")))
@@ -278,6 +310,7 @@ class NearDupPrefixIndex:
                     "key",
                     "left_anti",
                 )
+                .persist()
             )
             cbuckets = [
                 r[0]
@@ -311,11 +344,21 @@ class NearDupPrefixIndex:
                     corpus_cand, "key", "left_semi"
                 )
                 hsets = hsets.unionByName(self._hsets_decode(stored, id_col))
-            return _verified_pairs_hashed(
+            verified = _verified_pairs_hashed(
                 cand, hsets, id_col, self.threshold, broadcast_sets=True
-            ).localCheckpoint()
-        finally:
+            )
+            if not materialize:
+                self._probe_cached += [cand, corpus_cand]
+                return verified
+            out = verified.localCheckpoint()
+            corpus_cand.unpersist()
             cand.unpersist()
+            return out
+        except Exception:
+            if corpus_cand is not None:
+                corpus_cand.unpersist()
+            cand.unpersist()
+            raise
 
     def posting_rows(self, batch_prefix: DataFrame, id_col: str) -> DataFrame:
         """``(key={shingle}SEP{doc}, value="n|pos|doc")`` rows for the
@@ -351,29 +394,82 @@ class NearDupPrefixIndex:
         epoch-fenced; one row per document."""
         self.sets.upsert(self._hset_rows(batch_sets, id_col), fence=fence)
 
+    def seen_bitmap_words(self) -> list[int] | None:
+        """The standing seen-ids bitmap as a driver-side word array —
+        read with pyarrow from the NEWEST chain file only (every seen
+        commit writes the FULL merged bitmap, so the latest delta IS
+        the whole gate): NO Spark job, ~ms at any corpus size (the
+        RocksDB bloom-block analog — the filter is metadata you read
+        once per probe, not a table you join). None before the first
+        commit. Probe with :func:`~slipstream_async_spark.operators.
+        membership.bloom_probe_array` — the bitmap ships as one-row
+        broadcast DATA, never as plan literals (thousands of inlined
+        literals cost py4j build time and recompile whole-stage
+        codegen every epoch; measured ~1 s/trigger at 4096 words)."""
+        v = self.seen.version
+        chain = self.seen._manifest(v).get(0) if v >= 0 else None
+        if not chain:
+            return None
+        import pyarrow.parquet as pq
+
+        newest = self.seen._chain_paths(chain, 0)[-1]
+        arr = [0] * self.seen_words
+        for f in os.listdir(newest):
+            if f.endswith(".parquet"):
+                t = pq.read_table(
+                    os.path.join(newest, f), columns=["key", "value"]
+                )
+                for row in t.to_pylist():
+                    arr[int(row["key"])] = int(row["value"])
+        return arr
+
     def seen_bloom(self) -> DataFrame:
         """The standing seen-ids bitmap as ``(word int, bm bigint)``
-        rows (<= seen_words, tiny read; empty frame before the first
-        commit) — probe with :func:`~slipstream_async_spark.operators.
-        membership.bloom_hit_keys` (join-based: no per-word plan
-        literals at large ``seen_words``)."""
-        return self.seen.snapshot().select(
+        rows (<= seen_words, read from the NEWEST version's file only
+        — every seen commit writes the FULL merged bitmap, so the
+        latest delta IS the whole gate and the read needs no chain
+        merge; empty frame before the first commit). Probe with
+        :func:`~slipstream_async_spark.operators.membership.
+        bloom_hit_keys`: the bitmap moves as broadcast DATA, never as
+        plan literals — at thousands of words, inlined literals cost
+        py4j build time AND bloat whole-stage codegen (a 64 KiB
+        constant recompiled per epoch measured ~1 s/trigger)."""
+        v = self.seen.version
+        chain = self.seen._manifest(v).get(0) if v >= 0 else None
+        if not chain:
+            return self.spark.createDataFrame(
+                [], "word int, bm bigint"
+            )
+        newest = self.seen._chain_paths(chain, 0)[-1]
+        return self.spark.read.parquet(newest).select(
             F.col("key").cast("int").alias("word"),
             F.col("value").cast("bigint").alias("bm"),
         )
 
     def seen_rows(self, ids: DataFrame, id_col: str) -> DataFrame:
         """``(key=word, value=bitmap-word)`` rows folding a batch's ids
-        into the standing seen bloom (bit_or merge — idempotent under
-        replay), shaped for the sink's :func:`upsert_group` commit."""
+        into the standing seen bitmap (bit_or — idempotent under
+        replay), shaped for the sink's :func:`upsert_group` commit.
+        ONE partial-aggregated groupBy over standing-rows ∪ batch-bit
+        rows; the output is the FULL merged bitmap every epoch, which
+        is what lets :meth:`seen_bloom` read only the newest file."""
         from slipstream_async_spark.operators.membership import (
-            bloom_build,
-            bloom_merge,
+            BITS_PER_WORD,
+            _positions,
         )
 
-        merged = bloom_merge(
-            self.seen_bloom(),
-            bloom_build(ids.select(id_col), id_col, words=self.seen_words),
+        m_bits = self.seen_words * BITS_PER_WORD
+        batch_bits = ids.select(
+            F.explode(_positions(F.col(id_col), 4, m_bits)).alias("idx")
+        ).select(
+            (F.col("idx") / BITS_PER_WORD).cast("int").alias("word"),
+            F.expr(f"shiftleft(1L, idx % {BITS_PER_WORD})").alias("bm"),
+        )
+        merged = (
+            self.seen_bloom()
+            .unionByName(batch_bits)
+            .groupBy("word")
+            .agg(F.bit_or("bm").alias("bm"))
         )
         return merged.select(
             F.col("word").cast("string").alias("key"),
@@ -458,9 +554,9 @@ class NearDupPrefixIndex:
         # "build an index from an existing corpus" — rebuild them too
         # (idempotent when they already match)
         self.sets.replace_all(self._hset_rows(sets, id_col))
-        # rebuild the seen bloom exactly from the corpus ids (also the
+        # rebuild the seen bitmap exactly from the corpus ids (also the
         # re-size path: a refresh after raising seen_words de-saturates
-        # the gate)
+        # the gate) — from zero, not OR-ed over the old bitmap
         from slipstream_async_spark.operators.membership import bloom_build
 
         self.seen.replace_all(

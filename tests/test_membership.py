@@ -97,6 +97,41 @@ def test_hit_keys_matches_probe_verdicts(spark):
     )
 
 
+def test_probe_array_matches_probe_verdicts(spark):
+    """bloom_probe_array (the driver-held-bitmap probe) gives the same
+    per-row verdicts as bloom_probe over the same bitmap — same hash
+    scheme, bitmap shipped as one-row broadcast data instead of plan
+    literals."""
+    from slipstream_async_spark.operators.membership import (
+        bloom_probe_array,
+    )
+
+    members = _keys(spark, 0, 120)
+    bloom = bloom_build(members, "k", words=32)
+    words_arr = [0] * 32
+    for r in bloom.collect():
+        words_arr[r["word"]] = r["bm"]
+    queries = _keys(spark, 60, 400).withColumn("payload", F.col("k"))
+    via_probe = {
+        r["k"]: r["bloom_hit"]
+        for r in bloom_probe(queries, "k", bloom, words=32).collect()
+    }
+    out = bloom_probe_array(queries, "k", words_arr).collect()
+    assert {r["k"]: r["bloom_hit"] for r in out} == via_probe
+    # columns preserved, bitmap column dropped, row count unchanged
+    assert set(out[0].asDict()) == {"k", "payload", "bloom_hit"}
+    assert len(out) == 340
+    # no false negatives: every true member queried reads as a hit
+    assert all(via_probe[f"key-{i}"] for i in range(60, 120))
+    # all-zero bitmap rejects everything
+    n_hits = (
+        bloom_probe_array(queries, "k", [0] * 32)
+        .filter(F.col("bloom_hit"))
+        .count()
+    )
+    assert n_hits == 0
+
+
 def test_bloom_fpr_and_saturation_warning():
     """bloom_fpr is the standard (1-e^{-kn/m})^k — ~0 when empty,
     monotone in n, -> 1 at saturation; warn_bloom_saturation fires
