@@ -897,6 +897,7 @@ def ppjoin_probe_candidates(
     index_prefix: DataFrame,
     id_col: str,
     threshold: float,
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Candidate ``(id_a < id_b)`` pairs from prefix-row frames that
     were computed under the SAME total order: equi-join on shingle plus
@@ -906,13 +907,22 @@ def ppjoin_probe_candidates(
     et al. WWW 2007); frequency order is merely the candidate-count
     heuristic. That is exactly what lets the index side be PERSISTED:
     rows written under the frozen order remain a complete index for
-    every later probe computed under the same order."""
+    every later probe computed under the same order.
+
+    ``broadcast_probe`` hints the probe side into a broadcast hash
+    join — the right shape when the probe is a bounded micro-batch
+    against a standing index: the (corpus-sized) index side is then
+    scanned in place with NO shuffle or sort, where the default
+    sort-merge join would shuffle every posting row per trigger. Leave
+    False when both sides are corpus-scale."""
     probe = probe_prefix.select(
         "s",
         F.col(id_col).alias("_i1"),
         F.col("n").alias("_n1"),
         F.col("pos").alias("_p1"),
     )
+    if broadcast_probe:
+        probe = F.broadcast(probe)
     index = index_prefix.select(
         "s",
         F.col(id_col).alias("_i2"),

@@ -266,6 +266,28 @@ def indexed_incremental_dedup_sink(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
+        from time import monotonic
+
+        timing: dict[str, float] = {}
+        _t0 = monotonic()
+
+        def _mark(name: str) -> None:
+            # wall time since the previous mark — per-epoch cost
+            # anatomy, surfaced through ``stats`` (negligible when off)
+            nonlocal _t0
+            now = monotonic()
+            timing[name] = round(now - _t0, 3)
+            _t0 = now
+
+        def _timed_call(name: str, fn, *args):
+            def run():
+                t = monotonic()
+                try:
+                    return fn(*args)
+                finally:
+                    timing[name] = round(monotonic() - t, 3)
+
+            return run
 
         e = int(epoch_id)
         fences = last()
@@ -389,7 +411,9 @@ def indexed_incremental_dedup_sink(
                         corpus.bucket_expr_for(id_col).alias("_b"),
                     )
                 )
+            _mark("t_prep")
             tagged = pb.distinct().collect()
+            _mark("t_bucket_collect")
             buckets = [r["_b"] for r in tagged if r["_t"] == "p"]
             hit_buckets = [r["_b"] for r in tagged if r["_t"] == "c"]
             redelivered = None
@@ -453,14 +477,31 @@ def indexed_incremental_dedup_sink(
             if redelivery_check and e > fences["seen"]:
                 group.append((index.seen, index.seen_rows(batch, id_col)))
             pairs_ran = e > fences["pairs"]
+            _mark("t_guard")
             with ThreadPoolExecutor(max_workers=2) as ex:
                 futs = []
                 if e > fences["corpus"]:
                     futs.append(
-                        ex.submit(corpus.upsert, doc_rows, (query, e))
+                        ex.submit(
+                            _timed_call(
+                                "t_corpus_commit",
+                                corpus.upsert,
+                                doc_rows,
+                                (query, e),
+                            )
+                        )
                     )
                 if group:
-                    futs.append(ex.submit(upsert_group, group, (query, e)))
+                    futs.append(
+                        ex.submit(
+                            _timed_call(
+                                "t_group_commit",
+                                upsert_group,
+                                group,
+                                (query, e),
+                            )
+                        )
+                    )
                 probe_stats: dict | None = {} if stats is not None else None
                 # probe(materialize=False) returns the verification
                 # plan LAZY over persisted candidate frames: the pairs
@@ -472,6 +513,7 @@ def indexed_incremental_dedup_sink(
                     bp, batch_sets, id_col, stats=probe_stats,
                     buckets=buckets, materialize=False,
                 )
+                _mark("t_probe_build")
                 if pairs_ran:
                     pair_rows = found.select(
                         F.concat(
@@ -484,8 +526,10 @@ def indexed_incremental_dedup_sink(
                         F.col("jaccard").cast("string").alias("value"),
                     )
                     pairs.upsert(pair_rows, (query, e))
+                _mark("t_pairs_commit")
                 for f in futs:
                     f.result()
+                _mark("t_commit_wait")
             index.finish_probe()
             if "keys" in sat and e > fences["sets"]:
                 sat["keys"] += index.sets.last_commit_rows
@@ -526,6 +570,7 @@ def indexed_incremental_dedup_sink(
                         "n_pairs": (
                             pairs.last_commit_rows if pairs_ran else None
                         ),
+                        "timing": dict(timing),
                         **(probe_stats or {}),
                     }
                 )

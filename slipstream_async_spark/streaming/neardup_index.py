@@ -289,22 +289,30 @@ class NearDupPrefixIndex:
         # in the SAME job (the distinct scans every partition), so the
         # candidate frame is computed once and reused for verification
         # without a second materializing action
+        # broadcast_probe: the batch's prefix rows are bounded by the
+        # trigger size, the index side is corpus-scale — a broadcast
+        # hash join scans the postings IN PLACE (no shuffle/sort of
+        # standing state per trigger; measured ~1.5 s/trigger saved at
+        # sf0.1 over the default sort-merge shape)
         cand = ppjoin_probe_candidates(
             batch_prefix,
             idx.unionByName(batch_prefix),
             id_col,
             self.threshold,
+            broadcast_probe=True,
         ).persist()
         corpus_cand = None
         try:
             # corpus_cand persists too: the bucket-id collect below
             # materializes BOTH caches in one job, and the verification
             # job's semi-join then reads it back instead of re-running
-            # the distinct + anti-join shuffles
+            # the anti-join. NO distinct here: the union stays NARROW
+            # (no shuffle stage on the hot path) — the left_semi
+            # consumer and the bucket-distinct below are both
+            # duplicate-tolerant
             corpus_cand = (
                 cand.select(F.col("id_a").alias("key"))
                 .unionByName(cand.select(F.col("id_b").alias("key")))
-                .distinct()
                 .join(
                     F.broadcast(batch_ids.withColumnRenamed(id_col, "key")),
                     "key",
@@ -333,7 +341,9 @@ class NearDupPrefixIndex:
                 stats["sets_buckets_read"] = len(cbuckets)
                 stats["sets_rows_scanned"] = self.sets.footer_rows(cbuckets)
                 stats["n_candidates"] = cand.count()
-                stats["n_corpus_candidates"] = corpus_cand.count()
+                stats["n_corpus_candidates"] = corpus_cand.select(
+                    "key"
+                ).distinct().count()
             hsets = batch_sets.select(
                 F.col(id_col),
                 F.transform("sh", lambda s: F.xxhash64(s)).alias("_h"),
