@@ -394,7 +394,9 @@ def main() -> None:
             ).alias("text"),
         )
 
-    def _flatness(tag: str, use_index: bool) -> dict:
+    def _flatness(
+        tag: str, use_index: bool, n_buckets: int | None = None
+    ) -> dict:
         # min-of-2 probe epochs per corpus size: a one-shot trigger
         # timing is hostage to co-tenant bursts; the min of two
         # identical-shaped epochs is the comparable number
@@ -411,11 +413,17 @@ def main() -> None:
             grow = grow.unionByName(_salted(c))
         corpus = StateTable(spark, os.path.join(work, f"flat_c_{tag}"))
         pairs = StateTable(spark, os.path.join(work, f"flat_p_{tag}"))
+        stats: list = []
         if use_index:
             index = NearDupPrefixIndex(
-                spark, os.path.join(work, f"flat_i_{tag}"), threshold=0.5
+                spark,
+                os.path.join(work, f"flat_i_{tag}"),
+                threshold=0.5,
+                n_buckets=n_buckets,
             )
-            sink = indexed_incremental_dedup_sink(corpus, pairs, index)
+            sink = indexed_incremental_dedup_sink(
+                corpus, pairs, index, stats=stats
+            )
         else:
             sink = incremental_dedup_sink(corpus, pairs, threshold=0.5)
         mk = lambda r: spark.createDataFrame(r, docs_tbl.schema)  # noqa: E731
@@ -429,7 +437,7 @@ def main() -> None:
         small = min(timed(1, probes[0]), timed(2, probes[1]))
         sink(grow, 3)  # grow the standing corpus ~10x
         large = min(timed(4, probes[2]), timed(5, probes[3]))
-        return {
+        out = {
             "probe_batch_rows": probe_n,
             "probe_secs_small_corpus": small,
             "probe_secs_10x_corpus": large,
@@ -438,9 +446,35 @@ def main() -> None:
             ),
             "pairs_found": int(pairs.snapshot().count()),
         }
+        if use_index:
+            # growth ATTRIBUTION (r11 VERDICT #4): postings rows the
+            # bucket-pruned probe physically scanned, per epoch, from
+            # commit footers — separates inherent growth (the real
+            # corpus shares shingle space, so probed buckets gain
+            # postings as the corpus grows) from fixable overhead.
+            # Epochs 1/2 probe the small corpus, 4/5 the 10x one.
+            scanned = {
+                s["epoch"]: s.get("postings_rows_scanned") for s in stats
+            }
+            out["postings_rows_scanned_small"] = min(
+                (scanned.get(e) for e in (1, 2)), key=lambda v: v or 0
+            )
+            out["postings_rows_scanned_10x"] = min(
+                (scanned.get(e) for e in (4, 5)), key=lambda v: v or 0
+            )
+            out["n_buckets"] = index.postings.n_buckets
+        return out
 
     flat_indexed = _flatness("idx", True)
     flat_legacy = _flatness("leg", False)
+    # the same indexed measurement at 8x the postings buckets (default
+    # is 64): if the grown-corpus ratio / scanned-rows drop, the
+    # residual growth was bucket-pruning granularity (fixable by
+    # sizing n_buckets up); if they hold, a 100-doc probe's shingle
+    # set already touches every bucket and the growth is inherent
+    # postings volume in the probed shingle space — pruning re-engages
+    # only when |batch shingles| << n_buckets
+    flat_indexed_512 = _flatness("idx512", True, n_buckets=512)
 
     flows["incremental_near_dup"] = {
         "rows": int(n_docs),
@@ -456,7 +490,87 @@ def main() -> None:
             else None
         ),
         "flatness_indexed": flat_indexed,
+        "flatness_indexed_512buckets": flat_indexed_512,
         "flatness_legacy_rebuild": flat_legacy,
+    }
+
+    # -- flow 5b: the refresh dial's VALUE on a vocabulary-drifted
+    # stream (r11 VERDICT #7). The frozen hot-shingle order bootstraps
+    # from epoch 0's vocabulary; epochs 2+ deliver documents whose
+    # token space is DISJOINT (every token re-salted), so the frozen
+    # hot set covers none of their Zipf head and prefixes degrade
+    # toward md5 order — candidates blow up (correctness holds; cost
+    # doesn't). refresh_factor=2.0 re-freezes the order once the
+    # corpus has doubled past the freeze point, adopting the drifted
+    # head. The comparison number is candidate mass on the post-drift
+    # epochs, same data both runs. --
+    def _drift_run(refresh_factor: float | None, tag: str) -> dict:
+        rows = [
+            (str(r["doc_id"]), r["text"] or "")
+            for r in docs_tbl.limit(1200).collect()
+        ]
+        mk = lambda r: spark.createDataFrame(  # noqa: E731
+            r, "doc_id string, text string"
+        )
+
+        def drifted(batch):
+            # one shared salt: the drifted docs form ONE new vocabulary
+            # whose Zipf head is common across epochs — exactly what a
+            # stale hot set fails to demote out of prefixes
+            return [
+                (f"d-{i}", " ".join(f"zqx{t}" for t in text.split(" ")))
+                for i, text in batch
+            ]
+
+        corpus = StateTable(spark, os.path.join(work, f"dr_c_{tag}"))
+        pairs = StateTable(spark, os.path.join(work, f"dr_p_{tag}"))
+        index = NearDupPrefixIndex(
+            spark, os.path.join(work, f"dr_i_{tag}"), threshold=0.5
+        )
+        stats: list = []
+        sink = indexed_incremental_dedup_sink(
+            corpus, pairs, index,
+            refresh_factor=refresh_factor, stats=stats,
+        )
+        t0 = time.time()
+        # epoch 0 freezes the order from the ORIGINAL vocabulary
+        # (baseline 200 rows); epoch 1 lands 800 drifted-vocabulary
+        # docs, pushing the corpus to 5x the freeze baseline — so
+        # factor=2.0 re-freezes at epoch 2, BEFORE the probe epochs,
+        # while factor=None keeps probing on the stale order. Probe
+        # epochs 2-5 are drifted docs with FRESH ids (no redelivery).
+        sink(mk(rows[:200]), 0)
+        sink(mk(drifted(rows[:800])), 1)
+        for e in range(2, 6):
+            lo = 800 + (e - 2) * 100
+            sink(mk(drifted(rows[lo: lo + 100])), e)
+        post = [s for s in stats if s["epoch"] >= 2]
+        return {
+            "secs": round(time.time() - t0, 3),
+            "refresh_factor": refresh_factor,
+            "post_drift_candidates": sum(
+                s.get("n_candidates") or 0 for s in post
+            ),
+            "candidates_by_epoch": {
+                str(s["epoch"]): s.get("n_candidates") for s in stats
+            },
+            "pairs_found": int(pairs.snapshot().count()),
+        }
+
+    drift_stale = _drift_run(None, "n")
+    drift_refresh = _drift_run(2.0, "r")
+    flows["neardup_drift_refresh"] = {
+        "frozen_order_stale": drift_stale,
+        "refresh_factor_2": drift_refresh,
+        "candidate_reduction": (
+            round(
+                drift_stale["post_drift_candidates"]
+                / drift_refresh["post_drift_candidates"],
+                2,
+            )
+            if drift_refresh["post_drift_candidates"]
+            else None
+        ),
     }
 
     payload = {
