@@ -112,7 +112,6 @@ def kmeans_fit(
     from pyspark.sql import Window
 
     from slipstream_async_spark.functions.text import hash32
-    from slipstream_async_spark.functions.vectors import cosine_similarity
 
     seeds = (
         corpus.withColumn("_h", hash32(F.col(id_col).cast("string")))
@@ -126,20 +125,23 @@ def kmeans_fit(
             F.col(vec_col), lambda x: F.round(x.cast("double"), 6)
         ).alias("centroid"),
     ).localCheckpoint()
+    from slipstream_async_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+
     for _ in range(iters):
-        scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
-            "_c",
-            F.round(
-                cosine_similarity(F.col(vec_col), F.col("centroid")), 6
-            ),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_c").desc(), F.col("list_id").asc()
-        )
-        assigned = (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(id_col, vec_col, "list_id")
+        # Arrow exact-fold lane: same round(cos, 6)-then-argmax decision
+        # as the former crossJoin + window (margin superset + Spark's
+        # own round/window pick the winner), ~1 candidate row per
+        # vector instead of k.
+        assigned = assign_nearest_centroid(
+            corpus,
+            cents,
+            id_col=id_col,
+            vec_col=vec_col,
+            cent_id_col="list_id",
+            cent_vec_col="centroid",
+            rounded=True,
         )
         means = (
             assigned.select(

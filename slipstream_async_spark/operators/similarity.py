@@ -47,7 +47,7 @@ def _ranked_topk(scored: DataFrame, k: int, query_id: str, corpus_id: str) -> Da
     )
 
 
-def brute_force_topk(
+def brute_force_topk_expr(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
@@ -55,10 +55,16 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k per query vector.
+    """Exact cosine top-k per query vector — pure-expression lane.
 
     ``queries`` needs (query_id_col, vec_col); self-matches (same id) are
     excluded when query ids live in the corpus id space.
+
+    This is the reference implementation (JVM higher-order-function
+    folds per pair). :func:`brute_force_topk` routes to the Arrow lane
+    when it can prove bit-identical results and falls back here
+    otherwise; keep this lane callable for that fallback and for
+    equivalence tests.
     """
     q = F.broadcast(
         queries.select(
@@ -75,6 +81,462 @@ def brute_force_topk(
         .select(query_id_col, id_col, "cosine")
     )
     return _ranked_topk(scored, k, query_id_col, id_col)
+
+
+# Bound on the driver-collected query side of the Arrow brute-force lane.
+# Catalog anchor sets are LIMIT 128; anything past this cap stays on the
+# expression lane (a broadcast there, a closure here — both bounded).
+_ARROW_TOPK_MAX_QUERIES = 4096
+# Per-batch candidate margin. Spark's round(x, 6) moves a cosine by at
+# most 5e-7 (+ ulps); a row more than 1e-5 below a batch's k-th best
+# UNROUNDED cosine therefore rounds strictly below at least k rows of
+# its own batch and can never reach the global rounded top-k, under any
+# id tie-break. 1e-5 leaves ~10x slack over the 1.01e-6 worst case.
+_ARROW_TOPK_MARGIN = 1e-5
+
+
+def _exact_pair_dots(mat, qt):
+    """(n,d) x (m,d) -> (n,m) dot products with the exact left-to-right
+    IEEE fold of ``functions.vectors.dot``: per (row, query) the j-th
+    step computes ``acc + x_j * y_j`` as two float64 roundings in index
+    order — the same operation sequence the JVM expression performs —
+    vectorized across the (row, query) plane, one dimension at a time.
+    """
+    import numpy as np
+
+    n = mat.shape[0]
+    m = qt.shape[0]
+    acc = np.zeros((n, m), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc += mat[:, j, None] * qt[None, :, j]
+    return acc
+
+
+def _exact_sq_norm(mat):
+    """Row-wise sum of squares with the exact index-ordered fold of
+    ``functions.vectors.norm`` (pre-sqrt)."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        c = mat[:, j]
+        acc += c * c
+    return acc
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (Arrow lane).
+
+    Bit-identical to :func:`brute_force_topk_expr` by construction, not
+    by luck: the per-pair cosine is computed in numpy with the exact
+    index-ordered float64 fold the JVM expression performs (multiply
+    then accumulate, dimension by dimension — see ``_exact_pair_dots``),
+    ``sqrt``/division are single IEEE ops in both engines, the zero-norm
+    guard maps to the same 0.0, and Spark itself applies the final
+    ``round(_, 6)`` and the global rank window. The Python stage only
+    *scores* and *pre-selects*: each batch emits every non-self row
+    within ``_ARROW_TOPK_MARGIN`` of its own k-th best unrounded cosine
+    — a provable superset of the global rounded top-k (margin argument
+    above) — so the rank window sees ~|batches|*m*k rows instead of
+    n*m (map-side top-k: shuffle rows collapse before the exchange).
+
+    Falls back to the expression lane when the query side exceeds
+    ``_ARROW_TOPK_MAX_QUERIES`` rows or carries null vectors (the
+    catalog's anchor sets are LIMIT <= 128 and non-null). Corpus rows
+    with a null embedding are emitted with a null cosine for every
+    query, exactly as the expression lane's fold yields null.
+    """
+    qrows = (
+        queries.select(F.col(query_id_col), F.col(vec_col))
+        .limit(_ARROW_TOPK_MAX_QUERIES + 1)
+        .collect()
+    )
+    if (
+        not qrows
+        or len(qrows) > _ARROW_TOPK_MAX_QUERIES
+        or any(r[1] is None or any(x is None for x in r[1]) for r in qrows)
+    ):
+        return brute_force_topk_expr(
+            corpus, queries, k, id_col, vec_col, query_id_col
+        )
+    import numpy as np
+
+    dims = {len(r[1]) for r in qrows}
+    if len(dims) != 1:
+        return brute_force_topk_expr(
+            corpus, queries, k, id_col, vec_col, query_id_col
+        )
+    (dim,) = dims
+    q_ids = [r[0] for r in qrows]
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt(_exact_sq_norm(q_mat))
+    m = len(q_ids)
+
+    corpus_fields = {f.name: f for f in corpus.schema.fields}
+    query_fields = {f.name: f for f in queries.schema.fields}
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(
+                query_id_col,
+                query_fields[query_id_col].dataType,
+                True,
+            ),
+            StructField(id_col, corpus_fields[id_col].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    margin = _ARROW_TOPK_MARGIN
+    q_ids_arr = np.array(q_ids)
+
+    def score(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b[id_col].to_numpy()
+            vecs = b[vec_col]
+            # Row-level nulls and ragged vectors are where the JVM fold
+            # yields NULL (zip_with pads length mismatches with nulls):
+            # emit (row x every query) with a genuine NULL cosine.
+            null_mask = np.array(
+                [v is None or len(v) != dim for v in vecs], dtype=bool
+            )
+            if null_mask.any():
+                bad_ids = ids[null_mask]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.repeat(q_ids_arr, len(bad_ids)),
+                        id_col: np.tile(bad_ids, m),
+                        "cosine": pd.array(
+                            [None] * (len(bad_ids) * m), dtype="Float64"
+                        ),
+                    }
+                )
+                if null_mask.all():
+                    continue
+                ids = ids[~null_mask]
+                vecs = vecs[~null_mask]
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in vecs],
+                dtype=np.float64,
+            )
+            dots = _exact_pair_dots(mat, q_mat)
+            c_norm = np.sqrt(_exact_sq_norm(mat))
+            denom = c_norm[:, None] * q_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom == 0.0, 0.0, dots / denom)
+            sel = sims.copy()
+            self_mask = ids[:, None] == q_ids_arr[None, :]
+            sel[self_mask] = -np.inf
+            # NaN payloads compute through to NaN, which a descending
+            # Spark sort ranks FIRST — they must always survive
+            # pre-selection, and must not poison the k-th threshold.
+            nan_mask = np.isnan(sel)
+            sel[nan_mask] = -np.inf
+            n = sel.shape[0]
+            if n > k:
+                kth = np.partition(sel, n - k, axis=0)[n - k, :]
+            else:
+                kth = np.full(m, -np.inf)
+            keep = (
+                (sel >= (kth - margin)[None, :]) | nan_mask
+            ) & ~self_mask
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids_arr[cols],
+                    id_col: ids[rows],
+                    "cosine": sims[rows, cols],
+                }
+            )
+
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(score, out_schema)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", F.round("cosine", 6))
+        .select(query_id_col, id_col, "cosine")
+    )
+    return _ranked_topk(scored, k, query_id_col, id_col)
+
+
+def _collect_anchor_rows(queries: DataFrame, cols: list[str]):
+    """Driver-collect a bounded anchor frame for the Arrow lanes; None
+    when it is too big / empty / null-bearing (callers then fall back to
+    the expression lane)."""
+    rows = queries.select(*cols).limit(_ARROW_TOPK_MAX_QUERIES + 1).collect()
+    if not rows or len(rows) > _ARROW_TOPK_MAX_QUERIES:
+        return None
+    vecs = [r[1] for r in rows]
+    if any(v is None or any(x is None for x in v) for v in vecs):
+        return None
+    if len({len(v) for v in vecs}) != 1:
+        return None
+    return rows
+
+
+def anchor_cosine_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_cols: list[str] | None = None,
+    query_cols: list[str] | None = None,
+) -> DataFrame:
+    """All (corpus x anchor) cosine scores, Arrow exact-fold lane: the
+    un-ranked sibling of :func:`brute_force_topk` for queries that
+    aggregate over EVERY pair (triplet margins, hubness moments) rather
+    than a top-k. Emits one row per (corpus row, anchor) — minus
+    self-matches — carrying ``corpus_cols`` / ``query_cols`` pass-through
+    attributes and the UNROUNDED exact cosine (callers apply their own
+    ``F.round``). Bit-identical to the
+    ``crossJoin(broadcast(queries))`` + ``cosine_similarity`` expression
+    shape for non-null, equal-length vectors: same index-ordered fold
+    (see ``_exact_pair_dots``), same zero-norm guard; falls back to that
+    exact expression shape when the anchor side is unbounded/null.
+    """
+    corpus_cols = corpus_cols or []
+    query_cols = query_cols or []
+    rows = _collect_anchor_rows(
+        queries, [query_id_col, vec_col, *query_cols]
+    )
+    if rows is None:
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col),
+                F.col(vec_col).alias("_qvec"),
+                *[F.col(c) for c in query_cols],
+            )
+        )
+        return (
+            corpus.select(F.col(id_col), F.col(vec_col), *corpus_cols)
+            .crossJoin(q)
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .select(
+                query_id_col,
+                id_col,
+                *corpus_cols,
+                *query_cols,
+                cosine_similarity(F.col("_qvec"), F.col(vec_col)).alias(
+                    "cosine"
+                ),
+            )
+        )
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_ids_arr = np.array([r[0] for r in rows])
+    q_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    q_norm = np.sqrt(_exact_sq_norm(q_mat))
+    q_attrs = {c: np.array([r[2 + i] for r in rows])
+               for i, c in enumerate(query_cols)}
+    m = len(rows)
+    dim = q_mat.shape[1]
+
+    cf = {f.name: f for f in corpus.schema.fields}
+    qf = {f.name: f for f in queries.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(query_id_col, qf[query_id_col].dataType, True),
+            StructField(id_col, cf[id_col].dataType, True),
+            *[StructField(c, cf[c].dataType, True) for c in corpus_cols],
+            *[StructField(c, qf[c].dataType, True) for c in query_cols],
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b[id_col].to_numpy()
+            vecs = b[vec_col]
+            n = len(b)
+            null_mask = np.array(
+                [v is None or len(v) != dim for v in vecs], dtype=bool
+            )
+            mat = np.array(
+                [
+                    np.zeros(dim)
+                    if null_mask[i]
+                    else np.asarray(vecs.iloc[i], dtype=np.float64)
+                    for i in range(n)
+                ],
+                dtype=np.float64,
+            )
+            dots = _exact_pair_dots(mat, q_mat)
+            c_norm = np.sqrt(_exact_sq_norm(mat))
+            denom = c_norm[:, None] * q_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom == 0.0, 0.0, dots / denom)
+            self_mask = ids[:, None] == q_ids_arr[None, :]
+            keep = ~self_mask
+            rows_ix, cols_ix = np.nonzero(keep)
+            # object dtype: None -> Arrow null for null/ragged corpus
+            # rows, while genuine NaN cosines stay NaN (a nullable
+            # Float64 array would fold NaN into NA).
+            cos = sims[rows_ix, cols_ix].astype(object)
+            if null_mask.any():
+                cos[null_mask[rows_ix]] = None
+            out = {query_id_col: q_ids_arr[cols_ix], id_col: ids[rows_ix]}
+            for c in corpus_cols:
+                out[c] = b[c].to_numpy()[rows_ix]
+            for c in query_cols:
+                out[c] = q_attrs[c][cols_ix]
+            out["cosine"] = cos
+            yield pd.DataFrame(out)
+
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col), *corpus_cols)
+        .mapInPandas(score, out_schema)
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+
+
+def l2sq_topn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-anchor n smallest squared L2 distances, exact: emits
+    (query_id, id, l2sq, rk) with ``rk`` the 1-based rank under
+    (l2sq asc, id asc). The distance is the exact IEEE chain
+    ``dot(e,e) - 2*dot(e,v) + dot(v,v)`` of the expression lane (each
+    dot an index-ordered fold, ``2*dot`` one multiply, the subtraction
+    and addition single roundings — reproduced op-for-op in numpy), so
+    per-batch pre-selection needs NO margin: every batch keeps exactly
+    the rows at or below its n-th order statistic of l2sq (ties kept
+    whole), a provable superset of the global top-n under any id
+    tie-break, and the global rank window finishes the job.
+
+    Falls back to the crossJoin expression shape when the anchor side
+    is unbounded/null-bearing.
+    """
+    rows = _collect_anchor_rows(queries, [query_id_col, vec_col])
+    e, v = F.col(vec_col), F.col("_qvec")
+    if rows is None:
+        from slipstream_async_spark.functions import vectors as VECF
+
+        p = (
+            corpus.crossJoin(
+                F.broadcast(
+                    queries.select(
+                        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+                    )
+                )
+            )
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .select(
+                query_id_col,
+                id_col,
+                (
+                    VECF.dot(e, e) - 2 * VECF.dot(e, v) + VECF.dot(v, v)
+                ).alias("l2sq"),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy("l2sq", id_col)
+        return p.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= n
+        )
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_ids_arr = np.array([r[0] for r in rows])
+    q_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    q_sq = _exact_sq_norm(q_mat)
+    m = len(rows)
+    dim = q_mat.shape[1]
+
+    cf = {f.name: f for f in corpus.schema.fields}
+    qf = {f.name: f for f in queries.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(query_id_col, qf[query_id_col].dataType, True),
+            StructField(id_col, cf[id_col].dataType, True),
+            StructField("l2sq", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b[id_col].to_numpy()
+            vecs = b[vec_col]
+            null_mask = np.array(
+                [x is None or len(x) != dim for x in vecs], dtype=bool
+            )
+            if null_mask.any():
+                bad_ids = ids[null_mask]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.repeat(q_ids_arr, len(bad_ids)),
+                        id_col: np.tile(bad_ids, m),
+                        "l2sq": pd.array(
+                            [None] * (len(bad_ids) * m), dtype="Float64"
+                        ),
+                    }
+                )
+                if null_mask.all():
+                    continue
+                ids = ids[~null_mask]
+                vecs = vecs[~null_mask]
+            mat = np.array(
+                [np.asarray(x, dtype=np.float64) for x in vecs],
+                dtype=np.float64,
+            )
+            c_sq = _exact_sq_norm(mat)
+            dots = _exact_pair_dots(mat, q_mat)
+            l2 = (c_sq[:, None] - 2.0 * dots) + q_sq[None, :]
+            sel = l2.copy()
+            self_mask = ids[:, None] == q_ids_arr[None, :]
+            sel[self_mask] = np.inf
+            nan_mask = np.isnan(sel)
+            # NaN l2sq ranks LAST under an ascending Spark sort (NaN is
+            # greatest) — still emitted so under-filled anchors see them.
+            sel[nan_mask] = np.inf
+            nrows = sel.shape[0]
+            if nrows > n:
+                vn = np.partition(sel, n - 1, axis=0)[n - 1, :]
+            else:
+                vn = np.full(m, np.inf)
+            keep = ((sel <= vn[None, :]) | nan_mask) & ~self_mask
+            rix, cix = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids_arr[cix],
+                    id_col: ids[rix],
+                    "l2sq": l2[rix, cix],
+                }
+            )
+
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(score, out_schema)
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy("l2sq", id_col)
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= n
+    )
 
 
 def sign_bucket(vec: Column, n_planes: int = 8, offset: int = 0) -> Column:
@@ -155,6 +617,206 @@ def lsh_bucket_topk(
     return _ranked_topk(scored, k, query_id_col, id_col)
 
 
+def assign_nearest_centroid(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+    rounded: bool = False,
+) -> DataFrame:
+    """Max-cosine centroid per corpus vector — (id_col, vec_col,
+    ``list_id``) with ties broken toward the smaller centroid id.
+    Bit-identical to the ``crossJoin(broadcast(cents))`` + argmax-window
+    shape (see ``ivf_index``) and usually far cheaper: cosines come from
+    the exact index-ordered numpy fold (``_exact_pair_dots``), and
+
+    - ``rounded=False`` compares UNROUNDED cosines, so the exact argmax
+      (numpy first-max == smallest centroid id on exact ties) is decided
+      per batch and NO window/shuffle exists at all;
+    - ``rounded=True`` reproduces ``round(cos, 6)``-then-argmax: each
+      row emits every centroid within ``_ARROW_TOPK_MARGIN`` of its
+      unrounded max (a provable superset of the rounded argmax — see
+      ``brute_force_topk``'s margin argument) and Spark's own
+      ``F.round`` + rank window pick the winner over ~1 row per vector.
+
+    Null/ragged corpus vectors emit a null cosine against every
+    centroid (the JVM fold's value), so the window ranks them exactly
+    as the expression lane does. Falls back to the crossJoin expression
+    shape when the centroid side is unbounded or null-bearing.
+    """
+    rows = _collect_anchor_rows(cents, [cent_id_col, cent_vec_col])
+    if rows is not None:
+        # Ascending centroid id so numpy's first-occurrence argmax
+        # reproduces the window's (cosine desc, cent_id asc) tie-break.
+        rows = sorted(rows, key=lambda r: r[0])
+    if rows is None:
+        scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+            "_cc",
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(cent_vec_col)), 6
+            )
+            if rounded
+            else cosine_similarity(F.col(vec_col), F.col(cent_vec_col)),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_cc").desc(), F.col(cent_id_col).asc()
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col(cent_id_col).alias("list_id"),
+            )
+        )
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    c_ids = np.array([r[0] for r in rows])
+    c_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    c_norm = np.sqrt(_exact_sq_norm(c_mat))
+    kcent = len(rows)
+    dim = c_mat.shape[1]
+
+    cf = {f.name: f for f in corpus.schema.fields}
+    centf = {f.name: f for f in cents.schema.fields}
+    id_t = cf[id_col].dataType
+    vec_t = cf[vec_col].dataType
+    cid_t = centf[cent_id_col].dataType
+    margin = _ARROW_TOPK_MARGIN
+
+    if not rounded:
+        out_schema = StructType(
+            [
+                StructField(id_col, id_t, True),
+                StructField(vec_col, vec_t, True),
+                StructField("list_id", cid_t, True),
+            ]
+        )
+
+        def assign(batches):
+            import pandas as pd
+
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                vecs = b[vec_col]
+                null_mask = np.array(
+                    [v is None or len(v) != dim for v in vecs], dtype=bool
+                )
+                n = len(b)
+                mat = np.array(
+                    [
+                        np.zeros(dim)
+                        if null_mask[i]
+                        else np.asarray(vecs.iloc[i], dtype=np.float64)
+                        for i in range(n)
+                    ],
+                    dtype=np.float64,
+                )
+                dots = _exact_pair_dots(mat, c_mat)
+                nrm = np.sqrt(_exact_sq_norm(mat))
+                denom = nrm[:, None] * c_norm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(denom == 0.0, 0.0, dots / denom)
+                # NaN payloads: a descending Spark sort ranks NaN first,
+                # ties toward the smaller centroid id -> centroid 0 of
+                # the NaN set; numpy argmax also returns the first NaN.
+                # All-null rows: every cosine null -> order falls to
+                # cent_id asc -> the smallest centroid id, == argmax of
+                # an all-equal row here.
+                best = np.argmax(sims, axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: b[id_col],
+                        vec_col: vecs,
+                        "list_id": c_ids[best],
+                    }
+                )
+
+        return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            assign, out_schema
+        )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, id_t, True),
+            StructField(vec_col, vec_t, True),
+            StructField(cent_id_col, cid_t, True),
+            StructField("_cc", DoubleType(), True),
+        ]
+    )
+
+    def cand(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            vecs = b[vec_col]
+            n = len(b)
+            null_mask = np.array(
+                [v is None or len(v) != dim for v in vecs], dtype=bool
+            )
+            if null_mask.any():
+                bad = np.nonzero(null_mask)[0]
+                yield pd.DataFrame(
+                    {
+                        id_col: b[id_col].iloc[np.repeat(bad, kcent)].to_numpy(),
+                        vec_col: vecs.iloc[np.repeat(bad, kcent)],
+                        cent_id_col: np.tile(c_ids, len(bad)),
+                        "_cc": pd.array(
+                            [None] * (len(bad) * kcent), dtype="Float64"
+                        ),
+                    }
+                )
+                if null_mask.all():
+                    continue
+            good = np.nonzero(~null_mask)[0]
+            mat = np.array(
+                [np.asarray(vecs.iloc[i], dtype=np.float64) for i in good],
+                dtype=np.float64,
+            )
+            dots = _exact_pair_dots(mat, c_mat)
+            nrm = np.sqrt(_exact_sq_norm(mat))
+            denom = nrm[:, None] * c_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom == 0.0, 0.0, dots / denom)
+            sel = sims.copy()
+            nan_mask = np.isnan(sel)
+            sel[nan_mask] = -np.inf
+            rowmax = sel.max(axis=1)
+            keep = (sel >= (rowmax - margin)[:, None]) | nan_mask
+            rix, cix = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].iloc[good[rix]].to_numpy(),
+                    vec_col: vecs.iloc[good[rix]],
+                    cent_id_col: c_ids[cix],
+                    "_cc": sims[rix, cix],
+                }
+            )
+
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(cand, out_schema)
+        .withColumn("_cc", F.round("_cc", 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cc").desc(), F.col(cent_id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(id_col), F.col(vec_col), F.col(cent_id_col).alias("list_id")
+        )
+    )
+
+
 def ivf_index(
     corpus: DataFrame,
     n_lists: int = 16,
@@ -192,16 +854,17 @@ def ivf_index(
                 F.col(vec_col).alias("cent_vec"),
             )
         )
-    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
-        "_cc", cosine_similarity(F.col(vec_col), F.col("cent_vec"))
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cc").desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("cent_id").alias("list_id"))
+    # Arrow exact-argmax lane (falls back to the crossJoin + argmax
+    # window internally): unrounded cosines are exact, so assignment is
+    # decided per batch with no window shuffle at all.
+    assigned = assign_nearest_centroid(
+        corpus,
+        cents,
+        id_col=id_col,
+        vec_col=vec_col,
+        cent_id_col="cent_id",
+        cent_vec_col="cent_vec",
+        rounded=False,
     )
     return cents, assigned
 
@@ -613,18 +1276,119 @@ def semdedup(
             F.col("cluster_size") <= max_cluster_size
         ).select("list_id")
         prunable = ranked.join(F.broadcast(keep_lists), "list_id", "left_semi")
-    dropped = (
-        prunable.alias("x")
-        .join(prunable.alias("y"), "list_id")
-        .filter(F.col("x._pri") < F.col("y._pri"))
-        .filter(
-            F.round(
-                cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6
+    # Per-cluster Arrow kernel instead of the intra-cluster pair
+    # self-join: each cluster ships its vectors ONCE into a grouped
+    # pandas task (reusing the rank window's hash partitioning on
+    # list_id), which computes the exact index-ordered cosine fold for
+    # every (x._pri < y._pri) pair and emits, per candidate y, the MAX
+    # exact cosine over its higher-priority partners (round is
+    # monotone, so round(max) >= t iff some pair rounds >= t). NaN
+    # pairs can never satisfy the filter and are excluded from the max;
+    # null/ragged vectors yield null cosines in the expression lane and
+    # are likewise never emitted. Spark applies the same
+    # round(_, 6) >= threshold filter as before on the emitted maxima,
+    # so the dropped-id set is bit-identical; the margin only bounds
+    # what the kernel bothers to emit.
+    if threshold <= 0.0:
+        # Degenerate dial: zero/empty-norm pairs (cosine 0.0) would
+        # pass the filter, a case the kernel's empty-vector skip does
+        # not model — keep the reference pair-join shape.
+        dropped = (
+            prunable.alias("x")
+            .join(prunable.alias("y"), "list_id")
+            .filter(F.col("x._pri") < F.col("y._pri"))
+            .filter(
+                F.round(
+                    cosine_similarity(
+                        F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")
+                    ),
+                    6,
+                )
+                >= threshold
             )
-            >= threshold
+            .select(F.col(f"y.{id_col}").alias(id_col))
+            .distinct()
+            .withColumn("_dup", F.lit(True))
         )
-        .select(F.col(f"y.{id_col}").alias(id_col))
-        .distinct()
+        return (
+            ranked.join(dropped, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("list_id"),
+                F.col("cent_cos"),
+                F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+            )
+        )
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    idt = {f.name: f for f in corpus.schema.fields}[id_col].dataType
+    drop_schema = StructType(
+        [
+            StructField(id_col, idt, True),
+            StructField("_maxcos", DoubleType(), True),
+        ]
+    )
+    margin = _ARROW_TOPK_MARGIN
+
+    def cluster_prune(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_pri")
+        vecs = pdf[vec_col]
+        ok = np.array(
+            [v is not None and len(v) > 0 for v in vecs], dtype=bool
+        )
+        if ok.sum() < 2:
+            return pd.DataFrame({id_col: [], "_maxcos": []}).astype(
+                {"_maxcos": "float64"}
+            )
+        sub = pdf[ok]
+        dims = {len(v) for v in sub[vec_col]}
+        if len(dims) != 1:
+            # Ragged clusters: every cross-dim pair folds to null in
+            # the JVM; only equal-length pairs can drop. Rare/defensive:
+            # group by dim and prune within each.
+            frames = []
+            for d in dims:
+                mask = np.array([len(v) == d for v in sub[vec_col]])
+                if mask.sum() >= 2:
+                    frames.append(cluster_prune(sub[mask]))
+            return (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame({id_col: [], "_maxcos": []}).astype(
+                    {"_maxcos": "float64"}
+                )
+            )
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) for v in sub[vec_col]],
+            dtype=np.float64,
+        )
+        dots = _exact_pair_dots(mat, mat)
+        nrm = np.sqrt(_exact_sq_norm(mat))
+        denom = nrm[:, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom == 0.0, 0.0, dots / denom)
+        sims[np.isnan(sims)] = -np.inf
+        n = sims.shape[0]
+        # only x earlier in priority order may drop y
+        sims[np.tril_indices(n)] = -np.inf
+        colmax = sims.max(axis=0)
+        keep = colmax >= (threshold - margin)
+        return pd.DataFrame(
+            {
+                id_col: sub[id_col].to_numpy()[keep],
+                "_maxcos": colmax[keep],
+            }
+        )
+
+    dropped = (
+        prunable.select("list_id", id_col, vec_col, "_pri")
+        .groupBy("list_id")
+        .applyInPandas(cluster_prune, drop_schema)
+        .filter(F.round(F.col("_maxcos"), 6) >= threshold)
+        .select(id_col)
         .withColumn("_dup", F.lit(True))
     )
     return (

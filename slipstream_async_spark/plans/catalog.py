@@ -5469,22 +5469,21 @@ def sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries (list, pos, partial sums), never whole vectors). Output:
     final centroids as micro-int strings + member counts from the final
     assignment — the exactness contract emb_label_centroids uses."""
-    from slipstream_async_spark.functions.vectors import cosine_similarity
     from slipstream_async_spark.operators.learn import kmeans_fit
-    from pyspark.sql import Window
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, k=8, iters=3)
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "_c",
-        F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 6),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("_c").desc(), F.col("list_id").asc()
-    )
+    # Arrow exact-fold assignment (similarity.assign_nearest_centroid):
+    # identical round(cos,6)-then-argmax decision, ~1 candidate row per
+    # vector through the rank window instead of k.
     members = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
+        SIM.assign_nearest_centroid(
+            emb,
+            cents,
+            cent_id_col="list_id",
+            cent_vec_col="centroid",
+            rounded=True,
+        )
         .groupBy("list_id")
         .agg(F.count("*").alias("_n"))
     )
@@ -17059,29 +17058,18 @@ def emb_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         emb.select(
             F.col("vec_id").alias("anchor_id"),
-            F.col("embedding").alias("qv"),
+            F.col("embedding"),
             F.md5(F.col("vec_id").cast("string")).alias("_h"),
         )
         .orderBy("_h", "anchor_id")
         .limit(128)
         .drop("_h")
     )
-    e, v = F.col("embedding"), F.col("qv")
-    p = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("anchor_id"))
-        .select(
-            "anchor_id",
-            "vec_id",
-            (VEC.dot(e, e) - 2 * VEC.dot(e, v) + VEC.dot(v, v)).alias(
-                "l2sq"
-            ),
-        )
-    )
-    w = Window.partitionBy("anchor_id").orderBy("l2sq", "vec_id")
-    nn = p.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= 2
-    )
+    # Arrow exact-fold lane (similarity.l2sq_topn): the same IEEE chain
+    # dot(e,e) - 2*dot(e,v) + dot(v,v) as the former crossJoin
+    # expression, with per-batch top-2 pre-selection so the rank window
+    # sees ~|batches|*128*2 rows instead of |corpus|*128.
+    nn = SIM.l2sq_topn(emb, q, n=2, query_id_col="anchor_id")
     mu = nn.groupBy("anchor_id").agg(
         F.min(F.when(F.col("rk") == 1, F.col("l2sq"))).alias("d1"),
         F.min(F.when(F.col("rk") == 2, F.col("l2sq"))).alias("d2"),
@@ -19714,7 +19702,7 @@ def emb_triplet_violation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         emb.select(
             F.col("vec_id").alias("aid"),
-            F.col("embedding").alias("av"),
+            F.col("embedding"),
             F.col("label").alias("alabel"),
             F.md5(F.col("vec_id").cast("string")).alias("_h"),
         )
@@ -19722,19 +19710,20 @@ def emb_triplet_violation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(128)
         .drop("_h")
     )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("aid"))
-        .select(
-            "aid",
-            "alabel",
-            "label",
-            F.round(
-                VEC.cosine_similarity(F.col("embedding"), F.col("av")), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("cosine"),
-        )
+    # Arrow exact-fold lane (similarity.anchor_cosine_scores): same
+    # index-ordered cosine fold as the former crossJoin expression,
+    # scored in one vectorized pass; round + decimal cast stay in Spark.
+    scored = SIM.anchor_cosine_scores(
+        emb,
+        q,
+        query_id_col="aid",
+        corpus_cols=["label"],
+        query_cols=["alabel"],
+    ).select(
+        "aid",
+        "alabel",
+        "label",
+        F.round(F.col("cosine"), 6).cast("decimal(18,6)").alias("cosine"),
     )
     per = scored.groupBy("aid", "alabel").agg(
         F.max(F.when(F.col("label") == F.col("alabel"), F.col("cosine"))).alias(

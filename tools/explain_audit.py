@@ -349,7 +349,37 @@ ALLOW_BNLJ = {
     # single readout row — scalars, not data
     "dedup_recluster_tighter",
 }
-PY_STAGE_OK = {"mm_decode_features", "p3_generator_handler"}
+PY_STAGE_OK = {
+    "mm_decode_features",
+    "p3_generator_handler",
+    # r12 optimization: the similarity/embedding family's pairwise
+    # cosine/L2 scoring moved from interpreted JVM higher-order-function
+    # folds to Arrow exact-fold kernels (similarity.brute_force_topk /
+    # anchor_cosine_scores / l2sq_topn / assign_nearest_centroid /
+    # semdedup's grouped prune). The Python stage is the DELIBERATE
+    # compute lane (guide §4.2: batch-vectorized native code beats
+    # row-at-a-time JVM expression evaluation); each kernel also does
+    # map-side top-k/argmax pre-selection so the downstream exchange
+    # carries ~k rows per query instead of |corpus| x |queries|.
+    # Results are bit-identical to the expression lanes (exact
+    # index-ordered IEEE folds + margin-superset selection, Spark-side
+    # round and rank windows decide) — parity-tested in
+    # tests/test_operators.py and oracle-checked.
+    "sim_topk_bruteforce",
+    "sim_ann_recall",
+    "sim_ann_recall_2table",
+    "sim_ivf_probe_recall",
+    "sim_topk_ivf",
+    "sim_topk_ivf_mapside",
+    "sim_topk_ivfadc",
+    "sim_kmeans_centroids",
+    "sim_semdedup",
+    "emb_matryoshka_recall",
+    "emb_hubness_skew",
+    "emb_intrinsic_dimension",
+    "emb_triplet_violation",
+    "knn_label_vote",
+}
 
 # Queries whose plan legitimately contains a Window over an
 # Exchange SinglePartition: the window's INPUT is a bounded,
