@@ -477,6 +477,17 @@ def _cc_two_phase(
     )
 
 
+# Edge-count cutover for solving connected components on the driver:
+# below it the edge list is a few MB (16 B/edge x 2 directions), one
+# union-find pass replaces the per-round join/aggregate/checkpoint
+# actions (measured ~1.5-2 s of driver round-trips per clustering query
+# at sf0.1). The decision is made from the MEASURED count of the
+# already-checkpointed edge frame (the same adaptive-broadcast
+# discipline as _BC_MAX_DOCS) — at 100 TB edge sets exceed it and the
+# distributed rounds run unchanged.
+_DRIVER_CC_MAX_EDGES = 500_000
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -485,6 +496,7 @@ def duplicate_clusters(
     probe_every: int = 2,
     method: str = "label",
     stats: dict | None = None,
+    driver_cutover: int | None = _DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document in a
     duplicate group gets the group's min id as ``cluster_id``, and the
@@ -530,6 +542,62 @@ def duplicate_clusters(
         # per round
         .localCheckpoint(eager=True)
     )
+    # Small-graph cutover (r12): counting the checkpointed frame is a
+    # local-block scan, and when the edge list fits the driver budget a
+    # single union-find pass produces the identical (node, min-id)
+    # labeling with ZERO iterative rounds — the per-round
+    # join/aggregate/localCheckpoint/probe actions are where a
+    # small-graph clustering query spends most of its time. Both
+    # methods produce min-label components, so the cutover serves both;
+    # pass ``driver_cutover=None`` to pin the distributed lanes (the
+    # scale-contract tests do).
+    if (
+        driver_cutover is not None
+        and edges.count() <= driver_cutover
+    ):
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                parent[ra] = rb
+        nodes = {r[0] for r in rows}
+        comp_min: dict = {}
+        for n in nodes:
+            root = find(n)
+            cur = comp_min.get(root)
+            if cur is None or n < cur:
+                comp_min[root] = n
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["method"] = "driver"
+        from pyspark.sql.types import StructField, StructType
+
+        node_t = edges.schema["src"].dataType
+        out_schema = StructType(
+            [
+                StructField("doc_id", node_t, True),
+                StructField("cluster_id", node_t, True),
+            ]
+        )
+        spark = pairs.sparkSession
+        labeled = spark.createDataFrame(
+            [(n, comp_min[find(n)]) for n in sorted(nodes)], out_schema
+        )
+        return labeled.select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
     if method == "star":
         labels = _cc_two_phase(edges, max_iter, stats)
         return labels.select(

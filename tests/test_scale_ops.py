@@ -745,7 +745,12 @@ def test_cc_two_phase_logarithmic_on_chains(spark):
     n = 1_000
     chain = spark.range(n - 1).selectExpr("id as id_a", "id + 1 as id_b")
     stats: dict = {}
-    labels = duplicate_clusters(chain, max_iter=30, method="star", stats=stats)
+    # driver_cutover=None pins the DISTRIBUTED star lane — this test's
+    # contract is the round count of the scale algorithm, which the r12
+    # small-graph driver cutover would otherwise short-circuit.
+    labels = duplicate_clusters(
+        chain, max_iter=30, method="star", stats=stats, driver_cutover=None
+    )
     rows = labels.collect()
     assert len(rows) == n
     assert all(r["cluster_id"] == 0 for r in rows)
