@@ -260,7 +260,24 @@ def dedup_ngram_jaccard(
         F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
     ).first()
     small_sets = n_docs <= _BC_MAX_DOCS
-    inv = sets.select(F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    # Candidate generation runs entirely on 64-bit xxhash64 shingle
+    # hashes — the SAME domain exact verification already intersects in
+    # (_verified_pairs) — so freq/bucket shuffle keys are 8-byte longs,
+    # not ~30-char shingle strings. Result-identical: prefix filtering
+    # is complete under ANY consistent total order (the frozen-order
+    # theorem at frozen_order_prefix_rows), the (hash-freq asc, hash
+    # asc) order is consistent, and the prefix length computed from the
+    # STRING set size n is >= the length the (possibly collision-
+    # shrunk) hashed set requires because n - ceil(t*n) + 1 is
+    # nondecreasing in n. array_distinct guards the 2^-64 intra-doc
+    # collision from ever producing a duplicate (id, hash) bucket row.
+    inv = sets.select(
+        F.col(id_col),
+        F.size("sh").alias("n"),
+        F.explode(
+            F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
+        ).alias("s"),
+    )
     freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
     if small_sets and total_sh <= _BC_MAX_VOCAB:
         freq = F.broadcast(freq)
@@ -274,7 +291,7 @@ def dedup_ngram_jaccard(
         .filter(F.col("_r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
         .select(F.col(id_col), "n", "s", "_r")
     )
-    # Two exact prunes before the distinct + verify joins ever see a pair:
+    # Two exact prunes before the verify joins ever see a pair:
     # 1. Jaccard length bound: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|).
     # 2. PPJoin positional filter: J >= t <=> overlap >= t/(1+t)*(nA+nB),
     #    and a shared shingle at ranks (pA, pB) bounds the overlap by
@@ -300,10 +317,16 @@ def dedup_ngram_jaccard(
             & (ubound >= alpha)
         )
         .select("id_a", "id_b")
-        .distinct()
     )
+    # Candidates are NOT pre-deduped: after the length+positional prunes
+    # the multi-shared-prefix duplication is ~5% (measured sf0.1:
+    # 131,671 occurrences -> 124,979 pairs), so a distinct here would
+    # shuffle the whole candidate set to save 5% of the (broadcast,
+    # shuffle-free) verify joins. Verify first, then dedupe the verified
+    # SURVIVORS (a few hundred rows), which costs one negligible
+    # exchange instead of a full-candidate one.
     return _verified_pairs(cand, sets, id_col, threshold,
-                           broadcast_sets=small_sets)
+                           broadcast_sets=small_sets).distinct()
 
 
 def containment_pairs(
@@ -335,8 +358,17 @@ def containment_pairs(
         F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
     ).first()
     small_sets = n_docs <= _BC_MAX_DOCS
+    # Hashed candidate generation — same exactness argument as
+    # dedup_ngram_jaccard: verification already intersects xxhash64
+    # hashes, prefix completeness holds under any consistent total
+    # order, and the string-size prefix length over-covers the hashed
+    # set. Inverted-index join keys become 8-byte longs.
     inv = sets.select(
-        F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
+        F.col(id_col),
+        F.size("sh").alias("n"),
+        F.explode(
+            F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
+        ).alias("s"),
     )
     freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
     if small_sets and total_sh <= _BC_MAX_VOCAB:
