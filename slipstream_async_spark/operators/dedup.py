@@ -253,11 +253,28 @@ def dedup_ngram_jaccard(
     broadcast adaptively: the set table is cached anyway, so counting it to
     make the decision is the cache materialization, not an extra pass.
     """
-    sets = shingle_sets(df, text_col, id_col, k).cache()
+    # The CACHE holds the HASHED sets (id, _h array<bigint>, _n) — not
+    # the string shingle arrays: every downstream consumer (inverted
+    # index, verify side a, verify side b) works in the xxhash64 domain,
+    # so hashing once into the cache removes two full re-tokenize+hash
+    # passes per query and the cached/broadcast payload shrinks from
+    # ~30-char strings to 8-byte longs. ``_n`` stays the STRING set size
+    # (verification's |A|/|B| and the prefix length both come from it;
+    # array_distinct may shrink _h only under a 2^-64 intra-doc
+    # collision, and array_intersect's output is distinct regardless, so
+    # the Jaccard is bit-identical).
+    sets = shingle_sets(df, text_col, id_col, k)
+    hsets = sets.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("sh", lambda s: F.xxhash64(s))
+        ).alias("_h"),
+        F.size("sh").alias("_n"),
+    ).cache()
     # ONE action materializes the cache and yields both broadcast
     # decisions (doc count, and vocab bounded by total occurrences).
-    n_docs, total_sh = sets.agg(
-        F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
+    n_docs, total_sh = hsets.agg(
+        F.count("*"), F.coalesce(F.sum("_n"), F.lit(0))
     ).first()
     small_sets = n_docs <= _BC_MAX_DOCS
     # Candidate generation runs entirely on 64-bit xxhash64 shingle
@@ -269,14 +286,11 @@ def dedup_ngram_jaccard(
     # asc) order is consistent, and the prefix length computed from the
     # STRING set size n is >= the length the (possibly collision-
     # shrunk) hashed set requires because n - ceil(t*n) + 1 is
-    # nondecreasing in n. array_distinct guards the 2^-64 intra-doc
-    # collision from ever producing a duplicate (id, hash) bucket row.
-    inv = sets.select(
+    # nondecreasing in n.
+    inv = hsets.select(
         F.col(id_col),
-        F.size("sh").alias("n"),
-        F.explode(
-            F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
-        ).alias("s"),
+        F.col("_n").alias("n"),
+        F.explode("_h").alias("s"),
     )
     freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
     if small_sets and total_sh <= _BC_MAX_VOCAB:
@@ -325,8 +339,8 @@ def dedup_ngram_jaccard(
     # shuffle-free) verify joins. Verify first, then dedupe the verified
     # SURVIVORS (a few hundred rows), which costs one negligible
     # exchange instead of a full-candidate one.
-    return _verified_pairs(cand, sets, id_col, threshold,
-                           broadcast_sets=small_sets).distinct()
+    return _verified_pairs_hashed(cand, hsets, id_col, threshold,
+                                  broadcast_sets=small_sets).distinct()
 
 
 def containment_pairs(
@@ -352,10 +366,21 @@ def containment_pairs(
     |A∩B| <= n_b) prunes candidates before the verify joins. Verification
     is the same hashed-intersection used by the Jaccard path.
     """
-    sets = shingle_sets(df, text_col, id_col, k).cache()
+    # Cache the HASHED sets once (same rationale as dedup_ngram_jaccard:
+    # index, probe and both verify sides all consume the xxhash64
+    # domain; ``_n`` stays the string set size so prefix lengths and
+    # containment denominators are unchanged).
+    sets = shingle_sets(df, text_col, id_col, k)
+    hsets = sets.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("sh", lambda s: F.xxhash64(s))
+        ).alias("_h"),
+        F.size("sh").alias("_n"),
+    ).cache()
     # ONE action: cache materialization + both broadcast decisions.
-    n_docs, total_sh = sets.agg(
-        F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
+    n_docs, total_sh = hsets.agg(
+        F.count("*"), F.coalesce(F.sum("_n"), F.lit(0))
     ).first()
     small_sets = n_docs <= _BC_MAX_DOCS
     # Hashed candidate generation — same exactness argument as
@@ -363,12 +388,10 @@ def containment_pairs(
     # hashes, prefix completeness holds under any consistent total
     # order, and the string-size prefix length over-covers the hashed
     # set. Inverted-index join keys become 8-byte longs.
-    inv = sets.select(
+    inv = hsets.select(
         F.col(id_col),
-        F.size("sh").alias("n"),
-        F.explode(
-            F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
-        ).alias("s"),
+        F.col("_n").alias("n"),
+        F.explode("_h").alias("s"),
     )
     freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
     if small_sets and total_sh <= _BC_MAX_VOCAB:
@@ -395,11 +418,12 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    hsh = F.transform("sh", lambda s: F.xxhash64(s))
-    a = sets.select(
-        F.col(id_col).alias("id_a"), hsh.alias("_ha"), F.size("sh").alias("_na")
+    a = hsets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_h").alias("_ha"),
+        F.col("_n").alias("_na"),
     )
-    b = sets.select(F.col(id_col).alias("id_b"), hsh.alias("_hb"))
+    b = hsets.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"))
     if small_sets:
         a, b = F.broadcast(a), F.broadcast(b)
     i = F.size(F.array_intersect("_ha", "_hb"))

@@ -11284,48 +11284,41 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("share_ppm"),
-    ).localCheckpoint()
-    nodes = spark.table("nation").select(F.col("n_name").alias("node"))
-    srcs = edges.select("src").distinct()
-    nn = nodes.agg(F.count("*").cast("bigint").alias("nn"))
-    pr = nodes.select("node", F.lit(40000).cast("bigint").alias("pr"))
+    )
+    # The graph is BOUNDED BY CONSTRUCTION: nodes = the 25-row nation
+    # dimension, edges <= 25^2. The unrolled distributed loop cost 3
+    # rounds of (left_anti agg + broadcast build + two joins) — ~10
+    # serial driver actions over <=625 rows. Collect the edge list ONCE
+    # (the only collect; the 6-table revenue star above it stays fully
+    # distributed) and run the SAME integer recurrence in Python:
+    # every operation is exact int multiply/floor-divide on
+    # non-negative values (Python // == Spark's `div` there), so the
+    # final micro-unit ranks are bit-identical to the unrolled plan —
+    # the dedup driver-union-find precedent, applied to power
+    # iteration.
+    edge_rows = edges.collect()
+    node_list = [
+        r["node"]
+        for r in spark.table("nation")
+        .select(F.col("n_name").alias("node"))
+        .collect()
+    ]
+    nn = len(node_list)
+    src_set = {r["src"] for r in edge_rows}
+    pr = {n: 40000 for n in node_list}
     for _ in range(3):
-        dangling = (
-            pr.join(srcs, pr["node"] == srcs["src"], "left_anti")
-            .agg(
-                F.coalesce(F.sum("pr"), F.lit(0))
-                .cast("bigint")
-                .alias("dm")
-            )
-            .crossJoin(F.broadcast(nn))
-        )
-        inc = (
-            edges.join(
-                F.broadcast(pr), pr["node"] == edges["src"]
-            )
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("pr * share_ppm div 1000000").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").cast("bigint").alias("inc"))
-        )
-        pr = (
-            nodes.join(inc, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(6000)
-                    + F.expr(
-                        "85 * (coalesce(inc, 0) + dm div nn) div 100"
-                    )
-                )
-                .cast("bigint")
-                .alias("pr"),
-            )
-        )
-    return pr.select(
+        dm = sum(v for n, v in pr.items() if n not in src_set)
+        inc: dict = {}
+        for e in edge_rows:
+            c = pr[e["src"]] * e["share_ppm"] // 1000000
+            inc[e["dst"]] = inc.get(e["dst"], 0) + c
+        pr = {
+            n: 6000 + 85 * (inc.get(n, 0) + dm // nn) // 100
+            for n in node_list
+        }
+    return spark.createDataFrame(
+        [(n, pr[n]) for n in node_list], "node string, pr bigint"
+    ).select(
         F.col("node").alias("nation"),
         (F.col("pr").cast("double") / 1000000).alias("pagerank"),
     )
@@ -16180,68 +16173,47 @@ def events_markov_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("share_ppm"),
-    ).localCheckpoint()
-    nodes = events.select(
-        F.col("event_type").alias("node")
-    ).distinct().localCheckpoint()
-    nn = nodes.agg(F.count("*").cast("bigint").alias("nn"))
-    srcs = edges.select("src").distinct()
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.expr("1000000 div nn").cast("bigint").alias("pr")
     )
+    # The chain is |event types| x |event types| — an enum-bounded
+    # matrix (the previous unroll already broadcast the full rank table
+    # every iteration on the same boundedness adjudication). The
+    # distributed unroll needed a localCheckpoint PER ITERATION just to
+    # keep planning cost sane (measured 6.9 s checkpointed vs 14-26 s
+    # without at sf0.1 — five serial materialization jobs on a 5-row
+    # frame). Collect the ppm edge matrix once — the user-partitioned
+    # lag window that produces it stays fully distributed — and run the
+    # identical integer recurrence in Python: non-negative int
+    # multiply/floor-divide only, so Python // == Spark `div` and the
+    # micro-unit vectors are bit-identical (the
+    # nation_trade_pagerank/driver-union-find precedent).
+    edge_rows = edges.collect()
+    node_list = sorted(
+        r["node"]
+        for r in events.select(F.col("event_type").alias("node"))
+        .distinct()
+        .collect()
+    )
+    nn = len(node_list)
+    src_set = {r["src"] for r in edge_rows}
+    pr = {n: 1000000 // nn for n in node_list}
     prev = None
     for _ in range(5):
         prev = pr
-        dangling = (
-            pr.join(srcs, pr["node"] == srcs["src"], "left_anti")
-            .agg(
-                F.coalesce(F.sum("pr"), F.lit(0))
-                .cast("bigint")
-                .alias("dm")
-            )
-            .crossJoin(F.broadcast(nn))
-        )
-        inc = (
-            edges.join(F.broadcast(pr), pr["node"] == edges["src"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("pr * share_ppm div 1000000").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").cast("bigint").alias("inc"))
-        )
-        # Per-iteration localCheckpoint is load-bearing even on a
-        # 5-row rank frame: pr feeds BOTH the dangling scalar and the
-        # increment join, so an unchecked unroll doubles the logical
-        # subtree per iteration (measured: 6.9 s checkpointed vs
-        # 14-26 s without at sf0.1 — planning cost, not data).
-        pr = (
-            nodes.join(F.broadcast(inc), "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("inc"), F.lit(0))
-                    + F.expr("dm div nn")
-                )
-                .cast("bigint")
-                .alias("pr"),
-            )
-            .localCheckpoint()
-        )
-    p4 = prev.select("node", F.col("pr").alias("pr4"))
-    return (
-        pr.join(p4, "node")
-        .select(
-            F.col("node").alias("event_type"),
-            (F.col("pr").cast("double") / 1000000).alias(
-                "stationary_prob"
-            ),
-            (
-                F.abs(F.col("pr") - F.col("pr4")).cast("double")
-                / 1000000
-            ).alias("mixing_delta"),
-        )
+        dm = sum(v for n, v in pr.items() if n not in src_set)
+        inc: dict = {}
+        for e in edge_rows:
+            c = pr[e["src"]] * e["share_ppm"] // 1000000
+            inc[e["dst"]] = inc.get(e["dst"], 0) + c
+        pr = {n: inc.get(n, 0) + dm // nn for n in node_list}
+    return spark.createDataFrame(
+        [(n, pr[n], prev[n]) for n in node_list],
+        "node string, pr bigint, pr4 bigint",
+    ).select(
+        F.col("node").alias("event_type"),
+        (F.col("pr").cast("double") / 1000000).alias("stationary_prob"),
+        (
+            F.abs(F.col("pr") - F.col("pr4")).cast("double") / 1000000
+        ).alias("mixing_delta"),
     )
 
 

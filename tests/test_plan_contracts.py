@@ -369,21 +369,23 @@ def test_fuzzy_pairs_bounded_levenshtein(q):
     assert "Some(2)" in plan, plan  # bounded-DP threshold argument present
 
 
-def test_pagerank_iterations_reuse_checkpointed_edges(q):
-    """nation_trade_pagerank: all three iterations must read the ONE
-    materialized edge list — the 5-table star appears zero times in the
-    final plan (localCheckpoint), so iterating never re-derives it."""
+def test_pagerank_solves_bounded_graph_on_driver(q):
+    """nation_trade_pagerank: the <=625-edge nation graph is solved by
+    ONE driver-side integer power iteration over the collected ppm edge
+    list (the dedup driver-union-find precedent) — the RETURNED plan is
+    a local relation projection; the 5-table revenue star runs exactly
+    once inside the collect, never in the output lineage, and no
+    iteration joins/broadcast ladders remain."""
     plan = _plan(q["nation_trade_pagerank"], "simple")
-    assert "Scan ExistingRDD" in plan, plan
-    # the only parquet reads left are the 25-row nation node lists (one
-    # per LEFT JOIN re-anchor + the output, plus the zero-column scan
-    # behind the node-count scalar); lineitem/orders/customer/supplier
-    # must NOT appear — they live behind the checkpoint
-    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
-    assert scans, plan
-    for ln in scans:
-        cols = ln.split("FileScan parquet ", 1)[1].split("]", 1)[0] + "]"
-        assert "n_name" in cols or cols.startswith("[]"), ln
+    assert (
+        "LocalTableScan" in plan
+        or "LocalRelation" in plan
+        or "Scan ExistingRDD" in plan
+    ), plan
+    # iterating on the driver leaves no fact-table scan and no join in
+    # the final plan
+    assert "FileScan parquet" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_weighted_median_prefix_sum_distributed(q):
