@@ -1168,11 +1168,16 @@ def remove_boilerplate_chunks(
     )).otherwise(F.array().cast("array<array<string>>"))
     chunked = base.select(F.col(id_col), chunks.alias("_chunks"))
 
+    # Cache the NARROW (id, pos, md5) chunk table: it feeds both the
+    # boilerplate discovery groupBy and the per-doc removal join —
+    # uncached, the tokenize + chunk + per-chunk md5 pass ran twice.
+    # The cached rows carry 16-byte hashes, never chunk text, so the
+    # footprint stays ~chunks-per-corpus x 50 bytes at any scale.
     ex = chunked.select(
         id_col, F.posexplode("_chunks").alias("pos", "chunk")
     ).select(
         id_col, "pos", F.md5(F.concat_ws(" ", "chunk")).alias("_m")
-    )
+    ).cache()
     boiler = (
         ex.groupBy("_m")
         .agg(F.countDistinct(id_col).alias("_nd"))

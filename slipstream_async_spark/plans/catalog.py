@@ -9318,7 +9318,13 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the standard distributed triangle count on the ALREADY
     id-ordered edge list (a < b, so each triangle counted once): two
     equi-joins on node keys — never an all-pairs step — and wedges
-    from a degree aggregation in pure integer math."""
+    from a degree aggregation in pure integer math. Below the
+    duplicate_clusters driver budget (measured edge count, not
+    assumed) the census runs as ONE driver pass over the collected
+    edge list — forward-adjacency set intersections count exactly the
+    x<y<z join triples, degrees give the same wedge sum in exact ints
+    — replacing the 5-read / two-join ladder (~6 serial jobs) with one
+    collect; the distributed lanes stay for larger graphs."""
     (docs,) = _t(spark, sf_dir, "documents")
     # the pair stage is the expensive part and this query reads the
     # edge list FIVE times (degrees, three triangle sides, edge count)
@@ -9329,6 +9335,40 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .localCheckpoint()
     )
+    if e.count() <= DD._DRIVER_CC_MAX_EDGES:
+        rows = e.collect()
+        fwd: dict = {}
+        deg_d: dict = {}
+        for r in rows:
+            a, b = r[0], r[1]
+            fwd.setdefault(a, set()).add(b)
+            deg_d[a] = deg_d.get(a, 0) + 1
+            deg_d[b] = deg_d.get(b, 0) + 1
+        empty: set = set()
+        n_tri = sum(
+            len(fwd.get(a, empty) & fwd.get(b, empty))
+            for a, bs in fwd.items()
+            for b in bs
+        )
+        # sum d*(d-1)/2 is integer-valued per term, so the Spark lane's
+        # double sum + bigint cast equals this exact integer sum for
+        # any count below 2^53
+        n_wedges = sum(d * (d - 1) // 2 for d in deg_d.values())
+        # the rounded coefficient stays a SPARK expression over the
+        # integer literals, so float semantics match the old lane
+        return spark.range(1).select(
+            F.lit(len(rows)).cast("bigint").alias("n_edges"),
+            F.lit(len(deg_d)).cast("bigint").alias("n_nodes"),
+            F.lit(n_wedges).cast("bigint").alias("n_wedges"),
+            F.lit(n_tri).cast("bigint").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.lit(n_wedges) > 0,
+                    F.lit(3.0) * F.lit(n_tri) / F.lit(n_wedges),
+                ).otherwise(0.0),
+                6,
+            ).alias("global_clustering"),
+        )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -11842,14 +11882,19 @@ def source_novelty_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve). The owner of a gram is the MINIMUM source containing it —
     an aggregate, so "first in order" needs no iterative pass.
 
-    Shape: distinct (source, gram-hash) pairs shuffle as 60-bit
-    BIGINTs (``TXT.hash64``, never gram text); ownership is one
-    groupBy(gram) min; the rollup is |sources| rows. At 100 TB this is
-    the same two-shuffle plan — the 2^60 keyspace stays collision-free
-    at 1e11+ distinct grams (a 32-bit identity would alias many-fold
-    there and mis-attribute ownership)."""
+    Shape (r12): ONE groupBy(gram-hash) with collect_set(source) —
+    the set dedups (source, gram) occurrences AND names the min-source
+    owner in the same aggregation, so the old distinct -> groupBy(gram)
+    min -> join-the-pairs-back ladder (four exchanges, the join-back
+    re-shuffling every distinct pair a second time) collapses to one
+    gram-keyed exchange plus the |sources|-row rollup. Gram hashes
+    shuffle as 60-bit BIGINTs (``TXT.hash64``, never gram text); per-
+    gram source sets are bounded by |sources|. At 100 TB the same plan
+    holds — the 2^60 keyspace stays collision-free at 1e11+ distinct
+    grams (a 32-bit identity would alias many-fold there and
+    mis-attribute ownership)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    sh = (
+    per_gram = (
         docs.select(
             "source",
             F.explode(
@@ -11857,26 +11902,26 @@ def source_novelty_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("source", TXT.hash64("g").alias("g"))
-        .distinct()
+        .groupBy("g")
+        .agg(F.collect_set("source").alias("srcs"))
     )
-    own = sh.groupBy("g").agg(F.min("source").alias("owner"))
+    m = per_gram.select(
+        F.explode("srcs").alias("source"),
+        F.array_min("srcs").alias("owner"),
+    )
     novel = F.sum(
         F.when(F.col("owner") == F.col("source"), 1).otherwise(0)
     )
-    return (
-        sh.join(own, "g")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            novel.cast("bigint").alias("n_novel"),
-            (
-                F.floor(
-                    novel.cast("double") / F.count("*") * 1000000
-                    + F.lit(0.5)
-                )
-                / 1000000
-            ).alias("novelty_rate"),
-        )
+    return m.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        novel.cast("bigint").alias("n_novel"),
+        (
+            F.floor(
+                novel.cast("double") / F.count("*") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("novelty_rate"),
     )
 
 
@@ -16280,9 +16325,20 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline verbatim (one shuffle of 16-long partial aggregates, one
     band-bucket shuffle — never O(n^2)); exact Jaccard touches ONLY
     candidate pairs; per-pair values quantize to exact integer micro
-    units before the 17-bucket (bounded) rollup."""
+    units before the 17-bucket (bounded) rollup.
+
+    r12: the signature table is CACHED (it feeds the band keys and both
+    per-pair signature sides — uncached, the scan + 16-min aggregation
+    ran three times), the shingle sets are cached in the hashed domain
+    of _verified_pairs_hashed (intersection sizes identical up to the
+    adjudicated 2^-64 bound; denominators stay the string set size),
+    and the estimated/exact scores are computed in ONE fused join
+    pipeline over the candidate pairs — the old m-join-ex self-join of
+    two frames derived from the same candidate set (1:1 by
+    construction) re-ran the whole candidate pipeline twice and paid an
+    extra pair-key shuffle for the reunion."""
     (docs,) = _t(spark, sf_dir, "documents")
-    sigs = DD.minhash_signatures(docs, "text", "doc_id", k=3)
+    sigs = DD.minhash_signatures(docs, "text", "doc_id", k=3).cache()
     bands = sigs.select(
         F.col("doc_id"),
         F.explode(
@@ -16312,18 +16368,34 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = DD._bucket_pairs(
         bands, ["band_id", "band_key"], "doc_id"
     ).distinct()
-    sa = sigs.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+    hsets = (
+        DD.shingle_sets(docs, "text", "doc_id", k=3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("sh", lambda s: F.xxhash64(s))
+            ).alias("_h"),
+            F.size("sh").alias("_n"),
+        )
+        .cache()
     )
-    sb = sigs.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+    sa = sigs.join(hsets, "doc_id").select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("_h").alias("_ha"),
+        F.col("_n").alias("_na"),
     )
-    m = (
+    sb = sigs.join(hsets, "doc_id").select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("_h").alias("_hb"),
+        F.col("_n").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_ha", "_hb"))
+    j = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
-            "id_a",
-            "id_b",
             F.aggregate(
                 F.zip_with(
                     "sig_a",
@@ -16335,25 +16407,9 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("matches"),
-        )
-    )
-    sets = DD.shingle_sets(docs, "text", "doc_id", k=3)
-    ha = sets.select(
-        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    hb = sets.select(
-        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    ex = (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
             F.floor(
                 inter.cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - inter)
+                / (F.col("_na") + F.col("_nb") - inter)
                 * 1000000
                 + F.lit(0.5)
             )
@@ -16361,7 +16417,6 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jq"),
         )
     )
-    j = m.join(ex, ["id_a", "id_b"])
     return j.groupBy("matches").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
         (
@@ -19306,16 +19361,25 @@ def sim_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_topk per probe count, brute_force_topk once); every cross is
     the whitelisted 16-row centroid / 10-row query broadcast; output
     is 4 rows. At 100 TB this runs on exactly this query-sample
-    shape."""
+    shape.
+
+    r12: the IVF index (centroids + list assignment) is built ONCE and
+    cached, then passed to all four probe arms via ivf_topk's index=
+    parameter — the arms differ only in n_probe, so rebuilding the
+    identical index per arm re-paid 3 extra corpus scans and 3 Arrow
+    assignment passes for bit-identical assignments (the build is
+    deterministic: seeded-sample centroids, exact argmax)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = SIM.brute_force_topk(emb, q, k=5).select("query_id", "vec_id")
+    cents, assigned = SIM.ivf_index(emb, n_lists=16)
+    index = (cents.cache(), assigned.cache())
     arms = None
     for p in (1, 2, 4, 8):
         arm = (
-            SIM.ivf_topk(emb, q, k=5, n_lists=16, n_probe=p)
+            SIM.ivf_topk(None, q, k=5, n_probe=p, index=index)
             .select(
                 F.lit(p).cast("bigint").alias("ap_probe"),
                 F.col("query_id").alias("aq"),

@@ -37,7 +37,17 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
-    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    # Sized to the cores THIS session actually runs on (the bench drives
+    # local[$SPARK_GRAFT_CPUS] at more than one core count): the machine's
+    # physical count would leave a local[8] session planning 32-task
+    # shuffles. On a real cluster override to ~2-3x total executor cores
+    # via extra_conf; AQE coalescing adapts the effective count downward
+    # per stage either way.
+    "spark.sql.shuffle.partitions": str(
+        int(os.environ["SPARK_GRAFT_CPUS"])
+        if os.environ.get("SPARK_GRAFT_CPUS", "").isdigit()
+        else (os.cpu_count() or 8)
+    ),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
