@@ -34,6 +34,7 @@ from slipstream_async_spark.functions.text import (
     shingles_of_tokens,
     tokens,
 )
+from slipstream_async_spark.sources.readers import spread
 
 # Fixed MinHash permutation constants: perm_i(h) = (A[i]*h + B[i]) mod P.
 # A[i] < 2^18 keeps A*h < 2^50 — exact in signed 64-bit in every engine.
@@ -67,8 +68,15 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     Tokenization is projected into its own column first: the optimizer
     keeps a non-cheap multi-referenced alias materialized, so the
     regex split runs once per document instead of once per reference.
+
+    The input is ``spread`` first (guide §2.5): a single-row-group
+    parquet file plans as one scan task, serializing the regex
+    tokenize + shingle pass; the conditional fan-out is a no-op on any
+    scan that already yields >= parallelism splits.
     """
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    toked = spread(df, id_col).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
     return toked.select(
         F.col(id_col), shingles_of_tokens(F.col("_toks"), k).alias("sh")
     )
@@ -800,7 +808,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     fingerprint — ~10x faster than the equivalent nested interpreted
     fold, and the shuffle carries only (id, 32 ints) partials.
     """
-    hs = df.select(
+    hs = spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("t"),
     ).select(F.col(id_col), hash32(F.col("t")).alias("h"))
@@ -910,6 +918,9 @@ def dedup_incremental(
     ).unionByName(
         batch.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
     )
+    # Fan the tokenize+shingle pass out when the union scans fewer
+    # splits than cores (guide §2.5); no-op at scale.
+    tagged = spread(tagged, id_col)
     sets = tagged.select(
         F.col(id_col),
         F.col("_new"),
@@ -973,6 +984,7 @@ def frozen_order_prefix_rows(
     id_col: str,
     threshold: float,
     hot: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """PPJoin prefix rows under a FROZEN total order — the order that
     makes a PERSISTENT prefix index possible (the streaming incremental
@@ -991,9 +1003,15 @@ def frozen_order_prefix_rows(
     ``sets`` is ``(id_col, sh array<string>)``; returns
     ``(id_col, n, s, pos)`` — one row per prefix shingle, ``pos`` the
     shingle's rank within the doc under the frozen order, prefix length
-    ``n - ceil(threshold*n) + 1``."""
+    ``n - ceil(threshold*n) + 1``. ``carry`` names extra per-document
+    columns of ``sets`` to keep on every prefix row (so a caller can
+    compute ONE prefix pass over a tagged union and split probe/index
+    sides afterwards instead of running the window twice)."""
     inv = sets.select(
-        F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.size("sh").alias("n"),
+        F.explode("sh").alias("s"),
     )
     if hot is not None:
         inv = inv.join(
@@ -1012,7 +1030,7 @@ def frozen_order_prefix_rows(
             F.col("pos")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .select(F.col(id_col), "n", "s", "pos")
+        .select(F.col(id_col), *carry, "n", "s", "pos")
     )
 
 
@@ -1099,26 +1117,58 @@ def dedup_incremental_frozen(
 
     ``corpus`` and ``batch`` must be id-disjoint (the streaming sink
     anti-joins the batch's ids out of the standing side — the partial-
-    replay guarantee)."""
-    corpus_sets = corpus.select(
-        F.col(id_col),
-        shingles_of_tokens(tokens(text_col), k).alias("sh"),
+    replay guarantee).
+
+    Cost shape (r12): ONE spread tokenize+shingle pass into a tagged
+    cache that carries both the string shingles (the frozen order and
+    the hot join key live in the string domain) and the pre-hashed
+    xxhash64 arrays verification intersects; ONE frozen-order prefix
+    window over the whole tagged union (the index side IS corpus ∪
+    batch, and the probe side is its ``_new`` slice — running the
+    window per side executed the tokenize lineage twice more and the
+    ``hot`` aggregation once per broadcast); prefix rows are cached so
+    the candidate self-join's probe and index subtrees both read the
+    materialized rows instead of re-running the window."""
+    tagged = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+    ).unionByName(
+        batch.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
     )
-    batch_sets = batch.select(
-        F.col(id_col),
-        shingles_of_tokens(tokens(text_col), k).alias("sh"),
+    sets = (
+        spread(tagged, id_col)
+        .select(
+            F.col(id_col),
+            F.col("_new"),
+            shingles_of_tokens(tokens(text_col), k).alias("sh"),
+        )
+        .withColumn(
+            "_h", F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
+        )
+        .withColumn("_n", F.size("sh"))
+        .cache()
     )
-    sets = corpus_sets.unionByName(batch_sets).cache()
     n_docs, total_sh = sets.agg(
-        F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
+        F.count("*"), F.coalesce(F.sum("_n"), F.lit(0))
     ).first()
     small = n_docs <= _BC_MAX_DOCS and total_sh <= _BC_MAX_VOCAB
-    bp = frozen_order_prefix_rows(batch_sets, id_col, threshold, hot=hot)
-    ip = frozen_order_prefix_rows(corpus_sets, id_col, threshold, hot=hot)
+    ap = frozen_order_prefix_rows(
+        sets.select(id_col, "_new", "sh"),
+        id_col,
+        threshold,
+        hot=hot,
+        carry=("_new",),
+    ).cache()
+    bp = ap.filter(F.col("_new")).select(id_col, "n", "s", "pos")
     cand = ppjoin_probe_candidates(
-        bp, ip.unionByName(bp), id_col, threshold
+        bp, ap.select(id_col, "n", "s", "pos"), id_col, threshold
     )
-    return _verified_pairs(cand, sets, id_col, threshold, broadcast_sets=small)
+    return _verified_pairs_hashed(
+        cand,
+        sets.select(id_col, "_h", "_n"),
+        id_col,
+        threshold,
+        broadcast_sets=small,
+    )
 
 
 def remove_boilerplate_chunks(
@@ -1159,7 +1209,9 @@ def remove_boilerplate_chunks(
     # tokenizer per chunk (interpreted HOF lambdas re-evaluate referenced
     # expression trees per element — the dsir_importance lesson,
     # ~4x on that query at sf0.1).
-    base = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    base = spread(docs, id_col).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
     toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_size)).cast("int")
     chunks = F.when(F.size(toks) > 0, F.transform(
@@ -1227,7 +1279,9 @@ def winnowing_fingerprints(
     documents shorter than ``k`` tokens fingerprint their whole text.
     """
     tk = tokens(text_col)
-    d = df.select(F.col(id_col), tk.alias("_tk")).filter(F.size("_tk") > 0)
+    d = spread(df, id_col).select(F.col(id_col), tk.alias("_tk")).filter(
+        F.size("_tk") > 0
+    )
     n = F.size("_tk")
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at("_tk", (i + j).cast("int")) for j in range(k)]
@@ -1385,7 +1439,7 @@ def fuzzy_segment_pairs(
             for i in range(d1)
         ]
     )
-    inv = df.select(
+    inv = spread(df, id_col).select(
         *block_cols, F.col(id_col), F.explode(projections).alias("_s")
     ).select(
         *block_cols,

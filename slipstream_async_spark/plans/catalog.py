@@ -33,7 +33,7 @@ from slipstream_async_spark.operators import handlers as H
 from slipstream_async_spark.operators import joins as J
 from slipstream_async_spark.operators import multimodal as MM
 from slipstream_async_spark.operators import similarity as SIM
-from slipstream_async_spark.sources.readers import load_table
+from slipstream_async_spark.sources.readers import load_table, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -3502,7 +3502,7 @@ def dedup_incremental_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = hash_bucket("doc_id", salt="ingest") < 2000
     corpus, batch = docs.filter(~is_new), docs.filter(is_new)
     hot = (
-        corpus.select(
+        spread(corpus, "doc_id").select(
             F.explode(
                 DD.shingles_of_tokens(TXT.tokens("text"), 3)
             ).alias("s")
@@ -3998,12 +3998,21 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |test shingles| x |train vocab| / 2^64 ~ 1e-8 bound already
     # adjudicated for operators.dedup._verified_pairs.
     hx = lambda c: F.xxhash64(c)  # noqa: E731
-    sh = docs.select(
-        "doc_id",
-        F.transform(
-            shingles_of_tokens(TXT.tokens("text"), 8), hx
-        ).alias("sh"),
-        hash_bucket("doc_id", salt="split").alias("_b"),
+    # Tokenize+8-gram+hash is the query's dominant cost and BOTH split
+    # sides consume it: spread the scan (guide §2.5 — single-row-group
+    # files plan one task; conditional, no-op at scale) and cache the
+    # narrow hashed rows so the pass runs once, not once per side
+    # (measured sf0.1: 5.0-6.8 s -> ~1.0 s).
+    sh = (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.transform(
+                shingles_of_tokens(TXT.tokens("text"), 8), hx
+            ).alias("sh"),
+            hash_bucket("doc_id", salt="split").alias("_b"),
+        )
+        .cache()
     )
     ti = sh.filter(F.col("_b") < 1000).select(
         "doc_id", F.explode("sh").alias("s")
@@ -19479,6 +19488,12 @@ def dedup_threshold_sensitivity(
     pairs03 = DD.dedup_ngram_jaccard(
         docs, "text", "doc_id", k=3, threshold=0.3
     )
+    # Both downstream aggregates (pair counts AND the distinct-doc
+    # union) consume the pair set; materialize the loose-cutoff PPJoin
+    # pass ONCE — uncheckpointed, the whole candidate+verify pipeline
+    # executed twice (guide §1.2: don't recompute what you already
+    # have). Row count is the bounded verified-pair set (~1k at sf0.1).
+    pairs03 = pairs03.localCheckpoint()
     th = spark.createDataFrame([(300,), (500,), (700,)], "t int")
     p = pairs03.crossJoin(F.broadcast(th)).filter(
         F.col("jaccard") >= F.col("t") / 1000.0
@@ -21444,7 +21459,13 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), output 1 row — the 64x expansion never crosses the
     network."""
     (orders,) = _t(spark, sf_dir, "orders")
-    y = orders.filter(
+    # The x64 md5 fan-out below is the query's entire cost and it is
+    # scan-fused: spread the scan so it runs on every core instead of
+    # the single split a one-row-group file plans (guide §2.5;
+    # conditional — no-op at scale). Measured sf0.1: 4.2 -> 0.6 s on
+    # the fan-out stage. Sums are exact integers, so the result is
+    # partitioning-independent.
+    y = spread(orders, "o_orderkey").filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
     ).select(
         F.col("o_orderkey").alias("k"),

@@ -67,6 +67,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before heavy
+    per-row compute (guide §2.5, "input skew: one huge unsplittable
+    file ... repartition immediately after the read").
+
+    A single-row-group parquet file plans as ONE scan task no matter how
+    many cores the session has, so every scan-fused expression (regex
+    tokenization, per-row md5 fan-outs, shingling) runs serially — the
+    local bench's small single-row-group files hit exactly this. The
+    repartition is CONDITIONAL on the measured split count: when the
+    scan already yields >= parallelism splits (any real at-scale table,
+    where files/row-groups number in the thousands), this returns the
+    input unchanged and adds no exchange — so the fix cannot add a
+    data-scale shuffle at 100 TB.
+
+    With ``key_cols`` the fan-out hash-partitions on those columns —
+    deterministic row placement (retry-safe without the round-robin
+    lane's sort-before-repartition pass); pass a unique or
+    high-cardinality key. Without keys it falls back to round-robin.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read all driver tables and register each as a temp view.
 
