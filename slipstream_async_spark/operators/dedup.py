@@ -615,11 +615,16 @@ def duplicate_clusters(
     # methods produce min-label components, so the cutover serves both;
     # pass ``driver_cutover=None`` to pin the distributed lanes (the
     # scale-contract tests do).
-    if (
-        driver_cutover is not None
-        and edges.count() <= driver_cutover
-    ):
-        rows = edges.collect()
+    rows = None
+    if driver_cutover is not None:
+        # ONE bounded action instead of count-then-collect: fetch at
+        # most cutover+1 rows — if the limit row arrives, the edge list
+        # exceeds the driver budget and the distributed lanes run; the
+        # driver never holds more than the dial allows either way.
+        rows = edges.limit(driver_cutover + 1).collect()
+        if len(rows) > driver_cutover:
+            rows = None
+    if rows is not None:
         parent: dict = {}
 
         def find(x):

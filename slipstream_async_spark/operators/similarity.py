@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from slipstream_async_spark.functions.vectors import cosine_similarity
+from slipstream_async_spark.sources.readers import spread
 
 
 def _ranked_topk(scored: DataFrame, k: int, query_id: str, corpus_id: str) -> DataFrame:
@@ -1152,6 +1153,7 @@ def embedding_near_dup_pairs(
     """
     if max_bucket_size is not None and max_bucket_size < 2:
         raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
+    corpus = spread(corpus, id_col)
     if n_tables == 1:
         # single-table: keep the bucket as a narrow column projection —
         # no Generate node, no struct array per row
@@ -1503,6 +1505,9 @@ def pq_encode(
     if seeds is None:
         seeds = _pq_seed_codebook(corpus, n_codes, id_col, vec_col)
     codes, recon = _pq_sub_exprs(F.col(vec_col), seeds, m)
+    # guide §2.5: the per-row m x n_codes interpreted distance folds are
+    # fused into the scan; spread so they run on every core
+    corpus = spread(corpus, id_col)
     return corpus.select(
         F.col(id_col),
         F.array(*codes).alias("codes"),

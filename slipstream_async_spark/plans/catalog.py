@@ -18347,7 +18347,9 @@ def emb_covariance_offdiag(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; two broadcast joins against the 64-row dims table; one row
     out."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    e = emb.select(
+    # spread the single-split scan and cache the quantized element
+    # table: the per-dim moments and BOTH self-join sides read it
+    e = spread(emb, "vec_id").select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).select(
         "vec_id",
@@ -18355,7 +18357,7 @@ def emb_covariance_offdiag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
         .cast("bigint")
         .alias("vq"),
-    )
+    ).cache()
     dims = e.groupBy("pos").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("vq").cast("bigint").alias("s"),
@@ -22264,7 +22266,9 @@ def emb_effective_rank_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are exact integers/DECIMALs. Shape: posexplode, vec_id-keyed
     self-join partial-agg'd to the bounded dim^2/2 grain, 1 row out."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    e = emb.select(
+    # spread the single-split scan and cache the quantized element
+    # table: the per-dim moments and BOTH self-join sides read it
+    e = spread(emb, "vec_id").select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).select(
         "vec_id",
@@ -22272,7 +22276,7 @@ def emb_effective_rank_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
         .cast("bigint")
         .alias("vq"),
-    )
+    ).cache()
     dims = e.groupBy("pos").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("vq").cast("bigint").alias("s"),
