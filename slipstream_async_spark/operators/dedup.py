@@ -713,7 +713,11 @@ def duplicate_clusters(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig) with sig = ARRAY<BIGINT> of N_PERMS minhash values.
 
@@ -722,8 +726,13 @@ def minhash_signatures(
     map-side combined, vs. a nested higher-order fold which Spark
     interprets per element. One shuffle of (id, 16 longs) partial
     aggregates; at 100 TB the partial combine keeps it scan-bound.
+
+    ``sets`` — a precomputed ``(id_col, sh)`` shingle frame (usually a
+    caller's cache) — skips the tokenize pass entirely; callers that
+    also verify pairs pay tokenization once instead of once per lineage.
     """
-    hs = shingle_sets(df, text_col, id_col, k).select(
+    src = sets if sets is not None else shingle_sets(df, text_col, id_col, k)
+    hs = src.select(
         F.col(id_col), F.explode("sh").alias("s")
     ).select(F.col(id_col), hash32(F.col("s")).alias("h"))
     mins = hs.groupBy(id_col).agg(
@@ -741,14 +750,18 @@ def minhash_signatures(
 
 
 def minhash_band_keys(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band_id, band_key) — the LSH bucket assignment of every
     document: the signature split into N_PERMS/BAND_ROWS bands, each
     band md5-keyed. Shared by the pairing path (band-bucket equi-join,
     :func:`dedup_minhash_lsh`) and index-health introspection (bucket
     size distribution per band = collision balance of the LSH index)."""
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    sigs = minhash_signatures(df, text_col, id_col, k, sets=sets)
     return sigs.select(
         F.col(id_col),
         F.explode(
@@ -787,19 +800,36 @@ def dedup_minhash_lsh(
 
     With s = Jaccard, P(candidate) = 1 - (1 - s^4)^4: ~0.97 at s=0.8,
     ~0.22 at s=0.3 — the standard LSH S-curve for this band shape.
+
+    Cost shape (r12): ONE tokenize pass into a cache that carries the
+    string shingles (the hash32 signature domain) AND the pre-hashed
+    xxhash64 arrays verification intersects — previously the band
+    lineage and the verify cache each re-tokenized the corpus, and
+    verification re-hashed the cached strings once per side.
     """
-    bands = minhash_band_keys(df, text_col, id_col, k)
+    sets = (
+        shingle_sets(df, text_col, id_col, k)
+        .withColumn(
+            "_h", F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
+        )
+        .withColumn("_n", F.size("sh"))
+        .cache()
+    )
+    n_docs = sets.count()
+    bands = minhash_band_keys(
+        df, text_col, id_col, k, sets=sets.select(id_col, "sh")
+    )
     cand = _bucket_pairs(
         bands, ["band_id", "band_key"], id_col,
         max_bucket_size=max_bucket_size, stats=stats,
     ).distinct()
-    # Cache + count: verification reads the set table twice (a/b sides), so
-    # the count is paid back by the second read; it also drives the same
-    # adaptive broadcast decision as dedup_ngram_jaccard.
-    sets = shingle_sets(df, text_col, id_col, k).cache()
-    n_docs = sets.count()
-    return _verified_pairs(cand, sets, id_col, threshold,
-                           broadcast_sets=n_docs <= _BC_MAX_DOCS)
+    return _verified_pairs_hashed(
+        cand,
+        sets.select(id_col, "_h", "_n"),
+        id_col,
+        threshold,
+        broadcast_sets=n_docs <= _BC_MAX_DOCS,
+    )
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
