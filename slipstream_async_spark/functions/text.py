@@ -62,13 +62,22 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def quality_score(text_col: Column | str) -> Column:
+def quality_score(
+    text_col: Column | str, toks: Column | None = None
+) -> Column:
     """Heuristic document quality in [0, 1]: blend of length band, mean
     word length band, stopword presence, and alpha ratio — the standard
     cheap pre-filters of web-scale corpus cleaning, as one expression.
+
+    ``toks`` — a column that already holds ``tokens(text_col)`` — lets a
+    caller that materialized the token array (a projected ``_toks``
+    alias) substitute it: HOF-bearing projections run interpreted and
+    re-evaluate each ``tokens()`` reference per row, so on a frame with
+    the tokens already projected this removes ~6 redundant regex splits
+    per document. Value-identical by construction.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(c)
+    toks = tokens(c) if toks is None else toks
     n = F.size(toks)
     mean_wlen = F.length(F.regexp_replace(c, r"\s+", "")) / F.greatest(n, F.lit(1))
     stop_ratio = F.size(F.array_intersect(toks, F.lit(STOPWORDS))) / F.greatest(
@@ -88,13 +97,19 @@ def quality_score(text_col: Column | str) -> Column:
     )
 
 
-def lang_id(text_col: Column | str) -> Column:
+def lang_id(
+    text_col: Column | str, toks: Column | None = None
+) -> Column:
     """Marker-word language ID: score = |distinct tokens ∩ markers(lang)|,
     highest score wins, ties broken by LANG_MARKERS order, no marker hit
     at all -> 'und' (undetermined).
+
+    ``toks`` — a column already holding ``tokens(text_col)`` — skips the
+    ~10 per-language re-tokenizations an interpreted projection would
+    otherwise pay (see quality_score).
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.array_distinct(tokens(c))
+    toks = F.array_distinct(tokens(c) if toks is None else toks)
     scores = {
         lang: F.size(F.array_intersect(toks, F.lit(words)))
         for lang, words in LANG_MARKERS.items()

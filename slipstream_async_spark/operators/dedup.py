@@ -34,7 +34,7 @@ from slipstream_async_spark.functions.text import (
     shingles_of_tokens,
     tokens,
 )
-from slipstream_async_spark.sources.readers import spread
+from slipstream_async_spark.sources.readers import scoped_cache, spread
 
 # Fixed MinHash permutation constants: perm_i(h) = (A[i]*h + B[i]) mod P.
 # A[i] < 2^18 keeps A*h < 2^50 — exact in signed 64-bit in every engine.
@@ -62,7 +62,13 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def shingle_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    carry: dict | None = None,
+) -> DataFrame:
     """(id, distinct k-shingle array) per document.
 
     Tokenization is projected into its own column first: the optimizer
@@ -73,12 +79,22 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     parquet file plans as one scan task, serializing the regex
     tokenize + shingle pass; the conditional fan-out is a no-op on any
     scan that already yields >= parallelism splits.
+
+    ``carry`` maps extra output column names to expressions evaluated
+    alongside the shingling — over the original columns of ``df`` plus
+    ``_toks`` (the token array, so e.g. ``F.size("_toks")`` gets a
+    token count without a second regex pass). Callers that cache the
+    result use it to piggyback narrow per-document features onto the
+    one tokenize scan instead of re-reading the corpus (guide §1.2:
+    don't compute things twice). Unused original columns are pruned by
+    the optimizer, so a no-carry call scans exactly (id, text).
     """
-    toked = spread(df, id_col).select(
-        F.col(id_col), tokens(text_col).alias("_toks")
-    )
+    carry = dict(carry or {})
+    toked = spread(df, id_col).select("*", tokens(text_col).alias("_toks"))
     return toked.select(
-        F.col(id_col), shingles_of_tokens(F.col("_toks"), k).alias("sh")
+        F.col(id_col),
+        shingles_of_tokens(F.col("_toks"), k).alias("sh"),
+        *[expr.alias(name) for name, expr in carry.items()],
     )
 
 
@@ -243,6 +259,7 @@ def dedup_ngram_jaccard(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     stats: dict | None = None,
+    carry: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact k-word-shingle Jaccard, candidates from an
     inverted shingle index (pairs must share >= 1 shingle — implied by any
@@ -260,6 +277,13 @@ def dedup_ngram_jaccard(
     Joins against the (small when they are small) set/frequency tables are
     broadcast adaptively: the set table is cached anyway, so counting it to
     make the decision is the cache materialization, not an extra pass.
+
+    ``carry`` (see :func:`shingle_sets`) piggybacks narrow per-document
+    feature columns onto the one tokenize scan and into the hashed-sets
+    cache; ``stats["docs"]`` then exposes ``(id_col, *carry)`` read from
+    that cache — consumers that need per-doc features (token counts,
+    quality gates, source) alongside the pairs get them without a
+    second corpus scan.
     """
     # The CACHE holds the HASHED sets (id, _h array<bigint>, _n) — not
     # the string shingle arrays: every downstream consumer (inverted
@@ -271,14 +295,18 @@ def dedup_ngram_jaccard(
     # array_distinct may shrink _h only under a 2^-64 intra-doc
     # collision, and array_intersect's output is distinct regardless, so
     # the Jaccard is bit-identical).
-    sets = shingle_sets(df, text_col, id_col, k)
+    carry = dict(carry or {})
+    sets = shingle_sets(df, text_col, id_col, k, carry=carry)
     hsets = sets.select(
         F.col(id_col),
         F.array_distinct(
             F.transform("sh", lambda s: F.xxhash64(s))
         ).alias("_h"),
         F.size("sh").alias("_n"),
-    ).cache()
+        *carry.keys(),
+    ).transform(scoped_cache, "verified_pairs")
+    if stats is not None:
+        stats["docs"] = hsets.select(id_col, *carry.keys())
     # ONE action materializes the cache and yields both broadcast
     # decisions (doc count, and vocab bounded by total occurrences).
     n_docs, total_sh = hsets.agg(
@@ -300,12 +328,24 @@ def dedup_ngram_jaccard(
         F.col("_n").alias("n"),
         F.explode("_h").alias("s"),
     )
-    freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
+    # Fold the frequency table to freq >= 2 entries before it is
+    # broadcast/joined (guide §3.1, smaller build side): on a web corpus
+    # MOST shingles are unique, so the folded table is a small fraction
+    # of the vocabulary. A LEFT join + coalesce(_f, 1) reproduces the
+    # full (_f asc, s asc) rarest-first order exactly — every absent
+    # shingle has frequency exactly 1, and the ties it creates were
+    # already broken by the hash order.
+    freq = (
+        inv.groupBy("s")
+        .agg(F.count("*").alias("_f"))
+        .filter(F.col("_f") >= 2)
+    )
     if small_sets and total_sh <= _BC_MAX_VOCAB:
         freq = F.broadcast(freq)
     w = Window.partitionBy(id_col).orderBy(F.col("_f").asc(), F.col("s").asc())
     prefix = (
-        inv.join(freq, "s")
+        inv.join(freq, "s", "left")
+        .withColumn("_f", F.coalesce("_f", F.lit(1)))
         .withColumn("_r", F.row_number().over(w))
         # prefix length = n - ceil(t*n) + 1; _r is also the shingle's rank
         # in the doc's full rarest-first order, which the positional
@@ -385,7 +425,7 @@ def containment_pairs(
             F.transform("sh", lambda s: F.xxhash64(s))
         ).alias("_h"),
         F.size("sh").alias("_n"),
-    ).cache()
+    ).transform(scoped_cache, "verified_pairs_hashed")
     # ONE action: cache materialization + both broadcast decisions.
     n_docs, total_sh = hsets.agg(
         F.count("*"), F.coalesce(F.sum("_n"), F.lit(0))
@@ -401,12 +441,19 @@ def containment_pairs(
         F.col("_n").alias("n"),
         F.explode("_h").alias("s"),
     )
-    freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
+    # freq >= 2 fold + left join/coalesce: same rarest-first order with a
+    # much smaller broadcast build side (see dedup_ngram_jaccard).
+    freq = (
+        inv.groupBy("s")
+        .agg(F.count("*").alias("_f"))
+        .filter(F.col("_f") >= 2)
+    )
     if small_sets and total_sh <= _BC_MAX_VOCAB:
         freq = F.broadcast(freq)
     w = Window.partitionBy(id_col).orderBy(F.col("_f").asc(), F.col("s").asc())
     probe = (
-        inv.join(freq, "s")
+        inv.join(freq, "s", "left")
+        .withColumn("_f", F.coalesce("_f", F.lit(1)))
         .withColumn("_r", F.row_number().over(w))
         .filter(
             F.col("_r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
@@ -813,7 +860,7 @@ def dedup_minhash_lsh(
             "_h", F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
         )
         .withColumn("_n", F.size("sh"))
-        .cache()
+        .transform(scoped_cache, "minhash_lsh")
     )
     n_docs = sets.count()
     bands = minhash_band_keys(
@@ -880,7 +927,7 @@ def dedup_simhash(
     hamming 3 of each other share at least one of 4 exact 8-bit bands),
     then exact ``bit_count(xor)`` verify — never an O(n^2) cross join.
     """
-    fps = simhash_fingerprints(df, text_col, id_col).cache()
+    fps = simhash_fingerprints(df, text_col, id_col).transform(scoped_cache, "simhash")
     bands = fps.select(
         F.col(id_col),
         F.explode(
@@ -960,7 +1007,7 @@ def dedup_incremental(
         F.col(id_col),
         F.col("_new"),
         shingles_of_tokens(tokens(text_col), k).alias("sh"),
-    ).cache()
+    ).transform(scoped_cache, "dedup_incremental")
     n_docs, total_sh = sets.agg(
         F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
     ).first()
@@ -968,12 +1015,19 @@ def dedup_incremental(
     inv = sets.select(
         F.col(id_col), "_new", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
-    freq = inv.groupBy("s").agg(F.count("*").alias("_f"))
+    # freq >= 2 fold + left join/coalesce: same rarest-first order with a
+    # much smaller broadcast build side (see dedup_ngram_jaccard).
+    freq = (
+        inv.groupBy("s")
+        .agg(F.count("*").alias("_f"))
+        .filter(F.col("_f") >= 2)
+    )
     if small and total_sh <= _BC_MAX_VOCAB:
         freq = F.broadcast(freq)
     w = Window.partitionBy(id_col).orderBy(F.col("_f").asc(), F.col("s").asc())
     prefix = (
-        inv.join(freq, "s")
+        inv.join(freq, "s", "left")
+        .withColumn("_f", F.coalesce("_f", F.lit(1)))
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
         .select(F.col(id_col), "_new", "n", "s", "_r")
@@ -1180,7 +1234,7 @@ def dedup_incremental_frozen(
             "_h", F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
         )
         .withColumn("_n", F.size("sh"))
-        .cache()
+        .transform(scoped_cache, "incremental_frozen")
     )
     n_docs, total_sh = sets.agg(
         F.count("*"), F.coalesce(F.sum("_n"), F.lit(0))
@@ -1192,7 +1246,7 @@ def dedup_incremental_frozen(
         threshold,
         hot=hot,
         carry=("_new",),
-    ).cache()
+    ).transform(scoped_cache, "incremental_frozen")
     bp = ap.filter(F.col("_new")).select(id_col, "n", "s", "pos")
     cand = ppjoin_probe_candidates(
         bp, ap.select(id_col, "n", "s", "pos"), id_col, threshold
@@ -1264,7 +1318,7 @@ def remove_boilerplate_chunks(
         id_col, F.posexplode("_chunks").alias("pos", "chunk")
     ).select(
         id_col, "pos", F.md5(F.concat_ws(" ", "chunk")).alias("_m")
-    ).cache()
+    ).transform(scoped_cache, "boilerplate_chunks")
     boiler = (
         ex.groupBy("_m")
         .agg(F.countDistinct(id_col).alias("_nd"))

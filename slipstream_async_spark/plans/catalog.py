@@ -33,7 +33,7 @@ from slipstream_async_spark.operators import handlers as H
 from slipstream_async_spark.operators import joins as J
 from slipstream_async_spark.operators import multimodal as MM
 from slipstream_async_spark.operators import similarity as SIM
-from slipstream_async_spark.sources.readers import load_table, spread
+from slipstream_async_spark.sources.readers import load_table, scoped_cache, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1790,19 +1790,25 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     order freely in production).
     """
     (docs,) = _t(spark, sf_dir, "documents")
-    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    # The gate/token expressions ride the pair stage's tokenize scan
+    # via the carry cache (one documents scan for the whole pipeline).
+    st: dict = {}
+    pairs = DD.dedup_ngram_jaccard(
+        docs,
+        "text",
+        "doc_id",
+        stats=st,
+        carry={
+            "n_tokens": F.size("_toks").cast("bigint"),
+            "quality": TXT.quality_score("text", toks=F.col("_toks")),
+            "lang_pred": TXT.lang_id("text", toks=F.col("_toks")),
+        },
+    )
     clusters = DD.duplicate_clusters(pairs)
     drops = clusters.filter(~F.col("is_canonical")).select(
         F.col("doc_id")
     )
-    # spread: the gate expressions are scan-fused regex work on a
-    # single-split file (guide §2.5; conditional no-op at scale)
-    scored = spread(docs, "doc_id").select(
-        "doc_id",
-        F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
-        TXT.quality_score("text").alias("quality"),
-        TXT.lang_id("text").alias("lang_pred"),
-    )
+    scored = st["docs"]
     return (
         _join_drops(
             scored.filter(
@@ -2271,7 +2277,7 @@ def text_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf and df CTEs below each re-read it
     spread(docs, "doc_id").select(
         "doc_id", F.explode(TXT.tokens("text")).alias("token")
-    ).cache().createOrReplaceTempView("tfidf_tok")
+    ).transform(scoped_cache, "text_tfidf_top3").createOrReplaceTempView("tfidf_tok")
     return spark.sql(
         """
 WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
@@ -3039,24 +3045,23 @@ def pipeline_curation_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     as pipeline_curation."""
     (docs,) = _t(spark, sf_dir, "documents")
     # spread before the gate filter: quality/lang are scan-fused regex
-    # expressions on a single-split file (guide §2.5), and BOTH the
-    # pair pipeline and the token-count branch re-run the gated scan
+    # expressions on a single-split file (guide §2.5). The token-count
+    # branch rides the pair stage's tokenize scan via the carry cache,
+    # so the gated scan (and its gate regexes) runs ONCE.
     gated = spread(docs, "doc_id").filter(
         (TXT.quality_score("text") >= 0.73) & (TXT.lang_id("text") == "en")
     )
-    pairs = DD.dedup_ngram_jaccard(gated, "text", "doc_id")
+    st: dict = {}
+    pairs = DD.dedup_ngram_jaccard(
+        gated,
+        "text",
+        "doc_id",
+        stats=st,
+        carry={"n_tokens": F.size("_toks").cast("bigint")},
+    )
     clusters = DD.duplicate_clusters(pairs)
     drops = clusters.filter(~F.col("is_canonical")).select("doc_id")
-    return (
-        _join_drops(
-            gated.select(
-                "doc_id",
-                F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
-            ),
-            drops,
-            "left_anti",
-        )
-    )
+    return _join_drops(st["docs"], drops, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -3428,12 +3433,18 @@ def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     (docs,) = _t(spark, sf_dir, "documents")
-    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
-    clusters = DD.duplicate_clusters(pairs).select("doc_id", "cluster_id")
-    q = spread(docs, "doc_id").select(
-        "doc_id", TXT.quality_score("text").alias("quality")
+    # quality rides the pair stage's tokenize scan via the carry cache
+    # (one documents scan for the whole pipeline).
+    st: dict = {}
+    pairs = DD.dedup_ngram_jaccard(
+        docs,
+        "text",
+        "doc_id",
+        stats=st,
+        carry={"quality": TXT.quality_score("text", toks=F.col("_toks"))},
     )
-    joined = clusters.join(q, "doc_id")
+    clusters = DD.duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    joined = clusters.join(st["docs"], "doc_id")
     part = Window.partitionBy("cluster_id")
     w = part.orderBy(F.desc("quality"), F.col("doc_id"))
     return (
@@ -4025,7 +4036,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
             hash_bucket("doc_id", salt="split").alias("_b"),
         )
-        .cache()
+        .transform(scoped_cache, "contamination_ngram")
     )
     ti = sh.filter(F.col("_b") < 1000).select(
         "doc_id", F.explode("sh").alias("s")
@@ -5133,7 +5144,7 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", "c.chunk")).alias("chunk_md5"),
         F.size("c.chunk").cast("bigint").alias("chunk_len"),
-    ).cache()
+    ).transform(scoped_cache, "dedup_chunks")
     owners = chunks.groupBy("chunk_md5").agg(
         F.min("doc_id").alias("owner"),
         F.count("*").alias("n_copies"),
@@ -6238,7 +6249,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the distinct (order, part) table once: both pair
     # sides, the per-part counts, and the order total re-read it (4
     # scan+distinct lineages before; guide §1.2).
-    d = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    d = li.select("l_orderkey", "l_partkey").distinct().transform(scoped_cache, "basket_part_pairs")
     a = d.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = d.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
@@ -7599,28 +7610,33 @@ def quality_gate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline_curation reports only the surviving intersection; this is
     the full decomposition around it.
 
-    Shape: the two text gates are scan-fused expressions; the dedup
-    drop-list (min-label connected components over the PPJoin pair set)
-    joins in as an adaptively-broadcast left join on doc_id
-    (_join_drops); the result is an 8-row aggregate. One documents scan
-    + the pair stage the dedup family already pays."""
+    Shape: the two text gates are scan-fused expressions computed in
+    the SAME tokenize pass the pair stage already pays and carried
+    through its narrow per-doc cache (dedup_ngram_jaccard ``carry``) —
+    ONE documents scan total; the dedup drop-list (min-label connected
+    components over the PPJoin pair set) joins in as an
+    adaptively-broadcast left join on doc_id (_join_drops); the result
+    is an 8-row aggregate."""
     (docs,) = _t(spark, sf_dir, "documents")
-    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    st: dict = {}
+    pairs = DD.dedup_ngram_jaccard(
+        docs,
+        "text",
+        "doc_id",
+        stats=st,
+        carry={
+            "pass_quality": TXT.quality_score("text", toks=F.col("_toks"))
+            >= 0.73,
+            "pass_lang": TXT.lang_id("text", toks=F.col("_toks")) == "en",
+        },
+    )
     drops = (
         DD.duplicate_clusters(pairs)
         .filter(~F.col("is_canonical"))
         .select("doc_id", F.lit(True).alias("_dropped"))
     )
     return (
-        _join_drops(
-            spread(docs, "doc_id").select(
-                "doc_id",
-                (TXT.quality_score("text") >= 0.73).alias("pass_quality"),
-                (TXT.lang_id("text") == "en").alias("pass_lang"),
-            ),
-            drops,
-            "left",
-        )
+        _join_drops(st["docs"], drops, "left")
         .groupBy(
             "pass_quality",
             "pass_lang",
@@ -8912,25 +8928,39 @@ def pipeline_tokens_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     (docs,) = _t(spark, sf_dir, "documents")
-    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    # All three per-doc verdict inputs (token count, content md5 for the
+    # exact-dup window, gate booleans) ride the pair stage's one
+    # tokenize scan via the carry cache — the corpus is scanned ONCE.
+    st: dict = {}
+    pairs = DD.dedup_ngram_jaccard(
+        docs,
+        "text",
+        "doc_id",
+        stats=st,
+        carry={
+            "n_tokens": F.size("_toks").cast("bigint"),
+            "_md5": F.md5("text"),
+            "passes_gates": (
+                TXT.quality_score("text", toks=F.col("_toks")) >= 0.73
+            )
+            & (TXT.lang_id("text", toks=F.col("_toks")) == "en"),
+        },
+    )
     drops = (
         DD.duplicate_clusters(pairs)
         .filter(~F.col("is_canonical"))
         .select("doc_id", F.lit(True).alias("_near"))
     )
-    ew = Window.partitionBy(F.md5("text"))
+    ew = Window.partitionBy("_md5")
     flags = (
         _join_drops(
-            spread(docs, "doc_id").select(
+            st["docs"].select(
                 "doc_id",
-                F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
+                "n_tokens",
                 (F.col("doc_id") != F.min("doc_id").over(ew)).alias(
                     "is_exact_dup"
                 ),
-                (
-                    (TXT.quality_score("text") >= 0.73)
-                    & (TXT.lang_id("text") == "en")
-                ).alias("passes_gates"),
+                "passes_gates",
             ),
             drops,
             "left",
@@ -13253,7 +13283,7 @@ def brand_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("cents"),
-    ).cache()
+    ).transform(scoped_cache, "brand_winsorized_mean")
     q = AGG.exact_quantiles(
         s.select("cents"), "cents", [5, 95]
     )
@@ -15181,7 +15211,7 @@ def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("g")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .cache()
+        .transform(scoped_cache, "text_ngram_coverage")
     )
     tot = g.agg(
         F.sum("c").cast("bigint").alias("total"),
@@ -16412,7 +16442,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction) re-ran the whole candidate pipeline twice and paid an
     extra pair-key shuffle for the reunion."""
     (docs,) = _t(spark, sf_dir, "documents")
-    sigs = DD.minhash_signatures(docs, "text", "doc_id", k=3).cache()
+    sigs = DD.minhash_signatures(docs, "text", "doc_id", k=3).transform(scoped_cache, "dedup_minhash_calibration")
     bands = sigs.select(
         F.col("doc_id"),
         F.explode(
@@ -16451,7 +16481,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_h"),
             F.size("sh").alias("_n"),
         )
-        .cache()
+        .transform(scoped_cache, "dedup_minhash_calibration")
     )
     sa = sigs.join(hsets, "doc_id").select(
         F.col("doc_id").alias("id_a"),
@@ -18357,7 +18387,7 @@ def emb_covariance_offdiag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
         .cast("bigint")
         .alias("vq"),
-    ).cache()
+    ).transform(scoped_cache, "emb_covariance_offdiag")
     dims = e.groupBy("pos").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("vq").cast("bigint").alias("s"),
@@ -18814,17 +18844,25 @@ def dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     row aggregate via the adaptively-broadcast drop-list join
     (_join_drops)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    pairs = DD.dedup_ngram_jaccard(docs, "text", "doc_id")
+    # source + token count ride the pair stage's tokenize scan via the
+    # carry cache (one documents scan for the whole pipeline).
+    st: dict = {}
+    pairs = DD.dedup_ngram_jaccard(
+        docs,
+        "text",
+        "doc_id",
+        stats=st,
+        carry={
+            "source": F.col("source"),
+            "n_tokens": F.size("_toks").cast("bigint"),
+        },
+    )
     clusters = DD.duplicate_clusters(pairs)
     drops = clusters.filter(~F.col("is_canonical")).select(
         "doc_id", F.lit(True).alias("dropped")
     )
     d = _join_drops(
-        spread(docs, "doc_id").select(
-            "source",
-            "doc_id",
-            F.size(TXT.tokens("text")).cast("bigint").alias("n_tokens"),
-        ),
+        st["docs"].select("source", "doc_id", "n_tokens"),
         drops,
         "left",
     ).select(
@@ -19204,7 +19242,7 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .agg(F.sum("cents").cast("bigint").alias("cents"))
-        .localCheckpoint()
+        .transform(scoped_cache, "customer_migration_matrix")
     )
 
     def _quartiles(period: int) -> DataFrame:
@@ -19458,7 +19496,10 @@ def sim_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = SIM.brute_force_topk(emb, q, k=5).select("query_id", "vec_id")
     cents, assigned = SIM.ivf_index(emb, n_lists=16)
-    index = (cents.cache(), assigned.cache())
+    index = (
+        cents.transform(scoped_cache, "sim_ivf_probe_recall"),
+        assigned.transform(scoped_cache, "sim_ivf_probe_recall"),
+    )
     arms = None
     for p in (1, 2, 4, 8):
         arm = (
@@ -20749,7 +20790,7 @@ def vocab_pruning_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frequency aggregate and the per-(k, source) OOV join both read it
     tok = spread(docs, "doc_id").select(
         "source", F.explode(TXT.tokens("text")).alias("t")
-    ).cache()
+    ).transform(scoped_cache, "vocab_pruning_fairness")
     tf = tok.groupBy("t").agg(F.count("*").alias("f"))
     rk = AGG.global_rank(tf, [F.col("f").desc(), F.col("t")], rank_col="r")
     ks = spark.createDataFrame([(4,), (16,), (64,)], "k long")
@@ -22276,7 +22317,7 @@ def emb_effective_rank_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
         .cast("bigint")
         .alias("vq"),
-    ).cache()
+    ).transform(scoped_cache, "emb_effective_rank_pr")
     dims = e.groupBy("pos").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("vq").cast("bigint").alias("s"),
@@ -22456,7 +22497,7 @@ def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("comp"),
         )
-        .localCheckpoint()
+        .transform(scoped_cache, "orders_littles_law")
     )
     g = iv.agg(
         F.count("*").cast("bigint").alias("n"),
@@ -22836,7 +22877,7 @@ def text_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .cache()
+        .transform(scoped_cache, "text_rouge1_pairs")
     )
     lens = tc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
     a = tc.select(

@@ -67,20 +67,61 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Parquet-footer row-group counts, memoized per file list. The probe is
+# driver-side O(KB) footer reads, paid once per distinct input set per
+# process — never a plan->RDD conversion (which re-runs physical planning
+# on every call and, under AQE, would eagerly execute upstream shuffle
+# stages if a caller ever passed a post-exchange frame).
+_ROW_GROUPS: dict[tuple, int] = {}
+
+
+def _carrying_tasks(df: DataFrame) -> int:
+    """Upper bound on scan tasks that will carry rows: the total parquet
+    row-group count of the plan's input files (each row group is read by
+    exactly one task, so splits beyond this are empty). Returns a large
+    number when the inputs are not inspectable local parquet — the
+    conservative answer, making ``spread`` a no-op."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        return 1 << 30
+    if not files:
+        return 1 << 30
+    if files not in _ROW_GROUPS:
+        try:
+            import pyarrow.parquet as pq
+
+            n = 0
+            for f in files:
+                path = f[7:] if f.startswith("file://") else f
+                path = path[5:] if path.startswith("file:") else path
+                n += pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            n = 1 << 30
+        _ROW_GROUPS[files] = n
+    return _ROW_GROUPS[files]
+
+
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """Fan a narrow scan out to the session's parallelism before heavy
     per-row compute (guide §2.5, "input skew: one huge unsplittable
     file ... repartition immediately after the read").
 
-    A single-row-group parquet file plans as ONE scan task no matter how
-    many cores the session has, so every scan-fused expression (regex
-    tokenization, per-row md5 fan-outs, shingling) runs serially — the
-    local bench's small single-row-group files hit exactly this. The
-    repartition is CONDITIONAL on the measured split count: when the
-    scan already yields >= parallelism splits (any real at-scale table,
-    where files/row-groups number in the thousands), this returns the
-    input unchanged and adds no exchange — so the fix cannot add a
-    data-scale shuffle at 100 TB.
+    A single-row-group parquet file plans as ONE data-carrying scan task
+    no matter how many cores the session has, so every scan-fused
+    expression (regex tokenization, per-row md5 fan-outs, shingling)
+    runs serially — the local bench's small single-row-group files hit
+    exactly this. The repartition is CONDITIONAL on the input's
+    row-group count: when the scan already yields >= parallelism
+    data-carrying splits (any real at-scale table, where files /
+    row-groups number in the thousands), this returns the input
+    unchanged and adds no exchange — so the fix cannot add a data-scale
+    shuffle at 100 TB.
+
+    Contract: apply to scan-side frames only (a bare ``load_table`` scan
+    plus narrow projections/filters). The probe reads parquet footers of
+    the plan's input files; anything else (no files, non-parquet,
+    unreadable) is treated as already-parallel and passes through.
 
     With ``key_cols`` the fan-out hash-partitions on those columns —
     deterministic row placement (retry-safe without the round-robin
@@ -89,11 +130,56 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Already-fanned frames (a caller spread the scan before a narrow
+    # filter/projection, then passed it into an operator that spreads
+    # too) pass through — the old .rdd probe saw their >= target
+    # partitions; the footer probe must not re-add an exchange.
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        analyzed = ""
+    if "Repartition" in analyzed:
+        return df
+    if _carrying_tasks(df) >= target:
         return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)
+
+
+# Monotone counter making every scoped_cache tag unique per build within
+# a process — deterministic (no clock/random), so plans stay reproducible.
+_SCOPE_SEQ = 0
+
+
+def scoped_cache(df: DataFrame, label: str, storage_level=None) -> DataFrame:
+    """Cache a reused lineage with a QUERY-LOCAL scope (guide §5 caching).
+
+    A bare ``.cache()`` registers the canonicalized analyzed plan with
+    Spark's session-global CacheManager, which then substitutes the
+    InMemoryRelation into ANY sameResult-matching fragment of other
+    queries compiled in the same session — silently rewriting sibling
+    queries' plan shapes (and breaking plan contracts) even though their
+    results are unchanged. This helper tags the lineage with a unique
+    literal column before persisting and selects the tag away after, so
+    the cached plan can never structurally match a fragment of another
+    query: the cache pays back inside this query's action (both/all
+    branches referencing the returned frame substitute the same
+    InMemoryRelation) and is invisible to every other query.
+
+    The tag is a constant literal — run-length encoded to nothing in the
+    cached columnar batches — and the returned frame has exactly the
+    input's schema.
+    """
+    global _SCOPE_SEQ
+    _SCOPE_SEQ += 1
+    cols = df.columns
+    tagged = df.withColumn("__scope", F.lit(f"{label}:{_SCOPE_SEQ}"))
+    if storage_level is not None:
+        tagged = tagged.persist(storage_level)
+    else:
+        tagged = tagged.cache()
+    return tagged.select(*cols)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -273,12 +273,18 @@ def test_pca_power_iteration_never_buffers_vectors(q):
 def test_gate_attribution_drop_list_join_is_adaptive(q):
     """quality_gate_attribution: the drop list is corpus-proportional,
     so the contract is NOT "always broadcast" (that OOMs at 100 TB) —
-    it is (a) the drop-list side reads the ONE materialized
-    (localCheckpoint) copy, never re-deriving the pair->CC lineage from
-    parquet, so exactly one documents parquet scan exists in the plan;
-    and (b) at this SF the measured count picks the broadcast branch."""
+    it is (a) the per-doc gate booleans ride the pair stage's carry
+    cache, so the final job reads the InMemoryRelation and NEVER
+    re-scans documents parquet (r13: one corpus scan for the whole
+    pipeline); (b) the drop-list side reads the ONE materialized copy,
+    never re-deriving the pair->CC lineage; and (c) at this SF the
+    measured count picks the broadcast branch."""
     plan = _plan(q["quality_gate_attribution"], "simple")
-    assert plan.count("Scan parquet") == 1, plan
+    assert "InMemoryTableScan" in plan, plan
+    # no live parquet scan above the cached relation: the only FileScan
+    # text allowed is inside the InMemoryRelation's embedded build plan
+    top = plan.split("InMemoryRelation", 1)[0]
+    assert "FileScan parquet" not in top, plan
     assert "Scan ExistingRDD" in plan, plan
     # small-SF: measured count <= _BC_MAX_DROPS => broadcast branch
     assert "BroadcastHashJoin" in plan
