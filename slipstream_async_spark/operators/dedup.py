@@ -853,6 +853,11 @@ def dedup_minhash_lsh(
     xxhash64 arrays verification intersects — previously the band
     lineage and the verify cache each re-tokenized the corpus, and
     verification re-hashed the cached strings once per side.
+
+    ``stats["sets"]`` (when a ``stats`` dict is passed) exposes the
+    cached ``(id, sh, _h, _n)`` frame so callers that need the same
+    shingle sets (e.g. to recompute signatures for calibration) read
+    the cache instead of re-tokenizing the corpus.
     """
     sets = (
         shingle_sets(df, text_col, id_col, k)
@@ -862,6 +867,8 @@ def dedup_minhash_lsh(
         .withColumn("_n", F.size("sh"))
         .transform(scoped_cache, "minhash_lsh")
     )
+    if stats is not None:
+        stats["sets"] = sets
     n_docs = sets.count()
     bands = minhash_band_keys(
         df, text_col, id_col, k, sets=sets.select(id_col, "sh")

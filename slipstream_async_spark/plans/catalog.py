@@ -8551,8 +8551,18 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the candidate pairs; exact scores are quantized to 1e-6
     before averaging so the bucket means are integer-exact."""
     (docs,) = _t(spark, sf_dir, "documents")
-    pairs = DD.dedup_minhash_lsh(docs, "text", "doc_id", k=3, threshold=0.0)
-    sigs = DD.minhash_signatures(docs, "text", "doc_id")
+    # The LSH operator caches the shingle sets; recompute the signature
+    # table FROM that cache (sets=) instead of a second full
+    # tokenize+shingle pass over the corpus — the signature aggregation
+    # is then the identical lineage the band stage runs, so AQE stage
+    # reuse computes it once.
+    st: dict = {}
+    pairs = DD.dedup_minhash_lsh(
+        docs, "text", "doc_id", k=3, threshold=0.0, stats=st
+    )
+    sigs = DD.minhash_signatures(
+        docs, "text", "doc_id", sets=st["sets"].select("doc_id", "sh")
+    )
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     m = (
@@ -13455,6 +13465,11 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; the two ratios are single correctly-rounded divisions of
     exact integers, quantized with the shared floor(x*1e6+0.5) recipe."""
     (ev,) = _t(spark, sf_dir, "events")
+    # The key-grain count table feeds three lineages, but all three end
+    # in the SAME scan->partial-agg->Exchange(user_id) subtree, which
+    # AQE's runtime stage cache already computes once (r13 A/B: an
+    # explicit cache here measured slower — materialization cost with
+    # no removed work).
     k = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
     t = k.agg(
         F.sum("c").cast("bigint").alias("n_events"),
@@ -20605,18 +20620,30 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # Both remaining consumers (boundary stream, per-day session
+    # counts) share the one Exchange(user_id) subtree via AQE's runtime
+    # stage reuse; an explicit cache measured slower in the r13 A/B.
     sess = sid.groupBy("user_id", "s").agg(
         F.min("ts").alias("st"), F.max("ts").alias("en")
     )
-    day = F.date_format("st", "yyyy-MM-dd").alias("day")
+    # +1/-1 boundary events via ONE explode instead of a two-branch
+    # union (the union re-ran the session lineage once per branch and
+    # doubled the plan); row set and ordering keys are identical.
     b = sess.select(
-        day, F.col("st").alias("bts"), F.lit(1).alias("delta"), "user_id", "s"
-    ).unionByName(
-        sess.select(
-            day, F.col("en").alias("bts"), F.lit(-1).alias("delta"),
-            "user_id", "s",
-        )
-    )
+        F.date_format("st", "yyyy-MM-dd").alias("day"),
+        "user_id",
+        "s",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("st").alias("bts"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("en").alias("bts"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("_b"),
+    ).select("day", F.col("_b.bts").alias("bts"), F.col("_b.delta").alias("delta"), "user_id", "s")
     rw = (
         Window.partitionBy("day")
         .orderBy("bts", "delta", "user_id", "s")
@@ -20937,43 +20964,83 @@ def fk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, as a nonzero orphan count, long before any query reads
     wrong revenue).
 
-    Shape per edge: one key-grain partial aggregation of the child
-    (count per FK value — map-side combinable) and one LEFT ANTI join
-    against the parent's key column (dimension side broadcastable;
+    Shape (r13, fused per CHILD table): every child is scanned ONCE
+    for all of its edges — a single aggregate computes the row count
+    plus one NULL-FK sum per edge, and one exploded (edge, key) pass
+    feeds a single key-grain partial aggregation (map-side combinable)
+    whose shuffle all of that child's anti-joins read through AQE stage
+    reuse. lineitem previously paid 6 full scans (a total + a key
+    groupBy per edge); now 2. Each edge's LEFT ANTI join against the
+    parent's key column is unchanged (dimension side broadcastable;
     the fact-fact edge shuffles key counts, never rows). 7 edges, 7
-    rows out; at 100 TB each edge is a key-projection scan, not a
-    fact-table self-join."""
-    frames = []
+    rows out; at 100 TB each child is two key-projection scans, not a
+    per-edge rescan."""
+    by_child: dict[str, list] = {}
     for edge, child, fk, parent, pk in _FK_EDGES:
-        (ch, par) = _t(spark, sf_dir, child, parent)
+        by_child.setdefault(child, []).append((edge, fk, parent, pk))
+    frames = []
+    for child, edges in by_child.items():
+        (ch,) = _t(spark, sf_dir, child)
         tot = ch.agg(
             F.count("*").cast("bigint").alias("n_rows"),
-            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_null_fk"),
+            *[
+                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_null_{i}")
+                for i, (_, fk, _, _) in enumerate(edges)
+            ],
         )
-        cnt = (
-            ch.filter(F.col(fk).isNotNull())
-            .groupBy(F.col(fk).alias("k"))
+        # (edge, key) fan-out: integer keys cast to a common bigint so
+        # one struct array carries every FK of the row (exact for all
+        # integral key types; the parent side casts identically).
+        fused = (
+            ch.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(edge).alias("_e"),
+                                F.col(fk).cast("bigint").alias("k"),
+                            )
+                            for edge, fk, _, _ in edges
+                        ]
+                    )
+                ).alias("x")
+            )
+            .select(F.col("x._e").alias("_e"), F.col("x.k").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("_e", "k")
             .agg(F.count("*").alias("cnt"))
         )
-        orph = cnt.join(
-            par.select(F.col(pk).alias("k")), "k", "left_anti"
-        ).agg(
-            F.count("*").cast("bigint").alias("n_orphan_keys"),
-            F.coalesce(F.sum("cnt"), F.lit(0))
-            .cast("bigint")
-            .alias("n_orphan_rows"),
-        )
-        frames.append(
-            tot.crossJoin(orph).select(
-                F.lit(edge).alias("edge"),
-                "n_rows",
-                "n_null_fk",
-                "n_orphan_keys",
-                "n_orphan_rows",
+        for i, (edge, fk, parent, pk) in enumerate(edges):
+            (par,) = _t(spark, sf_dir, parent)
+            orph = (
+                fused.filter(F.col("_e") == edge)
+                .join(
+                    par.select(F.col(pk).cast("bigint").alias("k")),
+                    "k",
+                    "left_anti",
+                )
+                .agg(
+                    F.count("*").cast("bigint").alias("n_orphan_keys"),
+                    F.coalesce(F.sum("cnt"), F.lit(0))
+                    .cast("bigint")
+                    .alias("n_orphan_rows"),
+                )
             )
-        )
+            frames.append(
+                tot.select(
+                    "n_rows", F.col(f"_null_{i}").alias("n_null_fk")
+                )
+                .crossJoin(orph)
+                .select(
+                    F.lit(edge).alias("edge"),
+                    "n_rows",
+                    "n_null_fk",
+                    "n_orphan_keys",
+                    "n_orphan_rows",
+                )
+            )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -22747,6 +22814,12 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 10000
         ).alias("b"),
     ).filter(F.size("t") >= 2)
+    # Words enter the count lattice as xxhash64 LONGS: w1/w2 are only
+    # ever compared for equality (bigram/context/continuation counts,
+    # held-out probe joins), never emitted, so every exchange and join
+    # key in the query shrinks from a word string to 8 bytes (guide
+    # §2.3). Collisions: ~|vocab|^2/2^64 — deterministic on this data
+    # and oracle-checked.
     bi = toks.select(
         "doc_id",
         "source",
@@ -22760,8 +22833,8 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source",
         "b",
-        F.col("p.0").alias("w1"),
-        F.col("p.1").alias("w2"),
+        F.xxhash64(F.col("p.0")).alias("w1"),
+        F.xxhash64(F.col("p.1")).alias("w2"),
     )
     train = bi.filter(F.col("b") >= 1000)
     c2 = train.groupBy("w1", "w2").agg(
@@ -22774,7 +22847,8 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bwd = c2.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1b"))
     uni = (
         toks.filter(F.col("b") >= 1000)
-        .select(F.explode("t").alias("tok"))
+        .select(F.explode("t").alias("_tok"))
+        .select(F.xxhash64("_tok").alias("tok"))
         .agg(F.count_distinct("tok").cast("bigint").alias("v"))
     )
     tot = c2.agg(F.count("*").cast("bigint").alias("t")).crossJoin(
@@ -22864,22 +22938,36 @@ def text_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (never all-pairs); the overlap is a token-grain equi-join
     of the two sides' count tables restricted to candidate pairs —
     cost is |pairs| x shared-vocab, partial-agg'd map-side. Token
-    counts and lengths are exact integers; ratios final doubles."""
+    counts and lengths are exact integers; ratios final doubles.
+
+    r13: the unigram multiset rides the pair stage's ONE tokenize scan
+    via the carry cache, as xxhash64 word hashes — the overlap join
+    only needs word EQUALITY, never word text, so the join/shuffle keys
+    are 8-byte longs (guide §2.3) and the second full tokenize pass is
+    gone; per-doc lengths are carried exactly as size(_toks)."""
     (docs,) = _t(spark, sf_dir, "documents")
+    st: dict = {}
     pairs = DD.dedup_ngram_jaccard(
-        docs, "text", "doc_id", k=3, threshold=0.5
+        docs,
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.5,
+        stats=st,
+        carry={
+            "_wh": F.transform("_toks", lambda t: F.xxhash64(t)),
+            "n_tokens": F.size("_toks").cast("bigint"),
+        },
     ).select("id_a", "id_b")
-    # spread the tokenize scan and cache the per-doc token counts: the
-    # two pair sides and the length table all read this frame
+    # cache the (doc, word-hash, count) table: both pair sides read it
     tc = (
-        spread(docs, "doc_id").select(
-            "doc_id", F.explode(TXT.tokens("text")).alias("w")
-        )
+        st["docs"]
+        .select("doc_id", F.explode("_wh").alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast("bigint").alias("c"))
         .transform(scoped_cache, "text_rouge1_pairs")
     )
-    lens = tc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    lens = st["docs"].select("doc_id", F.col("n_tokens").alias("n"))
     a = tc.select(
         F.col("doc_id").alias("id_a"), "w", F.col("c").alias("ca")
     )
